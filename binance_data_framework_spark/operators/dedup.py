@@ -1,0 +1,220 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Extension mandated by the north star (SURVEY.md §2b): exact hash dedup,
+MinHash-LSH near-dedup, and SimHash fingerprints — each expressed as pure
+DataFrame plans (no driver-side loops, no O(n^2) self-joins):
+
+- exact: group/window on a content hash — one shuffle keyed by the 256-bit
+  hash, so skew is impossible and the reducer state per key is one row.
+- MinHash: k independent hash functions realized as xxhash64(seed, shingle);
+  per-doc signature = k per-seed mins computed in ONE aggregation pass over
+  exploded shingles (k agg exprs, map-side partial min).
+- LSH banding: signature split into bands; candidate pairs = docs sharing a
+  (band_idx, band_hash) bucket — an equi-join on the band key, linear-ish in
+  output size instead of the n^2 cross product. Verification re-checks
+  estimated Jaccard from full signatures.
+- SimHash: 64-bit fingerprint; near-dup candidates share one of 4 16-bit
+  chunks (Hamming<=3 within 64 bits guarantees >=1 identical chunk by
+  pigeonhole) — again an equi-join, then exact Hamming verification with
+  bit_count(xor).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def content_hash(col: Column | str) -> Column:
+    """256-bit content hash (collision-safe at 100 TB row counts)."""
+    return F.sha2(F.col(col) if isinstance(col, str) else col, 256)
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id row per distinct content hash (deterministic winner
+    — plain dropDuplicates keeps an arbitrary shuffle-order row)."""
+    w = Window.partitionBy(content_hash(text_col)).orderBy(id_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def shingles(text_col: str, n: int = 3) -> Column:
+    """Word n-gram shingles of a whitespace-tokenized text column."""
+    toks = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<long>[num_hashes]) — one explode + one grouped agg.
+
+    Each hash_i(s) = xxhash64(i, s); signature_i = min over shingles. The
+    explode fans out n_shingles rows per doc but the aggregation combines
+    map-side, so shuffle volume is num_hashes longs per doc.
+    """
+    ex = df.select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("_sh")
+    )
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"_h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = ex.groupBy(id_col).agg(*mins)
+    return sig.select(
+        id_col, F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold) via LSH
+    banding over MinHash signatures."""
+    banded = sigs.select(
+        id_col,
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(
+                        "sig",
+                        b * (F.size("sig") / num_bands).cast("int") + 1,
+                        (F.size("sig") / num_bands).cast("int"),
+                    )
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band_idx", "band_hash"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band_idx", "band_hash"
+    )
+    pairs = (
+        a.join(b, on=["band_idx", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ) / F.size("sig_a")
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def dedup_near_minhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Drop near-duplicates: a doc is removed if a lower-id doc is a
+    near-duplicate (single-link via direct pairs; full connected components
+    would iterate min-label propagation — see cluster_min_label)."""
+    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
+    pairs = minhash_candidates(sigs, id_col, num_bands, threshold)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def simhash_signature(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """64-bit SimHash per doc, computed in one pass over the token array with
+    per-bit popcount comparisons (no explode, no UDF)."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+
+    def bit(b: int) -> Column:
+        ones = F.size(
+            F.filter(
+                toks,
+                lambda t: F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1,
+            )
+        )
+        return F.when(ones * 2 > n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim.bitwiseOR(F.shiftleft(bit(b), b))
+    return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", max_hamming: int = 3
+) -> DataFrame:
+    """Pairs with Hamming(simhash) <= max_hamming via 16-bit chunk banding
+    (pigeonhole: <=3 differing bits over 4 chunks leaves >=1 chunk equal)."""
+    chunks = F.array(
+        *[
+            F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}")
+            for i in range(4)
+        ]
+    )
+    banded = sigs.select(
+        id_col, "simhash", F.posexplode(chunks).alias("chunk_idx", "chunk_val")
+    )
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk_val"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_idx", "chunk_val"
+    )
+    return (
+        a.join(b, on=["chunk_idx", "chunk_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def cluster_min_label(pairs: DataFrame, ids: DataFrame, id_col: str, max_iter: int = 10) -> DataFrame:
+    """Connected components by iterative min-label propagation over the
+    candidate-pair edge list (duplicate clusters are tiny; a handful of
+    iterations converge). Returns (id, cluster_id)."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    )
+    labels = ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels.withColumnRenamed("src", "dst"), on="dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, on="src", how="left")
+            .select("src", F.least("label", F.coalesce("nlabel", "label")).alias("label"))
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # truncate lineage per iter
+    return labels.select(F.col("src").alias(id_col), F.col("label").alias("cluster_id"))

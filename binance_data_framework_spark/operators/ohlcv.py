@@ -1,0 +1,128 @@
+"""Time-series operators: OHLCV resample (the flagship) and rolling analytics.
+
+Reference semantics: pandas ``resample(rule).agg(open='first', high='max',
+low='min', close='last', volume='sum')`` then ``dropna`` — the flagship
+operator at colab_interface.py:374-434 (agg 417-426, rule map 436-465), and
+the documented 20-bar SMA analysis pattern (README.md:106).
+
+Spark-first translation:
+- one ``groupBy(key, bucket).agg(...)`` = a single hash-aggregate pass with
+  map-side partial aggregation (the reference runs 5 separate resample passes);
+- time-order-correct first/last via ``min_by``/``max_by`` — plain
+  ``first()/last()`` are shuffle-order-nondeterministic in Spark and would be
+  silently wrong;
+- fixed-duration frames use ``window(ts, dur)`` (tumbling); calendar frames
+  ('1w','1M') use ``date_trunc`` so bucket labels match pandas' calendar
+  alignment;
+- empty buckets simply don't exist in groupBy output (pandas materializes then
+  drops them) — same result, no wasted rows.
+
+At 100 TB: the aggregation shuffles once on (key, bucket); partial aggregation
+collapses each map partition to ~(n_symbols x n_buckets_per_partition) rows
+before the exchange, so shuffle volume is bounded by output cardinality, not
+input rows. No collect, no UDF, whole-stage codegen end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from binance_data_framework_spark.functions.timeframes import (
+    CALENDAR_TFS,
+    WINDOW_DURATION,
+)
+
+
+def bucket_col(ts_col: Column, timeframe: str) -> Column:
+    """Left-edge bucket label for a timeframe (matches pandas resample labels).
+
+    Fixed frames: ``window(ts, dur).start``. Calendar frames: ``date_trunc``.
+    Both are builtin expressions — pruned/pushed/codegen'd by Catalyst.
+    """
+    if timeframe in CALENDAR_TFS:
+        unit = "week" if timeframe == "1w" else "month"
+        return F.date_trunc(unit, ts_col)
+    if timeframe not in WINDOW_DURATION:
+        raise ValueError(f"unsupported timeframe: {timeframe!r}")
+    return F.window(ts_col, WINDOW_DURATION[timeframe])["start"]
+
+
+def resample_ohlcv(
+    df: DataFrame,
+    timeframe: str,
+    price_col: str = "price",
+    ts_col: str = "ts",
+    key_col: str = "symbol",
+    volume_col: str | None = None,
+) -> DataFrame:
+    """Tick/bar stream -> OHLCV bars at `timeframe`.
+
+    ``volume_col=None`` sums the price column as volume proxy (fixture
+    convention, FIXTURES.md); pass a real volume column when present.
+    """
+    vol = volume_col or price_col
+    ts, px = F.col(ts_col), F.col(price_col)
+    return (
+        df.groupBy(
+            F.col(key_col).alias("symbol"),
+            bucket_col(ts, timeframe).alias("bucket"),
+        )
+        .agg(
+            F.min_by(px, ts).alias("open"),
+            F.max(px).alias("high"),
+            F.min(px).alias("low"),
+            F.max_by(px, ts).alias("close"),
+            F.sum(F.col(vol)).alias("volume"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
+
+
+def resample_bars(
+    bars: DataFrame,
+    timeframe: str,
+    ts_col: str = "bucket",
+    key_col: str = "symbol",
+) -> DataFrame:
+    """OHLCV bars -> coarser OHLCV bars (e.g. 1m -> 1h), preserving
+    open=first/close=last by bar time. This is the reference's
+    resample-from-minimum-timeframe mode (plan.md:86-97)."""
+    ts = F.col(ts_col)
+    return (
+        bars.groupBy(
+            F.col(key_col).alias("symbol"),
+            bucket_col(ts, timeframe).alias("bucket"),
+        )
+        .agg(
+            F.min_by("open", ts).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", ts).alias("close"),
+            F.sum("volume").alias("volume"),
+            F.sum("n_ticks").alias("n_ticks"),
+        )
+    )
+
+
+def with_sma(
+    bars: DataFrame,
+    n: int = 20,
+    value_col: str = "close",
+    ts_col: str = "bucket",
+    key_col: str = "symbol",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Trailing n-bar simple moving average per series (README.md:106 pattern).
+
+    ROWS frame [-(n-1), 0] partitioned by the series key — each partition's
+    window is computed locally after a single hash partitioning; matches pandas
+    ``rolling(n).mean()`` semantics including the null warm-up (rolling emits
+    NaN until n observations exist).
+    """
+    out = out_col or f"sma{n}"
+    w = Window.partitionBy(key_col).orderBy(ts_col).rowsBetween(-(n - 1), 0)
+    cnt = F.count(value_col).over(w)
+    return bars.withColumn(
+        out, F.when(cnt >= n, F.avg(value_col).over(w)).otherwise(F.lit(None))
+    )

@@ -1,0 +1,876 @@
+"""Query registry: every operator from SURVEY.md §2 as a (Spark plan builder,
+DuckDB oracle SQL) pair, over the driver fixtures.
+
+Conventions (driver contract, __spark_entry__.py):
+- each builder takes (spark, sf_dir) and returns a lazy DataFrame;
+- every computed column is aliased identically in the Spark plan and the
+  oracle SQL (the driver's compare sorts columns by name);
+- float aggregates are rounded to 6 dp on BOTH sides (accumulation-order
+  noise); integer-ish outputs are cast to BIGINT on both sides (DuckDB
+  len()/row_number() return BIGINT, Spark size()/row_number() return INT);
+- DuckDB `date_trunc('week'|'month')` returns DATE → cast ::TIMESTAMP in
+  oracles to match Spark's TimestampType.
+
+Non-SQL-expressible ops (LSH dedup/topk, SimHash pairs) have no oracle entry;
+the driver records rows-only checks and pytest enforces their invariants.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from binance_data_framework_spark.functions.timeframes import TIMEFRAME_MS, timeframe_dim
+from binance_data_framework_spark.operators import dedup as D
+from binance_data_framework_spark.operators import similarity as S
+from binance_data_framework_spark.operators import text as TX
+from binance_data_framework_spark.operators.asof import asof_join
+from binance_data_framework_spark.operators.coverage import (
+    coverage_check,
+    gap_antijoin,
+    meta_coverage,
+)
+from binance_data_framework_spark.operators.ohlcv import (
+    resample_bars,
+    resample_ohlcv,
+    with_sma,
+)
+from binance_data_framework_spark.sources.fixtures import load_table, ohlcv_view
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments
+# ---------------------------------------------------------------------------
+
+_BARS_1H_SQL = """
+    SELECT event_type AS symbol,
+           date_trunc('hour', ts) AS bucket,
+           arg_min(value, ts) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, ts) AS close,
+           sum(value) AS volume,
+           count(*) AS n_ticks
+    FROM events GROUP BY 1, 2
+"""
+
+
+def _bars_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ohlcv_view(spark, sf_dir, "1h")
+
+
+# ===========================================================================
+# flagship + time-series operators (SURVEY §2a: resample_ohlcv, window_sma)
+# ===========================================================================
+
+
+@register(
+    "flagship_ohlcv_sma",
+    f"""
+    WITH bars AS ({_BARS_1H_SQL})
+    SELECT symbol, bucket, open, high, low, close,
+           round(volume, 6) AS volume, n_ticks,
+           round(CASE WHEN count(close) OVER w >= 20
+                 THEN avg(close) OVER w END, 6) AS sma20
+    FROM bars
+    WINDOW w AS (PARTITION BY symbol ORDER BY bucket
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _bars_1h(spark, sf_dir)
+    return with_sma(bars, 20).select(
+        "symbol",
+        "bucket",
+        "open",
+        "high",
+        "low",
+        "close",
+        F.round("volume", 6).alias("volume"),
+        "n_ticks",
+        F.round("sma20", 6).alias("sma20"),
+    )
+
+
+@register(
+    "resample_ohlcv",
+    f"""
+    WITH bars AS ({_BARS_1H_SQL})
+    SELECT symbol, bucket, open, high, low, close,
+           round(volume, 6) AS volume, n_ticks
+    FROM bars
+    """,
+)
+def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bars_1h(spark, sf_dir).withColumn("volume", F.round("volume", 6))
+
+
+@register(
+    "resample_ohlcv_1w",
+    """
+    SELECT event_type AS symbol,
+           date_trunc('week', ts)::TIMESTAMP AS bucket,
+           arg_min(value, ts) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, ts) AS close,
+           round(sum(value), 6) AS volume,
+           count(*) AS n_ticks
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_resample_1w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ohlcv_view(spark, sf_dir, "1w").withColumn("volume", F.round("volume", 6))
+
+
+@register(
+    "resample_from_base",
+    f"""
+    WITH bars1m AS (
+      SELECT event_type AS symbol, date_trunc('minute', ts) AS bucket,
+             arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+             arg_max(value, ts) AS close, sum(value) AS volume, count(*) AS n_ticks
+      FROM events GROUP BY 1, 2)
+    SELECT symbol, date_trunc('hour', bucket) AS bucket,
+           arg_min(open, bucket) AS open, max(high) AS high, min(low) AS low,
+           arg_max(close, bucket) AS close, round(sum(volume), 6) AS volume,
+           CAST(sum(n_ticks) AS BIGINT) AS n_ticks
+    FROM bars1m GROUP BY 1, 2
+    """,
+)
+def q_resample_from_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference plan.md:86-97 resample-from-minimum-timeframe: 1m bars are
+    the stored base; coarser frames derive from bars, not ticks."""
+    bars_1m = ohlcv_view(spark, sf_dir, "1m")
+    return resample_bars(bars_1m, "1h").withColumn("volume", F.round("volume", 6))
+
+
+@register(
+    "window_sma",
+    f"""
+    WITH bars AS ({_BARS_1H_SQL})
+    SELECT symbol, bucket, close,
+           round(CASE WHEN count(close) OVER w >= 20
+                 THEN avg(close) OVER w END, 6) AS sma20
+    FROM bars
+    WINDOW w AS (PARTITION BY symbol ORDER BY bucket
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bars = _bars_1h(spark, sf_dir)
+    return with_sma(bars, 20).select(
+        "symbol", "bucket", "close", F.round("sma20", 6).alias("sma20")
+    )
+
+
+# ===========================================================================
+# scans / filters / sorts / limits (SURVEY §2a)
+# ===========================================================================
+
+
+@register(
+    "scan_table_range",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props
+    FROM events
+    WHERE event_type = 'purchase'
+      AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+      AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+    """,
+)
+def q_scan_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pushed-down predicate scan (reference get_data range scan,
+    database_handler.py:309-346): equality + inclusive between on ts."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.where(
+        (F.col("event_type") == "purchase")
+        & F.col("ts").between("2024-01-05 00:00:00", "2024-01-20 00:00:00")
+    ).orderBy("ts")
+
+
+@register(
+    "project_ohlcv",
+    f"SELECT symbol, bucket, open, high, low, close FROM ({_BARS_1H_SQL})",
+)
+def q_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column pruning (reference api_connector.py:310 drops 7 of 12 cols)."""
+    return _bars_1h(spark, sf_dir).select(
+        "symbol", "bucket", "open", "high", "low", "close"
+    )
+
+
+@register(
+    "filter_eq_range",
+    """
+    SELECT event_id, ts, event_type, value FROM events
+    WHERE event_type = 'click' AND value >= 50 AND value <= 150
+    """,
+)
+def q_filter_eq_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .where((F.col("event_type") == "click") & F.col("value").between(50, 150))
+        .select("event_id", "ts", "event_type", "value")
+    )
+
+
+@register(
+    "filter_suffix_status",
+    """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer
+    WHERE c_name LIKE '%5' AND c_mktsegment = 'BUILDING'
+    """,
+)
+def q_filter_suffix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix+equality filter (reference USDT/TRADING filter,
+    api_connector.py:178-181)."""
+    return (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_name").endswith("5") & (F.col("c_mktsegment") == "BUILDING"))
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@register(
+    "filter_contains_ci",
+    """
+    SELECT p_partkey, p_name, p_type FROM part
+    WHERE contains(lower(p_name), 'wid')
+    """,
+)
+def q_filter_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive substring filter (reference UI symbol filter,
+    colab_interface.py:185-190)."""
+    return (
+        load_table(spark, sf_dir, "part")
+        .where(F.lower(F.col("p_name")).contains("wid"))
+        .select("p_partkey", "p_name", "p_type")
+    )
+
+
+@register(
+    "filter_dropna",
+    """
+    SELECT event_id, ts, value_hi, k_small FROM (
+      SELECT event_id, ts,
+             CASE WHEN value > 100 THEN value END AS value_hi,
+             CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) < 50
+                  THEN CAST(json_extract_string(props, '$.k') AS INTEGER)
+             END AS k_small
+      FROM events)
+    WHERE value_hi IS NOT NULL AND k_small IS NOT NULL
+    """,
+)
+def q_filter_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """na.drop over derived nullable columns (reference dropna after
+    resample, colab_interface.py:426)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select(
+            "event_id",
+            "ts",
+            F.when(F.col("value") > 100, F.col("value")).alias("value_hi"),
+            F.when(k < 50, k).alias("k_small"),
+        )
+        .na.drop()
+    )
+
+
+@register(
+    "filter_rowlookup",
+    """
+    SELECT event_type AS symbol, min(ts) AS start_ts, max(ts) AS end_ts,
+           count(*) AS n_rows
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+    """,
+)
+def q_rowlookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-row metadata lookup (reference colab_interface.py:578,635)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        meta_coverage(ev, key_cols=("event_type",))
+        .where(F.col("event_type") == "purchase")
+        .select(F.col("event_type").alias("symbol"), "start_ts", "end_ts", "n_rows")
+    )
+
+
+@register("sort_ts", "SELECT event_id, ts FROM events ORDER BY ts")
+def q_sort_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort = Spark range-partitioned exchange (sampled split points →
+    balanced partitions at any scale)."""
+    return load_table(spark, sf_dir, "events").select("event_id", "ts").orderBy("ts")
+
+
+@register(
+    "sort_symbols",
+    "SELECT DISTINCT event_type AS symbol FROM events ORDER BY symbol",
+)
+def q_sort_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("event_type").alias("symbol"))
+        .distinct()
+        .orderBy("symbol")
+    )
+
+
+@register(
+    "limit_preview",
+    """
+    SELECT event_id, ts, event_type, value FROM events
+    ORDER BY ts DESC, event_id DESC LIMIT 5
+    """,
+)
+def q_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail preview (reference LIMIT debug scans, database_handler.py:390-407).
+    orderBy+limit = distributed TakeOrderedAndProject, no global sort."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "event_type", "value")
+        .orderBy(F.desc("ts"), F.desc("event_id"))
+        .limit(5)
+    )
+
+
+@register(
+    "distinct_audit",
+    "SELECT DISTINCT l_returnflag FROM lineitem",
+)
+def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT audit scan (reference typeof() audit,
+    database_handler.py:366-369)."""
+    return load_table(spark, sf_dir, "lineitem").select("l_returnflag").distinct()
+
+
+@register(
+    "union_pages",
+    """
+    SELECT event_id, ts, value FROM events WHERE ts < TIMESTAMP '2024-01-10 00:00:00'
+    UNION ALL
+    SELECT event_id, ts, value FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05 00:00:00' AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+    """,
+)
+def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL page concatenation (reference pagination accumulator,
+    api_connector.py:264) — duplicates preserved."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "value")
+    a = ev.where(F.col("ts") < "2024-01-10 00:00:00")
+    b = ev.where(F.col("ts").between("2024-01-05 00:00:00", "2024-01-15 00:00:00"))
+    return a.unionByName(b)
+
+
+# ===========================================================================
+# aggregations / coverage / joins (SURVEY §2a)
+# ===========================================================================
+
+
+@register(
+    "agg_count",
+    "SELECT event_type AS symbol, count(*) AS n_rows FROM events GROUP BY 1",
+)
+def q_agg_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("symbol"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@register(
+    "agg_minmax_series",
+    """
+    SELECT event_type AS symbol, min(ts) AS start_ts, max(ts) AS end_ts
+    FROM events GROUP BY 1
+    """,
+)
+def q_agg_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage-metadata refresh aggregate (database_handler.py:219-228)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("symbol"))
+        .agg(F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+    )
+
+
+@register(
+    "meta_coverage",
+    """
+    SELECT event_type AS symbol, '1h' AS timeframe, min(ts) AS start_ts,
+           max(ts) AS end_ts, count(*) AS n_rows
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_meta_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog/coverage scan (reference get_stored_info,
+    database_handler.py:348-377) — computed aggregate, never stored."""
+    ev = load_table(spark, sf_dir, "events").withColumn("timeframe", F.lit("1h"))
+    return meta_coverage(ev, key_cols=("event_type", "timeframe")).select(
+        F.col("event_type").alias("symbol"), "timeframe", "start_ts", "end_ts", "n_rows"
+    )
+
+
+_COVERAGE_REQS = [
+    ("purchase", "1h", "2024-01-05 00:00:00", "2024-01-20 00:00:00"),
+    ("click", "1h", "2023-12-01 00:00:00", "2024-03-01 00:00:00"),
+    ("view", "1h", "2024-01-10 00:00:00", "2024-01-30 23:00:00"),
+    ("nosuch", "1h", "2024-01-01 00:00:00", "2024-01-02 00:00:00"),
+]
+_COVERAGE_NOW = datetime(2024, 1, 31, 0, 0, 0)
+
+
+@register(
+    "coverage_check",
+    f"""
+    WITH cov AS (
+      SELECT event_type AS symbol, min(ts) AS start_ts, max(ts) AS end_ts
+      FROM events GROUP BY 1),
+    req(symbol, timeframe, req_start, req_end) AS (VALUES
+      {", ".join(f"('{s}', '{tf}', TIMESTAMP '{a}', TIMESTAMP '{b}')" for s, tf, a, b in _COVERAGE_REQS)})
+    SELECT req.symbol, req.timeframe, req.req_start, req.req_end,
+           coalesce(
+             (cov.start_ts <= req.req_start AND
+               (epoch_ms(cov.end_ts) + 3600000 - 1 >= epoch_ms(req.req_end)
+                OR abs({int(_COVERAGE_NOW.timestamp() * 1000)} - epoch_ms(cov.end_ts)) < 2 * 3600000)),
+             FALSE) AS covered
+    FROM req LEFT JOIN cov ON req.symbol = cov.symbol
+    """,
+)
+def q_coverage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment+freshness probe (reference check_data_exists,
+    database_handler.py:257-307): broadcast request spec left-joined onto the
+    coverage aggregate; pure boolean exprs after the equi-join."""
+    ev = load_table(spark, sf_dir, "events")
+    cov = meta_coverage(
+        ev.select(F.col("event_type").alias("symbol"), "ts"), key_cols=("symbol",)
+    )
+    req = spark.createDataFrame(
+        [(s, tf, datetime.fromisoformat(a), datetime.fromisoformat(b)) for s, tf, a, b in _COVERAGE_REQS],
+        "symbol string, timeframe string, req_start timestamp, req_end timestamp",
+    )
+    cov = cov.withColumn("timeframe", F.lit("1h"))
+    return coverage_check(cov, req, _COVERAGE_NOW, key_cols=("symbol", "timeframe")).select(
+        "symbol", "timeframe", "req_start", "req_end", "covered"
+    )
+
+
+@register(
+    "gap_antijoin",
+    """
+    WITH present AS (
+      SELECT event_type AS symbol, date_trunc('hour', ts) AS bucket
+      FROM events GROUP BY 1, 2),
+    bounds AS (SELECT symbol, min(bucket) AS mn, max(bucket) AS mx FROM present GROUP BY 1),
+    expected AS (
+      SELECT symbol, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds)
+    SELECT symbol, bucket AS missing_bucket
+    FROM expected ANTI JOIN present USING (symbol, bucket)
+    """,
+)
+def q_gap_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-bar detection (gap-fill design the reference never implemented,
+    plan.md:79-80): sequence+explode expected timeline, anti-join present."""
+    bars = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("symbol", "bucket")
+    )
+    return gap_antijoin(bars, "1h")
+
+
+@register(
+    "lookup_export_meta",
+    """
+    WITH cov AS (
+      SELECT event_type AS symbol, min(ts) AS start_ts, max(ts) AS end_ts,
+             count(*) AS n_rows
+      FROM events GROUP BY 1)
+    SELECT symbol, start_ts, end_ts, n_rows FROM cov
+    WHERE symbol IN ('purchase', 'click')
+    """,
+)
+def q_lookup_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast semi-join of a small key list against coverage (reference
+    export/load key lookup, colab_interface.py:571-581, 627-638)."""
+    ev = load_table(spark, sf_dir, "events")
+    cov = meta_coverage(
+        ev.select(F.col("event_type").alias("symbol"), "ts"), key_cols=("symbol",)
+    )
+    keys = spark.createDataFrame([("purchase",), ("click",)], "symbol string")
+    return cov.join(broadcast(keys), on="symbol", how="left_semi")
+
+
+@register(
+    "upsert_precedence",
+    """
+    WITH stored AS (
+      SELECT ts, value, 1 AS _rank FROM events WHERE event_type = 'purchase'),
+    incoming AS (
+      SELECT ts, value + 1000 AS value, 0 AS _rank FROM events
+      WHERE event_type = 'purchase' AND event_id % 3 = 0),
+    unioned AS (SELECT * FROM incoming UNION ALL SELECT * FROM stored),
+    ranked AS (
+      SELECT ts, value, row_number() OVER (PARTITION BY ts ORDER BY _rank) AS rn
+      FROM unioned)
+    SELECT ts, value FROM ranked WHERE rn = 1
+    """,
+)
+def q_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT OR REPLACE parity (database_handler.py:215-218): new rows win on
+    the key via explicit source-rank + row_number — deterministic under
+    shuffle, the same kernel OhlcvStore.save_data uses."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    stored = ev.select("ts", "value", F.lit(1).alias("_rank"))
+    incoming = ev.where(F.col("event_id") % 3 == 0).select(
+        "ts", (F.col("value") + 1000).alias("value"), F.lit(0).alias("_rank")
+    )
+    w = Window.partitionBy("ts").orderBy("_rank")
+    return (
+        incoming.unionByName(stored)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("ts", "value")
+    )
+
+
+@register(
+    "op_delete_partition",
+    "SELECT event_id, ts, event_type, value FROM events WHERE event_type <> 'error'",
+)
+def q_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-drop semantics as the surviving-set filter (reference
+    delete_data, database_handler.py:243-255; physical form is a directory
+    drop in OhlcvStore.delete_data)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") != "error")
+        .select("event_id", "ts", "event_type", "value")
+    )
+
+
+# ===========================================================================
+# scalar functions (SURVEY §2a)
+# ===========================================================================
+
+
+@register(
+    "cast_ms_roundtrip",
+    """
+    SELECT event_id, epoch_ms(ts) AS ts_ms,
+           make_timestamp(epoch_ms(ts) * 1000) AS ts_restored
+    FROM events
+    """,
+)
+def q_cast_ms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """epoch-ms <-> timestamp round-trip (reference _timestamp_to_ms /
+    _ms_to_datetime, database_handler.py:142-160), lossless at ms precision."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        F.timestamp_millis(F.unix_millis("ts")).alias("ts_restored"),
+    )
+
+
+@register(
+    "cast_str_to_double",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_dbl
+    FROM events
+    """,
+)
+def q_cast_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String->double cast on real string data (reference pd.to_numeric over
+    API strings, api_connector.py:296-300)."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("double").alias("k_dbl"),
+    )
+
+
+@register(
+    "map_tf_duration",
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"('{tf}', {ms})" for tf, ms in TIMEFRAME_MS.items())
+    + ") AS t(timeframe, duration_ms)",
+)
+def q_tf_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timeframe->duration dimension (database_handler.py:162-191), with the
+    reference's 30m=30s bug fixed (SURVEY §2 note)."""
+    return timeframe_dim(spark)
+
+
+@register(
+    "interval_arith",
+    """
+    SELECT event_type AS symbol, max(ts) AS end_ts,
+           epoch_ms(max(ts)) + 3600000 - 1 AS coverage_end_ms
+    FROM events GROUP BY 1
+    """,
+)
+def q_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage-end interval arithmetic (database_handler.py:286-295)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("symbol"))
+        .agg(
+            F.max("ts").alias("end_ts"),
+            (F.unix_millis(F.max("ts")) + 3600000 - 1).alias("coverage_end_ms"),
+        )
+    )
+
+
+@register(
+    "json_extract",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+)
+def q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access over events.props (SURVEY §2b json_extract)."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+
+
+# ===========================================================================
+# extension operators (SURVEY §2b)
+# ===========================================================================
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT doc_id, lang, source, n_chars FROM (
+      SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+      FROM documents)
+    WHERE rn = 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_exact(docs).select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
+    "text_stats",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_tokens,
+           round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS avg_token_len
+    FROM documents
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.text_stats(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_term_freq",
+    """
+    SELECT token, count(*) AS freq FROM (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    """,
+)
+def q_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.term_frequency(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_sentiment",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+    lex(token, score) AS (VALUES
+      """
+    + ", ".join(f"('{w}', {s})" for w, s in TX.SENTIMENT_LEXICON.items())
+    + """)
+    SELECT doc_id, CAST(coalesce(sum(score), 0) AS BIGINT) AS sentiment
+    FROM tok LEFT JOIN lex USING (token) GROUP BY doc_id
+    """,
+)
+def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.sentiment(spark, load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_quality",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(toks) AS DOUBLE) AS n,
+             CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE) AS stop_hits,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dr
+      FROM t)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           round(stop_hits / n, 6) AS stopword_ratio,
+           round(dr, 6) AS distinct_ratio,
+           round(CASE WHEN dr < 0.3 THEN 0.0
+                      WHEN n < 5 THEN 0.0
+                      ELSE least(1.0, dr + stop_hits / n) END, 6) AS quality
+    FROM m
+    """,
+)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_lang_id",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    h AS (
+      SELECT doc_id,
+             len(list_filter(toks, x -> x IN ('der', 'die', 'und', 'ein'))) AS h_de,
+             len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and'))) AS h_en,
+             len(list_filter(toks, x -> x IN ('el', 'la', 'y', 'un'))) AS h_es,
+             len(list_filter(toks, x -> x IN ('le', 'la', 'et', 'un'))) AS h_fr
+      FROM t)
+    SELECT doc_id,
+           CASE
+             WHEN h_de > 0 AND h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+             WHEN h_en > 0 AND h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en'
+             WHEN h_es > 0 AND h_es >= h_fr AND h_es >= h_en AND h_es >= h_de THEN 'es'
+             WHEN h_fr > 0 AND h_fr >= h_en AND h_fr >= h_es AND h_fr >= h_de THEN 'fr'
+             ELSE 'und'
+           END AS pred_lang
+    FROM h
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.token_count_bpe(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id, substring(sha256(text), 1, 16) AS fingerprint FROM documents
+    """,
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TX.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "topk_similarity",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      FROM embeddings),
+    p AS (SELECT vec_id AS probe_id, emb AS p_emb, nrm AS p_nrm FROM e WHERE vec_id < 5),
+    pairs AS (
+      SELECT probe_id, vec_id,
+             list_sum(list_transform(list_zip(p_emb, emb), s -> s[1] * s[2]))
+               / (p_nrm * nrm) AS cosine
+      FROM p, e WHERE vec_id <> probe_id),
+    ranked AS (
+      SELECT probe_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM pairs)
+    SELECT probe_id, vec_id, round(cosine, 6) AS cosine, rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.topk_cosine(emb, F.col("vec_id") < 5, k=10).withColumn(
+        "cosine", F.round("cosine", 6)
+    )
+
+
+# --- rows-only (non-SQL-expressible) extension ops -------------------------
+
+
+@register("dedup_near_minhash")
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidate pairs; invariants tested in pytest
+    (est_jaccard in [0,1], pairs symmetric-free, exact dups always pair)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signature(docs)
+    return D.minhash_candidates(sigs, threshold=0.3)
+
+
+@register("dedup_simhash")
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures (near-pair detection tested in pytest)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_signature(docs)
+
+
+@register("topk_similarity_lsh")
+def q_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate LSH top-k; recall-vs-exact invariant tested in pytest."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.topk_cosine_lsh(emb, F.col("vec_id") < 5, k=10, n_planes=4).withColumn(
+        "cosine", F.round("cosine", 6)
+    )
+
+
+@register(
+    "asof_align",
+    """
+    SELECT l.event_id, l.ts, l.value AS p_value, r.value AS value_asof
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.ts >= r.ts
+    """,
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of alignment of two series (SURVEY §2b asof_align): time-bucketed
+    two-level join — see operators/asof.py for the 100 TB design."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "ts", F.col("value").alias("p_value")
+    )
+    right = ev.where(F.col("event_type") == "click").select("ts", "value")
+    return asof_join(left, right, value_cols=("value",))

@@ -1,0 +1,61 @@
+"""Fixture loaders: parquet scans over /root/testdata/sf*/.
+
+Everything goes through ``load_table`` so predicate pushdown / column pruning
+reach a single `spark.read.parquet` scan — the Spark-native replacement for
+the reference's indexed SQLite range scan (database_handler.py:329-332).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. Parquet → footer min/max stats give the
+    row-group skipping the reference needed 3 SQLite indexes for.
+
+    The `events` fixture stores TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; read it as a long (nanosAsLong) and floor-div to
+    microseconds — the same ns→us truncation DuckDB applies, so oracle
+    comparisons stay exact.
+    """
+    # Defensive: the harness may hand us a session it built itself — pin the
+    # engine's UTC discipline and the nanos read mode at runtime (both are
+    # per-session SQL confs, safe to set repeatedly).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def ohlcv_view(spark: SparkSession, sf_dir: str, timeframe: str = "1h") -> DataFrame:
+    """Derived OHLCV series from the `events` fixture (FIXTURES.md mapping):
+    event_type is the series key ("symbol"), value the price proxy.
+
+    This is the engine's core table shape (reference ohlcv_data,
+    database_handler.py:110-122) produced by `resample_ohlcv` semantics.
+    """
+    from binance_data_framework_spark.operators.ohlcv import resample_ohlcv
+
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("symbol"),
+        F.col("ts"),
+        F.col("value").alias("price"),
+    )
+    return resample_ohlcv(events, timeframe, price_col="price", ts_col="ts", key_col="symbol")
