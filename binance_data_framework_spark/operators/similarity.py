@@ -103,29 +103,63 @@ def topk_cosine_lsh(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 6,
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: candidates bucketed by hyperplane signs; probes only
-    compare within their bucket. Equi-join on bucket → shuffle-partitioned,
-    no cross product; recall tunable via n_planes (fewer planes = bigger
-    buckets = higher recall, more work)."""
-    planes = _planes(dim, n_planes)
-    base = with_norm(df, vec_col).withColumn("_bucket", lsh_bucket(F.col("_v"), planes))
-    probes = base.where(probe_filter).select(
+    """Approximate top-k with multi-table sign-LSH (OR-amplification):
+    `n_tables` independent hash tables of `n_planes` hyperplanes each; a
+    candidate is compared iff it collides with the probe in >=1 table, then
+    exact cosine re-ranks the collision set.
+
+    Scale shape: each row explodes to n_tables (table, bucket) keys; the join
+    is an equi-join on (table, bucket) — shuffle-partitioned, no cross
+    product. Recall rises with n_tables, cost with bucket size (2^-n_planes
+    of the corpus per table). Tune (n_planes, n_tables) to the target
+    recall/cost point; the exact variant remains the correctness baseline.
+    """
+    tables = [
+        (t, _planes(dim, n_planes, seed=42 + 1000 * t)) for t in range(n_tables)
+    ]
+    base = with_norm(df, vec_col).withColumn(
+        "_tb",
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"), lsh_bucket(F.col("_v"), planes).alias("b")
+                )
+                for t, planes in tables
+            ]
+        ),
+    )
+    exploded = base.select(
+        id_col, "_v", "_norm", F.explode("_tb").alias("_e")
+    ).select(id_col, "_v", "_norm", F.col("_e.t").alias("_t"), F.col("_e.b").alias("_b"))
+    probes = exploded.where(probe_filter).select(
         F.col(id_col).alias("probe_id"),
         F.col("_v").alias("_pv"),
         F.col("_norm").alias("_pnorm"),
-        F.col("_bucket"),
+        "_t",
+        "_b",
     )
-    cand = base.select(id_col, "_v", "_norm", "_bucket")
-    pairs = cand.join(broadcast(probes), on="_bucket").where(
-        F.col(id_col) != F.col("probe_id")
+    # collision set: distinct (probe, candidate) pairs across tables
+    pairs = (
+        exploded.select(id_col, "_t", "_b")
+        .join(broadcast(probes), on=["_t", "_b"])
+        .where(F.col(id_col) != F.col("probe_id"))
+        .select("probe_id", id_col, "_pv", "_pnorm")
+        .dropDuplicates(["probe_id", id_col])
     )
-    cos = (_dot(F.col("_pv"), F.col("_v")) / (F.col("_pnorm") * F.col("_norm"))).alias(
-        "cosine"
+    cand = with_norm(df, vec_col).select(
+        id_col, F.col("_v").alias("_cv"), F.col("_norm").alias("_cnorm")
     )
-    scored = pairs.select("probe_id", id_col, cos)
+    scored = pairs.join(cand, on=id_col).select(
+        "probe_id",
+        id_col,
+        (_dot(F.col("_pv"), F.col("_cv")) / (F.col("_pnorm") * F.col("_cnorm"))).alias(
+            "cosine"
+        ),
+    )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))

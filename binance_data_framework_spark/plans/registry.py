@@ -851,7 +851,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate LSH top-k; recall-vs-exact invariant tested in pytest."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.topk_cosine_lsh(emb, F.col("vec_id") < 5, k=10, n_planes=4).withColumn(
+    return S.topk_cosine_lsh(emb, F.col("vec_id") < 5, k=10).withColumn(
         "cosine", F.round("cosine", 6)
     )
 

@@ -1,0 +1,113 @@
+"""Invariant tests for the non-SQL-expressible extension operators (LSH
+dedup, SimHash, approximate top-k) plus as-of join brute-force equivalence."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from binance_data_framework_spark.operators import dedup as D
+from binance_data_framework_spark.operators import similarity as S
+from binance_data_framework_spark.operators.asof import asof_join
+from binance_data_framework_spark.sources.fixtures import load_table
+
+
+def test_minhash_finds_exact_duplicates(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    # plant an exact duplicate of doc 0 with a fresh id
+    dup = docs.where(F.col("doc_id") == 0).withColumn("doc_id", F.lit(100000))
+    corpus = docs.unionByName(dup)
+    sigs = D.minhash_signature(corpus)
+    pairs = D.minhash_candidates(sigs, threshold=0.9).collect()
+    assert any(p["id_a"] == 0 and p["id_b"] == 100000 for p in pairs)
+    assert all(0.0 <= p["est_jaccard"] <= 1.0 for p in pairs)
+    assert all(p["id_a"] < p["id_b"] for p in pairs)
+
+
+def test_dedup_near_minhash_drops_planted_dup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    dup = docs.where(F.col("doc_id") == 0).withColumn("doc_id", F.lit(100000))
+    out = D.dedup_near_minhash(docs.unionByName(dup), threshold=0.9)
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 0 in ids and 100000 not in ids
+
+
+def test_simhash_identical_docs_same_hash(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    dup = docs.where(F.col("doc_id") == 0).withColumn("doc_id", F.lit(100000))
+    sigs = D.simhash_signature(docs.unionByName(dup))
+    vals = {r["doc_id"]: r["simhash"] for r in sigs.collect()}
+    assert vals[0] == vals[100000]
+    pairs = D.simhash_near_pairs(sigs, max_hamming=3).collect()
+    assert any(p["id_a"] == 0 and p["id_b"] == 100000 and p["hamming"] == 0 for p in pairs)
+
+
+def test_cluster_min_label(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in (1, 2, 3, 7, 8, 9)], "doc_id long")
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.cluster_min_label(pairs, ids, "doc_id").collect()
+    }
+    assert labels[1] == labels[2] == labels[3] == 1
+    assert labels[7] == labels[8] == 7
+    assert labels[9] == 9
+
+
+def test_lsh_topk_invariants(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = S.topk_cosine(emb, F.col("vec_id") < 5, k=10).toPandas()
+    approx = S.topk_cosine_lsh(emb, F.col("vec_id") < 5, k=10).toPandas()
+    # k results per probe for exact; approx <= k per probe
+    assert (exact.groupby("probe_id").size() == 10).all()
+    assert (approx.groupby("probe_id").size() <= 10).all()
+    # ranks are 1..k with monotone non-increasing cosine
+    for _, g in approx.groupby("probe_id"):
+        g = g.sort_values("rank")
+        assert (g["cosine"].diff().dropna() <= 1e-12).all()
+    # every approx hit is a true pair from the exact scoring (same metric)
+    merged = approx.merge(
+        exact, on=["probe_id", "vec_id"], how="left", suffixes=("_a", "_e")
+    )
+    hit_rate = merged["cosine_e"].notna().mean()
+    assert hit_rate > 0.2  # bucket recall at 4 planes on 500 vecs
+
+
+def test_asof_join_matches_bruteforce(spark):
+    left_rows = [(i, datetime(2024, 1, 1) + timedelta(hours=7 * i)) for i in range(40)]
+    right_rows = [
+        (datetime(2024, 1, 1, 3) + timedelta(hours=13 * j), float(j)) for j in range(20)
+    ]
+    left = spark.createDataFrame(left_rows, "event_id long, ts timestamp")
+    right = spark.createDataFrame(right_rows, "ts timestamp, value double")
+    out = {
+        r["event_id"]: r["value_asof"]
+        for r in asof_join(left, right, value_cols=("value",)).collect()
+    }
+    for eid, lts in left_rows:
+        prior = [v for ts, v in right_rows if ts <= lts]
+        expected = prior[-1] if prior else None
+        assert out[eid] == expected, (eid, lts, out[eid], expected)
+
+
+def test_asof_join_with_by_keys(spark):
+    left = spark.createDataFrame(
+        [("A", datetime(2024, 1, 2)), ("B", datetime(2024, 1, 2))],
+        "symbol string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("A", datetime(2024, 1, 1), 1.0),
+            ("B", datetime(2024, 1, 1, 12), 2.0),
+            ("B", datetime(2024, 1, 3), 9.0),
+        ],
+        "symbol string, ts timestamp, value double",
+    )
+    out = {
+        r["symbol"]: r["value_asof"]
+        for r in asof_join(left, right, by=("symbol",), value_cols=("value",)).collect()
+    }
+    assert out == {"A": 1.0, "B": 2.0}

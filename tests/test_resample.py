@@ -1,0 +1,71 @@
+"""Resample/SMA semantics vs pandas (the reference's execution engine) —
+order-correct first/last, calendar alignment, null warm-up."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from binance_data_framework_spark.operators.ohlcv import resample_ohlcv, with_sma
+from binance_data_framework_spark.sources.fixtures import load_table, ohlcv_view
+
+
+def _pandas_bars(pdf: pd.DataFrame, rule: str) -> pd.DataFrame:
+    out = (
+        pdf.set_index("ts")
+        .groupby("event_type")["value"]
+        .resample(rule)
+        .agg(["first", "max", "min", "last", "sum", "count"])
+        .dropna()
+        .reset_index()
+    )
+    out.columns = ["symbol", "bucket", "open", "high", "low", "close", "volume", "n"]
+    return out.sort_values(["symbol", "bucket"]).reset_index(drop=True)
+
+
+def test_resample_matches_pandas_1h(spark, sf_dir):
+    bars = (
+        ohlcv_view(spark, sf_dir, "1h")
+        .orderBy("symbol", "bucket")
+        .toPandas()
+    )
+    raw = load_table(spark, sf_dir, "events").select("event_type", "ts", "value").toPandas()
+    expected = _pandas_bars(raw, "1h")
+    assert len(bars) == len(expected)
+    for col in ("open", "high", "low", "close"):
+        pd.testing.assert_series_equal(
+            bars[col], expected[col], check_names=False, atol=1e-9
+        )
+
+
+def test_resample_first_last_are_time_ordered(spark):
+    # rows arrive shuffled; open/close must follow event time, not input order
+    rows = [
+        ("S", datetime(2024, 1, 1, 0, 30), 3.0),
+        ("S", datetime(2024, 1, 1, 0, 10), 1.0),
+        ("S", datetime(2024, 1, 1, 0, 50), 5.0),
+        ("S", datetime(2024, 1, 1, 0, 20), 2.0),
+    ]
+    df = spark.createDataFrame(rows, "symbol string, ts timestamp, price double")
+    out = resample_ohlcv(df, "1h", price_col="price").collect()[0]
+    assert out["open"] == 1.0 and out["close"] == 5.0
+    assert out["high"] == 5.0 and out["low"] == 1.0
+
+
+def test_calendar_week_alignment(spark):
+    # 2024-01-03 is a Wednesday; its week bucket is Monday 2024-01-01
+    df = spark.createDataFrame(
+        [("S", datetime(2024, 1, 3, 12), 1.0)], "symbol string, ts timestamp, price double"
+    )
+    out = resample_ohlcv(df, "1w", price_col="price").collect()[0]
+    assert out["bucket"] == datetime(2024, 1, 1, 0, 0)
+
+
+def test_sma_warmup_nulls(spark, sf_dir):
+    bars = with_sma(ohlcv_view(spark, sf_dir, "1h"), 20)
+    first = bars.orderBy("symbol", "bucket").limit(19).collect()
+    assert all(r["sma20"] is None for r in first)
+    n_nonnull = bars.where(F.col("sma20").isNotNull()).count()
+    assert n_nonnull > 0

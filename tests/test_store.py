@@ -1,0 +1,90 @@
+"""OhlcvStore round-trip semantics: upsert precedence, range-scan
+inclusivity, coverage probe, partition delete (reference parity,
+database_handler.py)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from binance_data_framework_spark.store import OhlcvStore
+
+
+def _bars(spark, start: datetime, n: int, base: float):
+    rows = [
+        (start + timedelta(hours=i), base + i, base + i + 1, base + i - 1, base + i, 10.0 * (i + 1))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(
+        rows, "ts timestamp, open double, high double, low double, close double, volume double"
+    )
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return OhlcvStore(spark, str(tmp_path / "ohlcv"))
+
+
+T0 = datetime(2024, 1, 1)
+
+
+def test_save_and_read_roundtrip(store, spark):
+    store.save_data(_bars(spark, T0, 24, 100.0), "BTCUSDT", "1h")
+    out = store.get_data("BTCUSDT", "1h")
+    assert out.count() == 24
+    assert out.select(F.min("ts")).first()[0] == T0
+
+
+def test_upsert_new_wins(store, spark):
+    store.save_data(_bars(spark, T0, 24, 100.0), "BTCUSDT", "1h")
+    # overlapping re-ingest with different values: INSERT OR REPLACE parity
+    store.save_data(_bars(spark, T0 + timedelta(hours=12), 24, 500.0), "BTCUSDT", "1h")
+    out = store.get_data("BTCUSDT", "1h")
+    assert out.count() == 36  # 24 original + 12 new tail, 12 replaced
+    row = out.where(F.col("ts") == T0 + timedelta(hours=12)).first()
+    assert row["open"] == 500.0  # new value won
+
+
+def test_range_scan_inclusive_bounds(store, spark):
+    store.save_data(_bars(spark, T0, 24, 100.0), "BTCUSDT", "1h")
+    out = store.get_data(
+        "BTCUSDT", "1h", start=T0 + timedelta(hours=5), end=T0 + timedelta(hours=10)
+    )
+    assert out.count() == 6  # both endpoints inclusive (database_handler.py:330)
+
+
+def test_partition_isolation_and_delete(store, spark):
+    store.save_data(_bars(spark, T0, 5, 100.0), "BTCUSDT", "1h")
+    store.save_data(_bars(spark, T0, 7, 1.0), "ETHUSDT", "1h")
+    store.save_data(_bars(spark, T0, 3, 1.0), "BTCUSDT", "4h")
+    assert store.get_data("BTCUSDT", "1h").count() == 5
+    assert store.delete_data("ETHUSDT", "1h") is True
+    assert store.get_data("ETHUSDT", "1h").count() == 0
+    assert store.get_data("BTCUSDT", "1h").count() == 5
+    assert store.delete_data("NOSUCH", "1h") is False
+    info = store.get_stored_info().collect()
+    assert {(r["symbol"], r["timeframe"]) for r in info} == {
+        ("BTCUSDT", "1h"),
+        ("BTCUSDT", "4h"),
+    }
+
+
+def test_coverage_probe(store, spark):
+    store.save_data(_bars(spark, T0, 24, 100.0), "BTCUSDT", "1h")
+    covered, rng = store.check_data_exists(
+        "BTCUSDT", "1h", T0, T0 + timedelta(hours=23), now=datetime(2025, 1, 1)
+    )
+    assert covered and rng[0] == T0
+    covered, _ = store.check_data_exists(
+        "BTCUSDT", "1h", T0, T0 + timedelta(days=30), now=datetime(2025, 1, 1)
+    )
+    assert not covered  # requested range extends far beyond coverage
+    # freshness escape: end exceeds coverage but coverage end is "now-ish"
+    covered, _ = store.check_data_exists(
+        "BTCUSDT", "1h", T0, T0 + timedelta(hours=25), now=T0 + timedelta(hours=24)
+    )
+    assert covered
+    covered, _ = store.check_data_exists("NOSUCH", "1h", T0, T0, now=datetime(2025, 1, 1))
+    assert not covered
