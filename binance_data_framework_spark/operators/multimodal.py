@@ -1,0 +1,123 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+North-star extension (SURVEY.md §2b): image/audio/video travel as
+`binary` columns with a typed metadata map (schemas.MULTIMODAL_BLOB). The
+Spark-side plumbing — schema, partition-parallel Arrow batching via
+mapInPandas, deterministic batch shapes — is real and tested; the actual
+codec calls are STUBBED (image/audio libraries are not in this container):
+`decode_stub=True` derives deterministic fake features from the bytes, and
+`decode_stub=False` raises NotImplementedError at the exact point a real
+decoder (PIL / torchaudio / pyav) would be called.
+
+Design notes for 100 TB:
+- mapInPandas streams Arrow record batches — bounded memory per task no
+  matter how large the table; control batch bytes with
+  spark.sql.execution.arrow.maxRecordsPerBatch when blobs are large.
+- binary payloads should live in their own parquet column chunk (they do, by
+  construction) so metadata-only queries never read the bytes (column
+  pruning: check ReadSchema excludes `data`).
+- feature extraction keys nothing — embarrassingly parallel, no shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("blob_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("digest", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def synth_blobs(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table in the MULTIMODAL_BLOB schema."""
+    rows = []
+    modalities = ("image", "audio", "video")
+    for i in range(n):
+        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 7)
+        rows.append(
+            (
+                i,
+                modalities[i % 3],
+                f"application/x-fake-{modalities[i % 3]}",
+                bytearray(payload),
+                {"source": f"synth{seed}", "idx": str(i)},
+            )
+        )
+    from binance_data_framework_spark.schemas import MULTIMODAL_BLOB
+
+    return spark.createDataFrame(rows, MULTIMODAL_BLOB)
+
+
+def _decode_real(data: bytes, modality: str):  # pragma: no cover - stub
+    raise NotImplementedError(
+        "real media decoding requires PIL/torchaudio/pyav, not present in "
+        "this environment; pass decode_stub=True for the deterministic fake"
+    )
+
+
+def extract_features(
+    df: DataFrame, decode_stub: bool = True, feature_dim: int = 8
+) -> DataFrame:
+    """Per-blob feature extraction over mapInPandas (Arrow-batched).
+
+    Stub path derives (width, height, feature-vector) deterministically from
+    the payload digest — stable across runs/partitionings — while exercising
+    the exact schema/batching path a real decoder would use.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "blob_id": pdf["blob_id"],
+                "modality": pdf["modality"],
+                "n_bytes": pdf["data"].map(lambda b: len(b) if b is not None else 0),
+            }
+            digests, widths, heights, feats = [], [], [], []
+            for data, modality in zip(pdf["data"], pdf["modality"]):
+                raw = bytes(data) if data is not None else b""
+                if not decode_stub:
+                    _decode_real(raw, modality)
+                d = hashlib.sha256(raw).hexdigest()
+                digests.append(d)
+                widths.append(16 + int(d[:2], 16))
+                heights.append(16 + int(d[2:4], 16))
+                feats.append(
+                    [int(d[4 + 2 * j : 6 + 2 * j], 16) / 255.0 for j in range(feature_dim)]
+                )
+            out["digest"] = digests
+            out["width"] = pd.array(widths, dtype="int32")
+            out["height"] = pd.array(heights, dtype="int32")
+            out["feature"] = feats
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled frame index,
+    derived from metadata only (no byte decoding) — shows the explode-shaped
+    plumbing a real frame sampler plugs into. Frame count is stubbed as a
+    deterministic function of payload size."""
+    n_frames = (F.length("data") / 1024 + 1).cast("int")
+    return (
+        df.where(F.col("modality") == "video")
+        .withColumn(
+            "frame_idx",
+            F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))),
+        )
+        .select("blob_id", "media_type", "frame_idx")
+    )

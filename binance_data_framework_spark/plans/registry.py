@@ -39,7 +39,11 @@ from binance_data_framework_spark.operators.ohlcv import (
     resample_ohlcv,
     with_sma,
 )
-from binance_data_framework_spark.sources.fixtures import load_table, ohlcv_view
+from binance_data_framework_spark.sources.fixtures import (
+    load_table,
+    ohlcv_view,
+    scan_events_range,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -200,12 +204,11 @@ def q_window_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_scan_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pushed-down predicate scan (reference get_data range scan,
-    database_handler.py:309-346): equality + inclusive between on ts."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.where(
-        (F.col("event_type") == "purchase")
-        & F.col("ts").between("2024-01-05 00:00:00", "2024-01-20 00:00:00")
-    ).orderBy("ts")
+    database_handler.py:309-346): equality + inclusive between on ts.
+    Uses scan_events_range so the ts bounds reach the parquet row groups in
+    raw nanos space (see sources/fixtures.py)."""
+    ev = scan_events_range(spark, sf_dir, "2024-01-05 00:00:00", "2024-01-20 00:00:00")
+    return ev.where(F.col("event_type") == "purchase").orderBy("ts")
 
 
 @register(
@@ -825,6 +828,83 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.topk_cosine(emb, F.col("vec_id") < 5, k=10).withColumn(
         "cosine", F.round("cosine", 6)
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+               i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')
+             )) AS grams
+      FROM documents)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+    FROM sh a, sh b
+    WHERE b.doc_id > a.doc_id
+      AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.3
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-3-gram Jaccard near-dup pairs (SURVEY §2b n-gram Jaccard
+    dedup). The exact all-pairs form is the oracle-checked baseline (the
+    documents table is a fixed 500-row corpus at every sf); the scale path for
+    a real corpus is minhash_candidates over the same shingles, which
+    replaces the O(n^2) comparison with LSH bucket equi-joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.array_distinct(D.shingles("text", 3)).alias("grams")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"))
+    pairs = sh.join(broadcast(a), F.col("doc_id") > F.col("id_a"))
+    jac = F.size(F.array_intersect("grams_a", "grams")).cast("double") / F.size(
+        F.array_union("grams_a", "grams")
+    )
+    return (
+        pairs.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= 0.3)
+        .select("id_a", F.col("doc_id").alias("id_b"), F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+@register(
+    "embed_near_dup",
+    """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      FROM embeddings),
+    p AS (SELECT vec_id AS id_a, emb AS p_emb, nrm AS p_nrm FROM e WHERE vec_id < 200)
+    SELECT id_a, vec_id AS id_b,
+           round(list_sum(list_transform(list_zip(p_emb, emb), s -> s[1] * s[2]))
+                 / (p_nrm * nrm), 6) AS cosine
+    FROM p, e
+    WHERE vec_id > id_a
+      AND list_sum(list_transform(list_zip(p_emb, emb), s -> s[1] * s[2]))
+          / (p_nrm * nrm) >= 0.35
+    """,
+)
+def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs above a threshold (SURVEY §2b
+    embedding-cosine near-dup): exact baseline over a probe set; the scale
+    path reuses the multi-table LSH collision sets."""
+    base = S.with_norm(load_table(spark, sf_dir, "embeddings"))
+    probes = base.where(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("_v").alias("_pv"),
+        F.col("_norm").alias("_pn"),
+    )
+    pairs = base.join(broadcast(probes), F.col("vec_id") > F.col("id_a"))
+    cos = S._dot(F.col("_pv"), F.col("_v")) / (F.col("_pn") * F.col("_norm"))
+    return (
+        pairs.withColumn("cosine", cos)
+        .where(F.col("cosine") >= 0.35)
+        .select("id_a", F.col("vec_id").alias("id_b"), F.round("cosine", 6).alias("cosine"))
     )
 
 

@@ -44,6 +44,48 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def scan_events_range(
+    spark: SparkSession,
+    sf_dir: str,
+    start: str | None = None,
+    end: str | None = None,
+) -> DataFrame:
+    """Events scan with a time-range predicate that actually reaches the
+    parquet row groups.
+
+    The ts column arrives as a nanos long (see load_table), so a filter on
+    the *converted* timestamp is opaque to parquet pushdown. We apply the
+    equivalent closed-interval predicate in raw nanos space first (pushable:
+    floor(ns/1000) >= a*1e6  <=>  ns >= a*1e9 for whole-second bounds), then
+    convert. `.explain` shows GreaterThanOrEqual/LessThanOrEqual in
+    PushedFilters — row-group min/max skipping works at 100 TB.
+    """
+    from datetime import datetime, timezone
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw_is_long = dict(df.dtypes).get("ts") == "bigint"
+
+    def _ns(s: str) -> int:
+        dt = datetime.fromisoformat(s).replace(tzinfo=timezone.utc)
+        return int(dt.timestamp()) * 1_000_000_000 + dt.microsecond * 1000
+
+    if raw_is_long:
+        if start is not None:
+            df = df.where(F.col("ts") >= _ns(start))
+        if end is not None:
+            # floor(ns/1000) <= end_us  <=>  ns <= end_us*1000 + 999
+            df = df.where(F.col("ts") <= _ns(end) // 1000 * 1000 + 999)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    else:
+        if start is not None:
+            df = df.where(F.col("ts") >= F.lit(start))
+        if end is not None:
+            df = df.where(F.col("ts") <= F.lit(end))
+    return df
+
+
 def ohlcv_view(spark: SparkSession, sf_dir: str, timeframe: str = "1h") -> DataFrame:
     """Derived OHLCV series from the `events` fixture (FIXTURES.md mapping):
     event_type is the series key ("symbol"), value the price proxy.

@@ -1,0 +1,85 @@
+"""Structured Streaming formulation of the reference's incremental contract.
+
+The reference encodes three incremental semantics (SURVEY.md §2a streaming
+table): a resumable cursor scan (api_connector.py:244-268), a 2-bar
+processing-time staleness bound (database_handler.py:291-295 — a poor man's
+watermark), and idempotent re-ingestion via PK replace
+(database_handler.py:215-218). Their honest Spark-native forms:
+
+- `streaming_ohlcv`: readStream -> event-time tumbling window aggregation
+  with a watermark of 2 bar durations (the reference's freshness constant);
+  append mode emits only finalized bars — exactly the "bar is current"
+  semantics the staleness check approximated.
+- `streaming_dedup`: dropDuplicatesWithinWatermark on the series key — the
+  streaming equivalent of INSERT OR REPLACE idempotency for at-least-once
+  sources.
+
+Aggregations use the struct-ordering min/max trick (min(struct(ts, price)))
+rather than min_by/max_by so the plan stays inside streaming-supported
+aggregates across Spark versions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from binance_data_framework_spark.functions.timeframes import (
+    TIMEFRAME_MS,
+    WINDOW_DURATION,
+)
+
+
+def streaming_ohlcv(
+    stream: DataFrame,
+    timeframe: str = "1h",
+    price_col: str = "price",
+    ts_col: str = "ts",
+    key_col: str = "symbol",
+    watermark_bars: int = 2,
+) -> DataFrame:
+    """Tick stream -> finalized OHLCV bars (append mode).
+
+    Watermark = `watermark_bars` bar durations (reference freshness bound).
+    State per key is one window's partial aggregate; windows close and emit
+    once the watermark passes their end — bounded state at any scale.
+    """
+    if timeframe not in WINDOW_DURATION:
+        raise ValueError(f"streaming resample supports fixed timeframes, got {timeframe!r}")
+    wm_ms = watermark_bars * TIMEFRAME_MS[timeframe]
+    ts, px = F.col(ts_col), F.col(price_col)
+    agg = (
+        stream.withWatermark(ts_col, f"{wm_ms // 1000} seconds")
+        .groupBy(F.col(key_col).alias("symbol"), F.window(ts, WINDOW_DURATION[timeframe]))
+        .agg(
+            F.min(F.struct(ts, px)).alias("_first"),
+            F.max(px).alias("high"),
+            F.min(px).alias("low"),
+            F.max(F.struct(ts, px)).alias("_last"),
+            F.sum(px).alias("volume"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+    )
+    return agg.select(
+        "symbol",
+        F.col("window.start").alias("bucket"),
+        F.col(f"_first.{price_col}").alias("open"),
+        "high",
+        "low",
+        F.col(f"_last.{price_col}").alias("close"),
+        "volume",
+        "n_ticks",
+    )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    keys: tuple[str, ...] = ("ts", "symbol", "timeframe"),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """At-least-once stream -> effectively-once rows on the series key
+    (streaming INSERT OR REPLACE; state expires with the watermark)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )

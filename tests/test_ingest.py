@@ -1,0 +1,120 @@
+"""Ingestion connector + cache-or-fetch facade (reference parity:
+pagination/backoff, cast pipeline, cache routing)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+
+from binance_data_framework_spark.api import CacheOrFetchLoader
+from binance_data_framework_spark.sources.rest_klines import (
+    PagedKlineSource,
+    RateLimitError,
+)
+from binance_data_framework_spark.store import OhlcvStore
+
+HOUR_MS = 3_600_000
+T0_MS = 1_704_067_200_000  # 2024-01-01T00:00:00Z
+
+
+def fake_exchange(n_bars: int = 100):
+    """Deterministic kline pages shaped like the reference API
+    (api_connector.py:289-291): 12 string/long fields per row."""
+    calls = {"n": 0}
+
+    def fetch(symbol, interval, start_ms, end_ms, limit):
+        calls["n"] += 1
+        out = []
+        t = start_ms - (start_ms - T0_MS) % HOUR_MS
+        if t < start_ms:
+            t += HOUR_MS
+        while t <= end_ms and len(out) < limit:
+            i = (t - T0_MS) // HOUR_MS
+            if i >= n_bars:
+                break
+            px = 100.0 + i
+            out.append(
+                [
+                    t,
+                    str(px),
+                    str(px + 1),
+                    str(px - 1),
+                    str(px + 0.5),
+                    str(10.0 * (i + 1)),
+                    t + HOUR_MS - 1,
+                    "0",
+                    5,
+                    "0",
+                    "0",
+                    "0",
+                ]
+            )
+            t += HOUR_MS
+        return out
+
+    return fetch, calls
+
+
+def test_pagination_cursor(spark):
+    fetch, calls = fake_exchange(n_bars=25)
+    src = PagedKlineSource(fetch, page_size=10)
+    rows = src.fetch_range("BTCUSDT", "1h", T0_MS, T0_MS + 24 * HOUR_MS)
+    assert len(rows) == 25
+    assert calls["n"] == 3  # 10 + 10 + 5
+    # strictly increasing cursor, no duplicate timestamps
+    ts = [r[0] for r in rows]
+    assert ts == sorted(set(ts))
+
+
+def test_rate_limit_backoff_then_success(spark):
+    fetch, _ = fake_exchange(n_bars=5)
+    state = {"fails": 2}
+
+    def flaky(*args):
+        if state["fails"] > 0:
+            state["fails"] -= 1
+            raise RateLimitError("Too much request weight used")
+        return fetch(*args)
+
+    src = PagedKlineSource(flaky, page_size=10, max_retries=3)
+    rows = src.fetch_range("BTCUSDT", "1h", T0_MS, T0_MS + 4 * HOUR_MS)
+    assert len(rows) == 5
+
+
+def test_rate_limit_exhausts_retries(spark):
+    def always_limited(*args):
+        raise RateLimitError("Too much request weight used")
+
+    src = PagedKlineSource(always_limited, page_size=10, max_retries=1)
+    with pytest.raises(RateLimitError):
+        src.fetch_range("BTCUSDT", "1h", T0_MS, T0_MS + HOUR_MS)
+
+
+def test_to_ohlcv_casts(spark):
+    fetch, _ = fake_exchange(n_bars=3)
+    src = PagedKlineSource(fetch, page_size=10)
+    df = src.to_ohlcv(spark, "BTCUSDT", "1h", T0_MS, T0_MS + 2 * HOUR_MS)
+    rows = df.orderBy("ts").collect()
+    assert [c for c in df.columns] == ["ts", "open", "high", "low", "close", "volume"]
+    assert rows[0]["ts"] == datetime(2024, 1, 1, 0, 0)
+    assert rows[0]["open"] == 100.0 and isinstance(rows[0]["open"], float)
+
+
+def test_cache_or_fetch_routing(spark, tmp_path):
+    fetch, calls = fake_exchange(n_bars=48)
+    store = OhlcvStore(spark, str(tmp_path / "store"))
+    loader = CacheOrFetchLoader(store, PagedKlineSource(fetch, page_size=1000))
+    start = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    end = datetime(2024, 1, 1, 23, tzinfo=timezone.utc)
+    now = datetime(2025, 1, 1, tzinfo=timezone.utc)
+
+    out1 = loader.load("BTCUSDT", "1h", start, end, now=now)
+    assert out1.count() == 24
+    n_after_first = calls["n"]
+    assert n_after_first >= 1
+
+    # second identical load: cache hit, no new API calls
+    out2 = loader.load("BTCUSDT", "1h", start, end, now=now)
+    assert out2.count() == 24
+    assert calls["n"] == n_after_first

@@ -1,0 +1,80 @@
+"""Structured Streaming incremental semantics: watermarked OHLCV bars emit
+finalized-only; within-watermark duplicates dropped."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pandas as pd
+
+from binance_data_framework_spark.streaming.incremental import (
+    streaming_dedup,
+    streaming_ohlcv,
+)
+
+
+def _write_ticks(path, rows):
+    pdf = pd.DataFrame(rows, columns=["symbol", "ts", "price"])
+    # write micro-second timestamps: the engine session reads TIMESTAMP(NANOS)
+    # as long (nanosAsLong, see sources/fixtures.py), which would clash with
+    # the declared streaming schema
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(f"{path}/part0.parquet", index=False)
+
+
+def test_streaming_ohlcv_finalized_bars(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    # three hours of ticks; with a 2h watermark, availableNow finalizes
+    # every window whose end <= max(ts) - 2h
+    rows = [
+        ("S", datetime(2024, 1, 1, 0, 10), 1.0),
+        ("S", datetime(2024, 1, 1, 0, 50), 2.0),
+        ("S", datetime(2024, 1, 1, 1, 30), 5.0),
+        ("S", datetime(2024, 1, 1, 4, 0), 9.0),  # advances watermark past hr 0-1
+    ]
+    _write_ticks(src, rows)
+    stream = spark.readStream.schema("symbol string, ts timestamp, price double").parquet(
+        str(src)
+    )
+    bars = streaming_ohlcv(stream, "1h")
+    q = (
+        bars.writeStream.format("memory")
+        .queryName("bars_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {r["bucket"]: r for r in spark.sql("SELECT * FROM bars_out").collect()}
+    assert datetime(2024, 1, 1, 0, 0) in out
+    b0 = out[datetime(2024, 1, 1, 0, 0)]
+    assert (b0["open"], b0["close"], b0["high"], b0["n_ticks"]) == (1.0, 2.0, 2.0, 2)
+    # the hour-4 bar is NOT finalized (watermark hasn't passed it): append
+    # mode must not emit it
+    assert datetime(2024, 1, 1, 4, 0) not in out
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    src = tmp_path / "src2"
+    src.mkdir()
+    rows = [
+        ("S", datetime(2024, 1, 1, 0, 10), 1.0),
+        ("S", datetime(2024, 1, 1, 0, 10), 1.0),  # duplicate key
+        ("S", datetime(2024, 1, 1, 0, 50), 2.0),
+    ]
+    _write_ticks(src, rows)
+    stream = spark.readStream.schema("symbol string, ts timestamp, price double").parquet(
+        str(src)
+    )
+    deduped = streaming_dedup(stream, keys=("ts", "symbol"), watermark="2 hours")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dedup_out").collect()
+    assert len(got) == 2
