@@ -44,12 +44,22 @@ def dedup_exact(
 
 
 def shingles(text_col: str, n: int = 3) -> Column:
-    """Word n-gram shingles of a whitespace-tokenized text column."""
+    """Word n-gram shingles of a whitespace-tokenized text column.
+
+    Built from n-1 zip_with passes over shifted copies of the token array —
+    O(n_tokens) total. (A transform-over-indices + slice formulation is
+    O(n_tokens^2) in Spark's interpreted higher-order functions and showed up
+    as the single hottest expression in the dedup bench.) Docs with fewer
+    than n tokens yield their whole text as one shingle.
+    """
     toks = F.split(F.col(text_col), " ")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
-    )
+    sz = F.size(toks)
+    grams = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, sz)
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    full = F.slice(grams, 1, F.greatest(sz - (n - 1), F.lit(0)))
+    return F.when(sz >= n, full).otherwise(F.array(F.array_join(toks, " ")))
 
 
 def minhash_signature(
@@ -59,23 +69,23 @@ def minhash_signature(
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """(id, sig: array<long>[num_hashes]) — one explode + one grouped agg.
+    """(id, sig: array<long>[num_hashes]) computed per-row with array
+    higher-order functions — NO explode, NO shuffle.
 
-    Each hash_i(s) = xxhash64(i, s); signature_i = min over shingles. The
-    explode fans out n_shingles rows per doc but the aggregation combines
-    map-side, so shuffle volume is num_hashes longs per doc.
+    Each hash_i(s) = xxhash64(i, s); signature_i = array_min over the doc's
+    shingle array. An earlier formulation exploded shingles and grouped by
+    doc (one shuffle of n_shingles rows per doc); the per-row form does the
+    same work embarrassingly parallel in a single narrow stage — the right
+    shape for a 100 TB corpus.
     """
-    ex = df.select(
-        F.col(id_col), F.explode(shingles(text_col, shingle_n)).alias("_sh")
+    sh = shingles(text_col, shingle_n)
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
+            for i in range(num_hashes)
+        ]
     )
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("_sh"))).alias(f"_h{i}")
-        for i in range(num_hashes)
-    ]
-    sig = ex.groupBy(id_col).agg(*mins)
-    return sig.select(
-        id_col, F.array(*[f"_h{i}" for i in range(num_hashes)]).alias("sig")
-    )
+    return df.select(F.col(id_col), sig.alias("sig"))
 
 
 def minhash_candidates(
@@ -86,6 +96,11 @@ def minhash_candidates(
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold) via LSH
     banding over MinHash signatures."""
+    # Materialize signatures once: the banded self-join references `sigs` on
+    # both sides and the pair filter reads them again — without a
+    # materialization point Spark recomputes the signature expressions three
+    # times.
+    sigs = sigs.localCheckpoint(eager=False)
     banded = sigs.select(
         id_col,
         "sig",
@@ -147,17 +162,18 @@ def dedup_near_minhash(
 def simhash_signature(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
 ) -> DataFrame:
-    """64-bit SimHash per doc, computed in one pass over the token array with
-    per-bit popcount comparisons (no explode, no UDF)."""
+    """64-bit SimHash per doc — per-row array HOFs, no explode, no UDF.
+
+    Token hashes are computed once into an array; each output bit is a
+    popcount comparison over that array (64 narrow passes over pre-hashed
+    longs, no re-hashing)."""
     toks = F.split(F.col(text_col), " ")
+    hashed = F.transform(toks, lambda t: F.xxhash64(t))
     n = F.size(toks)
 
     def bit(b: int) -> Column:
         ones = F.size(
-            F.filter(
-                toks,
-                lambda t: F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1,
-            )
+            F.filter(hashed, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
         )
         return F.when(ones * 2 > n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
 

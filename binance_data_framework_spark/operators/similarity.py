@@ -16,9 +16,11 @@ similarity literature). Two tiers:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast
+from pyspark.sql.functions import broadcast, pandas_udf
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -97,6 +99,31 @@ def _planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return planes
 
 
+def _lsh_buckets_udf(planes_all: list[list[list[float]]]):
+    """Vectorized multi-table bucket assignment: one Arrow batch matmul
+    against all tables' hyperplanes at once. The builtin-HOF formulation
+    (n_tables * n_planes aggregate-lambda dot products per row) is
+    interpreted per-element in Catalyst and benched ~10x slower; this is the
+    textbook 'vectorized Pandas UDF over numeric arrays' case. Bucket ids
+    only need to be consistent within this operator, so no cross-impl
+    bit-parity constraint applies."""
+    mats = [np.asarray(p, dtype=np.float64).T for p in planes_all]  # dim x planes
+
+    @pandas_udf("array<long>")
+    def buckets(v: pd.Series) -> pd.Series:
+        m = np.vstack(v.to_numpy())  # rows x dim
+        per_table = []
+        for mat in mats:
+            signs = (m @ mat) > 0  # rows x n_planes
+            b = np.zeros(len(m), dtype=np.int64)
+            for i in range(signs.shape[1]):
+                b |= signs[:, i].astype(np.int64) << i
+            per_table.append(b)
+        return pd.Series(list(np.stack(per_table, axis=1)))
+
+    return buckets
+
+
 def topk_cosine_lsh(
     df: DataFrame,
     probe_filter: Column,
@@ -118,23 +145,16 @@ def topk_cosine_lsh(
     of the corpus per table). Tune (n_planes, n_tables) to the target
     recall/cost point; the exact variant remains the correctness baseline.
     """
-    tables = [
-        (t, _planes(dim, n_planes, seed=42 + 1000 * t)) for t in range(n_tables)
-    ]
-    base = with_norm(df, vec_col).withColumn(
-        "_tb",
-        F.array(
-            *[
-                F.struct(
-                    F.lit(t).alias("t"), lsh_bucket(F.col("_v"), planes).alias("b")
-                )
-                for t, planes in tables
-            ]
-        ),
-    )
+    planes_all = [_planes(dim, n_planes, seed=42 + 1000 * t) for t in range(n_tables)]
+    buckets = _lsh_buckets_udf(planes_all)
+    base = with_norm(df, vec_col).withColumn("_tb", buckets(F.col("_v")))
+    # The bucketed base is referenced three times below (probe side,
+    # collision side, re-rank side); checkpoint it so the bucket UDF and
+    # norms run once, not three times.
+    base = base.localCheckpoint(eager=False)
     exploded = base.select(
-        id_col, "_v", "_norm", F.explode("_tb").alias("_e")
-    ).select(id_col, "_v", "_norm", F.col("_e.t").alias("_t"), F.col("_e.b").alias("_b"))
+        id_col, "_v", "_norm", F.posexplode("_tb").alias("_t", "_b")
+    )
     probes = exploded.where(probe_filter).select(
         F.col(id_col).alias("probe_id"),
         F.col("_v").alias("_pv"),
@@ -150,7 +170,7 @@ def topk_cosine_lsh(
         .select("probe_id", id_col, "_pv", "_pnorm")
         .dropDuplicates(["probe_id", id_col])
     )
-    cand = with_norm(df, vec_col).select(
+    cand = base.select(
         id_col, F.col("_v").alias("_cv"), F.col("_norm").alias("_cnorm")
     )
     scored = pairs.join(cand, on=id_col).select(

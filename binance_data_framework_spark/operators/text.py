@@ -72,13 +72,16 @@ def sentiment(
     (per the Spark sentiment-at-scale pattern, PAPERS.md). Docs with no
     lexicon hits score 0."""
     lex = lexicon or SENTIMENT_LEXICON
-    lex_df = spark.createDataFrame(list(lex.items()), "token string, score int")
-    tok = df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("token"))
-    return (
-        tok.join(broadcast(lex_df), on="token", how="left")
-        .groupBy(id_col)
-        .agg(F.coalesce(F.sum("score"), F.lit(0)).cast("long").alias("sentiment"))
+    # Tiny lexicon -> literal map folded into the plan: per-row aggregate over
+    # the token array, no explode/join/shuffle at all. (For a large lexicon
+    # the broadcast-join formulation applies; see git history.)
+    lex_map = F.create_map(*[F.lit(x) for kv in lex.items() for x in kv])
+    score = F.aggregate(
+        tokens_col(text_col),
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.coalesce(F.element_at(lex_map, t), F.lit(0)),
     )
+    return df.select(F.col(id_col), score.alias("sentiment"))
 
 
 def quality_score(

@@ -845,22 +845,24 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                  / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
     FROM sh a, sh b
-    WHERE b.doc_id > a.doc_id
+    WHERE b.doc_id > a.doc_id AND a.doc_id < 500
       AND CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
           / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.3
     """,
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-3-gram Jaccard near-dup pairs (SURVEY §2b n-gram Jaccard
-    dedup). The exact all-pairs form is the oracle-checked baseline (the
-    documents table is a fixed 500-row corpus at every sf); the scale path for
-    a real corpus is minhash_candidates over the same shingles, which
-    replaces the O(n^2) comparison with LSH bucket equi-joins."""
+    dedup). The probe-bounded exact form is the oracle-checked baseline; the
+    scale path for a real corpus is minhash_candidates over the same
+    shingles, which replaces the O(n^2) comparison with LSH bucket
+    equi-joins."""
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id", F.array_distinct(D.shingles("text", 3)).alias("grams")
     )
-    a = sh.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"))
+    a = sh.where(F.col("doc_id") < 500).select(
+        F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a")
+    )
     pairs = sh.join(broadcast(a), F.col("doc_id") > F.col("id_a"))
     jac = F.size(F.array_intersect("grams_a", "grams")).cast("double") / F.size(
         F.array_union("grams_a", "grams")
