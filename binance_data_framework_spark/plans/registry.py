@@ -26,6 +26,7 @@ from pyspark.sql.functions import broadcast
 
 from binance_data_framework_spark.functions.timeframes import TIMEFRAME_MS, timeframe_dim
 from binance_data_framework_spark.operators import dedup as D
+from binance_data_framework_spark.operators import multimodal as MM
 from binance_data_framework_spark.operators import similarity as S
 from binance_data_framework_spark.operators import text as TX
 from binance_data_framework_spark.operators.asof import asof_join
@@ -956,3 +957,91 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     right = ev.where(F.col("event_type") == "click").select("ts", "value")
     return asof_join(left, right, value_cols=("value",))
+
+
+# ---------------------------------------------------------------------------
+# multimodal columns (SURVEY §2b; north-star first-class)
+# ---------------------------------------------------------------------------
+
+def _doc_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table in the MULTIMODAL_BLOB schema, derived from
+    documents.text (UTF-8 bytes as the opaque payload) so the multimodal path
+    is oracle-checkable: DuckDB can reproduce the payload with encode(text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    modality = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col("doc_id").alias("blob_id"),
+        modality.alias("modality"),
+        F.concat(F.lit("application/x-fake-"), modality).alias("media_type"),
+        F.encode("text", "UTF-8").alias("data"),
+        F.create_map(F.lit("source"), F.lit("documents")).alias("meta"),
+    )
+
+
+_H2I = "(strpos('0123456789abcdef', substr(digest, {p}, 1)) - 1)"
+
+
+@register(
+    "multimodal_features",
+    f"""
+    WITH blobs AS (
+      SELECT doc_id AS blob_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS modality,
+             octet_length(encode(text)) AS n_bytes,
+             sha256(text) AS digest
+      FROM documents)
+    SELECT blob_id, modality, n_bytes, digest,
+           16 + {_H2I.format(p=1)} * 16 + {_H2I.format(p=2)} AS width,
+           16 + {_H2I.format(p=3)} * 16 + {_H2I.format(p=4)} AS height,
+           round(list_sum([((({_H2I.format(p='5 + 2*j')} * 16
+                            + {_H2I.format(p='6 + 2*j')})
+                  / 255.0)::FLOAT)::DOUBLE for j in range(8)]), 6) AS feat_sum
+    FROM blobs
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode/feature-extract pipeline (SURVEY §2b multimodal
+    columns): binary payload column -> mapInPandas Arrow-batched extraction
+    (operators/multimodal.extract_features; the codec itself is the
+    documented deterministic stub) -> typed metadata + feature vector. The
+    oracle replays the stub's digest arithmetic in SQL, so the whole Spark
+    path — schema, batching, UDF signature — is value-checked, not just
+    row-counted."""
+    feats = MM.extract_features(_doc_blobs(spark, sf_dir))
+    feat_sum = F.aggregate(
+        "feature", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    )
+    return feats.select(
+        "blob_id",
+        "modality",
+        "n_bytes",
+        "digest",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.round(feat_sum, 6).alias("feat_sum"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS blob_id,
+           'application/x-fake-video' AS media_type,
+           unnest(range(0, octet_length(encode(text)) // 1024 + 1, 10)) AS frame_idx
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (SURVEY §2b multimodal): metadata-only
+    explode of sampled frame indices (operators/multimodal.frame_sample_plan)
+    — the shape a real frame decoder plugs into; never reads payload bytes
+    beyond length (column chunk for `data` untouched by a real reader when
+    n_frames comes from stored metadata)."""
+    frames = MM.frame_sample_plan(_doc_blobs(spark, sf_dir), every_n=10)
+    return frames.select(
+        "blob_id", "media_type", F.col("frame_idx").cast("long").alias("frame_idx")
+    )
