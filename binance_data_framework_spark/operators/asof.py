@@ -5,20 +5,23 @@ Natural multi-series extension of the reference's single-series model
 formulations are either a range join (O(n*m) pairs) or a union + global-order
 window (single-partition shuffle — a non-starter at 100 TB).
 
-Scalable two-level design (time-bucketed):
- 1. bucket both sides by a coarse time bucket (default 1 day);
- 2. per bucket, aggregate the right side's last (ts, value) — output is
-    n_buckets rows — then forward-fill across the bucket timeline with a
-    strictly-prior window frame: the "carry" each bucket inherits from the
-    past. The ordered window runs over buckets (days), not rows;
- 3. equi-join left rows to right rows on the bucket key (co-partitioned
-    shuffle, no cross product beyond one bucket's width) and take the latest
-    right ts <= left ts with max_by;
- 4. left rows with no same-bucket prior match fall back to the carry.
+Scalable two-level design (time-bucketed union-window):
+ 1. bucket both sides by a coarse time bucket (default 1 day) and UNION them
+    with a source tag (right rows sort before left rows at equal ts, giving
+    inclusive `right.ts <= left.ts` semantics);
+ 2. one window pass per bucket — partitioned by (by, bucket), ordered by
+    (ts, tag) — forward-fills the latest right value onto each left row.
+    Linear in bucket size (the join+group formulation is O(L*R) pairs per
+    bucket — quadratic when both sides are dense);
+ 3. the per-bucket "carry" (value inherited from prior buckets, for left rows
+    that precede every right row in their bucket) comes from a tiny
+    bucket-timeline aggregate — n_buckets rows, window over buckets not rows —
+    left-joined back (AQE broadcasts it).
 
 With `by` keys (per-symbol as-of) every step is additionally keyed —
-partition-parallel across series; without them the only serial structure is
-the tiny bucket timeline.
+partition-parallel across series; without them the per-bucket window is still
+parallel across buckets and the only serial structure is the tiny bucket
+timeline.
 """
 
 from __future__ import annotations
@@ -41,22 +44,56 @@ def asof_join(
     prior right row get nulls). `by` adds equi-key columns present on both
     sides. Output: all left columns + one `<c><suffix>` per value column."""
     by = list(by)
-    bcol = F.window(F.col(ts_col), bucket)["start"]
+    rtypes = dict(right.dtypes)
+    ltypes = dict(left.dtypes)
+    lextra = [c for c in left.columns if c not in by]
 
-    l = left.withColumn("_b", bcol).withColumn(
-        "_lid", F.monotonically_increasing_id()
-    )
     r = right.select(
-        *by, F.col(ts_col).alias("_rts"), *[F.col(c).alias(f"_r_{c}") for c in value_cols]
+        *by,
+        F.col(ts_col).alias("_rts"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
     ).withColumn("_b", F.window(F.col("_rts"), bucket)["start"])
 
-    # step 2: per-bucket last right value, then strictly-prior carry-forward
+    lu = left.select(
+        *by,
+        F.window(F.col(ts_col), bucket)["start"].alias("_b"),
+        F.col(ts_col).alias("_ats"),
+        F.lit(1).alias("_src"),
+        *[F.col(c).alias(f"_l_{c}") for c in lextra],
+        *[F.lit(None).cast(rtypes[c]).alias(f"_r_{c}") for c in value_cols],
+    )
+    ru = r.select(
+        *by,
+        "_b",
+        F.col("_rts").alias("_ats"),
+        F.lit(0).alias("_src"),
+        *[F.lit(None).cast(ltypes[c]).alias(f"_l_{c}") for c in lextra],
+        *[F.col(f"_r_{c}") for c in value_cols],
+    )
+    u = lu.unionByName(ru)
+
+    # step 2: per-(by, bucket) forward fill; right rows win ties via _src
+    w_fill = (
+        Window.partitionBy(*by, "_b")
+        .orderBy("_ats", "_src")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.select(
+        *by,
+        "_b",
+        "_src",
+        *[F.col(f"_l_{c}") for c in lextra],
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w_fill).alias(f"_m_{c}")
+            for c in value_cols
+        ],
+    ).where(F.col("_src") == 1)
+
+    # step 3: strictly-prior carry over the bucket timeline
     per_bucket = r.groupBy(*by, "_b").agg(
         *[F.max_by(f"_r_{c}", F.col("_rts")).alias(f"_last_{c}") for c in value_cols]
     )
-    all_buckets = (
-        l.select(*by, "_b").unionByName(per_bucket.select(*by, "_b")).distinct()
-    )
+    all_buckets = u.select(*by, "_b").distinct()
     w_prior = (
         (Window.partitionBy(*by) if by else Window.partitionBy(F.lit(1)))
         .orderBy("_b")
@@ -71,32 +108,14 @@ def asof_join(
         ],
     )
 
-    # step 3: same-bucket nearest-prior match per left row
-    matches = (
-        l.select(*by, "_b", "_lid", ts_col)
-        .join(r, on=[*by, "_b"], how="inner")
-        .where(F.col("_rts") <= F.col(ts_col))
-        .groupBy("_lid")
-        .agg(
-            *[
-                F.max_by(f"_r_{c}", F.col("_rts")).alias(f"_m_{c}")
-                for c in value_cols
-            ]
-        )
+    # step 4: same-bucket fill wins, else carry from prior buckets
+    return filled.join(carry, on=[*by, "_b"], how="left").select(
+        *[
+            (F.col(c) if c in by else F.col(f"_l_{c}").alias(c))
+            for c in left.columns
+        ],
+        *[
+            F.coalesce(F.col(f"_m_{c}"), F.col(f"_prev_{c}")).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
     )
-
-    # step 4: match wins, else carry from prior buckets
-    out = (
-        l.join(matches, on="_lid", how="left")
-        .join(carry, on=[*by, "_b"], how="left")
-        .select(
-            *left.columns,
-            *[
-                F.coalesce(F.col(f"_m_{c}"), F.col(f"_prev_{c}")).alias(
-                    f"{c}{suffix}"
-                )
-                for c in value_cols
-            ],
-        )
-    )
-    return out

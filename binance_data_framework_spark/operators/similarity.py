@@ -124,6 +124,22 @@ def _lsh_buckets_udf(planes_all: list[list[list[float]]]):
     return buckets
 
 
+def _pair_dot_udf():
+    """Vectorized pairwise dot product for the LSH re-rank: one einsum per
+    Arrow batch instead of an interpreted aggregate-lambda per pair. The
+    oracle-checked exact path keeps the builtin `_dot` (bit-reproducible
+    left-to-right order); the LSH path has no oracle, so the fast reduction
+    order is fine."""
+
+    @pandas_udf("double")
+    def dot2(a: pd.Series, b: pd.Series) -> pd.Series:
+        ma = np.vstack(a.to_numpy())
+        mb = np.vstack(b.to_numpy())
+        return pd.Series(np.einsum("ij,ij->i", ma, mb))
+
+    return dot2
+
+
 def topk_cosine_lsh(
     df: DataFrame,
     probe_filter: Column,
@@ -152,33 +168,38 @@ def topk_cosine_lsh(
     # collision side, re-rank side); checkpoint it so the bucket UDF and
     # norms run once, not three times.
     base = base.localCheckpoint(eager=False)
-    exploded = base.select(
-        id_col, "_v", "_norm", F.posexplode("_tb").alias("_t", "_b")
-    )
-    probes = exploded.where(probe_filter).select(
+    exploded = base.select(id_col, F.posexplode("_tb").alias("_t", "_b"))
+    probe_rows = base.where(probe_filter).select(
         F.col(id_col).alias("probe_id"),
         F.col("_v").alias("_pv"),
         F.col("_norm").alias("_pnorm"),
-        "_t",
-        "_b",
     )
-    # collision set: distinct (probe, candidate) pairs across tables
+    probe_keys = exploded.where(probe_filter).select(
+        F.col(id_col).alias("probe_id"), "_t", "_b"
+    )
+    # Collision set as BARE key pairs — vectors join back after the dedup so
+    # the dedup shuffle moves 2 longs per pair, not 2 x dim doubles.
     pairs = (
-        exploded.select(id_col, "_t", "_b")
-        .join(broadcast(probes), on=["_t", "_b"])
+        exploded.join(broadcast(probe_keys), on=["_t", "_b"])
         .where(F.col(id_col) != F.col("probe_id"))
-        .select("probe_id", id_col, "_pv", "_pnorm")
+        .select("probe_id", id_col)
         .dropDuplicates(["probe_id", id_col])
     )
     cand = base.select(
         id_col, F.col("_v").alias("_cv"), F.col("_norm").alias("_cnorm")
     )
-    scored = pairs.join(cand, on=id_col).select(
-        "probe_id",
-        id_col,
-        (_dot(F.col("_pv"), F.col("_cv")) / (F.col("_pnorm") * F.col("_cnorm"))).alias(
-            "cosine"
-        ),
+    dot2 = _pair_dot_udf()
+    scored = (
+        pairs.join(cand, on=id_col)
+        .join(broadcast(probe_rows), on="probe_id")
+        .select(
+            "probe_id",
+            id_col,
+            (
+                dot2(F.col("_pv"), F.col("_cv"))
+                / (F.col("_pnorm") * F.col("_cnorm"))
+            ).alias("cosine"),
+        )
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.col(id_col))
     return (
