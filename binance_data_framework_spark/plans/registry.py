@@ -578,6 +578,125 @@ def q_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EXPORT_SQL = """
+    SELECT event_type AS symbol, date_trunc('hour', ts) AS bucket,
+           round(sum(value), 6) AS volume
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+"""
+
+
+def _export_src(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        )
+        .agg(F.round(F.sum("value"), 6).alias("volume"))
+    )
+
+
+def _export_dir(spark: SparkSession, name: str) -> str:
+    import os
+
+    root = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "_scratch")
+    os.makedirs(root, exist_ok=True)
+    return os.path.join(root, name)
+
+
+@register("sink_export_parquet", _EXPORT_SQL)
+def q_export_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet export round-trip (reference df.to_parquet export handler,
+    colab_interface.py:588-589): write the selected series, read it back —
+    the oracle checks the round-trip is lossless."""
+    path = _export_dir(spark, "export_parquet")
+    _export_src(spark, sf_dir).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+@register("sink_export_csv", _EXPORT_SQL)
+def q_export_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV export round-trip (reference df.to_csv export handler,
+    colab_interface.py:586-587): header + ISO timestamps out, explicit schema
+    back in (CSV carries no types — the reader must restate them)."""
+    path = _export_dir(spark, "export_csv")
+    (
+        _export_src(spark, sf_dir)
+        .coalesce(1)  # single-file parity with the reference's one-CSV export
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .csv(path)
+    )
+    return spark.read.schema("symbol string, bucket timestamp, volume double").option(
+        "header", True
+    ).option("timestampFormat", "yyyy-MM-dd HH:mm:ss").csv(path)
+
+
+@register(
+    "fmt_export_name",
+    """
+    WITH cov AS (
+      SELECT event_type AS symbol, min(ts) AS start_ts, max(ts) AS end_ts
+      FROM events GROUP BY 1)
+    SELECT symbol,
+           printf('%s_%s_%s_%s.csv', symbol, '1h',
+                  strftime(start_ts, '%Y%m%d'), strftime(end_ts, '%Y%m%d'))
+             AS export_name
+    FROM cov
+    """,
+)
+def q_fmt_export_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filename templating as a column expression (reference f-string
+    `{symbol}_{tf}_{start:%Y%m%d}_{end:%Y%m%d}.csv`, colab_interface.py:291,
+    583) — format_string + date_format over the coverage aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    cov = ev.groupBy(F.col("event_type").alias("symbol")).agg(
+        F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts")
+    )
+    return cov.select(
+        "symbol",
+        F.format_string(
+            "%s_%s_%s_%s.csv",
+            F.col("symbol"),
+            F.lit("1h"),
+            F.date_format("start_ts", "yyyyMMdd"),
+            F.date_format("end_ts", "yyyyMMdd"),
+        ).alias("export_name"),
+    )
+
+
+_EXCHANGE_INFO = [
+    ("BTCUSDT", "TRADING", "BTC", "USDT"),
+    ("ETHUSDT", "TRADING", "ETH", "USDT"),
+    ("BNBUSDT", "BREAK", "BNB", "USDT"),
+    ("BTCUSDC", "TRADING", "BTC", "USDC"),
+    ("SOLUSDT", "TRADING", "SOL", "USDT"),
+    ("DOGEUSD", "TRADING", "DOGE", "USD"),
+    ("ADAUSDT", "HALT", "ADA", "USDT"),
+]
+
+
+@register(
+    "scan_exchange_info",
+    "WITH info(symbol, status, base, quote) AS (VALUES "
+    + ", ".join(f"('{s}', '{st}', '{b}', '{q}')" for s, st, b, q in _EXCHANGE_INFO)
+    + ") SELECT symbol, base, quote FROM info "
+    "WHERE symbol LIKE '%USDT' AND status = 'TRADING'",
+)
+def q_scan_exchange_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-metadata dimension scan + the USDT/TRADING filter (reference
+    get_exchange_info + pair filter, api_connector.py:145-164, 178-182): a
+    driver-built small dimension — broadcast-sized by construction."""
+    info = spark.createDataFrame(
+        _EXCHANGE_INFO, "symbol string, status string, base string, quote string"
+    )
+    return info.where(
+        F.col("symbol").endswith("USDT") & (F.col("status") == "TRADING")
+    ).select("symbol", "base", "quote")
+
+
 # ===========================================================================
 # scalar functions (SURVEY §2a)
 # ===========================================================================

@@ -71,6 +71,24 @@ def test_partition_isolation_and_delete(store, spark):
     }
 
 
+def test_export_roundtrip(store, spark, tmp_path):
+    store.save_data(_bars(spark, T0, 24, 100.0), "BTCUSDT", "1h")
+    df = store.get_data("BTCUSDT", "1h")
+
+    pq = str(tmp_path / "out_parquet")
+    store.export(df, pq, fmt="parquet")
+    assert spark.read.parquet(pq).count() == 24
+
+    csv = str(tmp_path / "out_csv")
+    store.export(df, csv, fmt="csv", single_file=True)
+    back = spark.read.option("header", True).option("inferSchema", True).csv(csv)
+    assert back.count() == 24
+    assert set(back.columns) == set(df.columns)
+
+    with pytest.raises(ValueError):
+        store.export(df, str(tmp_path / "x"), fmt="xlsx")
+
+
 def test_coverage_probe(store, spark):
     store.save_data(_bars(spark, T0, 24, 100.0), "BTCUSDT", "1h")
     covered, rng = store.check_data_exists(
