@@ -43,8 +43,25 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM + parquet footers once so timings measure the plans
+    # Warm-up so timings measure the plans, not process bring-up: JVM +
+    # parquet footers (a real scan), the Arrow/pandas-UDF worker pool (first
+    # Python UDF pays ~1s of daemon + worker fork), and window/codegen paths.
+    # Uses throwaway synthetic data — no measured query result is precomputed.
     QUERIES["agg_count"](spark, sf_dir).collect()
+    from pyspark.sql import Window as _W
+    from pyspark.sql import functions as _F
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    @_pudf("double")
+    def _warm(x):
+        return x * 1.0
+
+    warm = spark.range(1000).select(
+        _F.col("id"), _warm(_F.col("id").cast("double")).alias("w")
+    )
+    warm.withColumn(
+        "r", _F.row_number().over(_W.partitionBy(_F.col("id") % 7).orderBy("id"))
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

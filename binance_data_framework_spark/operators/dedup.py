@@ -101,9 +101,13 @@ def minhash_candidates(
     # materialization point Spark recomputes the signature expressions three
     # times.
     sigs = sigs.localCheckpoint(eager=False)
+    # Band on BARE (id, band) keys: the self-join + pair dedup shuffle then
+    # moves 2 longs per banded row instead of 2 full signatures per candidate
+    # pair (each side is exploded num_bands ways — carrying `sig` through
+    # multiplies shuffle bytes by ~num_bands * sig_len). Signatures join back
+    # once per side afterwards, from the checkpointed sigs.
     banded = sigs.select(
         id_col,
-        "sig",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(num_bands - 1)),
@@ -117,17 +121,15 @@ def minhash_candidates(
             )
         ).alias("band_idx", "band_hash"),
     )
-    a = banded.select(
-        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band_idx", "band_hash"
-    )
-    b = banded.select(
-        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band_idx", "band_hash"
-    )
+    a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
+    b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
     pairs = (
         a.join(b, on=["band_idx", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+        .join(sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")), on="id_a")
+        .join(sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")), on="id_b")
     )
     est = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),

@@ -140,6 +140,124 @@ def _pair_dot_udf():
     return dot2
 
 
+def _assign_udf(centroids: list[list[float]]):
+    """Vectorized nearest-centroid assignment (L2): one distance matrix per
+    Arrow batch against the broadcast centroid matrix."""
+    cm = np.asarray(centroids, dtype=np.float64)  # ncent x dim
+    cn = (cm * cm).sum(axis=1)  # ||c||^2, precomputed
+
+    @pandas_udf("int")
+    def assign(v: pd.Series) -> pd.Series:
+        m = np.vstack(v.to_numpy())  # rows x dim
+        # argmin ||x-c||^2 = argmin ||c||^2 - 2 x.c  (||x||^2 constant per row)
+        d = cn[None, :] - 2.0 * (m @ cm.T)
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    return assign
+
+
+def kmeans_fit(
+    df: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means expressed as DataFrame plans; only the
+    model (n_centroids x dim floats) ever reaches the driver.
+
+    - init: the n_centroids lowest-id vectors (deterministic, no RNG);
+    - assign: broadcast centroid matrix into a vectorized Arrow batch UDF;
+    - update: explode (cluster, pos, component) and groupBy-avg — hash
+      aggregation with map-side partial combine, so each executor emits at
+      most n_centroids*dim partial rows per partition regardless of input
+      size. The 100 TB shape: one narrow pass + one tiny shuffle per iter.
+    """
+    base = df.select(
+        id_col, F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v")
+    )
+    init = base.orderBy(id_col).limit(n_centroids).select("_v").collect()
+    centroids = [list(r["_v"]) for r in init]
+    for _ in range(n_iter):
+        assigned = base.withColumn("_c", _assign_udf(centroids)(F.col("_v")))
+        means = (
+            assigned.select("_c", F.posexplode("_v").alias("_pos", "_x"))
+            .groupBy("_c", "_pos")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()
+        )
+        new = {r["_c"]: [0.0] * dim for r in means}
+        for r in means:
+            new[r["_c"]][r["_pos"]] = r["_m"]
+        centroids = [new.get(i, centroids[i]) for i in range(n_centroids)]
+    return centroids
+
+
+def topk_cosine_ivf(
+    df: DataFrame,
+    probe_filter: Column,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer: k-means
+    partitions the corpus into n_centroids cells; each probe searches only its
+    `nprobe` nearest cells, with an exact cosine re-rank inside them.
+
+    Scale shape: the index assignment is one narrow vectorized pass; search is
+    an equi-join on the cell id (shuffle-partitioned by cell, no cross
+    product) touching nprobe/n_centroids of the corpus per probe. Recall
+    rises with nprobe; n_centroids ~ sqrt(corpus) balances cell size vs cell
+    count at scale. Complements sign-LSH (`topk_cosine_lsh`): IVF adapts to
+    the data distribution, LSH is data-independent."""
+    centroids = kmeans_fit(df, n_centroids, 3, id_col, vec_col, dim)
+    cm = np.asarray(centroids, dtype=np.float64)
+    cn = (cm * cm).sum(axis=1)
+
+    base = with_norm(df, vec_col).withColumn(
+        "_c", _assign_udf(centroids)(F.col("_v"))
+    )
+    base = base.localCheckpoint(eager=False)
+
+    @pandas_udf("array<int>")
+    def probe_cells(v: pd.Series) -> pd.Series:
+        m = np.vstack(v.to_numpy())
+        d = cn[None, :] - 2.0 * (m @ cm.T)
+        order = np.argsort(d, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    probes = base.where(probe_filter).select(
+        F.col(id_col).alias("probe_id"),
+        F.col("_v").alias("_pv"),
+        F.col("_norm").alias("_pnorm"),
+        F.explode(probe_cells(F.col("_v"))).alias("_c"),
+    )
+    dot2 = _pair_dot_udf()
+    scored = (
+        base.select(id_col, "_c", F.col("_v").alias("_cv"), F.col("_norm").alias("_cnorm"))
+        .join(broadcast(probes), on="_c")
+        .where(F.col(id_col) != F.col("probe_id"))
+        .select(
+            "probe_id",
+            id_col,
+            (
+                dot2(F.col("_pv"), F.col("_cv"))
+                / (F.col("_pnorm") * F.col("_cnorm"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("probe_id", id_col, "cosine", "rank")
+    )
+
+
 def topk_cosine_lsh(
     df: DataFrame,
     probe_filter: Column,
@@ -177,20 +295,25 @@ def topk_cosine_lsh(
     probe_keys = exploded.where(probe_filter).select(
         F.col(id_col).alias("probe_id"), "_t", "_b"
     )
-    # Collision set as BARE key pairs — vectors join back after the dedup so
-    # the dedup shuffle moves 2 longs per pair, not 2 x dim doubles.
-    pairs = (
+    # Collision set grouped PER CANDIDATE — `collect_set(probe_id)` both
+    # dedups pairs (a candidate can collide with the same probe in several
+    # tables) and collapses the join key to one row per candidate, so each
+    # candidate vector crosses the wire once no matter how many probes it
+    # collides with. Bare-long shuffle; vectors join back from the
+    # checkpointed base.
+    cand_probes = (
         exploded.join(broadcast(probe_keys), on=["_t", "_b"])
         .where(F.col(id_col) != F.col("probe_id"))
-        .select("probe_id", id_col)
-        .dropDuplicates(["probe_id", id_col])
+        .groupBy(id_col)
+        .agg(F.collect_set("probe_id").alias("_probes"))
     )
     cand = base.select(
         id_col, F.col("_v").alias("_cv"), F.col("_norm").alias("_cnorm")
     )
     dot2 = _pair_dot_udf()
     scored = (
-        pairs.join(cand, on=id_col)
+        cand_probes.join(cand, on=id_col)
+        .select(id_col, "_cv", "_cnorm", F.explode("_probes").alias("probe_id"))
         .join(broadcast(probe_rows), on="probe_id")
         .select(
             "probe_id",

@@ -1058,6 +1058,17 @@ def q_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("topk_similarity_ivf")
+def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate IVF (k-means inverted-file) top-k; recall-vs-exact
+    invariant tested in pytest. Data-adaptive counterpart of the sign-LSH
+    path — each probe searches nprobe coarse cells only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.topk_cosine_ivf(emb, F.col("vec_id") < 5, k=10).withColumn(
+        "cosine", F.round("cosine", 6)
+    )
+
+
 @register(
     "asof_align",
     """

@@ -76,6 +76,31 @@ def test_lsh_topk_invariants(spark, sf_dir):
     assert hit_rate > 0.2  # bucket recall at 4 planes on 500 vecs
 
 
+def test_ivf_topk_invariants(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = S.topk_cosine(emb, F.col("vec_id") < 5, k=10).toPandas()
+    approx = S.topk_cosine_ivf(emb, F.col("vec_id") < 5, k=10).toPandas()
+    assert (approx.groupby("probe_id").size() <= 10).all()
+    for _, g in approx.groupby("probe_id"):
+        g = g.sort_values("rank")
+        assert (g["cosine"].diff().dropna() <= 1e-12).all()
+    merged = approx.merge(
+        exact, on=["probe_id", "vec_id"], how="left", suffixes=("_a", "_e")
+    )
+    # scores agree where both paths scored the pair (same exact re-rank)
+    both = merged["cosine_e"].notna()
+    assert (merged.loc[both, "cosine_a"] - merged.loc[both, "cosine_e"]).abs().max() < 1e-6
+    assert both.mean() > 0.2  # nprobe=4/16 cell recall on 500 vecs
+
+
+def test_kmeans_fit_deterministic(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    c1 = S.kmeans_fit(emb, n_centroids=8, n_iter=2)
+    c2 = S.kmeans_fit(emb, n_centroids=8, n_iter=2)
+    assert c1 == c2
+    assert len(c1) == 8 and all(len(c) == 64 for c in c1)
+
+
 def test_asof_join_matches_bruteforce(spark):
     left_rows = [(i, datetime(2024, 1, 1) + timedelta(hours=7 * i)) for i in range(40)]
     right_rows = [
