@@ -89,17 +89,24 @@ def asof_join(
         ],
     ).where(F.col("_src") == 1)
 
-    # step 3: strictly-prior carry over the bucket timeline
-    per_bucket = r.groupBy(*by, "_b").agg(
-        *[F.max_by(f"_r_{c}", F.col("_rts")).alias(f"_last_{c}") for c in value_cols]
+    # step 3: strictly-prior carry over the bucket timeline. ONE aggregation
+    # over the union yields both the complete bucket set (left or right rows)
+    # and each bucket's last right value — max_by's ordering key is nulled for
+    # left rows, so they contribute the bucket but never a value.
+    per_bucket = u.groupBy(*by, "_b").agg(
+        *[
+            F.max_by(
+                f"_r_{c}", F.when(F.col("_src") == 0, F.col("_ats"))
+            ).alias(f"_last_{c}")
+            for c in value_cols
+        ]
     )
-    all_buckets = u.select(*by, "_b").distinct()
     w_prior = (
         (Window.partitionBy(*by) if by else Window.partitionBy(F.lit(1)))
         .orderBy("_b")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    carry = all_buckets.join(per_bucket, on=[*by, "_b"], how="left").select(
+    carry = per_bucket.select(
         *by,
         "_b",
         *[
