@@ -23,6 +23,16 @@ from binance_data_framework_spark.sources.rest_klines import PagedKlineSource
 from binance_data_framework_spark.store import OhlcvStore
 
 
+def _validate_request(symbol: str, start: datetime, end: datetime) -> None:
+    """API-layer input validation, raised before any plan is built
+    (reference validate_nonempty, database_handler.py:204-207;
+    validate_daterange, colab_interface.py:222-225)."""
+    if not symbol or not symbol.strip():
+        raise ValueError("symbol must be a non-empty string")
+    if end < start:
+        raise ValueError(f"end date {end} precedes start date {start}")
+
+
 class CacheOrFetchLoader:
     def __init__(self, store: OhlcvStore, source: PagedKlineSource):
         self.store = store
@@ -39,6 +49,7 @@ class CacheOrFetchLoader:
         """The cache-or-fetch kernel (colab_interface.py:343-372). A miss
         refetches the whole requested range (reference behavior); the
         gap-antijoin incremental fill is available via operators.coverage."""
+        _validate_request(symbol, start, end)
         covered, _ = self.store.check_data_exists(symbol, timeframe, start, end, now=now)
         if not covered:
             fetched = self.source.to_ohlcv(

@@ -72,6 +72,47 @@ def streaming_ohlcv(
     )
 
 
+def streaming_sma(
+    bars: DataFrame,
+    window: int = 20,
+    key_col: str = "symbol",
+    ts_col: str = "bucket",
+    close_col: str = "close",
+) -> DataFrame:
+    """Custom stateful operator via `applyInPandasWithState`: trailing
+    `window`-bar SMA over a bar stream (the incremental form of the engine's
+    flagship `window_sma`, README.md:106 of the reference).
+
+    State per key is ONE fixed-size ring of the last `window` closes — O(1)
+    memory per symbol at any stream length; emits one row per input bar with
+    the SMA once `window` bars have arrived (matching the batch operator's
+    `count >= window` null semantics). Batches are processed in event-time
+    order within each micro-batch; cross-batch order is the source's
+    responsibility (file/kafka sources deliver per-key append order here).
+    """
+    import pandas as pd
+
+    out_schema = f"{key_col} string, {ts_col} timestamp, {close_col} double, sma double"
+    state_schema = "closes array<double>"
+
+    def fn(key, pdfs, state):
+        closes: list[float] = list(state.get[0]) if state.exists else []
+        rows = []
+        for pdf in pdfs:
+            for _, r in pdf.sort_values(ts_col).iterrows():
+                closes.append(float(r[close_col]))
+                if len(closes) > window:
+                    closes.pop(0)
+                sma = sum(closes) / window if len(closes) >= window else None
+                rows.append((key[0], r[ts_col], r[close_col], sma))
+        state.update((closes,))
+        yield pd.DataFrame(rows, columns=[key_col, ts_col, close_col, "sma"])
+
+    return bars.groupBy(key_col).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", "NoTimeout"
+    )
+
+
 def streaming_dedup(
     stream: DataFrame,
     keys: tuple[str, ...] = ("ts", "symbol", "timeframe"),

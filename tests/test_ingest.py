@@ -118,3 +118,17 @@ def test_cache_or_fetch_routing(spark, tmp_path):
     out2 = loader.load("BTCUSDT", "1h", start, end, now=now)
     assert out2.count() == 24
     assert calls["n"] == n_after_first
+
+
+def test_request_validation(spark, tmp_path):
+    import pytest
+
+    fetch, _ = fake_exchange(n_bars=4)
+    loader = CacheOrFetchLoader(
+        OhlcvStore(spark, str(tmp_path / "store_v")), PagedKlineSource(fetch)
+    )
+    t0 = datetime(2024, 1, 2, tzinfo=timezone.utc)
+    with pytest.raises(ValueError, match="non-empty"):
+        loader.load("  ", "1h", t0, t0)
+    with pytest.raises(ValueError, match="precedes"):
+        loader.load("BTCUSDT", "1h", t0, datetime(2024, 1, 1, tzinfo=timezone.utc))

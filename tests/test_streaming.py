@@ -55,6 +55,40 @@ def test_streaming_ohlcv_finalized_bars(spark, tmp_path):
     assert datetime(2024, 1, 1, 4, 0) not in out
 
 
+def test_streaming_sma_stateful(spark, tmp_path):
+    from binance_data_framework_spark.streaming.incremental import streaming_sma
+
+    src = tmp_path / "src_sma"
+    src.mkdir()
+    rows = [("S", datetime(2024, 1, 1, h), float(h + 1)) for h in range(6)] + [
+        ("T", datetime(2024, 1, 1, h), 10.0 * (h + 1)) for h in range(4)
+    ]
+    pdf = pd.DataFrame(rows, columns=["symbol", "bucket", "close"])
+    pdf["bucket"] = pdf["bucket"].astype("datetime64[us]")
+    pdf.to_parquet(f"{src}/part0.parquet", index=False)
+    stream = spark.readStream.schema("symbol string, bucket timestamp, close double").parquet(
+        str(src)
+    )
+    out = streaming_sma(stream, window=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sma_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["symbol"], r["bucket"]): r["sma"]
+        for r in spark.sql("SELECT * FROM sma_out").collect()
+    }
+    assert len(got) == 10  # one output row per input bar
+    assert got[("S", datetime(2024, 1, 1, 0))] is None  # fewer than window bars
+    assert got[("S", datetime(2024, 1, 1, 2))] == 2.0  # (1+2+3)/3
+    assert got[("S", datetime(2024, 1, 1, 5))] == 5.0  # (4+5+6)/3
+    assert got[("T", datetime(2024, 1, 1, 3))] == 30.0  # (20+30+40)/3
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     src = tmp_path / "src2"
     src.mkdir()
