@@ -1,0 +1,73 @@
+"""Physical-plan regression tests: the efficiency properties documented in
+PLANS.md, asserted against the actual Catalyst output so they can't silently
+regress. These don't run the queries — they inspect `.explain` strings."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from binance_data_framework_spark.plans.registry import QUERIES
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_range_scan_pushes_predicates(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "scan_table_range")
+    pushed = re.search(r"PushedFilters: \[([^\]]+)\]", plan)
+    assert pushed, "no pushed filters reached the parquet scan"
+    assert "GreaterThanOrEqual(ts" in pushed.group(1)  # range reaches row groups
+    assert "EqualTo(event_type" in pushed.group(1)  # symbol equality pushed
+
+
+def test_resample_is_single_pass_partial_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "resample_ohlcv")
+    # all OHLCV aggregates in ONE partial hash-agg before the exchange
+    partial = re.search(r"Functions \[\d+\]: \[partial_[^\]]+\]", plan)
+    assert partial, "no map-side partial aggregation"
+    for fn in ("partial_min_by", "partial_max_by", "partial_max", "partial_min"):
+        assert fn in partial.group(0), f"{fn} missing from the partial agg pass"
+    # exactly one shuffle: partial agg -> exchange -> final agg
+    assert len(re.findall(r"\n\(\d+\) Exchange\b", plan)) == 1
+
+
+def test_small_side_joins_broadcast(spark, sf_dir):
+    for name in ("coverage_check", "lookup_export_meta", "gap_antijoin"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: small side not broadcast"
+        assert "SortMergeJoin" not in plan, f"{name}: unexpected sort-merge join"
+
+
+def test_windows_are_keyed(spark, sf_dir):
+    """No window may run over an unpartitioned full dataset (single-task
+    funnel). The only allowed unkeyed windows are over provably-tiny
+    aggregates (asof bucket timeline)."""
+    for name in ("window_sma", "flagship_ohlcv_sma", "upsert_precedence", "dedup_exact"):
+        plan = _plan(spark, sf_dir, name)
+        for args in re.findall(r"\(\d+\) Window\b.*?Arguments: (.*?)\n", plan, re.S):
+            assert re.search(r"windowspecdefinition\([^)]*?,", args) or "partitionBy" in args, (
+                f"{name}: window spec appears unkeyed: {args[:120]}"
+            )
+        assert "No Partition Defined" not in plan
+
+
+def test_text_ops_stay_jvm_side(spark, sf_dir):
+    """Text analysis must not fall off the codegen path into Python."""
+    for name in ("text_sentiment", "text_stats", "text_lang_id", "text_quality"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, f"{name}: row-at-a-time Python UDF"
+        assert "ArrowEvalPython" not in plan, f"{name}: unexpected pandas UDF"
+
+
+def test_exact_topk_broadcasts_probes_not_candidates(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "topk_similarity")
+    assert "BroadcastExchange" in plan  # probe set broadcast to candidates
+    # exactly one shuffle (the per-probe top-k window); candidates never move
+    assert len(re.findall(r"\n\(\d+\) Exchange\b", plan)) == 1
