@@ -1058,6 +1058,29 @@ def q_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "topk_skew_salted",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank
+      FROM orders)
+    WHERE rank <= 5
+    """,
+)
+def q_topk_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof exact top-k (operators/skew.salted_topk): two-phase ranked
+    top-k — per-(key,salt) then per-key — algebraically equal to the plain
+    window form, so it carries a full value-hash oracle."""
+    from binance_data_framework_spark.operators.skew import salted_topk
+
+    orders = load_table(spark, sf_dir, "orders")
+    return salted_topk(
+        orders, "o_orderpriority", "o_totalprice", k=5, tiebreak_cols=["o_orderkey"]
+    ).select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
+
+
 @register("topk_similarity_ivf")
 def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate IVF (k-means inverted-file) top-k; recall-vs-exact
