@@ -107,6 +107,54 @@ def extract_features(
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("blob_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("new_width", T.IntegerType(), True),
+        T.StructField("new_height", T.IntegerType(), True),
+        T.StructField("data", T.BinaryType(), True),
+    ]
+)
+
+
+def resize_media(
+    df: DataFrame, target: tuple[int, int] = (64, 64), decode_stub: bool = True
+) -> DataFrame:
+    """Per-blob resize over mapInPandas: emits a new binary payload sized by
+    the pixel ratio (stub: integer-exact prefix of the original bytes —
+    `n_bytes * tw*th // (w*h)` — so an oracle can value-check the output
+    length; a real path would decode, resample, re-encode at the marked
+    point). Source (width, height) derive from the payload digest exactly as
+    `extract_features` does."""
+    tw, th = target
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob_id, modality, data in zip(
+                pdf["blob_id"], pdf["modality"], pdf["data"]
+            ):
+                raw = bytes(data) if data is not None else b""
+                if not decode_stub:
+                    _decode_real(raw, modality)
+                d = hashlib.sha256(raw).hexdigest()
+                w, h = 16 + int(d[:2], 16), 16 + int(d[2:4], 16)
+                new_len = max(1, min(len(raw), len(raw) * tw * th // (w * h)))
+                rows.append((blob_id, modality, w, h, tw, th, raw[:new_len]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "blob_id", "modality", "width", "height",
+                    "new_width", "new_height", "data",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling *plan*: one output row per sampled frame index,
     derived from metadata only (no byte decoding) — shows the explode-shaped

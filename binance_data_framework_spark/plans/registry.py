@@ -1180,6 +1180,45 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize",
+    f"""
+    WITH blobs AS (
+      SELECT doc_id AS blob_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                  ELSE 'video' END AS modality,
+             octet_length(encode(text)) AS n_bytes,
+             sha256(text) AS digest
+      FROM documents),
+    dims AS (
+      SELECT blob_id, modality, n_bytes,
+             16 + {_H2I.format(p=1)} * 16 + {_H2I.format(p=2)} AS width,
+             16 + {_H2I.format(p=3)} * 16 + {_H2I.format(p=4)} AS height
+      FROM blobs)
+    SELECT blob_id, modality, width, height,
+           CAST(64 AS BIGINT) AS new_width, CAST(64 AS BIGINT) AS new_height,
+           greatest(1, least(n_bytes, n_bytes * 4096 // (width * height)))
+             AS resized_n_bytes
+    FROM dims
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media resize pipeline (SURVEY §2b multimodal): binary payload ->
+    mapInPandas stub resize (operators/multimodal.resize_media) -> new
+    payload + dims. The oracle replays the stub's integer-exact size
+    arithmetic, value-checking the emitted payload length."""
+    resized = MM.resize_media(_doc_blobs(spark, sf_dir), target=(64, 64))
+    return resized.select(
+        "blob_id",
+        "modality",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("new_width").cast("long").alias("new_width"),
+        F.col("new_height").cast("long").alias("new_height"),
+        F.length("data").cast("long").alias("resized_n_bytes"),
+    )
+
+
+@register(
     "multimodal_frame_sample",
     """
     SELECT doc_id AS blob_id,

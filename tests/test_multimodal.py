@@ -10,6 +10,7 @@ from binance_data_framework_spark.operators.multimodal import (
     FEATURE_SCHEMA,
     extract_features,
     frame_sample_plan,
+    resize_media,
     synth_blobs,
 )
 
@@ -42,6 +43,22 @@ def test_frame_sample_plan(spark):
     # only video rows produce frames
     mods = dict(blobs.select("blob_id", "modality").collect())
     assert {mods[r["blob_id"]] for r in rows} == {"video"}
+
+
+def test_resize_media_stub(spark):
+    blobs = synth_blobs(spark, n=9)
+    out = resize_media(blobs, target=(64, 64)).collect()
+    orig = {r["blob_id"]: bytes(r["data"]) for r in blobs.collect()}
+    assert len(out) == 9
+    for r in out:
+        raw = orig[r["blob_id"]]
+        expect_len = max(1, min(len(raw), len(raw) * 64 * 64 // (r["width"] * r["height"])))
+        assert len(bytes(r["data"])) == expect_len
+        assert bytes(r["data"]) == raw[:expect_len]  # stub is a prefix
+        assert (r["new_width"], r["new_height"]) == (64, 64)
+    with pytest.raises(Exception) as ei:
+        resize_media(blobs, decode_stub=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "real media decoding" in str(ei.value)
 
 
 def test_metadata_only_query_prunes_bytes(spark):
