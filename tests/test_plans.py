@@ -66,6 +66,58 @@ def test_text_ops_stay_jvm_side(spark, sf_dir):
         assert "ArrowEvalPython" not in plan, f"{name}: unexpected pandas UDF"
 
 
+def test_store_layout_prunes_partitions(spark, tmp_path):
+    """The OhlcvStore physical layout must turn symbol/timeframe equality
+    into PARTITION pruning (directory skip), not just row-group filters."""
+    from datetime import datetime, timedelta
+
+    from binance_data_framework_spark.store import OhlcvStore
+
+    store = OhlcvStore(spark, str(tmp_path / "ohlcv"))
+    t0 = datetime(2024, 1, 1)
+    for sym in ("AAA", "BBB"):
+        bars = spark.createDataFrame(
+            [(t0 + timedelta(hours=i), 1.0, 2.0, 0.5, 1.5, 10.0) for i in range(4)],
+            "ts timestamp, open double, high double, low double, close double, volume double",
+        )
+        store.save_data(bars, sym, "1h")
+    plan = (
+        store.get_data("AAA", "1h")
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "symbol" in m.group(1) and "timeframe" in m.group(1), (
+        f"partition filters missing: {m.group(1) if m else plan[:400]}"
+    )
+
+
+def test_bucketed_join_needs_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key join with NO shuffle: the
+    amortized-shuffle pattern for repeated big-big joins at 100 TB."""
+    from binance_data_framework_spark.sources.bucketed import read_table, write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS va")
+        b = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS vb")
+        write_bucketed(a, "bt_a", "k", n_buckets=4, sort_cols="k")
+        write_bucketed(b, "bt_b", "k", n_buckets=4, sort_cols="k")
+        joined = read_table(spark, "bt_a").join(read_table(spark, "bt_b"), on="k")
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        )
+        assert "SortMergeJoin" in plan
+        assert not re.search(r"\n\(\d+\) Exchange\b", plan), "bucketed join shuffled"
+        assert joined.count() == 1000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
 def test_exact_topk_broadcasts_probes_not_candidates(spark, sf_dir):
     plan = _plan(spark, sf_dir, "topk_similarity")
     assert "BroadcastExchange" in plan  # probe set broadcast to candidates
