@@ -84,27 +84,33 @@ def sentiment(
     return df.select(F.col(id_col), score.alias("sentiment"))
 
 
-def quality_score(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """Heuristic quality signals: length, stopword ratio, repetition ratio —
-    the standard pretraining-corpus filters, as pure column math."""
+def quality_exprs(text_col: str = "text") -> dict[str, Column]:
+    """The quality-signal column expressions (length, stopword ratio,
+    repetition ratio — the standard pretraining-corpus filters) as reusable
+    pure column math, composable into larger pipelines without a join."""
     toks = tokens_col(text_col)
     n = F.size(toks).cast("double")
     stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast("double")
     distinct_ratio = F.size(F.array_distinct(toks)).cast("double") / n
-    return df.select(
-        F.col(id_col),
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.round(stop_hits / n, 6).alias("stopword_ratio"),
-        F.round(distinct_ratio, 6).alias("distinct_ratio"),
-        F.round(
+    return {
+        "n_tokens": F.size(toks).cast("long"),
+        "stopword_ratio": F.round(stop_hits / n, 6),
+        "distinct_ratio": F.round(distinct_ratio, 6),
+        "quality": F.round(
             F.when(distinct_ratio < 0.3, F.lit(0.0))
             .when(n < 5, F.lit(0.0))
             .otherwise(F.least(F.lit(1.0), distinct_ratio + stop_hits / n)),
             6,
-        ).alias("quality"),
-    )
+        ),
+    }
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic quality signals per doc — see quality_exprs."""
+    exprs = quality_exprs(text_col)
+    return df.select(F.col(id_col), *[c.alias(name) for name, c in exprs.items()])
 
 
 # marker-token sets per language for the n-gram-free language-ID heuristic
@@ -116,9 +122,9 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 }
 
 
-def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Marker-token language ID: argmax of per-language marker hit counts with
-    alphabetical tie-break, 'und' when no markers hit."""
+def lang_pred_col(text_col: str = "text") -> Column:
+    """Marker-token language-ID expression: argmax of per-language marker hit
+    counts with alphabetical tie-break, 'und' when no markers hit."""
     toks = tokens_col(text_col)
     hits = {
         lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
@@ -130,7 +136,12 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         pred = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(
             pred
         )
-    return df.select(F.col(id_col), pred.alias("pred_lang"))
+    return pred
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-doc language ID — see lang_pred_col."""
+    return df.select(F.col(id_col), lang_pred_col(text_col).alias("pred_lang"))
 
 
 def token_count_bpe(

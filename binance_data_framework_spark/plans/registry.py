@@ -1030,6 +1030,63 @@ def q_embed_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_curation",
+    """
+    WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+    m AS (
+      SELECT doc_id, text,
+             CAST(len(toks) AS DOUBLE) AS n,
+             CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE) AS stop_hits,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dr,
+             len(list_filter(toks, x -> x IN ('der', 'die', 'und', 'ein'))) AS h_de,
+             len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and'))) AS h_en,
+             len(list_filter(toks, x -> x IN ('el', 'la', 'y', 'un'))) AS h_es,
+             len(list_filter(toks, x -> x IN ('le', 'la', 'et', 'un'))) AS h_fr
+      FROM t),
+    scored AS (
+      SELECT doc_id, text, CAST(n AS BIGINT) AS n_tokens,
+             round(CASE WHEN dr < 0.3 THEN 0.0
+                        WHEN n < 5 THEN 0.0
+                        ELSE least(1.0, dr + stop_hits / n) END, 6) AS quality,
+             CASE
+               WHEN h_de > 0 AND h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+               WHEN h_en > 0 AND h_en >= h_es AND h_en >= h_fr AND h_en >= h_de THEN 'en'
+               WHEN h_es > 0 AND h_es >= h_fr AND h_es >= h_en AND h_es >= h_de THEN 'es'
+               WHEN h_fr > 0 AND h_fr >= h_en AND h_fr >= h_es AND h_fr >= h_de THEN 'fr'
+               ELSE 'und'
+             END AS pred_lang
+      FROM m),
+    filtered AS (
+      SELECT * FROM scored WHERE quality >= 0.5 AND pred_lang <> 'und'),
+    ranked AS (
+      SELECT doc_id, pred_lang, n_tokens, quality,
+             row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+      FROM filtered)
+    SELECT doc_id, pred_lang, n_tokens, quality FROM ranked WHERE rn = 1
+    """,
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical pretraining-corpus preprocessing chain composed
+    end-to-end: language-ID + quality scoring (ONE narrow projection pass —
+    the shared exprs compose without a self-join) -> keep scoring docs in a
+    known language -> exact content-hash dedup keeping the lowest id. One
+    shuffle total (the dedup window, keyed by the content hash). At 100 TB
+    this runs as: narrow scan+filter over the corpus, then a dedup shuffle
+    over only the surviving rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = TX.quality_exprs("text")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        TX.lang_pred_col("text").alias("pred_lang"),
+        q["n_tokens"].alias("n_tokens"),
+        q["quality"].alias("quality"),
+    ).where((F.col("quality") >= 0.5) & (F.col("pred_lang") != "und"))
+    deduped = D.dedup_exact(scored, text_col="text", id_col="doc_id")
+    return deduped.select("doc_id", "pred_lang", "n_tokens", "quality")
+
+
 # --- rows-only (non-SQL-expressible) extension ops -------------------------
 
 
