@@ -34,6 +34,7 @@ HEADLINE = [
     "topk_similarity",
     "topk_similarity_lsh",
     "json_extract",
+    "corpus_curation",
 ]
 
 
