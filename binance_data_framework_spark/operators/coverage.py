@@ -11,7 +11,7 @@ broadcast semi-join of a tiny request spec against it — never a collect.
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -50,6 +50,11 @@ def coverage_check(
                    OR abs(now - end_ts) < 2 * bar)       -- freshness escape
     Returns requests + `covered` boolean + coverage bounds.
     """
+    # Naive datetimes are engine-convention UTC; .timestamp() on a naive
+    # value would shift with the PROCESS-local timezone (time.mktime), so pin
+    # it — the driver may run this in any TZ.
+    if now.tzinfo is None:
+        now = now.replace(tzinfo=timezone.utc)
     bar_ms = timeframe_duration_col(F.col("timeframe"))
     end_ms = F.unix_millis(F.col("end_ts"))
     containment = (F.col("start_ts") <= F.col("req_start")) & (

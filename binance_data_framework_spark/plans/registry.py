@@ -18,7 +18,7 @@ the driver records rows-only checks and pytest enforces their invariants.
 from __future__ import annotations
 
 from collections.abc import Callable
-from datetime import datetime
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -441,7 +441,9 @@ _COVERAGE_REQS = [
     ("view", "1h", "2024-01-10 00:00:00", "2024-01-30 23:00:00"),
     ("nosuch", "1h", "2024-01-01 00:00:00", "2024-01-02 00:00:00"),
 ]
-_COVERAGE_NOW = datetime(2024, 1, 31, 0, 0, 0)
+# tz-aware: naive .timestamp() / createDataFrame conversion go through the
+# process-local timezone — the driver's session may run in any TZ
+_COVERAGE_NOW = datetime(2024, 1, 31, 0, 0, 0, tzinfo=timezone.utc)
 
 
 @register(
@@ -470,7 +472,15 @@ def q_coverage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(F.col("event_type").alias("symbol"), "ts"), key_cols=("symbol",)
     )
     req = spark.createDataFrame(
-        [(s, tf, datetime.fromisoformat(a), datetime.fromisoformat(b)) for s, tf, a, b in _COVERAGE_REQS],
+        [
+            (
+                s,
+                tf,
+                datetime.fromisoformat(a).replace(tzinfo=timezone.utc),
+                datetime.fromisoformat(b).replace(tzinfo=timezone.utc),
+            )
+            for s, tf, a, b in _COVERAGE_REQS
+        ],
         "symbol string, timeframe string, req_start timestamp, req_end timestamp",
     )
     cov = cov.withColumn("timeframe", F.lit("1h"))

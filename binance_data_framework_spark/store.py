@@ -13,7 +13,7 @@ public methods (README.md:82-114).
 from __future__ import annotations
 
 import os
-from datetime import datetime
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -111,12 +111,15 @@ class OhlcvStore:
         driver-side materialization is the single result row."""
         if not self._exists():
             return False, None
+        # Naive datetimes are engine-convention UTC; pin them before
+        # createDataFrame (naive values convert via the PROCESS-local tz).
+        utc = lambda d: d.replace(tzinfo=timezone.utc) if d.tzinfo is None else d
         req = self.spark.createDataFrame(
-            [(symbol, timeframe, start, end)],
+            [(symbol, timeframe, utc(start), utc(end))],
             "symbol string, timeframe string, req_start timestamp, req_end timestamp",
         )
         cov = meta_coverage(self._read_all())
-        row = coverage_check(cov, req, now or datetime.utcnow()).first()
+        row = coverage_check(cov, req, utc(now or datetime.now(timezone.utc))).first()
         if row is None or row["start_ts"] is None:
             return False, None
         return bool(row["covered"]), (row["start_ts"], row["end_ts"])
