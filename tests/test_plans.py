@@ -118,6 +118,22 @@ def test_bucketed_join_needs_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bt_b")
 
 
+def test_coverage_check_session_tz_independent(spark, sf_dir):
+    """The covered/not-covered verdicts must not depend on the session (or
+    process) timezone — the driver may run the contract in any TZ. Guards the
+    naive-datetime-literal regression (datetimes now tz-aware UTC)."""
+    q = QUERIES["coverage_check"]
+    utc = {(r["symbol"]): r["covered"] for r in q(spark, sf_dir).collect()}
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        ny = {(r["symbol"]): r["covered"] for r in q(spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert utc == ny
+    assert utc == {"purchase": True, "click": False, "view": True, "nosuch": False}
+
+
 def test_exact_topk_broadcasts_probes_not_candidates(spark, sf_dir):
     plan = _plan(spark, sf_dir, "topk_similarity")
     assert "BroadcastExchange" in plan  # probe set broadcast to candidates
