@@ -105,6 +105,93 @@ def resample_bars(
     )
 
 
+def trend_slope(
+    bars: DataFrame,
+    value_col: str = "close",
+    ts_col: str = "bucket",
+    key_col: str = "symbol",
+) -> DataFrame:
+    """Per-series OLS trend: slope/intercept of value over time (seconds),
+    entirely as builtin aggregates — slope = covar_samp(x,y)/var_samp(x) —
+    one hash-agg pass with map-side partials, no UDF, no collect. The
+    multi-series generalization of the reference's pandas analysis tier."""
+    x = F.unix_timestamp(F.col(ts_col)).cast("double")
+    y = F.col(value_col)
+    return (
+        bars.groupBy(F.col(key_col).alias("symbol"))
+        .agg(
+            (F.covar_samp(x, y) / F.var_samp(x)).alias("_slope"),
+            F.avg(y).alias("_my"),
+            F.avg(x).alias("_mx"),
+            F.count(F.lit(1)).alias("n_bars"),
+        )
+        .select(
+            "symbol",
+            F.round("_slope", 6).alias("slope"),
+            F.round(F.col("_my") - F.col("_slope") * F.col("_mx"), 6).alias("intercept"),
+            "n_bars",
+        )
+    )
+
+
+def pair_correlation(
+    bars: DataFrame,
+    value_col: str = "close",
+    ts_col: str = "bucket",
+    key_col: str = "symbol",
+) -> DataFrame:
+    """Pairwise Pearson correlation of per-bucket values between all symbol
+    pairs (a < b): equi-join the series on the time bucket (shuffle keyed by
+    bucket — co-partitioned, no cross product over rows), then one corr()
+    aggregate per pair. At 100 TB the join key is the bar bucket, so volume
+    is bars not ticks; n_symbols² output stays tiny."""
+    a = bars.select(
+        F.col(key_col).alias("sym_a"), F.col(ts_col).alias("_b"), F.col(value_col).alias("_va")
+    )
+    b = bars.select(
+        F.col(key_col).alias("sym_b"), F.col(ts_col).alias("_b"), F.col(value_col).alias("_vb")
+    )
+    return (
+        a.join(b, on="_b")
+        .where(F.col("sym_a") < F.col("sym_b"))
+        .groupBy("sym_a", "sym_b")
+        .agg(
+            F.round(F.corr("_va", "_vb"), 6).alias("corr"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+    )
+
+
+def vwap(
+    df: DataFrame,
+    timeframe: str,
+    price_col: str = "price",
+    volume_col: str = "volume",
+    ts_col: str = "ts",
+    key_col: str = "symbol",
+) -> DataFrame:
+    """Volume-weighted average price per bucket: sum(p*v)/sum(v) in the same
+    single-pass hash aggregation as the OHLCV resample."""
+    ts = F.col(ts_col)
+    pv = F.col(price_col) * F.col(volume_col)
+    return (
+        df.groupBy(
+            F.col(key_col).alias("symbol"),
+            bucket_col(ts, timeframe).alias("bucket"),
+        )
+        .agg(
+            (F.sum(pv) / F.sum(volume_col)).alias("_vwap"),
+            F.sum(volume_col).alias("volume"),
+        )
+        .select(
+            "symbol",
+            "bucket",
+            F.round("_vwap", 4).alias("vwap"),
+            F.round("volume", 6).alias("volume"),
+        )
+    )
+
+
 def with_sma(
     bars: DataFrame,
     n: int = 20,

@@ -188,6 +188,71 @@ def q_window_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "window_trend",
+    f"""
+    WITH bars AS ({_BARS_1H_SQL})
+    SELECT symbol,
+           round(covar_samp(epoch(bucket), close) / var_samp(epoch(bucket)), 6)
+             AS slope,
+           round(avg(close) - (covar_samp(epoch(bucket), close)
+                 / var_samp(epoch(bucket))) * avg(epoch(bucket)), 6) AS intercept,
+           count(*) AS n_bars
+    FROM bars GROUP BY 1
+    """,
+)
+def q_window_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series OLS trend via builtin covar/var aggregates (analysis tier
+    the reference leaves to pandas, README.md:100-113)."""
+    from binance_data_framework_spark.operators.ohlcv import trend_slope
+
+    return trend_slope(_bars_1h(spark, sf_dir))
+
+
+@register(
+    "pair_correlation",
+    f"""
+    WITH bars AS ({_BARS_1H_SQL})
+    SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+           round(corr(a.close, b.close), 6) AS corr,
+           count(*) AS n_buckets
+    FROM bars a JOIN bars b ON a.bucket = b.bucket AND a.symbol < b.symbol
+    GROUP BY 1, 2
+    """,
+)
+def q_pair_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs Pearson correlation of hourly closes between symbols —
+    bucket-keyed equi-join + corr() aggregate (multi-series analytics the
+    reference's dict-of-DataFrames model cannot express in one query)."""
+    from binance_data_framework_spark.operators.ohlcv import pair_correlation
+
+    return pair_correlation(_bars_1h(spark, sf_dir))
+
+
+@register(
+    "agg_vwap",
+    """
+    SELECT event_type AS symbol, date_trunc('hour', ts) AS bucket,
+           round(sum(value * value) / sum(value), 4) AS vwap,
+           round(sum(value), 6) AS volume
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_agg_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per bucket (fixture convention: value
+    serves as both price and volume proxy) — same single-pass hash-agg shape
+    as the flagship resample."""
+    from binance_data_framework_spark.operators.ohlcv import vwap
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("symbol"),
+        "ts",
+        F.col("value").alias("price"),
+        F.col("value").alias("volume"),
+    )
+    return vwap(ev, "1h")
+
+
 # ===========================================================================
 # scans / filters / sorts / limits (SURVEY §2a)
 # ===========================================================================
