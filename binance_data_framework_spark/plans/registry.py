@@ -253,6 +253,80 @@ def q_agg_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vwap(ev, "1h")
 
 
+@register(
+    "sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, 1)),
+    s AS (
+      SELECT user_id, ts,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM g)
+    SELECT user_id, session_id, min(ts) AS session_start,
+           max(ts) AS session_end, count(*) AS n_events
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + running sum over
+    the per-user timeline, then a session aggregate — the batch form of a
+    session window, keyed per user so every window is partition-parallel.
+    At 100 TB: two user-keyed window passes + one hash agg, no state beyond
+    one partition's rows."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    s = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts")
+        .withColumn("_n", new_sess)
+        .withColumn(
+            "session_id",
+            F.sum("_n").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+        )
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "rollup_volume",
+    """
+    SELECT event_type AS symbol,
+           date_trunc('day', ts)::TIMESTAMP AS day,
+           round(sum(value), 6) AS volume,
+           count(*) AS n_events
+    FROM events
+    GROUP BY ROLLUP (1, 2)
+    """,
+)
+def q_rollup_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP rollup: per (symbol, day) volume with symbol-level and grand
+    totals in ONE aggregation pass (GROUPING SETS — Catalyst expands to a
+    single shuffle, not three scans)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "value",
+        )
+        .rollup("symbol", "day")
+        .agg(
+            F.round(F.sum("value"), 6).alias("volume"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 # ===========================================================================
 # scans / filters / sorts / limits (SURVEY §2a)
 # ===========================================================================
