@@ -327,6 +327,83 @@ def q_rollup_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "window_returns",
+    f"""
+    WITH bars AS ({_BARS_1H_SQL})
+    SELECT symbol, bucket, close,
+           round(ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY bucket)), 6)
+             AS log_ret
+    FROM bars
+    """,
+)
+def q_window_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bar log returns — lag over the series key (the volatility input;
+    same keyed-window shape as window_sma)."""
+    bars = _bars_1h(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    return bars.select(
+        "symbol",
+        "bucket",
+        "close",
+        F.round(F.log(F.col("close") / F.lag("close").over(w)), 6).alias("log_ret"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    """
+    SELECT event_type AS symbol,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.95), 6) AS p95,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY 1
+    """,
+)
+def q_agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per series (Spark `percentile`
+    == DuckDB `quantile_cont`, probed to 6dp). At 100 TB swap in
+    `approx_percentile` (t-digest, mergeable partial state) — the exact form
+    is the oracle-checkable baseline."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("symbol"))
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+    )
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "pivot_close",
+    f"""
+    WITH bars AS (
+      SELECT event_type AS symbol, date_trunc('day', ts) AS day,
+             arg_max(value, ts) AS close
+      FROM events GROUP BY 1, 2)
+    SELECT day,
+           {", ".join(f"max(CASE WHEN symbol = '{t}' THEN close END) AS {t}" for t in _PIVOT_TYPES)}
+    FROM bars GROUP BY 1
+    """,
+)
+def q_pivot_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long->wide pivot: daily closes as one column per symbol (the
+    cross-series analysis layout the reference builds as a python dict of
+    DataFrames, colab_interface.py:226-251). Explicit value list keeps the
+    pivot single-pass (no extra distinct scan)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("day", F.col("ts")).alias("day"),
+    ).agg(F.max_by("value", F.col("ts")).alias("close"))
+    return daily.groupBy("day").pivot("symbol", _PIVOT_TYPES).agg(F.first("close"))
+
+
 # ===========================================================================
 # scans / filters / sorts / limits (SURVEY §2a)
 # ===========================================================================
