@@ -1355,6 +1355,84 @@ def q_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_align_by",
+    """
+    SELECT l.event_id, l.user_id, l.ts, l.value AS p_value, r.value AS value_asof
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q_asof_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed as-of join (per-user nearest-prior click at each purchase):
+    exercises asof_join's `by` path — every window/aggregate additionally
+    partitioned by the key, so series are fully parallel."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("p_value")
+    )
+    right = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    return asof_join(left, right, value_cols=("value",), by=("user_id",))
+
+
+@register(
+    "agg_ndv",
+    """
+    SELECT event_type AS symbol,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+)
+def q_agg_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count per series (Catalyst expands to a two-phase
+    partial-distinct aggregate). At 100 TB prefer approx_count_distinct
+    (HyperLogLog, mergeable sketches); the exact form is the oracle
+    baseline."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("symbol"))
+        .agg(
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(date_trunc('day', ts))::TIMESTAMP AS cohort_day
+      FROM events GROUP BY 1),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts)::TIMESTAMP AS active_day
+      FROM events)
+    SELECT cohort_day,
+           CAST(date_diff('day', cohort_day, active_day) AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM activity JOIN firsts USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users bucketed by first-seen day, counted
+    per (cohort, day-offset). Two hash aggregates + one user-keyed equi-join
+    — at 100 TB the join is on user_id (uniform key) over per-user aggregates
+    (bars not events), and AQE broadcasts the cohort side when small."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = ev.distinct().withColumnRenamed("day", "active_day")
+    return (
+        activity.join(firsts, on="user_id")
+        .groupBy("cohort_day", F.datediff("active_day", "cohort_day").cast("long").alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
     "topk_skew_salted",
     """
     SELECT o_orderpriority, o_orderkey, o_totalprice, rank FROM (
