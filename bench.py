@@ -35,6 +35,9 @@ HEADLINE = [
     "topk_similarity_lsh",
     "json_extract",
     "corpus_curation",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
 ]
 
 

@@ -405,6 +405,27 @@ def q_pivot_close(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "set_except",
+    """
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    EXCEPT
+    SELECT DISTINCT user_id FROM events
+    WHERE event_type = 'purchase' AND value > 300
+    """,
+)
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference (clickers with no purchase over 300) — EXCEPT
+    DISTINCT compiles to a left-anti hash join on the full row; completes the
+    set-op family beyond the reference's union-only surface (SURVEY §2a)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    buys = ev.where(
+        (F.col("event_type") == "purchase") & (F.col("value") > 300)
+    ).select("user_id")
+    return clicks.subtract(buys)  # EXCEPT DISTINCT
+
+
+@register(
     "tpch_q1",
     """
     SELECT l_returnflag, l_linestatus,
