@@ -6,8 +6,11 @@ Conventions (driver contract, __spark_entry__.py):
 - every computed column is aliased identically in the Spark plan and the
   oracle SQL (the driver's compare sorts columns by name);
 - float aggregates are rounded to 6 dp on BOTH sides (accumulation-order
-  noise); integer-ish outputs are cast to BIGINT on both sides (DuckDB
-  len()/row_number() return BIGINT, Spark size()/row_number() return INT);
+  noise); LARGE-magnitude sums (~1e9, e.g. TPC-H money columns) round to 2 dp
+  — 6 dp would demand ~16 significant digits, past double accumulation
+  reproducibility at sf0.1; integer-ish outputs are cast to BIGINT on both
+  sides (DuckDB len()/row_number() return BIGINT, Spark size()/row_number()
+  return INT);
 - DuckDB `date_trunc('week'|'month')` returns DATE → cast ::TIMESTAMP in
   oracles to match Spark's TimestampType.
 
@@ -430,8 +433,8 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 6) AS sum_qty,
-           round(sum(l_extendedprice), 6) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
            round(avg(l_quantity), 6) AS avg_qty,
            count(*) AS count_order
     FROM lineitem
@@ -449,8 +452,8 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
                 "sum_disc_price"
             ),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
@@ -462,7 +465,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q3",
     """
-    SELECT o_orderkey, round(revenue, 6) AS revenue, o_orderdate, o_orderpriority
+    SELECT o_orderkey, round(revenue, 2) AS revenue, o_orderdate, o_orderpriority
     FROM (
       SELECT l_orderkey AS o_orderkey,
              sum(l_extendedprice * (1 - l_discount)) AS revenue,
@@ -498,7 +501,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
         .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -510,7 +513,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tpch_q5",
     """
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
     FROM customer
       JOIN orders ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -548,7 +551,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
     )
