@@ -408,6 +408,50 @@ def q_pivot_close(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_rank",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-family windows (rank / dense_rank / ntile) keyed by priority
+    class — completes the analytic-window family beyond row_number/avg."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@register(
+    "set_intersect",
+    """
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+    """,
+)
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (viewers who also signed up) — INTERSECT DISTINCT
+    compiles to a left-semi hash join; with set_except/union_pages this
+    completes the set-op family."""
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select("user_id")
+    signups = ev.where(F.col("event_type") == "signup").select("user_id")
+    return views.intersect(signups)
+
+
+@register(
     "set_except",
     """
     SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
