@@ -50,6 +50,45 @@ _times = st.lists(
 )
 
 
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_times)
+def test_sessionize_matches_bruteforce(spark, times):
+    from binance_data_framework_spark.plans.registry import QUERIES
+
+    # single-user timeline; 30-min gap threshold (registry constant)
+    rows = [(1, T0 + timedelta(minutes=m)) for m in sorted(times)]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    df.createOrReplaceTempView("_sess_in")
+
+    # brute-force model
+    expect_sessions = []
+    cur = [rows[0][1]]
+    for _, t in rows[1:]:
+        if (t - cur[-1]).total_seconds() > 30 * 60:
+            expect_sessions.append(cur)
+            cur = [t]
+        else:
+            cur.append(t)
+    expect_sessions.append(cur)
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    got = (
+        df.withColumn("_n", F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0))
+        .withColumn("sid", F.sum("_n").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("sid")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"), F.count(F.lit(1)).alias("n"))
+        .orderBy("sid")
+        .collect()
+    )
+    assert len(got) == len(expect_sessions)
+    for r, sess in zip(got, expect_sessions):
+        assert (r["s"], r["e"], r["n"]) == (sess[0], sess[-1], len(sess))
+
+
 @settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
 @given(left=_times, right=_times)
 def test_asof_matches_bruteforce(spark, left, right):
