@@ -113,6 +113,38 @@ def streaming_sma(
     )
 
 
+def stream_to_store(
+    bars: DataFrame,
+    store,
+    symbol: str,
+    timeframe: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming upsert sink: each micro-batch runs the store's
+    precedence-aware dedup-merge (`OhlcvStore.save_data` — the same kernel as
+    batch INSERT OR REPLACE), so re-delivered bars are idempotent end to end.
+    foreachBatch is the canonical Spark shape for upsert sinks (no built-in
+    streaming MERGE target); the checkpoint gives exactly-once batch
+    boundaries on top of save_data's idempotency."""
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.save_data(
+            batch_df.select("ts", "open", "high", "low", "close", "volume"),
+            symbol,
+            timeframe,
+        )
+
+    writer = bars.writeStream.foreachBatch(upsert).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_dedup(
     stream: DataFrame,
     keys: tuple[str, ...] = ("ts", "symbol", "timeframe"),

@@ -3,7 +3,7 @@ pagination/backoff, cast pipeline, cache routing)."""
 
 from __future__ import annotations
 
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 
 import pytest
 
@@ -118,6 +118,53 @@ def test_cache_or_fetch_routing(spark, tmp_path):
     out2 = loader.load("BTCUSDT", "1h", start, end, now=now)
     assert out2.count() == 24
     assert calls["n"] == n_after_first
+
+
+def test_incremental_gap_fill(spark, tmp_path):
+    """load_incremental fetches ONLY the missing ranges (plan.md:79-80
+    design), not the whole range like load() does on a partial miss."""
+    fetch, calls = fake_exchange(n_bars=30)
+    store = OhlcvStore(spark, str(tmp_path / "store_inc"))
+    loader = CacheOrFetchLoader(store, PagedKlineSource(fetch, page_size=1000))
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+    # seed hours 0-9 and 20-29; hole at 10-19
+    loader.load("BTCUSDT", "1h", t0, t0 + timedelta(hours=9), now=t0)
+    loader.load(
+        "BTCUSDT", "1h", t0 + timedelta(hours=20), t0 + timedelta(hours=29), now=t0
+    )
+    n_before = calls["n"]
+
+    out = loader.load_incremental("BTCUSDT", "1h", t0, t0 + timedelta(hours=29))
+    assert out.count() == 30
+    assert calls["n"] == n_before + 1  # exactly one fetch, for the one hole
+    # idempotent: nothing missing now, no further fetches
+    out2 = loader.load_incremental("BTCUSDT", "1h", t0, t0 + timedelta(hours=29))
+    assert out2.count() == 30 and calls["n"] == n_before + 1
+
+
+def test_streaming_upsert_sink(spark, tmp_path):
+    import pandas as pd
+
+    from binance_data_framework_spark.streaming.incremental import stream_to_store
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    rows = [
+        (datetime(2024, 1, 1, h), 1.0 * h, 2.0 * h, 0.5 * h, 1.5 * h, 10.0)
+        for h in range(6)
+    ]
+    pdf = pd.DataFrame(rows, columns=["ts", "open", "high", "low", "close", "volume"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(f"{src}/part0.parquet", index=False)
+
+    store = OhlcvStore(spark, str(tmp_path / "store_stream"))
+    stream = spark.readStream.schema(
+        "ts timestamp, open double, high double, low double, close double, volume double"
+    ).parquet(str(src))
+    q = stream_to_store(stream, store, "BTCUSDT", "1h", str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    assert store.get_data("BTCUSDT", "1h").count() == 6
 
 
 def test_request_validation(spark, tmp_path):
