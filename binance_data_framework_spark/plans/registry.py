@@ -1522,6 +1522,28 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_candidates(sigs, threshold=0.3)
 
 
+@register("agg_sketches")
+def q_agg_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch tier for 100 TB aggregation: HyperLogLog++ distinct counts
+    and t-digest percentiles — mergeable partial state, one narrow pass +
+    tiny shuffle regardless of cardinality. No oracle (approximate by
+    construction); pytest bounds the relative error against the exact
+    `agg_ndv` / `agg_percentiles` baselines."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").alias("symbol"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.round(
+                F.expr("approx_percentile(value, 0.5, 10000)"), 6
+            ).alias("approx_p50"),
+            F.round(
+                F.expr("approx_percentile(value, 0.95, 10000)"), 6
+            ).alias("approx_p95"),
+        )
+    )
+
+
 @register("dedup_clusters")
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate cluster ids via iterative min-label propagation over

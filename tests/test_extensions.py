@@ -101,6 +101,26 @@ def test_kmeans_fit_deterministic(spark, sf_dir):
     assert len(c1) == 8 and all(len(c) == 64 for c in c1)
 
 
+def test_sketch_aggregates_error_bounds(spark, sf_dir):
+    from binance_data_framework_spark.plans.registry import QUERIES
+
+    exact = {
+        r["symbol"]: r for r in QUERIES["agg_ndv"](spark, sf_dir).collect()
+    }
+    pcts = {
+        r["symbol"]: r for r in QUERIES["agg_percentiles"](spark, sf_dir).collect()
+    }
+    approx = QUERIES["agg_sketches"](spark, sf_dir).collect()
+    assert len(approx) == len(exact)
+    for r in approx:
+        e = exact[r["symbol"]]
+        assert abs(r["approx_users"] - e["n_users"]) / e["n_users"] < 0.05
+        p = pcts[r["symbol"]]
+        # t-digest percentile within 5% relative error of exact interpolation
+        assert abs(r["approx_p50"] - p["p50"]) / abs(p["p50"]) < 0.05
+        assert abs(r["approx_p95"] - p["p95"]) / abs(p["p95"]) < 0.05
+
+
 def test_asof_join_matches_bruteforce(spark):
     left_rows = [(i, datetime(2024, 1, 1) + timedelta(hours=7 * i)) for i in range(40)]
     right_rows = [
