@@ -192,6 +192,33 @@ def vwap(
     )
 
 
+def with_ewma(
+    bars: DataFrame,
+    alpha: float = 0.2,
+    value_col: str = "close",
+    ts_col: str = "bucket",
+    key_col: str = "symbol",
+) -> DataFrame:
+    """Exponentially-weighted moving average per series via grouped
+    `applyInPandas` — EWMA is ORDER-RECURSIVE (each value depends on the
+    full prior prefix), which no builtin window frame expresses; this is the
+    legitimate per-group Pandas case (vs per-row pandas_udf / mapInPandas).
+    One shuffle keyed by the series; each group sorts and runs the vectorized
+    pandas ewm kernel locally. Matches pandas `ewm(alpha, adjust=False)`."""
+    import pandas as pd
+
+    schema = f"{key_col} string, {ts_col} timestamp, {value_col} double, ewma double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        pdf["ewma"] = pdf[value_col].ewm(alpha=alpha, adjust=False).mean().round(6)
+        return pdf[[key_col, ts_col, value_col, "ewma"]]
+
+    return bars.select(key_col, ts_col, value_col).groupBy(key_col).applyInPandas(
+        fn, schema
+    )
+
+
 def with_sma(
     bars: DataFrame,
     n: int = 20,

@@ -1522,6 +1522,17 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_candidates(sigs, threshold=0.3)
 
 
+@register("window_ewma")
+def q_window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series EWMA via grouped applyInPandas (order-recursive — outside
+    builtin window frames; see operators/ohlcv.with_ewma). No SQL oracle
+    (DuckDB has no ewm); pytest checks exact equality against pandas' own
+    ewm on the same bars."""
+    from binance_data_framework_spark.operators.ohlcv import with_ewma
+
+    return with_ewma(_bars_1h(spark, sf_dir), alpha=0.2)
+
+
 @register("agg_sketches")
 def q_agg_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch tier for 100 TB aggregation: HyperLogLog++ distinct counts

@@ -69,3 +69,16 @@ def test_sma_warmup_nulls(spark, sf_dir):
     assert all(r["sma20"] is None for r in first)
     n_nonnull = bars.where(F.col("sma20").isNotNull()).count()
     assert n_nonnull > 0
+
+
+def test_ewma_matches_pandas(spark, sf_dir):
+    from binance_data_framework_spark.operators.ohlcv import with_ewma
+
+    bars = ohlcv_view(spark, sf_dir, "1h")
+    got = with_ewma(bars, alpha=0.2).toPandas()
+    ref = bars.select("symbol", "bucket", "close").toPandas()
+    for sym, g in got.groupby("symbol"):
+        r = ref[ref.symbol == sym].sort_values("bucket")
+        expect = r["close"].ewm(alpha=0.2, adjust=False).mean().round(6)
+        g = g.sort_values("bucket")
+        assert (g["ewma"].to_numpy() == expect.to_numpy()).all()
