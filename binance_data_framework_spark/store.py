@@ -1,18 +1,25 @@
 """OhlcvStore — the storage/query layer (reference GoogleDriveDataManager,
 database_handler.py, re-expressed as a partitioned-Parquet lakehouse).
 
-Physical layout: ``root/symbol=<s>/timeframe=<tf>/*.parquet`` with rows sorted
-by ts inside each file — partition pruning replaces the reference's
-idx_symbol/idx_timeframe and row-group min/max stats replace idx_timestamp
-(database_handler.py:120-125). Upsert = union + precedence-aware dedup +
-dynamic partition overwrite, replacing SQLite ``INSERT OR REPLACE``
-(database_handler.py:215-218). The API surface mirrors the reference's five
-public methods (README.md:82-114).
+Physical layout: ``root/symbol=<s>/timeframe=<tf>/dt=<date>/*.parquet`` with
+rows sorted by ts inside each file — partition pruning replaces the
+reference's idx_symbol/idx_timeframe, the ``dt`` date partition bounds every
+rewrite to the touched days, and row-group min/max stats replace
+idx_timestamp (database_handler.py:120-125). Upsert = union-with-overlapping-
+days + precedence-aware dedup + dynamic partition overwrite, replacing SQLite
+``INSERT OR REPLACE`` (database_handler.py:215-218) WITHOUT the
+whole-partition write amplification: appending one day to a multi-year series
+reads and rewrites only that day's files. The API surface mirrors the
+reference's five public methods (README.md:82-114).
+
+All filesystem metadata ops (existence probe, partition drop) go through the
+Hadoop FileSystem API resolved from the store root, so the same code runs on
+local disk, HDFS, or an object store (s3a/abfs/gs) — the layouts a 100 TB
+deployment actually lives on.
 """
 
 from __future__ import annotations
 
-import os
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,6 +32,13 @@ KEY = ["ts", "symbol", "timeframe"]
 OHLCV_COLS = ["ts", "symbol", "timeframe", "open", "high", "low", "close", "volume"]
 
 
+def _utc(d: datetime) -> datetime:
+    """Pin naive datetimes to UTC (engine convention). PySpark converts naive
+    datetime literals through the PROCESS-local timezone — in a non-UTC
+    driver an unpinned bound would shift by the UTC offset."""
+    return d.replace(tzinfo=timezone.utc) if d.tzinfo is None else d
+
+
 class OhlcvStore:
     """Partitioned-Parquet OHLCV store with reference-parity semantics."""
 
@@ -33,13 +47,27 @@ class OhlcvStore:
         self.root = root
 
     # -- helpers ---------------------------------------------------------
+    def _fs_path(self, *segments: str):
+        """(FileSystem, Path) for root/segments via the Hadoop FS API —
+        works identically for file://, hdfs://, s3a:// roots."""
+        jvm = self.spark._jvm
+        uri = "/".join([self.root.rstrip("/"), *segments])
+        path = jvm.org.apache.hadoop.fs.Path(uri)
+        fs = path.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, path
+
     def _exists(self) -> bool:
-        return os.path.isdir(self.root) and any(
-            e.startswith("symbol=") for e in os.listdir(self.root)
+        fs, root = self._fs_path()
+        if not fs.exists(root):
+            return False
+        return any(
+            st.getPath().getName().startswith("symbol=")
+            for st in fs.listStatus(root)
         )
 
-    def _read_all(self) -> DataFrame:
-        return self.spark.read.option("basePath", self.root).parquet(self.root)
+    def _read_all(self, with_dt: bool = False) -> DataFrame:
+        df = self.spark.read.option("basePath", self.root).parquet(self.root)
+        return df if with_dt else df.select(*OHLCV_COLS)
 
     # -- reference API surface ------------------------------------------
     def save_data(self, df: DataFrame, symbol: str, timeframe: str) -> bool:
@@ -47,8 +75,16 @@ class OhlcvStore:
 
         New rows win over stored rows on the (ts,symbol,timeframe) key —
         SQLite ``INSERT OR REPLACE`` parity — via an explicit source-rank +
-        row_number (deterministic under shuffle; Spark has no PK). Dynamic
-        partition overwrite touches only the partitions present in `df`.
+        row_number (deterministic under shuffle; Spark has no PK).
+
+        Ranged merge: one tiny agg action bounds the incoming batch's
+        [min(ts), max(ts)]; only stored rows in the overlapping ``dt`` date
+        partitions are read into the merge, and dynamic partition overwrite
+        rewrites only the (symbol, timeframe, dt) partitions present in the
+        merged frame — i.e. exactly the incoming days. Days outside the
+        incoming range are never read and never rewritten (the reference's
+        SQLite rewrites nothing but holds everything in one B-tree; a naive
+        Spark translation rewrote the whole series per batch).
         """
         incoming = (
             df.withColumn("symbol", F.lit(symbol))
@@ -57,9 +93,21 @@ class OhlcvStore:
             .withColumn("_rank", F.lit(0))
         )
         if self._exists():
+            # Bound the merge: the incoming batch is the small side (a fetch
+            # page / micro-batch); computing its ts bounds is one cheap job.
+            bounds = incoming.agg(
+                F.min("ts").alias("lo"), F.max("ts").alias("hi")
+            ).first()
+            if bounds["lo"] is None:
+                return True  # empty batch: nothing to merge or rewrite
+            lo_d, hi_d = bounds["lo"].date(), bounds["hi"].date()
             stored = (
-                self._read_all()
-                .where((F.col("symbol") == symbol) & (F.col("timeframe") == timeframe))
+                self._read_all(with_dt=True)
+                .where(
+                    (F.col("symbol") == symbol)
+                    & (F.col("timeframe") == timeframe)
+                    & F.col("dt").between(F.lit(lo_d), F.lit(hi_d))
+                )
                 .select(*OHLCV_COLS)
                 .withColumn("_rank", F.lit(1))
             )
@@ -71,8 +119,9 @@ class OhlcvStore:
             .drop("_rank", "_rn")
         )
         (
-            merged.sortWithinPartitions("ts")  # maximize row-group skipping on ts
-            .write.partitionBy("symbol", "timeframe")
+            merged.withColumn("dt", F.to_date("ts"))
+            .sortWithinPartitions("ts")  # maximize row-group skipping on ts
+            .write.partitionBy("symbol", "timeframe", "dt")
             .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
             .save(self.root)
@@ -88,15 +137,19 @@ class OhlcvStore:
     ) -> DataFrame:
         """Pushed-down range scan, both endpoints inclusive (reference
         get_data, database_handler.py:309-346). Partition pruning on
-        symbol/timeframe; ts predicate reaches the parquet row groups."""
-        df = self._read_all().where(
+        symbol/timeframe AND the derived dt date bounds; the ts predicate
+        reaches the parquet row groups. Naive bounds are pinned UTC before
+        becoming literals (see _utc)."""
+        df = self._read_all(with_dt=True).where(
             (F.col("symbol") == symbol) & (F.col("timeframe") == timeframe)
         )
         if start is not None:
-            df = df.where(F.col("ts") >= F.lit(start))
+            s = _utc(start)
+            df = df.where((F.col("dt") >= F.lit(s.date())) & (F.col("ts") >= F.lit(s)))
         if end is not None:
-            df = df.where(F.col("ts") <= F.lit(end))
-        return df.orderBy("ts")
+            e = _utc(end)
+            df = df.where((F.col("dt") <= F.lit(e.date())) & (F.col("ts") <= F.lit(e)))
+        return df.select(*OHLCV_COLS).orderBy("ts")
 
     def check_data_exists(
         self,
@@ -111,33 +164,29 @@ class OhlcvStore:
         driver-side materialization is the single result row."""
         if not self._exists():
             return False, None
-        # Naive datetimes are engine-convention UTC; pin them before
-        # createDataFrame (naive values convert via the PROCESS-local tz).
-        utc = lambda d: d.replace(tzinfo=timezone.utc) if d.tzinfo is None else d
         req = self.spark.createDataFrame(
-            [(symbol, timeframe, utc(start), utc(end))],
+            [(symbol, timeframe, _utc(start), _utc(end))],
             "symbol string, timeframe string, req_start timestamp, req_end timestamp",
         )
         cov = meta_coverage(self._read_all())
-        row = coverage_check(cov, req, utc(now or datetime.now(timezone.utc))).first()
+        row = coverage_check(cov, req, _utc(now or datetime.now(timezone.utc))).first()
         if row is None or row["start_ts"] is None:
             return False, None
         return bool(row["covered"]), (row["start_ts"], row["end_ts"])
 
     def delete_data(self, symbol: str, timeframe: str) -> bool:
         """Partition drop (reference delete_data, database_handler.py:243-255).
-        The partition IS the delete granule — remove the directory; no
-        rewrite of unrelated data."""
-        import shutil
-
-        path = os.path.join(self.root, f"symbol={symbol}", f"timeframe={timeframe}")
-        if os.path.isdir(path):
-            shutil.rmtree(path)
-            parent = os.path.dirname(path)
-            if os.path.isdir(parent) and not os.listdir(parent):
-                os.rmdir(parent)
-            return True
-        return False
+        The partition IS the delete granule — recursive delete of the
+        directory through the Hadoop FS API (object-store safe); no rewrite
+        of unrelated data."""
+        fs, path = self._fs_path(f"symbol={symbol}", f"timeframe={timeframe}")
+        if not fs.exists(path):
+            return False
+        fs.delete(path, True)
+        parent = path.getParent()
+        if fs.exists(parent) and len(fs.listStatus(parent)) == 0:
+            fs.delete(parent, False)
+        return True
 
     def get_stored_info(self) -> DataFrame:
         """Catalog scan: per-series coverage + row counts

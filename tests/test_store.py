@@ -106,3 +106,57 @@ def test_coverage_probe(store, spark):
     assert covered
     covered, _ = store.check_data_exists("NOSUCH", "1h", T0, T0, now=datetime(2025, 1, 1))
     assert not covered
+
+
+def test_get_data_process_tz_independent(store, spark):
+    """Range-scan bounds must not depend on the process-local timezone:
+    naive datetimes are engine-convention UTC and get pinned before becoming
+    literals (a naive F.lit converts via time.mktime, i.e. the process TZ)."""
+    import os
+    import time
+
+    store.save_data(_bars(spark, T0, 24, 100.0), "BTCUSDT", "1h")
+    s, e = T0 + timedelta(hours=18), T0 + timedelta(hours=23)
+
+    def ts_ms(df):  # epoch ms computed JVM-side: immune to collect-side tz conversion
+        return [r["ms"] for r in df.select(F.unix_millis("ts").alias("ms")).collect()]
+
+    ref = ts_ms(store.get_data("BTCUSDT", "1h", s, e))
+    assert len(ref) == 6
+    old = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    time.tzset()
+    try:
+        shifted = ts_ms(store.get_data("BTCUSDT", "1h", s, e))
+    finally:
+        if old is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old
+        time.tzset()
+    assert shifted == ref
+
+
+def test_ranged_upsert_leaves_untouched_days_alone(store, spark):
+    """Upserting a batch must read and rewrite ONLY the date partitions the
+    batch overlaps: at 100 TB, appending a day to a multi-year series must
+    not rewrite years of files."""
+    import os
+
+    store.save_data(_bars(spark, T0, 48, 100.0), "BTCUSDT", "1h")  # 2 days
+    day1 = os.path.join(store.root, "symbol=BTCUSDT", "timeframe=1h", "dt=2024-01-01")
+    snap = lambda: {
+        f: os.path.getmtime(os.path.join(day1, f))
+        for f in os.listdir(day1)
+        if f.endswith(".parquet")
+    }
+    before = snap()
+    assert before, "expected day-1 parquet files"
+    # upsert only day 2 with new values
+    store.save_data(_bars(spark, T0 + timedelta(hours=24), 24, 500.0), "BTCUSDT", "1h")
+    assert snap() == before, "day-1 files were rewritten by a day-2 upsert"
+    out = store.get_data("BTCUSDT", "1h")
+    assert out.count() == 48
+    assert out.where(F.col("ts") == T0).first()["open"] == 100.0  # day 1 intact
+    row = out.where(F.col("ts") == T0 + timedelta(hours=25)).first()
+    assert row["open"] == 501.0  # day 2 replaced (new wins)
