@@ -215,24 +215,49 @@ def simhash_near_pairs(
     )
 
 
-def cluster_min_label(pairs: DataFrame, ids: DataFrame, id_col: str, max_iter: int = 10) -> DataFrame:
-    """Connected components by iterative min-label propagation over the
-    candidate-pair edge list (duplicate clusters are tiny; a handful of
-    iterations converge). Returns (id, cluster_id)."""
+def cluster_min_label(
+    pairs: DataFrame, ids: DataFrame, id_col: str, max_iter: int = 50
+) -> DataFrame:
+    """Connected components by min-label propagation over the candidate-pair
+    edge list, iterated UNTIL CONVERGENCE (max_iter is a safety bound, not
+    the stopping rule). Returns (id, cluster_id).
+
+    Each iteration does (a) neighbor-min propagation and (b) a pointer-jump
+    (label <- label's label), so a chain of diameter D converges in
+    O(log D) rounds rather than O(D) — a 1M-hop duplicate chain is ~20
+    rounds, not 1M. Labels are monotonically non-increasing, so convergence
+    is detected by a scalar sum(label) fixpoint (one tiny agg action per
+    round; decimal(38) so the sum cannot overflow at any corpus size) —
+    no extra join against the previous labels needed. Per-round
+    localCheckpoint truncates the lineage that iterative plans otherwise
+    accumulate."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
     )
     labels = ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("label"))
+    prev_sum = None
     for _ in range(max_iter):
         neigh = (
             edges.join(labels.withColumnRenamed("src", "dst"), on="dst")
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        lbl = (
             labels.join(neigh, on="src", how="left")
             .select("src", F.least("label", F.coalesce("nlabel", "label")).alias("label"))
         )
-        labels = new_labels.localCheckpoint(eager=True)  # truncate lineage per iter
+        # pointer jump: follow the current label one more step (path halving)
+        parent = lbl.select(F.col("src").alias("_pnode"), F.col("label").alias("_plabel"))
+        lbl = (
+            lbl.join(parent, lbl["label"] == parent["_pnode"], how="left")
+            .select("src", F.least("label", F.coalesce("_plabel", "label")).alias("label"))
+        )
+        labels = lbl.localCheckpoint(eager=True)  # truncate lineage per iter
+        cur_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
     return labels.select(F.col("src").alias(id_col), F.col("label").alias("cluster_id"))

@@ -1589,12 +1589,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate cluster ids via iterative min-label propagation over
     the MinHash candidate-pair edge list (operators/dedup.cluster_min_label)
     — the connected-components step of corpus dedup. Iterative (driver loop
-    with per-iteration checkpoint), hence rows-only; exactness of the
-    propagation is pytest-verified on known graphs."""
+    with per-iteration checkpoint + convergence fixpoint), hence rows-only;
+    exactness of the propagation is pytest-verified on known graphs
+    including a chain longer than 2^5 hops."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = D.minhash_signature(docs)
     pairs = D.minhash_candidates(sigs, threshold=0.3)
-    return D.cluster_min_label(pairs, docs.select("doc_id"), "doc_id", max_iter=5)
+    return D.cluster_min_label(pairs, docs.select("doc_id"), "doc_id")
 
 
 @register("dedup_simhash")

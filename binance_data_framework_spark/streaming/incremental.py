@@ -83,12 +83,16 @@ def streaming_sma(
     `window`-bar SMA over a bar stream (the incremental form of the engine's
     flagship `window_sma`, README.md:106 of the reference).
 
-    State per key is ONE fixed-size ring of the last `window` closes — O(1)
+    State per key is ONE fixed-size tail of the last `window` closes — O(1)
     memory per symbol at any stream length; emits one row per input bar with
     the SMA once `window` bars have arrived (matching the batch operator's
-    `count >= window` null semantics). Batches are processed in event-time
-    order within each micro-batch; cross-batch order is the source's
-    responsibility (file/kafka sources deliver per-key append order here).
+    `count >= window` null semantics). The whole micro-batch is concatenated
+    and sorted ONCE before the kernel runs — a group larger than the Arrow
+    batch size arrives as several chunks, and sorting chunks independently
+    would feed the trailing window out of order. The kernel itself is a
+    vectorized pandas rolling mean over carried-state + batch (no Python
+    per-row loop). Cross-batch order is the source's responsibility
+    (file/kafka sources deliver per-key append order here).
     """
     import pandas as pd
 
@@ -96,17 +100,36 @@ def streaming_sma(
     state_schema = "closes array<double>"
 
     def fn(key, pdfs, state):
-        closes: list[float] = list(state.get[0]) if state.exists else []
-        rows = []
-        for pdf in pdfs:
-            for _, r in pdf.sort_values(ts_col).iterrows():
-                closes.append(float(r[close_col]))
-                if len(closes) > window:
-                    closes.pop(0)
-                sma = sum(closes) / window if len(closes) >= window else None
-                rows.append((key[0], r[ts_col], r[close_col], sma))
-        state.update((closes,))
-        yield pd.DataFrame(rows, columns=[key_col, ts_col, close_col, "sma"])
+        carried: list[float] = list(state.get[0]) if state.exists else []
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            state.update((carried,))
+            yield pd.DataFrame(columns=[key_col, ts_col, close_col, "sma"])
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            .sort_values(ts_col)
+            .reset_index(drop=True)
+        )
+        closes = pdf[close_col].astype("float64")
+        allc = pd.concat(
+            [pd.Series(carried, dtype="float64"), closes], ignore_index=True
+        )
+        sma = (
+            allc.rolling(window, min_periods=window)
+            .mean()
+            .iloc[len(carried):]
+            .reset_index(drop=True)
+        )
+        state.update((allc.iloc[-window:].tolist(),))
+        yield pd.DataFrame(
+            {
+                key_col: key[0],
+                ts_col: pdf[ts_col],
+                close_col: closes,
+                "sma": sma,
+            }
+        )
 
     return bars.groupBy(key_col).applyInPandasWithState(
         fn, out_schema, state_schema, "append", "NoTimeout"

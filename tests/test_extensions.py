@@ -156,3 +156,20 @@ def test_asof_join_with_by_keys(spark):
         for r in asof_join(left, right, by=("symbol",), value_cols=("value",)).collect()
     }
     assert out == {"A": 1.0, "B": 2.0}
+
+
+def test_cluster_min_label_long_chain_converges(spark):
+    """A duplicate chain much longer than any fixed iteration count must
+    still collapse to ONE cluster: convergence is a fixpoint check, not a
+    hope that max_iter was big enough (pointer jumping makes the 64-hop
+    chain converge in ~log2(64) rounds)."""
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.cluster_min_label(pairs, ids, "doc_id").collect()
+    }
+    assert set(labels.values()) == {0}, f"chain split into {set(labels.values())}"

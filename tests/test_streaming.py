@@ -112,3 +112,43 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT * FROM dedup_out").collect()
     assert len(got) == 2
+
+
+def test_streaming_sma_group_spanning_arrow_chunks(spark, tmp_path):
+    """A group larger than the Arrow batch size arrives as several chunks;
+    the SMA must reflect GLOBAL event-time order, not chunk-local order
+    (regression: per-chunk sort_values fed the window out of order)."""
+    from binance_data_framework_spark.streaming.incremental import streaming_sma
+
+    src = tmp_path / "src_chunks"
+    src.mkdir()
+    # write in REVERSE time order so chunk-local order != event-time order
+    rows = [("S", datetime(2024, 1, 1, h), float(h + 1)) for h in range(9, -1, -1)]
+    pdf = pd.DataFrame(rows, columns=["symbol", "bucket", "close"])
+    pdf["bucket"] = pdf["bucket"].astype("datetime64[us]")
+    pdf.to_parquet(f"{src}/part0.parquet", index=False)
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = spark.readStream.schema(
+            "symbol string, bucket timestamp, close double"
+        ).parquet(str(src))
+        q = (
+            streaming_sma(stream, window=3)
+            .writeStream.format("memory")
+            .queryName("sma_chunks")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    got = {
+        r["bucket"]: r["sma"] for r in spark.sql("SELECT * FROM sma_chunks").collect()
+    }
+    assert len(got) == 10
+    assert got[datetime(2024, 1, 1, 0)] is None
+    assert got[datetime(2024, 1, 1, 1)] is None
+    for h in range(2, 10):
+        assert got[datetime(2024, 1, 1, h)] == float(h)  # mean of (h-1, h, h+1)
