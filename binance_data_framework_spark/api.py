@@ -78,38 +78,98 @@ class CacheOrFetchLoader:
         never implemented (plan.md:79-80; its actual behavior refetches the
         WHOLE range on any partial miss, colab_interface.py:362-372).
 
-        Expected bar timeline = sequence(start, end, bar) exploded (bars, not
-        ticks — bounded rows); anti-join against stored timestamps; collapse
-        missing bars into contiguous ranges (lag + running-sum sessionize on
-        the gap timeline). Only the RANGES reach the driver — that is fetch
-        orchestration (one REST call per hole), not data."""
+        Expected bar timeline = sequence over the BUCKET GRID (origin snapped
+        to the first bucket boundary >= start — stored bars are left-edge
+        bucket labels, so an unsnapped origin would mark every stored bar
+        missing and refetch the whole range every call). Anti-join against
+        stored timestamps; collapse missing bars into contiguous ranges with
+        a per-DAY sessionize (every window partition is bounded by
+        bars-per-day) plus a cross-day stitch over the <=2 boundary ranges
+        per day — no window ever sees the full multi-year timeline in one
+        task. Only the RANGES reach the driver — that is fetch orchestration
+        (one REST call per hole), not data.
+
+        Calendar timeframes ('1w', '1M') are rejected: their buckets are
+        calendar-derived (date_trunc), not a fixed-stride grid — derive them
+        via load_resampled over a fixed base instead."""
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
-        from binance_data_framework_spark.functions.timeframes import TIMEFRAME_MS
+        from binance_data_framework_spark.functions.timeframes import (
+            CALENDAR_TFS,
+            TIMEFRAME_MS,
+        )
 
         _validate_request(symbol, start, end)
+        if timeframe in CALENDAR_TFS:
+            raise ValueError(
+                f"load_incremental needs a fixed-stride timeframe; {timeframe!r} "
+                "buckets are calendar-derived — use load_resampled over a fixed base"
+            )
         bar_ms = TIMEFRAME_MS[timeframe]
         spark = self.store.spark
+        lo = -(-_utc_ms(start) // bar_ms) * bar_ms  # first grid point >= start
+        hi = (_utc_ms(end) // bar_ms) * bar_ms  # last grid point <= end
+        if hi < lo:  # request shorter than one bar and off-grid: nothing to fill
+            return self.store.get_data(symbol, timeframe, start, end)
         stored = self.store.get_data(symbol, timeframe, start, end).select("ts")
         expected = spark.sql(
-            f"SELECT explode(sequence(timestamp_millis({_utc_ms(start)}), "
-            f"timestamp_millis({_utc_ms(end)}), "
+            f"SELECT explode(sequence(timestamp_millis({lo}), "
+            f"timestamp_millis({hi}), "
             f"INTERVAL {bar_ms // 1000} SECONDS)) AS ts"
         )
-        missing = expected.join(stored, on="ts", how="left_anti")
-        w = Window.orderBy("ts")  # gap timeline: bounded by missing BARS
-        gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-        ranges = (
+        missing = expected.join(stored, on="ts", how="left_anti").withColumn(
+            "_day", F.to_date("ts")
+        )
+        w_day = Window.partitionBy("_day").orderBy("ts")
+        prev_ms = F.lag(F.unix_millis("ts")).over(w_day)
+        day_ranges = (
             missing.withColumn(
-                "_new", F.when(gap.isNull() | (gap > bar_ms // 1000), 1).otherwise(0)
+                "_new",
+                F.when(
+                    prev_ms.isNull() | (F.unix_millis("ts") - prev_ms > bar_ms), 1
+                ).otherwise(0),
             )
             .withColumn(
-                "_rid", F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+                "_rid",
+                F.sum("_new").over(w_day.rowsBetween(Window.unboundedPreceding, 0)),
             )
-            .groupBy("_rid")
+            .groupBy("_day", "_rid")
             .agg(F.min("ts").alias("r_start"), F.max("ts").alias("r_end"))
-            .collect()
+        )
+        # Ranges interior to a day cannot merge across days (a present bar
+        # separates them from the day edge); only each day's first/last range
+        # enters the global stitch window — <=2 rows per day, provably tiny.
+        wd = Window.partitionBy("_day")
+        day_ranges = day_ranges.withColumn(
+            "_lo", F.min("r_start").over(wd)
+        ).withColumn("_hi", F.max("r_end").over(wd))
+        interior = day_ranges.where(
+            (F.col("r_start") != F.col("_lo")) & (F.col("r_end") != F.col("_hi"))
+        ).select("r_start", "r_end")
+        boundary = day_ranges.where(
+            (F.col("r_start") == F.col("_lo")) | (F.col("r_end") == F.col("_hi"))
+        )
+        wg = Window.orderBy("r_start")
+        prev_end = F.lag(F.unix_millis("r_end")).over(wg)
+        stitched = (
+            boundary.withColumn(
+                "_new",
+                F.when(
+                    prev_end.isNull() | (F.unix_millis("r_start") - prev_end > bar_ms),
+                    1,
+                ).otherwise(0),
+            )
+            .withColumn(
+                "_gid",
+                F.sum("_new").over(wg.rowsBetween(Window.unboundedPreceding, 0)),
+            )
+            .groupBy("_gid")
+            .agg(F.min("r_start").alias("r_start"), F.max("r_end").alias("r_end"))
+            .select("r_start", "r_end")
+        )
+        ranges = sorted(
+            interior.unionByName(stitched).collect(), key=lambda r: r["r_start"]
         )
         for r in ranges:
             fetched = self.source.to_ohlcv(

@@ -179,3 +179,50 @@ def test_request_validation(spark, tmp_path):
         loader.load("  ", "1h", t0, t0)
     with pytest.raises(ValueError, match="precedes"):
         loader.load("BTCUSDT", "1h", t0, datetime(2024, 1, 1, tzinfo=timezone.utc))
+
+
+def test_incremental_snaps_to_bucket_grid(spark, tmp_path):
+    """An off-grid request start must not mark every stored bar missing:
+    the expected timeline snaps to bucket boundaries, so a fully-covered
+    range triggers zero fetches even when start is mid-bar."""
+    fetch, calls = fake_exchange(n_bars=30)
+    store = OhlcvStore(spark, str(tmp_path / "store_snap"))
+    loader = CacheOrFetchLoader(store, PagedKlineSource(fetch, page_size=1000))
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    loader.load("BTCUSDT", "1h", t0, t0 + timedelta(hours=9), now=t0)
+    n = calls["n"]
+    out = loader.load_incremental(
+        "BTCUSDT", "1h", t0 + timedelta(minutes=30), t0 + timedelta(hours=9)
+    )
+    assert calls["n"] == n  # no refetch: grid bars 1..9 are all stored
+    assert out.count() == 9  # hours 1..9 (hour 0 precedes the 00:30 start)
+
+
+def test_incremental_rejects_calendar_timeframes(spark, tmp_path):
+    fetch, _ = fake_exchange(n_bars=5)
+    loader = CacheOrFetchLoader(
+        OhlcvStore(spark, str(tmp_path / "store_cal")), PagedKlineSource(fetch)
+    )
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    for tf in ("1w", "1M"):
+        with pytest.raises(ValueError, match="calendar"):
+            loader.load_incremental("BTCUSDT", tf, t0, t0 + timedelta(days=30))
+
+
+def test_incremental_hole_spanning_days(spark, tmp_path):
+    """A hole crossing a day boundary must stitch into ONE fetch range
+    (the sessionize runs per day; the cross-day stitch merges edges)."""
+    fetch, calls = fake_exchange(n_bars=72)
+    store = OhlcvStore(spark, str(tmp_path / "store_span"))
+    loader = CacheOrFetchLoader(store, PagedKlineSource(fetch, page_size=1000))
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    # seed hours 0-19 and 30-71: hole = hours 20-29, spanning the midnight
+    # boundary between Jan 1 (hours 20-23) and Jan 2 (hours 24-29)
+    loader.load("BTCUSDT", "1h", t0, t0 + timedelta(hours=19), now=t0)
+    loader.load(
+        "BTCUSDT", "1h", t0 + timedelta(hours=30), t0 + timedelta(hours=71), now=t0
+    )
+    n = calls["n"]
+    out = loader.load_incremental("BTCUSDT", "1h", t0, t0 + timedelta(hours=71))
+    assert out.count() == 72
+    assert calls["n"] == n + 1  # ONE fetch for the one cross-day hole
