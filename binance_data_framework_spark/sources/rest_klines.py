@@ -32,6 +32,61 @@ class RateLimitError(Exception):
     """Raised by fetch_page on an API rate-limit response."""
 
 
+BINANCE_US_BASE = "https://api.binance.us"
+
+
+def http_fetch_page(
+    base_url: str = BINANCE_US_BASE,
+    timeout_s: float = 10.0,
+    urlopen: Callable | None = None,
+):
+    """Real REST ``fetch_page`` for :class:`PagedKlineSource` (reference
+    ``BinanceUSClient.get_historical_klines``, api_connector.py:251-257):
+    GET /api/v3/klines with symbol/interval/startTime/endTime/limit, JSON
+    body = list of 12-element kline rows.
+
+    stdlib-only (urllib); ``urlopen`` is injectable so tests replay recorded
+    fixtures with zero network. HTTP 418/429 (the API's rate-limit statuses)
+    raise :class:`RateLimitError`, which the source's bounded backoff loop
+    handles (reference 60 s stall, api_connector.py:271-276)."""
+    import json
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    _open = urlopen or urllib.request.urlopen
+
+    def fetch(symbol: str, interval: str, start_ms: int, end_ms: int, limit: int):
+        qs = urllib.parse.urlencode(
+            {
+                "symbol": symbol,
+                "interval": interval,
+                "startTime": start_ms,
+                "endTime": end_ms,
+                "limit": limit,
+            }
+        )
+        url = f"{base_url}/api/v3/klines?{qs}"
+        try:
+            with _open(url, timeout=timeout_s) as resp:
+                return json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            if e.code in (418, 429):
+                raise RateLimitError(f"rate limited: HTTP {e.code}") from e
+            raise
+
+    return fetch
+
+
+def binance_source(**http_kwargs) -> "PagedKlineSource":
+    """Production wiring with the reference's pacing/backoff constants:
+    1000-row pages, 0.1 s pacing, 60 s rate-limit backoff
+    (api_connector.py:242, 271-276)."""
+    return PagedKlineSource(
+        http_fetch_page(**http_kwargs), page_size=1000, pacing_s=0.1, backoff_s=60.0
+    )
+
+
 class PagedKlineSource:
     def __init__(
         self,

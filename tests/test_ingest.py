@@ -226,3 +226,83 @@ def test_incremental_hole_spanning_days(spark, tmp_path):
     out = loader.load_incremental("BTCUSDT", "1h", t0, t0 + timedelta(hours=71))
     assert out.count() == 72
     assert calls["n"] == n + 1  # ONE fetch for the one cross-day hole
+
+
+def _fake_urlopen_factory(pages_by_start, rate_limit_hits=0):
+    """Context-manager-compatible urlopen fake replaying recorded JSON pages
+    keyed by startTime; optionally fails the first N calls with HTTP 429."""
+    import io
+    import json
+    import urllib.error
+    from contextlib import contextmanager
+    from urllib.parse import parse_qs, urlparse
+
+    calls = {"n": 0, "urls": []}
+
+    @contextmanager
+    def fake_urlopen(url, timeout=None):
+        calls["n"] += 1
+        calls["urls"].append(url)
+        if calls["n"] <= rate_limit_hits:
+            raise urllib.error.HTTPError(url, 429, "Too Many Requests", {}, io.BytesIO())
+        qs = parse_qs(urlparse(url).query)
+        start = int(qs["startTime"][0])
+        body = json.dumps(pages_by_start.get(start, [])).encode()
+        yield io.BytesIO(body)
+
+    return fake_urlopen, calls
+
+
+def _kline_row(ts_ms, px):
+    return [ts_ms, str(px), str(px + 1), str(px - 1), str(px), "10.0",
+            ts_ms + 3_599_999, "0", 1, "0", "0", "0"]
+
+
+def test_http_fetch_page_pagination(spark):
+    """http_fetch_page + PagedKlineSource against recorded fixtures: cursor
+    pagination resumes at last ts + 1 and query params mirror the reference
+    client's (api_connector.py:251-257)."""
+    from binance_data_framework_spark.sources.rest_klines import (
+        PagedKlineSource,
+        http_fetch_page,
+    )
+
+    h = 3_600_000
+    t0 = 1_704_067_200_000  # 2024-01-01T00:00Z
+    pages = {
+        t0: [_kline_row(t0 + i * h, 100 + i) for i in range(2)],  # full page (size 2)
+        t0 + h + 1: [_kline_row(t0 + 2 * h, 102)],  # short page -> stop
+    }
+    fake, calls = _fake_urlopen_factory(pages)
+    src = PagedKlineSource(http_fetch_page(urlopen=fake), page_size=2)
+    out = src.to_ohlcv(spark, "BTCUSDT", "1h", t0, t0 + 3 * h)
+    assert out.count() == 3
+    assert calls["n"] == 2
+    assert "symbol=BTCUSDT" in calls["urls"][0] and "interval=1h" in calls["urls"][0]
+    assert f"startTime={t0 + h + 1}" in calls["urls"][1]  # cursor = last ts + 1
+
+
+def test_http_fetch_page_rate_limit_backoff(spark):
+    """HTTP 429 -> RateLimitError -> bounded retry; exhausting retries
+    re-raises (reference 60s-stall semantics, api_connector.py:271-276)."""
+    import pytest as _pytest
+
+    from binance_data_framework_spark.sources.rest_klines import (
+        PagedKlineSource,
+        RateLimitError,
+        http_fetch_page,
+    )
+
+    h = 3_600_000
+    t0 = 1_704_067_200_000
+    pages = {t0: [_kline_row(t0, 100)]}
+
+    fake, calls = _fake_urlopen_factory(pages, rate_limit_hits=2)
+    src = PagedKlineSource(http_fetch_page(urlopen=fake), page_size=1000, max_retries=3)
+    assert len(src.fetch_range("BTCUSDT", "1h", t0, t0 + h)) == 1
+    assert calls["n"] == 3  # 2 rate-limited + 1 success
+
+    fake2, _ = _fake_urlopen_factory(pages, rate_limit_hits=10)
+    src2 = PagedKlineSource(http_fetch_page(urlopen=fake2), max_retries=1)
+    with _pytest.raises(RateLimitError):
+        src2.fetch_range("BTCUSDT", "1h", t0, t0 + h)
