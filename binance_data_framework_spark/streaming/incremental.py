@@ -168,6 +168,34 @@ def stream_to_store(
     return writer.start()
 
 
+def streaming_sessionize(
+    stream: DataFrame,
+    gap: str = "30 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Event streams -> finalized sessions via a native session window (the
+    streaming form of the batch `sessionize` query: 30-min inactivity gap,
+    registry.py q_sessionize). `session_window` merges events whose gaps
+    stay under `gap` into one growing window per key; a session closes and
+    emits exactly once when the watermark passes its end — which is the
+    fixpoint the batch lag+running-sum formulation computes after the fact.
+    State per key is one open session (start, end, partial agg), bounded by
+    key cardinality, and expires with the watermark at any scale."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key_col), F.session_window(F.col(ts_col), gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key_col,
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def streaming_dedup(
     stream: DataFrame,
     keys: tuple[str, ...] = ("ts", "symbol", "timeframe"),

@@ -152,3 +152,47 @@ def test_streaming_sma_group_spanning_arrow_chunks(spark, tmp_path):
     assert got[datetime(2024, 1, 1, 1)] is None
     for h in range(2, 10):
         assert got[datetime(2024, 1, 1, h)] == float(h)  # mean of (h-1, h, h+1)
+
+
+def test_streaming_sessionize_finalized_sessions(spark, tmp_path):
+    """Session windows close on the inactivity gap and emit once the
+    watermark passes: two bursts 40 min apart become two sessions; the
+    session still open at end-of-stream is not emitted in append mode."""
+    from binance_data_framework_spark.streaming.incremental import (
+        streaming_sessionize,
+    )
+
+    src = tmp_path / "src_sess"
+    src.mkdir()
+    rows = [
+        ("u1", datetime(2024, 1, 1, 0, 0), 1.0),
+        ("u1", datetime(2024, 1, 1, 0, 10), 1.0),
+        ("u1", datetime(2024, 1, 1, 0, 20), 1.0),  # session 1: 3 events
+        ("u1", datetime(2024, 1, 1, 1, 0), 1.0),
+        ("u1", datetime(2024, 1, 1, 1, 5), 1.0),  # session 2: 2 events
+        ("u2", datetime(2024, 1, 1, 0, 5), 1.0),  # session: 1 event
+        ("u1", datetime(2024, 1, 1, 9, 0), 1.0),  # advances watermark; stays open
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(f"{src}/part0.parquet", index=False)
+    stream = spark.readStream.schema("user_id string, ts timestamp, value double").parquet(
+        str(src)
+    )
+    q = (
+        streaming_sessionize(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"]): (r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM sess_out").collect()
+    }
+    assert got[("u1", datetime(2024, 1, 1, 0, 0))] == (datetime(2024, 1, 1, 0, 50), 3)
+    assert got[("u1", datetime(2024, 1, 1, 1, 0))] == (datetime(2024, 1, 1, 1, 35), 2)
+    assert got[("u2", datetime(2024, 1, 1, 0, 5))] == (datetime(2024, 1, 1, 0, 35), 1)
+    assert ("u1", datetime(2024, 1, 1, 9, 0)) not in got  # still open
