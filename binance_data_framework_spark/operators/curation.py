@@ -1,0 +1,138 @@
+"""Training-data curation operators: sequence packing, deterministic
+sampling, and quantile-based quality filtering.
+
+North-star extensions (SURVEY.md §2b): the operations a pretraining data
+pipeline runs between dedup and the trainer. All are pure DataFrame plans
+with 100 TB-honest shapes:
+
+- `pack_sequences` — concat-then-chunk packing of tokenized docs into
+  fixed-token-budget training sequences. Packing is embarrassingly
+  shardable: docs are assigned to `n_shards` deterministic shards and packed
+  within each, so every window partition is bounded by corpus_size/n_shards
+  (tune n_shards to executor memory; there is NO global window).
+- `sample_stratified` — per-stratum rate sampling via a multiplicative hash
+  of the id: a pure narrow FILTER, zero shuffles, deterministic across runs
+  and engines (no RNG state, no seed files). The standard trick for
+  reproducible corpus subsampling.
+- `sample_reservoir` — exact-k-per-stratum deterministic "reservoir": rank
+  by a mixed hash inside each stratum, keep the first k. One shuffle keyed
+  by the stratum; the shuffled rows carry only (stratum, hash, id). For
+  hot strata at extreme scale, the two-phase salted top-k in operators/skew
+  is the drop-in replacement.
+- `quality_quantile_filter` — keep each stratum's top fraction by a quality
+  score, rank-based rather than threshold-on-interpolated-percentile, so
+  results are exact, deterministic, and tie-stable (no float-equality
+  knife-edges at the quantile boundary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Knuth multiplicative-hash constants: deterministic, engine-portable
+# (plain int64 arithmetic — reproducible in any SQL engine, unlike
+# engine-specific hash functions or RNG samplers).
+_MULT = 2654435761
+_LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2147483648
+
+
+def whitespace_tokens(text_col: str = "text") -> Column:
+    """Whitespace token count (the corpus fixture's tokenization unit)."""
+    return F.size(F.split(F.col(text_col), " "))
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 2048,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pack docs into fixed-token-budget training sequences
+    (concat-then-chunk: a doc's sequence is the bin its START offset falls
+    into within its shard's concatenated token stream).
+
+    Returns (shard, seq_id, n_docs, total_tokens, first_doc, last_doc).
+    Every window is partitioned by shard — bounded state, no global sort."""
+    w = Window.partitionBy("shard").orderBy(id_col)
+    t = df.select(
+        F.col(id_col),
+        (F.col(id_col) % n_shards).alias("shard"),
+        whitespace_tokens(text_col).alias("n_tok"),
+    )
+    c = t.withColumn(
+        "cum", F.sum("n_tok").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    packed = c.withColumn(
+        "seq_id",
+        F.floor((F.col("cum") - F.col("n_tok")) / F.lit(float(budget))).cast("long"),
+    )
+    return packed.groupBy("shard", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )
+
+
+def sample_stratified(
+    df: DataFrame,
+    rates: dict[str, int],
+    default_rate: int = 20,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep ~rate% of each stratum via multiplicative hashing of the id —
+    a narrow filter (NO shuffle, no RNG): hash(id) % 100 < rate(stratum).
+    `rates` maps stratum value -> integer percent."""
+    rate = F.lit(default_rate)
+    for k, v in rates.items():
+        rate = F.when(F.col(stratum_col) == k, F.lit(v)).otherwise(rate)
+    keep = F.pmod(F.col(id_col) * F.lit(_MULT), F.lit(100)) < rate
+    return df.where(keep)
+
+
+def sample_reservoir(
+    df: DataFrame,
+    k: int = 25,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact k docs per stratum, deterministically pseudo-random: rank by an
+    LCG mix of the id within each stratum, keep rank <= k. One shuffle on
+    the stratum key carrying (stratum, hash, id) only; swap in
+    operators/skew's two-phase top-k when a stratum is pathologically hot."""
+    h = F.pmod(F.col(id_col) * F.lit(_LCG_A) + F.lit(_LCG_C), F.lit(_LCG_M))
+    w = Window.partitionBy(stratum_col).orderBy(h.alias("h"), F.col(id_col))
+    return (
+        df.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+    )
+
+
+def quality_quantile_filter(
+    df: DataFrame,
+    keep_fraction: float = 0.5,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Keep each stratum's top `keep_fraction` by quality score
+    (mean token length = n_chars / n_tokens — short-token soup scores low).
+
+    Rank-based, not percentile-threshold-based: rn <= ceil(count * f) is
+    exact and tie-stable (ties broken by id), where filtering on
+    score >= interpolated_percentile flips rows on float knife-edges.
+    One stratum-keyed window pass; score is a narrow projection."""
+    score = F.col(chars_col) / whitespace_tokens(text_col)
+    ws = Window.partitionBy(stratum_col)
+    w = Window.partitionBy(stratum_col).orderBy(F.desc("score"), F.col(id_col))
+    return (
+        df.withColumn("score", score)
+        .withColumn("_cnt", F.count(F.lit(1)).over(ws))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= F.ceil(F.col("_cnt") * F.lit(keep_fraction)))
+        .drop("_cnt", "_rn")
+    )

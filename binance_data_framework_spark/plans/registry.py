@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from binance_data_framework_spark.functions.timeframes import TIMEFRAME_MS, timeframe_dim
+from binance_data_framework_spark.operators import curation as CU
 from binance_data_framework_spark.operators import dedup as D
 from binance_data_framework_spark.operators import multimodal as MM
 from binance_data_framework_spark.operators import similarity as S
@@ -1874,6 +1875,120 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# training-data curation: packing / sampling / quantile filtering (§2b)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pack_sequences",
+    """
+    WITH t AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents),
+    c AS (
+      SELECT shard, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+    SELECT shard, CAST(floor((cum - n_tok) / 2048.0) AS BIGINT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM c GROUP BY 1, 2
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-training sequence packing (operators/curation.pack_sequences):
+    concat-then-chunk docs into 2048-token sequences within 8 deterministic
+    shards. Every window is shard-partitioned — state bounded by
+    corpus/n_shards, no global sort anywhere; the 100 TB knob is n_shards."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = CU.pack_sequences(docs, budget=2048, n_shards=8)
+    return out.select(
+        F.col("shard").cast("long").alias("shard"),
+        "seq_id",
+        "n_docs",
+        "total_tokens",
+        "first_doc",
+        "last_doc",
+    )
+
+
+@register(
+    "sample_stratified",
+    """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE (doc_id * 2654435761) % 100 <
+          CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified corpus sampling
+    (operators/curation.sample_stratified): keep 50% of 'en', 20% of every
+    other language, via multiplicative id-hashing — a pure narrow filter
+    with ZERO shuffles and no RNG state, identical on any engine or rerun
+    (the property that makes ablation corpora comparable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CU.sample_stratified(docs, rates={"en": 50}, default_rate=20).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@register(
+    "sample_reservoir",
+    """
+    WITH r AS (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id
+             ) AS BIGINT) AS rk
+      FROM documents)
+    SELECT doc_id, lang, rk FROM r WHERE rk <= 25
+    """,
+)
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-stratum deterministic reservoir
+    (operators/curation.sample_reservoir): rank by an LCG mix of doc_id
+    inside each language, keep 25. One stratum-keyed shuffle carrying bare
+    (lang, hash, id); operators/skew's two-phase top-k is the swap-in for
+    pathologically hot strata."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CU.sample_reservoir(docs, k=25).select("doc_id", "lang", "rk")
+
+
+@register(
+    "quality_quantile_filter",
+    """
+    WITH s AS (
+      SELECT doc_id, lang,
+             n_chars / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score
+      FROM documents),
+    r AS (
+      SELECT doc_id, lang, score,
+             row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS cnt
+      FROM s)
+    SELECT doc_id, lang, round(score, 6) AS score
+    FROM r WHERE rn <= ceil(cnt * 0.5)
+    """,
+)
+def q_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-half quality filter
+    (operators/curation.quality_quantile_filter): score = mean token length;
+    rank-based cut (rn <= ceil(cnt/2), ties by doc_id) rather than
+    threshold-on-interpolated-median, so the boundary is exact and
+    deterministic — no float knife-edge at the quantile. One stratum-keyed
+    window pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = CU.quality_quantile_filter(docs, keep_fraction=0.5)
+    return out.select("doc_id", "lang", F.round("score", 6).alias("score"))
+
+
+
+# ---------------------------------------------------------------------------
 # driver presentation order
 # ---------------------------------------------------------------------------
 # The driver's correctness harness walks queries() in registration order and
@@ -1913,7 +2028,12 @@ _DRIVER_ORDER = [
     "multimodal_features",
     "multimodal_resize",
     "multimodal_frame_sample",
-    # -- 24 highest-value core operators (fill the 50-slot window) --
+    # -- new-in-r2 curation ops: no prior driver row exists --
+    "pack_sequences",
+    "sample_stratified",
+    "sample_reservoir",
+    "quality_quantile_filter",
+    # -- 20 highest-value core operators (fill the 50-slot window) --
     "flagship_ohlcv_sma",
     "resample_ohlcv",
     "resample_ohlcv_1w",
@@ -1924,10 +2044,7 @@ _DRIVER_ORDER = [
     "sessionize",
     "rollup_volume",
     "agg_percentiles",
-    "pivot_close",
-    "window_rank",
     "tpch_q1",
-    "tpch_q6",
     "tpch_q3",
     "tpch_q5",
     "scan_table_range",
@@ -1935,7 +2052,6 @@ _DRIVER_ORDER = [
     "gap_antijoin",
     "upsert_precedence",
     "op_delete_partition",
-    "meta_coverage",
     "json_extract",
     "dedup_exact",
 ]

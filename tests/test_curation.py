@@ -1,0 +1,84 @@
+"""Training-data curation operators: packing conservation, sampling
+determinism + plan shape, quantile-filter exactness."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from binance_data_framework_spark.operators import curation as CU
+from binance_data_framework_spark.sources.fixtures import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pack_sequences_conserves_docs_and_tokens(spark):
+    docs = load_table(spark, SF, "documents")
+    n_docs = docs.count()
+    n_tokens = docs.select(
+        F.sum(F.size(F.split("text", " "))).alias("t")
+    ).first()["t"]
+    packed = CU.pack_sequences(docs, budget=2048, n_shards=8)
+    agg = packed.agg(
+        F.sum("n_docs").alias("d"),
+        F.sum("total_tokens").alias("t"),
+        F.max("total_tokens").alias("mx"),
+    ).first()
+    assert agg["d"] == n_docs  # every doc lands in exactly one sequence
+    assert agg["t"] == n_tokens  # no tokens created or lost
+    # a sequence holds at most budget + one straddling doc's tokens
+    max_doc = docs.select(F.max(F.size(F.split("text", " ")))).first()[0]
+    assert agg["mx"] <= 2048 + max_doc
+
+
+def test_sample_stratified_is_deterministic_narrow_filter(spark):
+    docs = load_table(spark, SF, "documents")
+    s1 = CU.sample_stratified(docs, rates={"en": 50}, default_rate=20)
+    ids1 = sorted(r["doc_id"] for r in s1.select("doc_id").collect())
+    ids2 = sorted(r["doc_id"] for r in s1.select("doc_id").collect())
+    assert ids1 == ids2 and ids1  # reproducible, non-empty
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert set(ids1) <= all_ids
+    # the whole sample is one narrow stage: NO shuffle in the plan
+    plan = s1._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"stratified sample shuffled:\n{plan[:400]}"
+
+
+def test_sample_reservoir_exact_k_per_stratum(spark):
+    docs = load_table(spark, SF, "documents")
+    k = 10
+    sizes = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    got = {
+        r["lang"]: r["n"]
+        for r in CU.sample_reservoir(docs, k=k)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == {lang: min(k, n) for lang, n in sizes.items()}
+
+
+def test_quality_quantile_filter_keeps_exact_top_half(spark):
+    docs = load_table(spark, SF, "documents")
+    sizes = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    out = CU.quality_quantile_filter(docs, keep_fraction=0.5)
+    got = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {lang: math.ceil(n * 0.5) for lang, n in sizes.items()}
+    # kept min score >= dropped max score per lang (rank cut is order-true)
+    kept_min = out.groupBy("lang").agg(F.min("score").alias("kmin"))
+    dropped = docs.join(out.select("doc_id"), "doc_id", "left_anti").withColumn(
+        "score", F.col("n_chars") / F.size(F.split("text", " "))
+    )
+    dropped_max = dropped.groupBy("lang").agg(F.max("score").alias("dmax"))
+    j = kept_min.join(dropped_max, "lang").collect()
+    assert all(r["kmin"] >= r["dmax"] for r in j)
