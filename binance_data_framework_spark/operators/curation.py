@@ -111,6 +111,52 @@ def sample_reservoir(
     )
 
 
+def _word_ngrams(text_col: str, n: int) -> Column:
+    """Word n-gram strings; docs with fewer than n tokens yield NO grams
+    (strict — unlike dedup.shingles, which falls back to the whole text:
+    decontamination must not match a short doc against everything)."""
+    toks = F.split(F.col(text_col), " ")
+    sz = F.size(toks)
+    grams = toks
+    for k in range(1, n):
+        shifted = F.slice(toks, k + 1, sz)
+        grams = F.zip_with(grams, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    full = F.slice(grams, 1, F.greatest(sz - (n - 1), F.lit(0)))
+    return F.when(sz >= n, full).otherwise(F.array().cast("array<string>"))
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """Test-set decontamination report: training docs sharing at least one
+    word n-gram with the benchmark corpus, with the count of distinct shared
+    grams — the standard eval-leakage sweep run before LLM pretraining.
+
+    100 TB shape: the benchmark side (an eval set — tiny vs the corpus) is
+    reduced to a DISTINCT gram set and broadcast, so the corpus side is one
+    narrow explode + broadcast semi-join + one doc-keyed aggregation. No
+    corpus-sized shuffle of gram strings; the only shuffle carries
+    (doc_id, matched gram) hit rows, proportional to contamination, not
+    corpus size. Filter form: train.join(report, id, 'left_anti')."""
+    bench_grams = (
+        benchmark.select(F.explode(_word_ngrams(text_col, n)).alias("gram"))
+        .distinct()
+    )
+    train_grams = train.select(
+        F.col(id_col), *keep_cols, F.explode(_word_ngrams(text_col, n)).alias("gram")
+    )
+    return (
+        train_grams.join(F.broadcast(bench_grams), on="gram")
+        .groupBy(id_col, *keep_cols)
+        .agg(F.count_distinct("gram").cast("long").alias("n_shared"))
+    )
+
+
 def quality_quantile_filter(
     df: DataFrame,
     keep_fraction: float = 0.5,

@@ -1988,6 +1988,38 @@ def q_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register(
+    "decontaminate",
+    """
+    WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, lang, array_to_string(t[i:i+2], ' ') AS gram
+      FROM toks, unnest(range(1, len(t) - 2 + 1)) AS u(i)
+      WHERE len(t) >= 3),
+    bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+    hits AS (
+      SELECT g.doc_id, g.lang, count(DISTINCT g.gram) AS n_shared
+      FROM grams g JOIN bench b USING (gram)
+      WHERE g.doc_id % 97 <> 0
+      GROUP BY 1, 2)
+    SELECT doc_id, lang, CAST(n_shared AS BIGINT) AS n_shared FROM hits
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination sweep (operators/curation.decontaminate):
+    flag training docs sharing a word n-gram with the benchmark/eval split
+    (simulated as doc_id % 97 == 0), with distinct-shared-gram counts.
+    n=3 at fixture scale so the synthetic corpus produces hits; production
+    runs 8-13-grams — same plan. The benchmark gram set is DISTINCTed and
+    broadcast; the corpus side is one narrow explode + broadcast semi-join
+    + one doc-keyed agg — no corpus-sized gram shuffle at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    train = docs.where(F.col("doc_id") % 97 != 0)
+    return CU.decontaminate(train, bench, n=3)
+
+
+
 # ---------------------------------------------------------------------------
 # driver presentation order
 # ---------------------------------------------------------------------------
@@ -2033,7 +2065,8 @@ _DRIVER_ORDER = [
     "sample_stratified",
     "sample_reservoir",
     "quality_quantile_filter",
-    # -- 20 highest-value core operators (fill the 50-slot window) --
+    "decontaminate",
+    # -- 19 highest-value core operators (fill the 50-slot window) --
     "flagship_ohlcv_sma",
     "resample_ohlcv",
     "resample_ohlcv_1w",
@@ -2051,7 +2084,6 @@ _DRIVER_ORDER = [
     "coverage_check",
     "gap_antijoin",
     "upsert_precedence",
-    "op_delete_partition",
     "json_extract",
     "dedup_exact",
 ]

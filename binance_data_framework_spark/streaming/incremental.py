@@ -196,6 +196,47 @@ def streaming_sessionize(
     )
 
 
+def streaming_asof(
+    ticks: DataFrame,
+    quotes: DataFrame,
+    tolerance: str = "1 hour",
+    watermark: str = "2 hours",
+    key_col: str = "symbol",
+    ts_col: str = "ts",
+    quote_ts_col: str = "qts",
+    quote_val_col: str = "qval",
+) -> DataFrame:
+    """Watermarked streaming as-of join: each tick gets the latest quote at
+    or before its timestamp, within `tolerance` (the streaming form of the
+    batch `asof_align` operator, operators/asof.py).
+
+    Two chained stateful operators (Spark >= 3.5 watermark propagation):
+    (1) a stream-stream INTERVAL join — state on both sides is bounded by
+    watermark + tolerance, the equi-key is the symbol so the join is
+    hash-partitioned, never cross; (2) a (key, tick-ts) aggregation picking
+    max_by(quote, quote_ts), finalized exactly once when the watermark
+    passes the tick. A tick whose window is still open is withheld (append
+    mode) — the streaming analogue of the batch operator's completeness."""
+    t = ticks.withWatermark(ts_col, watermark).alias("t")
+    q = quotes.withWatermark(quote_ts_col, watermark).alias("q")
+    j = t.join(
+        q,
+        (F.col(f"t.{key_col}") == F.col(f"q.{key_col}"))
+        & (F.col(f"q.{quote_ts_col}") <= F.col(f"t.{ts_col}"))
+        & (
+            F.col(f"q.{quote_ts_col}")
+            >= F.col(f"t.{ts_col}") - F.expr(f"INTERVAL {tolerance}")
+        ),
+        "inner",
+    ).select(
+        F.col(f"t.{key_col}").alias(key_col), ts_col, quote_ts_col, quote_val_col
+    )
+    return j.groupBy(key_col, ts_col).agg(
+        F.max_by(quote_val_col, quote_ts_col).alias("quote"),
+        F.max(quote_ts_col).alias("quote_ts"),
+    )
+
+
 def streaming_dedup(
     stream: DataFrame,
     keys: tuple[str, ...] = ("ts", "symbol", "timeframe"),

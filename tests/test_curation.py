@@ -82,3 +82,17 @@ def test_quality_quantile_filter_keeps_exact_top_half(spark):
     dropped_max = dropped.groupBy("lang").agg(F.max("score").alias("dmax"))
     j = kept_min.join(dropped_max, "lang").collect()
     assert all(r["kmin"] >= r["dmax"] for r in j)
+
+
+def test_decontaminate_short_docs_match_nothing(spark):
+    """Docs shorter than n tokens yield NO grams (strict — a whole-text
+    fallback would contaminate-match short docs against everything)."""
+    train = spark.createDataFrame(
+        [(1, "alpha beta", "en"), (2, "alpha beta gamma delta", "en")],
+        "doc_id long, text string, lang string",
+    )
+    bench = spark.createDataFrame(
+        [(99, "alpha beta gamma epsilon", "en")], "doc_id long, text string, lang string"
+    )
+    hits = {r["doc_id"]: r["n_shared"] for r in CU.decontaminate(train, bench, n=3).collect()}
+    assert hits == {2: 1}  # only 'alpha beta gamma'; 2-token doc 1 is gram-free

@@ -196,3 +196,58 @@ def test_streaming_sessionize_finalized_sessions(spark, tmp_path):
     assert got[("u1", datetime(2024, 1, 1, 1, 0))] == (datetime(2024, 1, 1, 1, 35), 2)
     assert got[("u2", datetime(2024, 1, 1, 0, 5))] == (datetime(2024, 1, 1, 0, 35), 1)
     assert ("u1", datetime(2024, 1, 1, 9, 0)) not in got  # still open
+
+
+def test_streaming_asof_latest_prior_quote(spark, tmp_path):
+    """Watermarked as-of: each finalized tick carries the latest quote at or
+    before it within tolerance; ticks not yet past the watermark are
+    withheld; quotes outside tolerance never match."""
+    from binance_data_framework_spark.streaming.incremental import streaming_asof
+
+    t_dir, q_dir = tmp_path / "ticks", tmp_path / "quotes"
+    t_dir.mkdir(), q_dir.mkdir()
+    ticks = pd.DataFrame(
+        [
+            ("S", datetime(2024, 1, 1, 0, 30)),
+            ("S", datetime(2024, 1, 1, 1, 40)),
+            ("T", datetime(2024, 1, 1, 2, 0)),  # no quote within 1h tolerance
+            ("S", datetime(2024, 1, 1, 9, 0)),  # advances watermark; withheld
+        ],
+        columns=["symbol", "ts"],
+    )
+    ticks["ts"] = ticks["ts"].astype("datetime64[us]")
+    ticks.to_parquet(f"{t_dir}/p.parquet", index=False)
+    quotes = pd.DataFrame(
+        [
+            ("S", datetime(2024, 1, 1, 0, 0), 1.0),
+            ("S", datetime(2024, 1, 1, 0, 20), 2.0),
+            ("S", datetime(2024, 1, 1, 1, 30), 3.0),
+            ("T", datetime(2024, 1, 1, 0, 30), 7.0),  # 90 min before T's tick
+            ("S", datetime(2024, 1, 1, 9, 0), 9.0),
+        ],
+        columns=["symbol", "qts", "qval"],
+    )
+    quotes["qts"] = quotes["qts"].astype("datetime64[us]")
+    quotes.to_parquet(f"{q_dir}/p.parquet", index=False)
+
+    t = spark.readStream.schema("symbol string, ts timestamp").parquet(str(t_dir))
+    q = spark.readStream.schema("symbol string, qts timestamp, qval double").parquet(
+        str(q_dir)
+    )
+    out = streaming_asof(t, q, tolerance="1 hour", watermark="2 hours")
+    qy = (
+        out.writeStream.format("memory")
+        .queryName("asof_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    qy.awaitTermination(120)
+    got = {
+        (r["symbol"], r["ts"]): (r["quote"], r["quote_ts"])
+        for r in spark.sql("SELECT * FROM asof_stream_out").collect()
+    }
+    assert got[("S", datetime(2024, 1, 1, 0, 30))] == (2.0, datetime(2024, 1, 1, 0, 20))
+    assert got[("S", datetime(2024, 1, 1, 1, 40))] == (3.0, datetime(2024, 1, 1, 1, 30))
+    assert ("T", datetime(2024, 1, 1, 2, 0)) not in got  # outside tolerance
+    assert ("S", datetime(2024, 1, 1, 9, 0)) not in got  # still open
