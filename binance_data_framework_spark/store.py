@@ -120,6 +120,12 @@ class OhlcvStore:
         )
         (
             merged.withColumn("dt", F.to_date("ts"))
+            # cluster by the physical partition key before writing: the merge
+            # window leaves rows hash-scattered by (ts,symbol,timeframe), and
+            # writing that directly sprays up to shuffle.partitions small
+            # files into every dt directory — a small-files generator at
+            # scale. One repartition of the (small) batch = one file per day.
+            .repartition("symbol", "timeframe", "dt")
             .sortWithinPartitions("ts")  # maximize row-group skipping on ts
             .write.partitionBy("symbol", "timeframe", "dt")
             .option("partitionOverwriteMode", "dynamic")

@@ -160,3 +160,18 @@ def test_ranged_upsert_leaves_untouched_days_alone(store, spark):
     assert out.where(F.col("ts") == T0).first()["open"] == 100.0  # day 1 intact
     row = out.where(F.col("ts") == T0 + timedelta(hours=25)).first()
     assert row["open"] == 501.0  # day 2 replaced (new wins)
+
+
+def test_save_writes_one_file_per_day_partition(store, spark):
+    """The write is clustered by the physical partition key: each dt
+    directory holds ONE parquet file, not one per shuffle task (small-files
+    discipline — a year of daily upserts must not mean 32 files/day)."""
+    import os
+
+    store.save_data(_bars(spark, T0, 48, 100.0), "BTCUSDT", "1h")  # 2 days
+    base = os.path.join(store.root, "symbol=BTCUSDT", "timeframe=1h")
+    for day in ("dt=2024-01-01", "dt=2024-01-02"):
+        files = [
+            f for f in os.listdir(os.path.join(base, day)) if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, f"{day}: {files}"
