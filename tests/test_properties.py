@@ -105,3 +105,54 @@ def test_asof_matches_bruteforce(spark, left, right):
         prior = [v for rts, v in rrows if rts <= lts]
         expect = prior[-1] if prior else None
         assert got[i] == expect, f"event {i} at {lts}: got {got[i]}, want {expect}"
+
+
+_corpus = st.lists(
+    st.lists(st.sampled_from("alpha beta gamma delta epsilon zeta".split()),
+             min_size=1, max_size=30).map(" ".join),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_corpus)
+def test_pack_sequences_conservation_property(spark, texts):
+    from binance_data_framework_spark.operators.curation import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    budget, shards = 16, 3
+    packed = pack_sequences(docs, budget=budget, n_shards=shards).collect()
+    assert sum(r["n_docs"] for r in packed) == len(texts)
+    assert sum(r["total_tokens"] for r in packed) == sum(len(t.split()) for t in texts)
+    max_doc = max(len(t.split()) for t in texts)
+    # a sequence exceeds budget only by its one straddling doc
+    assert all(r["total_tokens"] <= budget + max_doc for r in packed)
+    # sequence ids per shard are dense from 0 (no empty bins in the chunk walk)
+    by_shard: dict[int, list[int]] = {}
+    for r in packed:
+        by_shard.setdefault(r["shard"], []).append(r["seq_id"])
+    for ids in by_shard.values():
+        assert sorted(ids) == list(range(len(ids)))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.integers(min_value=0, max_value=10_000_000), st.integers(min_value=1, max_value=400))
+def test_stratified_sampling_is_nested(spark, offset, n):
+    """Multiplicative-hash sampling is NESTED: the r% sample is a subset of
+    every r'% sample with r' >= r — the property that makes scaling-law
+    ablation corpora comparable (a 10% corpus is literally inside the 50%)."""
+    from binance_data_framework_spark.operators.curation import sample_stratified
+
+    docs = spark.createDataFrame(
+        [(offset + i, "x") for i in range(n)], "doc_id long, lang string"
+    )
+    sets = {}
+    for rate in (10, 30, 80):
+        sets[rate] = {
+            r["doc_id"]
+            for r in sample_stratified(docs, rates={}, default_rate=rate).collect()
+        }
+    assert sets[10] <= sets[30] <= sets[80]
