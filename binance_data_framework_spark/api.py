@@ -179,6 +179,29 @@ class CacheOrFetchLoader:
                 self.store.save_data(fetched, symbol, timeframe)
         return self.store.get_data(symbol, timeframe, start, end)
 
+    def load_many(
+        self,
+        symbols: list[str],
+        timeframe: str,
+        start: datetime,
+        end: datetime,
+        now: datetime | None = None,
+    ) -> DataFrame:
+        """Bulk load (reference UI per-click symbol loop,
+        colab_interface.py:228-243): each symbol runs the cache-or-fetch
+        kernel; results union into ONE DataFrame with the symbol column
+        (SURVEY §1.4 — the reference's dict[symbol -> DataFrame] becomes a
+        filterable column, and per-symbol fetches are independent jobs, so
+        at scale the reference's sequential loop becomes embarrassingly
+        parallel ingestion)."""
+        if not symbols:
+            raise ValueError("symbols must be a non-empty list")
+        out = None
+        for sym in symbols:
+            df = self.load(sym, timeframe, start, end, now=now)
+            out = df if out is None else out.unionByName(df)
+        return out
+
     def load_resampled(
         self,
         symbol: str,

@@ -78,6 +78,24 @@ def http_fetch_page(
     return fetch
 
 
+def http_fetch_exchange_info(
+    base_url: str = BINANCE_US_BASE,
+    timeout_s: float = 10.0,
+    urlopen: Callable | None = None,
+) -> dict:
+    """One-shot GET /api/v3/exchangeInfo (reference get_exchange_info,
+    api_connector.py:145-164): the symbol dimension. Same injectable-urlopen
+    seam as http_fetch_page; the result feeds the filter_suffix_status
+    operator (endswith('USDT') & status == 'TRADING') as a small dimension
+    DataFrame via spark.createDataFrame."""
+    import json
+    import urllib.request
+
+    _open = urlopen or urllib.request.urlopen
+    with _open(f"{base_url}/api/v3/exchangeInfo", timeout=timeout_s) as resp:
+        return json.loads(resp.read().decode("utf-8"))
+
+
 def binance_source(**http_kwargs) -> "PagedKlineSource":
     """Production wiring with the reference's pacing/backoff constants:
     1000-row pages, 0.1 s pacing, 60 s rate-limit backoff

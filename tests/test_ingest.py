@@ -306,3 +306,49 @@ def test_http_fetch_page_rate_limit_backoff(spark):
     src2 = PagedKlineSource(http_fetch_page(urlopen=fake2), max_retries=1)
     with _pytest.raises(RateLimitError):
         src2.fetch_range("BTCUSDT", "1h", t0, t0 + h)
+
+
+def test_load_many_unions_symbols(spark, tmp_path):
+    """Bulk load: one DataFrame with the symbol column, one cache-or-fetch
+    pass per symbol (reference UI loop, colab_interface.py:228-243)."""
+    fetch, calls = fake_exchange(n_bars=6)
+    loader = CacheOrFetchLoader(
+        OhlcvStore(spark, str(tmp_path / "store_many")), PagedKlineSource(fetch)
+    )
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    out = loader.load_many(["BTCUSDT", "ETHUSDT"], "1h", t0, t0 + timedelta(hours=5), now=t0)
+    rows = out.groupBy("symbol").count().collect()
+    assert {r["symbol"]: r["count"] for r in rows} == {"BTCUSDT": 6, "ETHUSDT": 6}
+    with pytest.raises(ValueError):
+        loader.load_many([], "1h", t0, t0 + timedelta(hours=5))
+
+
+def test_http_exchange_info_fixture(spark):
+    from binance_data_framework_spark.sources.rest_klines import (
+        http_fetch_exchange_info,
+    )
+    import io
+    import json
+    from contextlib import contextmanager
+
+    payload = {
+        "symbols": [
+            {"symbol": "BTCUSDT", "status": "TRADING"},
+            {"symbol": "ETHBTC", "status": "TRADING"},
+            {"symbol": "OLDUSDT", "status": "BREAK"},
+        ]
+    }
+
+    @contextmanager
+    def fake(url, timeout=None):
+        assert url.endswith("/api/v3/exchangeInfo")
+        yield io.BytesIO(json.dumps(payload).encode())
+
+    info = http_fetch_exchange_info(urlopen=fake)
+    dim = spark.createDataFrame(info["symbols"])
+    from pyspark.sql import functions as F
+
+    usdt = dim.filter(
+        F.col("symbol").endswith("USDT") & (F.col("status") == "TRADING")
+    )
+    assert [r["symbol"] for r in usdt.collect()] == ["BTCUSDT"]
