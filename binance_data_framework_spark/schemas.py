@@ -26,6 +26,20 @@ OHLCV = T.StructType(
     ]
 )
 
+# Row shape of the reference's SQLite ohlcv_data table minus the series key
+# (epoch-ms INTEGER timestamp, REAL prices — database_handler.py:110-122), as
+# read by the sqlite migration source before the ms->timestamp cast.
+OHLCV_MS = T.StructType(
+    [
+        T.StructField("ts_ms", T.LongType(), False),
+        T.StructField("open", T.DoubleType(), True),
+        T.StructField("high", T.DoubleType(), True),
+        T.StructField("low", T.DoubleType(), True),
+        T.StructField("close", T.DoubleType(), True),
+        T.StructField("volume", T.DoubleType(), True),
+    ]
+)
+
 # Raw 12-column kline page as returned by the REST source (strings; reference
 # api_connector.py:289-291). Casts to OHLCV happen in sources/rest_klines.py.
 RAW_KLINES = T.StructType(

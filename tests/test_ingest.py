@@ -352,3 +352,45 @@ def test_http_exchange_info_fixture(spark):
         F.col("symbol").endswith("USDT") & (F.col("status") == "TRADING")
     )
     assert [r["symbol"] for r in usdt.collect()] == ["BTCUSDT"]
+
+
+def test_sqlite_migration_roundtrip(spark, tmp_path):
+    """Migrating a reference-schema SQLite cache moves every series into the
+    store with values intact, is idempotent, and batches the cursor read."""
+    import sqlite3
+
+    from pyspark.sql import functions as F
+
+    from binance_data_framework_spark.sources.sqlite_migrate import (
+        list_series,
+        migrate_sqlite,
+    )
+
+    db = str(tmp_path / "reference_cache.db")
+    conn = sqlite3.connect(db)
+    conn.execute(
+        "CREATE TABLE ohlcv_data (timestamp INTEGER, symbol TEXT, timeframe TEXT,"
+        " open REAL, high REAL, low REAL, close REAL, volume REAL,"
+        " PRIMARY KEY (timestamp, symbol, timeframe))"
+    )
+    t0_ms = 1_704_067_200_000  # 2024-01-01T00:00Z
+    h = 3_600_000
+    rows = [
+        (t0_ms + i * h, "BTCUSDT", "1h", 100.0 + i, 101.0 + i, 99.0 + i, 100.5 + i, 10.0)
+        for i in range(30)
+    ] + [(t0_ms, "ETHUSDT", "4h", 5.0, 6.0, 4.0, 5.5, 1.0)]
+    conn.executemany("INSERT INTO ohlcv_data VALUES (?,?,?,?,?,?,?,?)", rows)
+    conn.commit()
+    conn.close()
+
+    assert list_series(db) == [("BTCUSDT", "1h"), ("ETHUSDT", "4h")]
+    store = OhlcvStore(spark, str(tmp_path / "migrated"))
+    done = migrate_sqlite(spark, store, db, batch_rows=7)  # force multiple batches
+    assert done == {("BTCUSDT", "1h"): 30, ("ETHUSDT", "4h"): 1}
+    btc = store.get_data("BTCUSDT", "1h")
+    assert btc.count() == 30
+    first = btc.select(F.unix_millis("ts").alias("ms"), "open").orderBy("ms").first()
+    assert (first["ms"], first["open"]) == (t0_ms, 100.0)
+    # idempotent re-run: same totals, no duplicates
+    migrate_sqlite(spark, store, db, batch_rows=7)
+    assert store.get_data("BTCUSDT", "1h").count() == 30
