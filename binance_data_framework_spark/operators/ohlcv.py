@@ -219,6 +219,30 @@ def with_ewma(
     )
 
 
+def with_bollinger(
+    bars: DataFrame,
+    n: int = 20,
+    k: float = 2.0,
+    value_col: str = "close",
+    ts_col: str = "bucket",
+    key_col: str = "symbol",
+) -> DataFrame:
+    """Bollinger bands: trailing n-bar SMA ± k sample standard deviations —
+    the canonical companion to the reference's documented SMA analysis
+    (README.md:106). Same keyed ROWS frame as with_sma: one hash
+    partitioning per series, windows computed locally, null warm-up until
+    n bars exist."""
+    w = Window.partitionBy(key_col).orderBy(ts_col).rowsBetween(-(n - 1), 0)
+    cnt = F.count(value_col).over(w)
+    mid = F.when(cnt >= n, F.avg(value_col).over(w))
+    sd = F.when(cnt >= n, F.stddev_samp(value_col).over(w))
+    return (
+        bars.withColumn("bb_mid", mid)
+        .withColumn("bb_upper", mid + k * sd)
+        .withColumn("bb_lower", mid - k * sd)
+    )
+
+
 def with_sma(
     bars: DataFrame,
     n: int = 20,

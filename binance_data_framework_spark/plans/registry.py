@@ -2020,6 +2020,43 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register(
+    "window_bollinger",
+    f"""
+    WITH bars AS ({_BARS_1H_SQL})
+    SELECT symbol, bucket, close,
+           round(CASE WHEN count(close) OVER w >= 20
+                 THEN avg(close) OVER w END, 6) AS bb_mid,
+           round(CASE WHEN count(close) OVER w >= 20
+                 THEN avg(close) OVER w + 2 * stddev_samp(close) OVER w END, 6)
+             AS bb_upper,
+           round(CASE WHEN count(close) OVER w >= 20
+                 THEN avg(close) OVER w - 2 * stddev_samp(close) OVER w END, 6)
+             AS bb_lower
+    FROM bars
+    WINDOW w AS (PARTITION BY symbol ORDER BY bucket
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands (operators/ohlcv.with_bollinger): the canonical
+    companion analysis to the reference's documented 20-bar SMA
+    (README.md:106) — same keyed trailing ROWS frame, so the plan is one
+    series-hash partitioning with locally-computed windows."""
+    from binance_data_framework_spark.operators.ohlcv import with_bollinger
+
+    bars = _bars_1h(spark, sf_dir)
+    return with_bollinger(bars, 20, 2.0).select(
+        "symbol",
+        "bucket",
+        "close",
+        F.round("bb_mid", 6).alias("bb_mid"),
+        F.round("bb_upper", 6).alias("bb_upper"),
+        F.round("bb_lower", 6).alias("bb_lower"),
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # driver presentation order
 # ---------------------------------------------------------------------------
@@ -2090,7 +2127,9 @@ _DRIVER_ORDER = [
 
 _missing = [n for n in _DRIVER_ORDER if n not in QUERIES]
 assert not _missing, f"_DRIVER_ORDER names not registered: {_missing}"
-_tail = [n for n in QUERIES if n not in set(_DRIVER_ORDER)]
+_tail = ["window_bollinger"] + [
+    n for n in QUERIES if n not in set(_DRIVER_ORDER) and n != "window_bollinger"
+]
 _ordered = _DRIVER_ORDER + _tail
 assert len(_ordered) == len(QUERIES)
 QUERIES = {n: QUERIES[n] for n in _ordered}
