@@ -139,3 +139,19 @@ def test_exact_topk_broadcasts_probes_not_candidates(spark, sf_dir):
     assert "BroadcastExchange" in plan  # probe set broadcast to candidates
     # exactly one shuffle (the per-probe top-k window); candidates never move
     assert len(re.findall(r"\n\(\d+\) Exchange\b", plan)) == 1
+
+
+def test_curation_plan_shapes(spark, sf_dir):
+    """Curation ops must keep their audited shuffle budget: packing and the
+    per-stratum ops are ONE keyed exchange; decontamination joins the
+    benchmark grams by BROADCAST (the corpus is never shuffled by gram)."""
+    for name, max_exchanges in (
+        ("pack_sequences", 1),
+        ("sample_reservoir", 1),
+        ("quality_quantile_filter", 1),
+    ):
+        plan = _plan(spark, sf_dir, name)
+        n = len(re.findall(r"\n\(\d+\) Exchange\b", plan))
+        assert n <= max_exchanges, f"{name}: {n} exchanges (budget {max_exchanges})"
+    plan = _plan(spark, sf_dir, "decontaminate")
+    assert "BroadcastHashJoin" in plan, "decontaminate lost the broadcast gram join"
