@@ -83,24 +83,57 @@ def gap_antijoin(
     """Missing-bar detection — the gap-fill design the reference planned but
     never implemented (plan.md:79-80).
 
-    Per series: expected bucket timeline = sequence(min, max, bar) exploded,
-    anti-joined against present buckets. The expected side is generated from
-    the (tiny) coverage aggregate, so the explode fans out to at most
-    n_series x n_buckets rows — no driver loop, no collect; the anti-join
-    shuffles on (key, bucket) like any equi-join and broadcasts if small.
+    Per series: expected bucket timeline anti-joined against present
+    buckets. The timeline is generated in TWO stages so no single task ever
+    materializes a series' full history: (1) explode the series' day range
+    (n_days rows), (2) redistribute the (series, day) rows, (3) per day,
+    generate only that day's grid points — arrays bounded by bars-per-day
+    (1440 for 1m), never bars-per-series (a 10-year 1m series is a ~5M-
+    element array if built in one shot). The grid stays anchored at the
+    series' min bucket, so the two-stage timeline is element-identical to
+    sequence(min, max, bar). No driver loop, no collect; the anti-join
+    shuffles on (key, bucket) like any equi-join.
     """
     from binance_data_framework_spark.functions.timeframes import TIMEFRAME_MS
 
     bar_ms = TIMEFRAME_MS[timeframe]
+    day_len = 86_400_000
     bounds = df.groupBy(key_col).agg(
         F.min(ts_col).alias("min_b"), F.max(ts_col).alias("max_b")
     )
-    expected = bounds.select(
+    days = bounds.select(
+        F.col(key_col),
+        "min_b",
+        "max_b",
+        F.explode(
+            F.sequence(
+                F.date_trunc("DAY", "min_b"),
+                F.date_trunc("DAY", "max_b"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("_day"),
+    ).repartition(key_col, "_day")  # spread day chunks before the wide explode
+    min_ms, max_ms = F.unix_millis("min_b"), F.unix_millis("max_b")
+    day_ms = F.unix_millis("_day")
+    # first/last grid point inside this day ∩ [min_b, max_b], grid anchored
+    # at min_b — each grid point belongs to exactly one day, so the union
+    # over days reproduces the one-shot sequence exactly
+    start_ms = min_ms + (
+        F.ceil((F.greatest(day_ms, min_ms) - min_ms) / F.lit(bar_ms)).cast("long")
+        * bar_ms
+    )
+    end_ms = min_ms + (
+        F.floor(
+            (F.least(max_ms, day_ms + day_len - 1) - min_ms) / F.lit(bar_ms)
+        ).cast("long")
+        * bar_ms
+    )
+    expected = days.where(start_ms <= end_ms).select(
         F.col(key_col),
         F.explode(
             F.sequence(
-                "min_b",
-                "max_b",
+                F.timestamp_millis(start_ms),
+                F.timestamp_millis(end_ms),
                 F.expr(f"INTERVAL {bar_ms // 1000} SECONDS"),
             )
         ).alias(ts_col),
