@@ -113,10 +113,10 @@ class CacheOrFetchLoader:
         if hi < lo:  # request shorter than one bar and off-grid: nothing to fill
             return self.store.get_data(symbol, timeframe, start, end)
         stored = self.store.get_data(symbol, timeframe, start, end).select("ts")
-        expected = spark.sql(
-            f"SELECT explode(sequence(timestamp_millis({lo}), "
-            f"timestamp_millis({hi}), "
-            f"INTERVAL {bar_ms // 1000} SECONDS)) AS ts"
+        # spark.range is partition-distributed by construction: a 10-year 1m
+        # request is ~5M rows spread across tasks, never one exploded array
+        expected = spark.range((hi - lo) // bar_ms + 1).select(
+            F.timestamp_millis(F.lit(lo) + F.col("id") * bar_ms).alias("ts")
         )
         missing = expected.join(stored, on="ts", how="left_anti").withColumn(
             "_day", F.to_date("ts")
