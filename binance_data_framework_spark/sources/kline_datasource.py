@@ -1,0 +1,133 @@
+"""Spark Python Data Source for paginated klines: executor-parallel ingest.
+
+``spark.read.format("binance_klines")`` — the idiomatic Spark-4 form of the
+reference's REST scan (BinanceUSClient.get_historical_klines,
+api_connector.py:208-321). Where the reference (and the driver-side
+PagedKlineSource loop) fetches one page at a time in one process, this
+source splits the requested time range into fixed-bar-count chunks, one
+``InputPartition`` each, and every EXECUTOR task pages its own slice — the
+actual 100 TB ingest shape: a 10-year 1m backfill becomes ~105 independent
+50k-bar partitions fetched in parallel, bounded by
+``spark.sql.shuffle.partitions``-style task concurrency rather than one
+serial cursor.
+
+Rate limiting: per-partition pacing (0.1 s/page) is preserved inside each
+task; the aggregate request rate = pacing x concurrent tasks, so the
+cluster-level rate-limit knob is task concurrency (``chunk_bars`` and
+executor slots), not code. The 60 s backoff still applies per task.
+
+Options (lowercase, per the DataSource options contract):
+  symbol (required), interval (default 1h), start_ms / end_ms (required,
+  epoch ms), chunk_bars (default 50_000), mode: http | fixture (default
+  http; fixture generates deterministic synthetic bars for tests — no
+  network, same partition/grid logic), base_url.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+SCHEMA = (
+    "ts timestamp, open double, high double, low double, close double, "
+    "volume double, symbol string, timeframe string"
+)
+
+
+class KlineSlice(InputPartition):
+    def __init__(self, start_ms: int, end_ms: int):
+        self.start_ms = start_ms
+        self.end_ms = end_ms
+
+
+class BinanceKlinesDataSource(DataSource):
+    """format("binance_klines") — register with
+    ``spark.dataSource.register(BinanceKlinesDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "binance_klines"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> "KlineReader":
+        return KlineReader(self.options)
+
+
+class KlineReader(DataSourceReader):
+    def __init__(self, options: dict):
+        from binance_data_framework_spark.functions.timeframes import TIMEFRAME_MS
+
+        self.symbol = options["symbol"]
+        self.interval = options.get("interval", "1h")
+        if self.interval not in TIMEFRAME_MS:
+            raise ValueError(f"unknown interval {self.interval!r}")
+        self.bar_ms = TIMEFRAME_MS[self.interval]
+        self.start_ms = int(options["start_ms"])
+        self.end_ms = int(options["end_ms"])
+        self.chunk_bars = int(options.get("chunk_bars", 50_000))
+        self.mode = options.get("mode", "http")
+        self.base_url = options.get("base_url")
+
+    def partitions(self):
+        # snap to the bucket grid (cf. api.load_incremental), then slice into
+        # chunk_bars-sized, non-overlapping [start, end] ms windows
+        lo = -(-self.start_ms // self.bar_ms) * self.bar_ms
+        hi = (self.end_ms // self.bar_ms) * self.bar_ms
+        if hi < lo:
+            return [KlineSlice(self.start_ms, self.start_ms - 1)]  # empty slice
+        chunk_ms = self.bar_ms * self.chunk_bars
+        return [
+            KlineSlice(s, min(s + chunk_ms - 1, hi))
+            for s in range(lo, hi + 1, chunk_ms)
+        ]
+
+    def read(self, partition: KlineSlice):
+        # runs on an EXECUTOR: this task pages only its own time slice
+        if partition.end_ms < partition.start_ms:
+            return
+        if self.mode == "fixture":
+            yield from self._read_fixture(partition)
+        else:
+            yield from self._read_http(partition)
+
+    def _read_fixture(self, p: KlineSlice):
+        """Deterministic synthetic bars — pure f(timestamp), so any
+        partitioning of the range yields identical union output."""
+        for ms in range(p.start_ms, p.end_ms + 1, self.bar_ms):
+            i = (ms - self.start_ms) // self.bar_ms
+            base = 100.0 + (i % 50)
+            yield (
+                datetime.fromtimestamp(ms / 1000, tz=timezone.utc),
+                base,
+                base + 1.0,
+                base - 1.0,
+                base + 0.5,
+                10.0 + i % 7,
+                self.symbol,
+                self.interval,
+            )
+
+    def _read_http(self, p: KlineSlice):
+        from binance_data_framework_spark.sources.rest_klines import (
+            PagedKlineSource,
+            http_fetch_page,
+        )
+
+        kwargs = {"base_url": self.base_url} if self.base_url else {}
+        src = PagedKlineSource(
+            http_fetch_page(**kwargs), page_size=1000, pacing_s=0.1, backoff_s=60.0
+        )
+        for row in src.fetch_range(self.symbol, self.interval, p.start_ms, p.end_ms):
+            yield (
+                datetime.fromtimestamp(int(row[0]) / 1000, tz=timezone.utc),
+                float(row[1]),
+                float(row[2]),
+                float(row[3]),
+                float(row[4]),
+                float(row[5]),
+                self.symbol,
+                self.interval,
+            )

@@ -394,3 +394,47 @@ def test_sqlite_migration_roundtrip(spark, tmp_path):
     # idempotent re-run: same totals, no duplicates
     migrate_sqlite(spark, store, db, batch_rows=7)
     assert store.get_data("BTCUSDT", "1h").count() == 30
+
+
+def test_kline_datasource_executor_parallel(spark):
+    """spark.read.format('binance_klines'): the range splits into one input
+    partition per chunk (executor-parallel ingest), the union over chunks is
+    exactly the bucket grid, and output is partitioning-invariant."""
+    from binance_data_framework_spark.sources.kline_datasource import (
+        BinanceKlinesDataSource,
+    )
+
+    spark.dataSource.register(BinanceKlinesDataSource)
+    t0_ms = 1_704_067_200_000  # 2024-01-01T00:00Z
+    h = 3_600_000
+
+    def rd(chunk_bars):
+        return (
+            spark.read.format("binance_klines")
+            .option("symbol", "BTCUSDT")
+            .option("interval", "1h")
+            .option("start_ms", t0_ms)
+            .option("end_ms", t0_ms + 99 * h)
+            .option("chunk_bars", chunk_bars)
+            .option("mode", "fixture")
+            .load()
+        )
+
+    df = rd(chunk_bars=16)
+    assert df.rdd.getNumPartitions() == 7  # ceil(100 bars / 16)
+    assert df.count() == 100
+    small = {(r["ts"], r["open"]) for r in df.collect()}
+    one_shot = {(r["ts"], r["open"]) for r in rd(chunk_bars=100_000).collect()}
+    assert small == one_shot  # chunking never changes the data
+    # grid snap: off-grid request bounds shrink to the contained grid points
+    snapped = (
+        spark.read.format("binance_klines")
+        .option("symbol", "BTCUSDT")
+        .option("interval", "1h")
+        .option("start_ms", t0_ms + 1800_000)  # 00:30 -> first bar 01:00
+        .option("end_ms", t0_ms + 5 * h + 1)  # -> last bar 05:00
+        .option("chunk_bars", 10)
+        .option("mode", "fixture")
+        .load()
+    )
+    assert snapped.count() == 5
