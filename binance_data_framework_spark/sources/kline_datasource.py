@@ -27,7 +27,12 @@ from __future__ import annotations
 
 from datetime import datetime, timezone
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 SCHEMA = (
     "ts timestamp, open double, high double, low double, close double, "
@@ -54,6 +59,9 @@ class BinanceKlinesDataSource(DataSource):
 
     def reader(self, schema) -> "KlineReader":
         return KlineReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "KlineStreamReader":
+        return KlineStreamReader(self.options)
 
 
 class KlineReader(DataSourceReader):
@@ -131,3 +139,81 @@ class KlineReader(DataSourceReader):
                 self.symbol,
                 self.interval,
             )
+
+
+class KlineStreamReader(SimpleDataSourceStreamReader):
+    """Live-tail polling: ``spark.readStream.format("binance_klines")``.
+
+    The offset is the next unread bucket timestamp (the same resume cursor
+    as the reference's paginated scan: last row ts + 1 bar,
+    api_connector.py:266). Each micro-batch reads at most
+    ``bars_per_batch`` finalized bars in [offset, min(now, end_ms)] — the
+    completed-tail contract: a bucket is emitted only once its close time
+    has passed, so re-reads are impossible and the downstream upsert sink
+    (streaming/incremental.stream_to_store) stays idempotent.
+
+    Extra options: bars_per_batch (default 1000); fixture mode uses end_ms
+    as "now" so tests are deterministic and network-free.
+    """
+
+    def __init__(self, options: dict):
+        from binance_data_framework_spark.functions.timeframes import TIMEFRAME_MS
+
+        self.symbol = options["symbol"]
+        self.interval = options.get("interval", "1h")
+        self.bar_ms = TIMEFRAME_MS[self.interval]
+        self.start_ms = int(options["start_ms"])
+        self.end_ms = int(options["end_ms"]) if "end_ms" in options else None
+        self.bars_per_batch = int(options.get("bars_per_batch", 1000))
+        self.mode = options.get("mode", "http")
+        self.base_url = options.get("base_url")
+
+    def initialOffset(self) -> dict:
+        lo = -(-self.start_ms // self.bar_ms) * self.bar_ms  # snap to grid
+        return {"next_ms": lo}
+
+    def _now_ms(self) -> int:
+        if self.mode == "fixture":
+            assert self.end_ms is not None, "fixture mode needs end_ms"
+            return self.end_ms
+        now = int(datetime.now(timezone.utc).timestamp() * 1000)
+        return min(now, self.end_ms) if self.end_ms is not None else now
+
+    def read(self, start: dict):
+        lo = int(start["next_ms"])
+        # only FINALIZED bars: bucket + bar must have fully elapsed
+        hi_closed = ((self._now_ms() // self.bar_ms) - 1) * self.bar_ms
+        hi = min(hi_closed, lo + (self.bars_per_batch - 1) * self.bar_ms)
+        if hi < lo:
+            return iter([]), start
+        # materialized, not a generator: the prefetch cache copy.copy()s
+        # the iterator; a micro-batch is bounded by bars_per_batch anyway
+        batch = KlineSlice(lo, hi + self.bar_ms - 1)
+        reader = KlineReader(
+            {
+                "symbol": self.symbol,
+                "interval": self.interval,
+                "start_ms": str(lo),
+                "end_ms": str(hi),
+                "mode": self.mode,
+                **({"base_url": self.base_url} if self.base_url else {}),
+            }
+        )
+        return iter(list(reader.read(batch))), {"next_ms": hi + self.bar_ms}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # replay for recovery: deterministic by construction (grid + fetch)
+        lo, nxt = int(start["next_ms"]), int(end["next_ms"])
+        if nxt <= lo:
+            return iter([])
+        reader = KlineReader(
+            {
+                "symbol": self.symbol,
+                "interval": self.interval,
+                "start_ms": str(lo),
+                "end_ms": str(nxt - self.bar_ms),
+                "mode": self.mode,
+                **({"base_url": self.base_url} if self.base_url else {}),
+            }
+        )
+        return iter(list(reader.read(KlineSlice(lo, nxt - 1))))

@@ -438,3 +438,49 @@ def test_kline_datasource_executor_parallel(spark):
         .load()
     )
     assert snapped.count() == 5
+
+
+def test_kline_datasource_streaming_tail(spark, tmp_path):
+    """readStream.format('binance_klines'): micro-batches advance the bucket
+    cursor, emit only FINALIZED bars (the last, still-open bucket is never
+    emitted), and stop at the configured end."""
+    from binance_data_framework_spark.sources.kline_datasource import (
+        BinanceKlinesDataSource,
+    )
+
+    spark.dataSource.register(BinanceKlinesDataSource)
+    t0_ms = 1_704_067_200_000
+    h = 3_600_000
+    stream = (
+        spark.readStream.format("binance_klines")
+        .option("symbol", "BTCUSDT")
+        .option("interval", "1h")
+        .option("start_ms", t0_ms)
+        .option("end_ms", t0_ms + 10 * h)  # fixture "now"
+        .option("bars_per_batch", 4)
+        .option("mode", "fixture")
+        .load()
+    )
+    import time as _time
+
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("kline_tail")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        # fixture "now" = t0+10h: bucket t0+9h closes AT t0+10h, so exactly
+        # bars t0..t0+9h (10 bars) finalize; the cursor then drains
+        deadline = _time.time() + 120
+        while _time.time() < deadline:
+            if spark.sql("SELECT count(*) AS n FROM kline_tail").first()["n"] >= 10:
+                break
+            _time.sleep(0.5)
+        _time.sleep(2)  # extra batches must emit nothing further
+        rows = spark.sql("SELECT * FROM kline_tail ORDER BY ts").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 10
+    assert rows[0]["ts"].replace(tzinfo=None).isoformat() == "2024-01-01T00:00:00"
+    assert rows[-1]["ts"].replace(tzinfo=None).isoformat() == "2024-01-01T09:00:00"
