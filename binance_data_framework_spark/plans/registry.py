@@ -152,6 +152,28 @@ def q_resample_1w(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "resample_ohlcv_1M",
+    """
+    SELECT event_type AS symbol,
+           date_trunc('month', ts)::TIMESTAMP AS bucket,
+           arg_min(value, ts) AS open,
+           max(value) AS high,
+           min(value) AS low,
+           arg_max(value, ts) AS close,
+           round(sum(value), 6) AS volume,
+           count(*) AS n_ticks
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_resample_1M(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month resample (the second date_trunc timeframe, completing
+    the 1w/1M calendar-bucket matrix of SURVEY §4: fixed-duration window()
+    cannot label month buckets)."""
+    return ohlcv_view(spark, sf_dir, "1M").withColumn("volume", F.round("volume", 6))
+
+
+
+@register(
     "resample_from_base",
     f"""
     WITH bars1m AS (
@@ -2127,8 +2149,9 @@ _DRIVER_ORDER = [
 
 _missing = [n for n in _DRIVER_ORDER if n not in QUERIES]
 assert not _missing, f"_DRIVER_ORDER names not registered: {_missing}"
-_tail = ["window_bollinger"] + [
-    n for n in QUERIES if n not in set(_DRIVER_ORDER) and n != "window_bollinger"
+_tail = ["window_bollinger", "resample_ohlcv_1M"] + [
+    n for n in QUERIES
+    if n not in set(_DRIVER_ORDER) and n not in ("window_bollinger", "resample_ohlcv_1M")
 ]
 _ordered = _DRIVER_ORDER + _tail
 assert len(_ordered) == len(QUERIES)
