@@ -2079,6 +2079,87 @@ def q_window_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register(
+    "pretraining_pipeline",
+    """
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             n_chars / CAST(len(string_split(text, ' ')) AS DOUBLE) AS score
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, lang, text, score,
+             row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY lang) AS cnt
+      FROM scored),
+    quality AS (
+      SELECT doc_id, lang, text FROM ranked WHERE rn <= ceil(cnt * 0.5)),
+    deduped AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text,
+               row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rh
+        FROM quality)
+      WHERE rh = 1),
+    train AS (SELECT * FROM deduped WHERE doc_id % 97 <> 0),
+    all_grams AS (
+      SELECT doc_id, array_to_string(t[i:i+2], ' ') AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           unnest(range(1, len(t) - 2 + 1)) AS u(i)
+      WHERE len(t) >= 3),
+    bench AS (SELECT DISTINCT gram FROM all_grams WHERE doc_id % 97 = 0),
+    train_grams AS (
+      SELECT tr.doc_id, array_to_string(t[i:i+2], ' ') AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM train) tr,
+           unnest(range(1, len(t) - 2 + 1)) AS u(i)
+      WHERE len(t) >= 3),
+    contaminated AS (
+      SELECT DISTINCT g.doc_id FROM train_grams g JOIN bench b USING (gram)),
+    clean AS (
+      SELECT tr.* FROM train tr LEFT JOIN contaminated c USING (doc_id)
+      WHERE c.doc_id IS NULL),
+    toks AS (
+      SELECT doc_id, doc_id % 4 AS shard,
+             len(string_split(text, ' ')) AS n_tok
+      FROM clean),
+    cum AS (
+      SELECT shard, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) AS c
+      FROM toks)
+    SELECT shard, CAST(floor((c - n_tok) / 512.0) AS BIGINT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM cum GROUP BY 1, 2
+    """,
+)
+def q_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pretraining-data pass: per-language quality filter (top
+    half) -> exact dedup -> test-set decontamination (vs the doc_id %% 97
+    eval split) -> sequence packing into 512-token shards. One query proving
+    the curation operators COMPOSE: still only stratum-/shard-keyed window
+    passes, one broadcast gram semi-join, and hash-keyed dedup — no shape in
+    the composition that a 100 TB corpus breaks."""
+    docs = load_table(spark, sf_dir, "documents")
+    quality = CU.quality_quantile_filter(docs, keep_fraction=0.5).select(
+        "doc_id", "lang", "text"
+    )
+    deduped = D.dedup_exact(quality)
+    train = deduped.where(F.col("doc_id") % 97 != 0)
+    bench = docs.where(F.col("doc_id") % 97 == 0)
+    hits = CU.decontaminate(train, bench, n=3, keep_cols=())
+    clean = train.join(hits.select("doc_id"), on="doc_id", how="left_anti")
+    packed = CU.pack_sequences(clean, budget=512, n_shards=4)
+    return packed.select(
+        F.col("shard").cast("long").alias("shard"),
+        "seq_id",
+        "n_docs",
+        "total_tokens",
+        "first_doc",
+        "last_doc",
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # driver presentation order
 # ---------------------------------------------------------------------------
@@ -2149,9 +2230,10 @@ _DRIVER_ORDER = [
 
 _missing = [n for n in _DRIVER_ORDER if n not in QUERIES]
 assert not _missing, f"_DRIVER_ORDER names not registered: {_missing}"
-_tail = ["window_bollinger", "resample_ohlcv_1M"] + [
+_tail = ["pretraining_pipeline", "window_bollinger", "resample_ohlcv_1M"] + [
     n for n in QUERIES
-    if n not in set(_DRIVER_ORDER) and n not in ("window_bollinger", "resample_ohlcv_1M")
+    if n not in set(_DRIVER_ORDER)
+    and n not in ("pretraining_pipeline", "window_bollinger", "resample_ohlcv_1M")
 ]
 _ordered = _DRIVER_ORDER + _tail
 assert len(_ordered) == len(QUERIES)
