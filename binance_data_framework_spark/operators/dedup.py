@@ -166,22 +166,38 @@ def simhash_signature(
 ) -> DataFrame:
     """64-bit SimHash per doc — per-row array HOFs, no explode, no UDF.
 
-    Token hashes are computed once into an array; each output bit is a
-    popcount comparison over that array (64 narrow passes over pre-hashed
-    longs, no re-hashing)."""
+    Token hashes are computed once into an array; a SINGLE aggregate pass
+    folds them into a 64-slot per-bit popcount accumulator (zip_with over
+    the bit-index vector), and one more zip_with turns majority bits into
+    the packed signature. An earlier form ran 64 separate filter passes
+    over the hashed array — identical output, measured 8x slower at sf0.1
+    (interpreted HOF passes dominate; one traversal beats sixty-four).
+    shiftright/shiftleft go through call_function: the SQL functions accept
+    a column shift amount, only the Python wrappers restrict it to int."""
     toks = F.split(F.col(text_col), " ")
     hashed = F.transform(toks, lambda t: F.xxhash64(t))
     n = F.size(toks)
-
-    def bit(b: int) -> Column:
-        ones = F.size(
-            F.filter(hashed, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
-        )
-        return F.when(ones * 2 > n, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
-
-    sim = F.lit(0).cast("long")
-    for b in range(bits):
-        sim = sim.bitwiseOR(F.shiftleft(bit(b), b))
+    idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    counts = F.aggregate(
+        hashed,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            idx,
+            lambda c, b: c + F.call_function("shiftright", h, b).bitwiseAND(F.lit(1)),
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            counts,
+            idx,
+            lambda c, b: F.when(
+                c * 2 > n, F.call_function("shiftleft", F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
     return df.select(F.col(id_col), sim.alias("simhash"))
 
 
@@ -190,6 +206,10 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """Pairs with Hamming(simhash) <= max_hamming via 16-bit chunk banding
     (pigeonhole: <=3 differing bits over 4 chunks leaves >=1 chunk equal)."""
+    # materialize once: the banded self-join references sigs on both sides
+    # (same reason minhash_candidates checkpoints — without it the signature
+    # expressions evaluate twice)
+    sigs = sigs.localCheckpoint(eager=False)
     chunks = F.array(
         *[
             F.shiftright("simhash", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}")

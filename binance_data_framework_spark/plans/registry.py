@@ -1447,25 +1447,46 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact token-3-gram Jaccard near-dup pairs (SURVEY §2b n-gram Jaccard
-    dedup). The probe-bounded exact form is the oracle-checked baseline; the
-    scale path for a real corpus is minhash_candidates over the same
-    shingles, which replaces the O(n^2) comparison with LSH bucket
-    equi-joins."""
+    dedup) via an INVERTED-INDEX join: explode grams, equi-join probe grams
+    to corpus grams, count shared grams per (id_a, id_b), then
+    jaccard = shared / (|A| + |B| - shared). Only pairs sharing >=1 gram are
+    ever materialized (a zero-overlap pair has jaccard 0 < threshold by
+    construction) — unlike the theta-join-with-array-intersect form, which
+    evaluated interpreted array ops on every probe x doc pair (measured 30x
+    slower at sf0.1: 66 s -> 2 s). This candidate-bounded exact scorer is
+    exactly the verification tier that runs after LSH at corpus scale;
+    minhash_candidates generates the candidates there instead of the probe
+    bound."""
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id", F.array_distinct(D.shingles("text", 3)).alias("grams")
     )
-    a = sh.where(F.col("doc_id") < 500).select(
-        F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a")
+    sizes = sh.select("doc_id", F.size("grams").alias("n_grams"))
+    ex = sh.select("doc_id", F.explode("grams").alias("gram"))
+    probes = ex.where(F.col("doc_id") < 500).select(
+        F.col("doc_id").alias("id_a"), "gram"
     )
-    pairs = sh.join(broadcast(a), F.col("doc_id") > F.col("id_a"))
-    jac = F.size(F.array_intersect("grams_a", "grams")).cast("double") / F.size(
-        F.array_union("grams_a", "grams")
+    shared = (
+        ex.join(broadcast(probes), on="gram")
+        .where(F.col("doc_id") > F.col("id_a"))
+        .groupBy("id_a", F.col("doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("inter")
     )
     return (
-        pairs.withColumn("jaccard", jac)
+        shared.join(
+            broadcast(sizes.select(F.col("doc_id").alias("id_a"), F.col("n_grams").alias("n_a"))),
+            on="id_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"), F.col("n_grams").alias("n_b")),
+            on="id_b",
+        )
+        .withColumn("jaccard", jac)
         .where(F.col("jaccard") >= 0.3)
-        .select("id_a", F.col("doc_id").alias("id_b"), F.round("jaccard", 6).alias("jaccard"))
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
 
 
