@@ -2181,6 +2181,65 @@ def q_pretraining_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register(
+    "agg_cube",
+    """
+    SELECT event_type AS symbol,
+           date_trunc('day', ts)::TIMESTAMP AS day,
+           round(sum(value), 6) AS volume,
+           count(*) AS n_events
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-08'
+    GROUP BY CUBE (1, 2)
+    """,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (completing the ROLLUP family of rollup_volume):
+    all four (symbol, day) grouping combinations in ONE aggregation pass —
+    Spark expands the grouping sets map-side, so the shuffle carries
+    partial aggregates per set, not four scans."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts") < F.lit("2024-01-08").cast("timestamp")
+    )
+    return (
+        ev.cube(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc("day", "ts").alias("day"),
+        )
+        .agg(
+            F.round(F.sum("value"), 6).alias("volume"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "unpivot_ohlcv",
+    f"""
+    WITH bars AS ({_BARS_1H_SQL})
+    SELECT symbol, bucket, field, round(value, 6) AS value
+    FROM (SELECT symbol, bucket, open, high, low, close FROM bars)
+    UNPIVOT (value FOR field IN (open, high, low, close))
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long melt of the OHLC columns (the inverse of pivot_close):
+    F.unpivot is a narrow 4x row expansion — no shuffle, no UDF; the
+    long form feeds normalization/plotting layers."""
+    bars = _bars_1h(spark, sf_dir)
+    return (
+        bars.select("symbol", "bucket", "open", "high", "low", "close")
+        .unpivot(
+            ["symbol", "bucket"],
+            ["open", "high", "low", "close"],
+            "field",
+            "value",
+        )
+        .withColumn("value", F.round("value", 6))
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # driver presentation order
 # ---------------------------------------------------------------------------
@@ -2251,10 +2310,10 @@ _DRIVER_ORDER = [
 
 _missing = [n for n in _DRIVER_ORDER if n not in QUERIES]
 assert not _missing, f"_DRIVER_ORDER names not registered: {_missing}"
-_tail = ["pretraining_pipeline", "window_bollinger", "resample_ohlcv_1M"] + [
+_tail = ["pretraining_pipeline", "window_bollinger", "resample_ohlcv_1M", "agg_cube", "unpivot_ohlcv"] + [
     n for n in QUERIES
     if n not in set(_DRIVER_ORDER)
-    and n not in ("pretraining_pipeline", "window_bollinger", "resample_ohlcv_1M")
+    and n not in ("pretraining_pipeline", "window_bollinger", "resample_ohlcv_1M", "agg_cube", "unpivot_ohlcv")
 ]
 _ordered = _DRIVER_ORDER + _tail
 assert len(_ordered) == len(QUERIES)
