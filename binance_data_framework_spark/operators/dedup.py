@@ -254,8 +254,13 @@ def cluster_min_label(
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    )
-    labels = ids.select(F.col(id_col).alias("src"), F.col(id_col).alias("label"))
+    ).localCheckpoint(eager=False)
+    # Only nodes touching an edge can ever change label: iterate over THEM
+    # (|candidate-pair endpoints| — tiny vs the corpus), and union the
+    # untouched ids back as singleton clusters at the end. The loop's
+    # frames shrink from corpus-sized to duplicate-graph-sized.
+    nodes = edges.select("src").distinct()
+    labels = nodes.select("src", F.col("src").alias("label"))
     prev_sum = None
     for _ in range(max_iter):
         neigh = (
@@ -280,4 +285,10 @@ def cluster_min_label(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    return labels.select(F.col("src").alias(id_col), F.col("label").alias("cluster_id"))
+    singletons = ids.join(
+        nodes.withColumnRenamed("src", id_col), on=id_col, how="left_anti"
+    ).select(F.col(id_col), F.col(id_col).alias("cluster_id"))
+    return (
+        labels.select(F.col("src").alias(id_col), F.col("label").alias("cluster_id"))
+        .unionByName(singletons)
+    )
