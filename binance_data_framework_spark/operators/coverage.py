@@ -73,26 +73,21 @@ def coverage_check(
     )
 
 
-def gap_antijoin(
+def expected_buckets(
     df: DataFrame,
     timeframe: str,
-    spark: SparkSession | None = None,
     key_col: str = "symbol",
     ts_col: str = "bucket",
 ) -> DataFrame:
-    """Missing-bar detection — the gap-fill design the reference planned but
-    never implemented (plan.md:79-80).
+    """Per-series expected bucket timeline from min to max observed bucket.
 
-    Per series: expected bucket timeline anti-joined against present
-    buckets. The timeline is generated in TWO stages so no single task ever
-    materializes a series' full history: (1) explode the series' day range
-    (n_days rows), (2) redistribute the (series, day) rows, (3) per day,
-    generate only that day's grid points — arrays bounded by bars-per-day
-    (1440 for 1m), never bars-per-series (a 10-year 1m series is a ~5M-
-    element array if built in one shot). The grid stays anchored at the
-    series' min bucket, so the two-stage timeline is element-identical to
-    sequence(min, max, bar). No driver loop, no collect; the anti-join
-    shuffles on (key, bucket) like any equi-join.
+    Generated in TWO stages so no single task ever materializes a series'
+    full history: (1) explode the series' day range (n_days rows), (2)
+    redistribute the (series, day) rows, (3) per day, generate only that
+    day's grid points — arrays bounded by bars-per-day (1440 for 1m), never
+    bars-per-series (a 10-year 1m series is a ~5M-element array if built in
+    one shot). The grid stays anchored at the series' min bucket, so the
+    two-stage timeline is element-identical to sequence(min, max, bar).
     """
     from binance_data_framework_spark.functions.timeframes import TIMEFRAME_MS
 
@@ -128,7 +123,7 @@ def gap_antijoin(
         ).cast("long")
         * bar_ms
     )
-    expected = days.where(start_ms <= end_ms).select(
+    return days.where(start_ms <= end_ms).select(
         F.col(key_col),
         F.explode(
             F.sequence(
@@ -138,6 +133,49 @@ def gap_antijoin(
             )
         ).alias(ts_col),
     )
+
+
+def gap_antijoin(
+    df: DataFrame,
+    timeframe: str,
+    spark: SparkSession | None = None,
+    key_col: str = "symbol",
+    ts_col: str = "bucket",
+) -> DataFrame:
+    """Missing-bar detection — the gap-fill design the reference planned but
+    never implemented (plan.md:79-80): the expected timeline
+    (expected_buckets) anti-joined against present buckets. No driver loop,
+    no collect; the anti-join shuffles on (key, bucket) like any equi-join.
+    """
+    expected = expected_buckets(df, timeframe, key_col, ts_col)
     return expected.join(
         df.select(key_col, ts_col), on=[key_col, ts_col], how="left_anti"
     ).select(F.col(key_col).alias("symbol"), F.col(ts_col).alias("missing_bucket"))
+
+
+def fill_forward(
+    bars: DataFrame,
+    timeframe: str,
+    key_col: str = "symbol",
+    ts_col: str = "bucket",
+    value_cols: tuple[str, ...] = ("close",),
+) -> DataFrame:
+    """Calendar-complete series: left-join bars onto the expected timeline
+    and carry the last observation forward into the holes (the consumption-
+    side complement of gap_antijoin's detect-and-fetch: analysis layers get
+    a gapless series even before the fetch lands). One (key, bucket)
+    equi-join plus one series-keyed window pass; `is_filled` marks
+    synthesized rows."""
+    from pyspark.sql import Window
+
+    grid = expected_buckets(bars, timeframe, key_col, ts_col)
+    joined = grid.join(bars, on=[key_col, ts_col], how="left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = joined.withColumn("is_filled", F.col(value_cols[0]).isNull())
+    for c in value_cols:
+        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return out

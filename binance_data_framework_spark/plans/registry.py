@@ -2240,6 +2240,73 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register(
+    "window_drawdown",
+    f"""
+    WITH bars AS ({_BARS_1H_SQL})
+    SELECT symbol, bucket, close,
+           round(max(close) OVER w, 6) AS peak,
+           round(close / max(close) OVER w - 1, 6) AS drawdown
+    FROM bars
+    WINDOW w AS (PARTITION BY symbol ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def q_window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-peak drawdown per series (close / running max - 1): the
+    classic risk metric over the same keyed unbounded-preceding frame as
+    the coverage aggregates — one series-hash partitioning, windows local."""
+    bars = _bars_1h(spark, sf_dir)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    peak = F.max("close").over(w)
+    return bars.select(
+        "symbol",
+        "bucket",
+        "close",
+        F.round(peak, 6).alias("peak"),
+        F.round(F.col("close") / peak - 1, 6).alias("drawdown"),
+    )
+
+
+@register(
+    "fill_gaps_forward",
+    f"""
+    WITH bars AS ({_BARS_1H_SQL}),
+    bounds AS (SELECT symbol, min(bucket) AS mn, max(bucket) AS mx FROM bars GROUP BY 1),
+    grid AS (
+      SELECT symbol, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+      FROM bounds),
+    j AS (
+      SELECT g.symbol, g.bucket, b.close, b.close IS NULL AS is_filled
+      FROM grid g LEFT JOIN bars b USING (symbol, bucket))
+    SELECT symbol, bucket,
+           round(last_value(close IGNORE NULLS) OVER (
+             PARTITION BY symbol ORDER BY bucket ROWS UNBOUNDED PRECEDING), 6)
+             AS close,
+           is_filled
+    FROM j
+    """,
+)
+def q_fill_gaps_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-complete forward-filled series (operators/coverage.
+    fill_forward): the consumption-side complement of gap_antijoin — holes
+    in the hourly timeline are synthesized with the last observation
+    carried forward and flagged `is_filled`. Timeline generation is the
+    day-chunked expected_buckets (bounded arrays at any series length);
+    the fill itself is one equi-join + one keyed window pass."""
+    from binance_data_framework_spark.operators.coverage import fill_forward
+
+    bars = _bars_1h(spark, sf_dir)
+    out = fill_forward(bars, "1h", value_cols=("close",))
+    return out.select(
+        "symbol", "bucket", F.round("close", 6).alias("close"), "is_filled"
+    )
+
+
+
 # ---------------------------------------------------------------------------
 # driver presentation order
 # ---------------------------------------------------------------------------
@@ -2310,10 +2377,12 @@ _DRIVER_ORDER = [
 
 _missing = [n for n in _DRIVER_ORDER if n not in QUERIES]
 assert not _missing, f"_DRIVER_ORDER names not registered: {_missing}"
-_tail = ["pretraining_pipeline", "window_bollinger", "resample_ohlcv_1M", "agg_cube", "unpivot_ohlcv"] + [
+_tail = ["pretraining_pipeline", "fill_gaps_forward", "window_bollinger", "window_drawdown",
+         "resample_ohlcv_1M", "agg_cube", "unpivot_ohlcv"] + [
     n for n in QUERIES
     if n not in set(_DRIVER_ORDER)
-    and n not in ("pretraining_pipeline", "window_bollinger", "resample_ohlcv_1M", "agg_cube", "unpivot_ohlcv")
+    and n not in ("pretraining_pipeline", "fill_gaps_forward", "window_bollinger",
+                  "window_drawdown", "resample_ohlcv_1M", "agg_cube", "unpivot_ohlcv")
 ]
 _ordered = _DRIVER_ORDER + _tail
 assert len(_ordered) == len(QUERIES)
