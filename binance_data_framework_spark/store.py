@@ -85,6 +85,13 @@ class OhlcvStore:
         incoming range are never read and never rewritten (the reference's
         SQLite rewrites nothing but holds everything in one B-tree; a naive
         Spark translation rewrote the whole series per batch).
+
+        Concurrency caveat: dynamic partition overwrite replaces files
+        non-atomically, so a READER scanning a day mid-rewrite can hit a
+        transient FILE_NOT_EXIST (retry resolves it). Single-writer-per-
+        series is assumed (reference parity: one SQLite connection); a
+        transactional table format (Delta/Iceberg) is the upgrade path for
+        concurrent reader snapshots.
         """
         incoming = (
             df.withColumn("symbol", F.lit(symbol))
