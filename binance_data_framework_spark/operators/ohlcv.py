@@ -219,6 +219,40 @@ def with_ewma(
     )
 
 
+def with_rsi(
+    bars: DataFrame,
+    n: int = 14,
+    value_col: str = "close",
+    ts_col: str = "bucket",
+    key_col: str = "symbol",
+) -> DataFrame:
+    """Relative Strength Index per series via grouped `applyInPandas` —
+    Wilder's smoothing is ORDER-RECURSIVE (ewm with alpha=1/n over
+    gains/losses), the same legitimate per-group Pandas case as with_ewma.
+    One shuffle keyed by the series; vectorized pandas kernel per group.
+    RSI is null until n+1 observations exist (standard warm-up)."""
+    import pandas as pd
+
+    schema = f"{key_col} string, {ts_col} timestamp, {value_col} double, rsi double"
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        delta = pdf[value_col].diff()
+        gain = delta.clip(lower=0.0)
+        loss = (-delta).clip(lower=0.0)
+        avg_gain = gain.ewm(alpha=1.0 / n, adjust=False, min_periods=n + 1).mean()
+        avg_loss = loss.ewm(alpha=1.0 / n, adjust=False, min_periods=n + 1).mean()
+        rs = avg_gain / avg_loss
+        rsi = 100.0 - 100.0 / (1.0 + rs)
+        rsi = rsi.where(avg_loss != 0.0, 100.0)  # all-gain window pegs at 100
+        pdf["rsi"] = rsi.where(avg_gain.notna() & avg_loss.notna()).round(6)
+        return pdf[[key_col, ts_col, value_col, "rsi"]]
+
+    return bars.select(key_col, ts_col, value_col).groupBy(key_col).applyInPandas(
+        fn, schema
+    )
+
+
 def with_bollinger(
     bars: DataFrame,
     n: int = 20,

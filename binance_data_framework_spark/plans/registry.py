@@ -2307,6 +2307,18 @@ def q_fill_gaps_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+@register("window_rsi")
+def q_window_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-bar RSI per series (operators/ohlcv.with_rsi): Wilder's smoothing
+    is order-recursive like EWMA, hence grouped applyInPandas and a
+    rows-only driver check; exactness vs a reference pandas implementation
+    is pytest-verified (tests/test_resample.py)."""
+    from binance_data_framework_spark.operators.ohlcv import with_rsi
+
+    return with_rsi(_bars_1h(spark, sf_dir), 14)
+
+
+
 # ---------------------------------------------------------------------------
 # driver presentation order
 # ---------------------------------------------------------------------------
@@ -2377,12 +2389,13 @@ _DRIVER_ORDER = [
 
 _missing = [n for n in _DRIVER_ORDER if n not in QUERIES]
 assert not _missing, f"_DRIVER_ORDER names not registered: {_missing}"
-_tail = ["pretraining_pipeline", "fill_gaps_forward", "window_bollinger", "window_drawdown",
+_tail = ["pretraining_pipeline", "fill_gaps_forward", "window_bollinger", "window_drawdown", "window_rsi",
          "resample_ohlcv_1M", "agg_cube", "unpivot_ohlcv"] + [
     n for n in QUERIES
     if n not in set(_DRIVER_ORDER)
     and n not in ("pretraining_pipeline", "fill_gaps_forward", "window_bollinger",
-                  "window_drawdown", "resample_ohlcv_1M", "agg_cube", "unpivot_ohlcv")
+                  "window_drawdown", "window_rsi", "resample_ohlcv_1M", "agg_cube",
+                  "unpivot_ohlcv")
 ]
 _ordered = _DRIVER_ORDER + _tail
 assert len(_ordered) == len(QUERIES)

@@ -105,3 +105,41 @@ def test_gap_antijoin_day_chunked_grid_exact(spark):
             for r in gap_antijoin(df, tf, spark=spark).collect()
         }
         assert missing == dropped, f"{tf}: {sorted(missing)} != {sorted(dropped)}"
+
+
+def test_rsi_matches_reference_pandas(spark):
+    """with_rsi equals a straight pandas Wilder-RSI computed per series."""
+    import numpy as np
+    import pandas as pd
+
+    from binance_data_framework_spark.operators.ohlcv import with_rsi
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for sym in ("A", "B"):
+        px = 100.0 + np.cumsum(rng.normal(0, 1, 60))
+        rows += [
+            (sym, pd.Timestamp("2024-01-01") + pd.Timedelta(hours=i), float(p))
+            for i, p in enumerate(px)
+        ]
+    pdf = pd.DataFrame(rows, columns=["symbol", "bucket", "close"])
+    bars = spark.createDataFrame(pdf.assign(bucket=pdf.bucket.astype("datetime64[us]")))
+    got = (
+        with_rsi(bars, 14)
+        .toPandas()
+        .sort_values(["symbol", "bucket"])
+        .reset_index(drop=True)
+    )
+    for sym in ("A", "B"):
+        ref = pdf[pdf.symbol == sym].sort_values("bucket")
+        delta = ref.close.diff()
+        ag = delta.clip(lower=0).ewm(alpha=1 / 14, adjust=False, min_periods=15).mean()
+        al = (-delta).clip(lower=0).ewm(alpha=1 / 14, adjust=False, min_periods=15).mean()
+        expect = (100 - 100 / (1 + ag / al)).round(6)
+        sub = got[got.symbol == sym]
+        assert sub.rsi.head(14).isna().all()  # warm-up
+        pd.testing.assert_series_equal(
+            sub.rsi.reset_index(drop=True),
+            expect.reset_index(drop=True),
+            check_names=False,
+        )
