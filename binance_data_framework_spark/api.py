@@ -168,12 +168,22 @@ class CacheOrFetchLoader:
             .agg(F.min("r_start").alias("r_start"), F.max("r_end").alias("r_end"))
             .select("r_start", "r_end")
         )
+        # Collect the fetch ranges as epoch ms, not timestamps: a collected
+        # TimestampType is a naive datetime in the PROCESS-local tz, and
+        # re-pinning it UTC on a non-UTC driver would shift every fetch
+        # window by the UTC offset (holes never fill, refetch every call).
         ranges = sorted(
-            interior.unionByName(stitched).collect(), key=lambda r: r["r_start"]
+            interior.unionByName(stitched)
+            .select(
+                F.unix_millis("r_start").alias("r_start_ms"),
+                F.unix_millis("r_end").alias("r_end_ms"),
+            )
+            .collect(),
+            key=lambda r: r["r_start_ms"],
         )
         for r in ranges:
             fetched = self.source.to_ohlcv(
-                spark, symbol, timeframe, _utc_ms(r["r_start"]), _utc_ms(r["r_end"])
+                spark, symbol, timeframe, r["r_start_ms"], r["r_end_ms"]
             )
             if fetched.limit(1).count() > 0:
                 self.store.save_data(fetched, symbol, timeframe)

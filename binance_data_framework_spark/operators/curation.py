@@ -32,9 +32,19 @@ from pyspark.sql import functions as F
 
 # Knuth multiplicative-hash constants: deterministic, engine-portable
 # (plain int64 arithmetic — reproducible in any SQL engine, unlike
-# engine-specific hash functions or RNG samplers).
+# engine-specific hash functions or RNG samplers). Ids are reduced mod 2^31
+# BEFORE the multiply so the product stays within int64 for ANY int64 id
+# ((2^31-1)*_MULT ~ 5.7e18 < 2^63-1): under Spark 4 ANSI mode / DuckDB an
+# unreduced doc_id above ~3.5e9 would raise at runtime. For ids < 2^31 the
+# reduction is the identity, so sample membership is unchanged.
 _MULT = 2654435761
 _LCG_A, _LCG_C, _LCG_M = 1103515245, 12345, 2147483648
+_ID_MOD = 2147483648  # 2^31
+
+
+def _mixed_id(id_col: str) -> Column:
+    """id mod 2^31 — the overflow-safe multiplicand for the hash mixes."""
+    return F.pmod(F.col(id_col), F.lit(_ID_MOD))
 
 
 def whitespace_tokens(text_col: str = "text") -> Column:
@@ -89,7 +99,7 @@ def sample_stratified(
     rate = F.lit(default_rate)
     for k, v in rates.items():
         rate = F.when(F.col(stratum_col) == k, F.lit(v)).otherwise(rate)
-    keep = F.pmod(F.col(id_col) * F.lit(_MULT), F.lit(100)) < rate
+    keep = F.pmod(_mixed_id(id_col) * F.lit(_MULT), F.lit(100)) < rate
     return df.where(keep)
 
 
@@ -103,7 +113,7 @@ def sample_reservoir(
     LCG mix of the id within each stratum, keep rank <= k. One shuffle on
     the stratum key carrying (stratum, hash, id) only; swap in
     operators/skew's two-phase top-k when a stratum is pathologically hot."""
-    h = F.pmod(F.col(id_col) * F.lit(_LCG_A) + F.lit(_LCG_C), F.lit(_LCG_M))
+    h = F.pmod(_mixed_id(id_col) * F.lit(_LCG_A) + F.lit(_LCG_C), F.lit(_LCG_M))
     w = Window.partitionBy(stratum_col).orderBy(h.alias("h"), F.col(id_col))
     return (
         df.withColumn("rk", F.row_number().over(w).cast("long"))

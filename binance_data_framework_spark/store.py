@@ -102,12 +102,19 @@ class OhlcvStore:
         if self._exists():
             # Bound the merge: the incoming batch is the small side (a fetch
             # page / micro-batch); computing its ts bounds is one cheap job.
+            # Bounds must be computed as DateType IN Spark: collecting a
+            # TimestampType goes through datetime.fromtimestamp (PROCESS-local
+            # tz) while the dt partition column is to_date(ts) under the UTC
+            # session tz — on a non-UTC driver a .date() on the collected
+            # value can shift the merge window by a day and silently drop
+            # stored rows near midnight. DateType round-trips tz-free.
             bounds = incoming.agg(
-                F.min("ts").alias("lo"), F.max("ts").alias("hi")
+                F.min(F.to_date("ts")).alias("lo_d"),
+                F.max(F.to_date("ts")).alias("hi_d"),
             ).first()
-            if bounds["lo"] is None:
+            if bounds["lo_d"] is None:
                 return True  # empty batch: nothing to merge or rewrite
-            lo_d, hi_d = bounds["lo"].date(), bounds["hi"].date()
+            lo_d, hi_d = bounds["lo_d"], bounds["hi_d"]
             stored = (
                 self._read_all(with_dt=True)
                 .where(

@@ -96,3 +96,22 @@ def test_decontaminate_short_docs_match_nothing(spark):
     )
     hits = {r["doc_id"]: r["n_shared"] for r in CU.decontaminate(train, bench, n=3).collect()}
     assert hits == {2: 1}  # only 'alpha beta gamma'; 2-token doc 1 is gram-free
+
+
+def test_sample_hashes_survive_large_ids(spark):
+    """Ids above 2^31 must not overflow the int64 hash arithmetic (Spark 4
+    ANSI mode raises on overflow): the id is reduced mod 2^31 before the
+    multiply. For ids < 2^31 the reduction is the identity, so existing
+    sample membership (and the SQL oracles) are unchanged."""
+    big = spark.range(2**33, 2**33 + 1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        F.lit("wiki").alias("source"),
+        F.lit("alpha beta gamma").alias("text"),
+        F.lit(15).alias("n_chars"),
+    )
+    strat = CU.sample_stratified(big, rates={"en": 50})
+    n = strat.count()
+    assert 0 < n < 1000  # no ArithmeticException, and actually selective
+    res = CU.sample_reservoir(big, k=25)
+    assert res.count() == 25

@@ -541,3 +541,51 @@ def test_stream_kline_source_to_store_end_to_end(spark, tmp_path):
     assert out.count() == 8  # bars t0..t0+7h; the still-open t0+8h bucket never lands
     first = out.select(F.unix_millis("ts").alias("ms"), "open").orderBy("ms").first()
     assert (first["ms"], first["open"]) == (t0_ms, 100.0)
+
+
+def test_incremental_fetch_ranges_process_tz_independent(spark, tmp_path):
+    """Hole-fill fetch windows are collected as epoch ms, never via naive
+    local datetimes: pre-fix, a non-UTC driver shifted every fetch range by
+    the UTC offset, so the actual hole was never filled (and re-detected on
+    every call)."""
+    import os
+    import time as _time
+
+    fetch, _ = fake_exchange(n_bars=30)
+    recorded = []
+
+    def recording_fetch(symbol, interval, start_ms, end_ms, limit):
+        recorded.append((start_ms, end_ms))
+        return fetch(symbol, interval, start_ms, end_ms, limit)
+
+    store = OhlcvStore(spark, str(tmp_path / "store_tz"))
+    loader = CacheOrFetchLoader(store, PagedKlineSource(recording_fetch, page_size=1000))
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    loader.load("BTCUSDT", "1h", t0, t0 + timedelta(hours=9), now=t0)
+    loader.load(
+        "BTCUSDT", "1h", t0 + timedelta(hours=20), t0 + timedelta(hours=29), now=t0
+    )
+    recorded.clear()
+    old = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    _time.tzset()
+    try:
+        out = loader.load_incremental("BTCUSDT", "1h", t0, t0 + timedelta(hours=29))
+        n = out.count()
+    finally:
+        if old is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old
+        _time.tzset()
+    assert n == 30
+    assert recorded == [(T0_MS + 10 * HOUR_MS, T0_MS + 19 * HOUR_MS)]
+
+
+def test_kline_stream_reader_rejects_unknown_interval():
+    """KlineStreamReader validates interval at construction (same contract
+    as KlineReader) instead of surfacing a bare KeyError at stream start."""
+    from binance_data_framework_spark.sources.kline_datasource import KlineStreamReader
+
+    with pytest.raises(ValueError, match="unknown interval"):
+        KlineStreamReader({"symbol": "BTCUSDT", "interval": "7x", "start_ms": "0"})

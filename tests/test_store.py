@@ -175,3 +175,42 @@ def test_save_writes_one_file_per_day_partition(store, spark):
             f for f in os.listdir(os.path.join(base, day)) if f.endswith(".parquet")
         ]
         assert len(files) == 1, f"{day}: {files}"
+
+
+def test_save_data_process_tz_independent(store, spark):
+    """Ranged upsert must compute its merge-day window tz-free: collecting
+    timestamp bounds yields naive PROCESS-local datetimes, so under a
+    non-UTC tz an early-UTC-day batch would map to the PREVIOUS local day,
+    the stored tail of the UTC day would never be read into the merge, and
+    dynamic overwrite would replace that day's partition with only the
+    incoming rows — silent deletion near midnight. Bounds are now DateType
+    computed in Spark (days since epoch, tz-free)."""
+    import os
+    import time
+    from datetime import timezone as _tz
+
+    store.save_data(_bars(spark, T0, 24, 100.0), "BTCUSDT", "1h")
+    # incoming = first 5 hours of the SAME UTC day; tz-aware datetimes so
+    # the DataFrame itself is tz-stable — only save_data's bounds path varies
+    rows = [
+        (datetime(2024, 1, 1, h, tzinfo=_tz.utc), 500.0, 501.0, 499.0, 500.0, 1.0)
+        for h in range(5)
+    ]
+    incoming = spark.createDataFrame(
+        rows,
+        "ts timestamp, open double, high double, low double, close double, volume double",
+    )
+    old = os.environ.get("TZ")
+    os.environ["TZ"] = "America/New_York"
+    time.tzset()
+    try:
+        store.save_data(incoming, "BTCUSDT", "1h")
+    finally:
+        if old is None:
+            os.environ.pop("TZ", None)
+        else:
+            os.environ["TZ"] = old
+        time.tzset()
+    out = store.get_data("BTCUSDT", "1h")
+    assert out.count() == 24  # hours 5..23 survived the ranged merge
+    assert out.where(F.col("ts") == T0).first()["open"] == 500.0  # new rows won
