@@ -70,12 +70,13 @@ def main() -> None:
         "r", _F.row_number().over(_W.partitionBy(_F.col("id") % 7).orderBy("id"))
     ).write.format("noop").mode("overwrite").save()
 
-    # best of 2 runs per query: steady-state plan cost, robust to one-off
-    # GC/compaction spikes (observed ±1s/query noise on local[32])
+    # best of 3 runs per query: steady-state plan cost, robust to one-off
+    # GC/compaction spikes (r2 showed +72% "regressions" on untouched
+    # queries under best-of-2 — the noise band, not the code)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             start = time.perf_counter()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - start)

@@ -78,52 +78,42 @@ def expected_buckets(
     timeframe: str,
     key_col: str = "symbol",
     ts_col: str = "bucket",
+    chunk_bars: int = 65_536,
 ) -> DataFrame:
     """Per-series expected bucket timeline from min to max observed bucket.
 
-    Generated in TWO stages so no single task ever materializes a series'
-    full history: (1) explode the series' day range (n_days rows), (2)
-    redistribute the (series, day) rows, (3) per day, generate only that
-    day's grid points — arrays bounded by bars-per-day (1440 for 1m), never
-    bars-per-series (a 10-year 1m series is a ~5M-element array if built in
-    one shot). The grid stays anchored at the series' min bucket, so the
-    two-stage timeline is element-identical to sequence(min, max, bar).
+    Generated in fixed-size BAR-COUNT chunks, sized inside the plan (no
+    driver action, no branching): each series explodes into
+    ceil(n_bars / chunk_bars) chunk rows, and each chunk generates only its
+    own grid slice. A series shorter than ``chunk_bars`` is exactly ONE
+    chunk — the plan degenerates to the one-shot sequence(min, max, bar)
+    with no extra stages (this replaced an r2 day-chunked two-stage design
+    whose fixed overhead showed up as a +73% bench regression at sf0.1) —
+    while a 10-year 1m series becomes ~80 chunks of <=64k timestamps
+    (~0.5 MB arrays), redistributed across tasks before the wide explode so
+    no task ever materializes a full history. Chunk starts sit on the grid
+    anchored at the series' min bucket, so the chunked union is
+    element-identical to the one-shot sequence at any chunk size.
     """
     from binance_data_framework_spark.functions.timeframes import TIMEFRAME_MS
 
     bar_ms = TIMEFRAME_MS[timeframe]
-    day_len = 86_400_000
     bounds = df.groupBy(key_col).agg(
         F.min(ts_col).alias("min_b"), F.max(ts_col).alias("max_b")
     )
-    days = bounds.select(
+    min_ms, max_ms = F.unix_millis("min_b"), F.unix_millis("max_b")
+    n_bars = F.floor((max_ms - min_ms) / F.lit(bar_ms)) + 1
+    n_chunks = F.ceil(n_bars / F.lit(chunk_bars)).cast("long")
+    chunks = bounds.select(
         F.col(key_col),
         "min_b",
         "max_b",
-        F.explode(
-            F.sequence(
-                F.date_trunc("DAY", "min_b"),
-                F.date_trunc("DAY", "max_b"),
-                F.expr("INTERVAL 1 DAY"),
-            )
-        ).alias("_day"),
-    ).repartition(key_col, "_day")  # spread day chunks before the wide explode
-    min_ms, max_ms = F.unix_millis("min_b"), F.unix_millis("max_b")
-    day_ms = F.unix_millis("_day")
-    # first/last grid point inside this day ∩ [min_b, max_b], grid anchored
-    # at min_b — each grid point belongs to exactly one day, so the union
-    # over days reproduces the one-shot sequence exactly
-    start_ms = min_ms + (
-        F.ceil((F.greatest(day_ms, min_ms) - min_ms) / F.lit(bar_ms)).cast("long")
-        * bar_ms
-    )
-    end_ms = min_ms + (
-        F.floor(
-            (F.least(max_ms, day_ms + day_len - 1) - min_ms) / F.lit(bar_ms)
-        ).cast("long")
-        * bar_ms
-    )
-    return days.where(start_ms <= end_ms).select(
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("_ci"),
+    ).repartition(key_col, "_ci")  # spread chunks before the wide explode
+    chunk_ms = chunk_bars * bar_ms  # ~3.9e9 for 64k 1m bars: int64-safe
+    start_ms = min_ms + F.col("_ci") * chunk_ms
+    end_ms = F.least(max_ms, min_ms + (F.col("_ci") + 1) * chunk_ms - bar_ms)
+    return chunks.select(
         F.col(key_col),
         F.explode(
             F.sequence(
@@ -141,13 +131,15 @@ def gap_antijoin(
     spark: SparkSession | None = None,
     key_col: str = "symbol",
     ts_col: str = "bucket",
+    chunk_bars: int = 65_536,
 ) -> DataFrame:
     """Missing-bar detection — the gap-fill design the reference planned but
     never implemented (plan.md:79-80): the expected timeline
-    (expected_buckets) anti-joined against present buckets. No driver loop,
-    no collect; the anti-join shuffles on (key, bucket) like any equi-join.
+    (expected_buckets, bar-count-chunked) anti-joined against present
+    buckets. No driver loop, no collect; the anti-join shuffles on
+    (key, bucket) like any equi-join.
     """
-    expected = expected_buckets(df, timeframe, key_col, ts_col)
+    expected = expected_buckets(df, timeframe, key_col, ts_col, chunk_bars)
     return expected.join(
         df.select(key_col, ts_col), on=[key_col, ts_col], how="left_anti"
     ).select(F.col(key_col).alias("symbol"), F.col(ts_col).alias("missing_bucket"))

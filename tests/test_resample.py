@@ -84,27 +84,34 @@ def test_ewma_matches_pandas(spark, sf_dir):
         assert (g["ewma"].to_numpy() == expect.to_numpy()).all()
 
 
-def test_gap_antijoin_day_chunked_grid_exact(spark):
-    """The two-stage (day-chunked) expected timeline must equal the one-shot
-    sequence for off-midnight anchors and bars that don't divide a day:
-    missing buckets == exactly the dropped grid points."""
+def test_gap_antijoin_chunked_grid_exact(spark):
+    """The bar-count-chunked expected timeline must equal the ideal grid at
+    any chunk size — single-chunk (default 64k) and forced multi-chunk
+    (chunk_bars=7, exercising interior + ragged-final chunk boundaries) —
+    for off-midnight anchors and bars that don't divide a day: missing
+    buckets == exactly the dropped grid points on either shape."""
     from datetime import datetime, timedelta
 
     from binance_data_framework_spark.operators.coverage import gap_antijoin
 
     anchor = datetime(2024, 1, 1, 7, 30)  # off-grid vs midnight
-    for tf, step_h, n in (("1h", 1, 60), ("3d", 72, 9)):
-        grid = [anchor + timedelta(hours=step_h * i) for i in range(n)]
-        dropped = set(grid[7::5])
-        present = [t for t in grid if t not in dropped]
-        df = spark.createDataFrame(
-            [("S", t) for t in present], "symbol string, bucket timestamp"
-        )
-        missing = {
-            r["missing_bucket"]
-            for r in gap_antijoin(df, tf, spark=spark).collect()
-        }
-        assert missing == dropped, f"{tf}: {sorted(missing)} != {sorted(dropped)}"
+    for chunk_bars in (65_536, 7):  # one chunk / many ragged chunks
+        for tf, step_h, n in (("1h", 1, 60), ("3d", 72, 9)):
+            grid = [anchor + timedelta(hours=step_h * i) for i in range(n)]
+            dropped = set(grid[7::5])
+            present = [t for t in grid if t not in dropped]
+            df = spark.createDataFrame(
+                [("S", t) for t in present], "symbol string, bucket timestamp"
+            )
+            missing = {
+                r["missing_bucket"]
+                for r in gap_antijoin(
+                    df, tf, spark=spark, chunk_bars=chunk_bars
+                ).collect()
+            }
+            assert missing == dropped, (
+                f"chunk_bars={chunk_bars} {tf}: {sorted(missing)} != {sorted(dropped)}"
+            )
 
 
 def test_rsi_matches_reference_pandas(spark):
