@@ -161,8 +161,36 @@ def dedup_near_minhash(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def portable_token_hash(t: Column) -> Column:
+    """Engine-portable 62-bit token hash: two 31-bit polynomial rolling
+    hashes over the token's code points (mod the Mersenne prime 2^31-1 and
+    its neighbor), packed as hi*2^31 + lo. Pure int64 arithmetic + HOFs, so
+    ANY SQL engine with list lambdas (DuckDB list_transform/list_reduce)
+    computes bit-identical values — this is what lets the driver hash-match
+    the whole simhash fold against an independent engine. Production
+    simhash defaults to xxhash64 (JVM-native, ~free); this hash exists for
+    cross-engine verifiability, not speed."""
+    chars = F.when(F.length(t) > 0, F.transform(
+        F.sequence(F.lit(1), F.length(t)),
+        lambda i: F.ascii(F.substr(t, i, F.lit(1))).cast("long"),
+    )).otherwise(F.array().cast("array<long>"))
+    h1 = F.aggregate(
+        chars, F.lit(7).cast("long"),
+        lambda a, c: F.pmod(a * F.lit(31) + c, F.lit(2147483647)),
+    )
+    h2 = F.aggregate(
+        chars, F.lit(7).cast("long"),
+        lambda a, c: F.pmod(a * F.lit(37) + c, F.lit(2147483629)),
+    )
+    return h1 * F.lit(2147483648).cast("long") + h2
+
+
 def simhash_signature(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    token_hash=None,
 ) -> DataFrame:
     """64-bit SimHash per doc — per-row array HOFs, no explode, no UDF.
 
@@ -173,9 +201,13 @@ def simhash_signature(
     over the hashed array — identical output, measured 8x slower at sf0.1
     (interpreted HOF passes dominate; one traversal beats sixty-four).
     shiftright/shiftleft go through call_function: the SQL functions accept
-    a column shift amount, only the Python wrappers restrict it to int."""
+    a column shift amount, only the Python wrappers restrict it to int.
+
+    ``token_hash`` swaps the per-token hash primitive: default xxhash64
+    (fast, JVM-only); pass ``portable_token_hash`` (with bits=62) for the
+    cross-engine-verifiable variant the driver oracle-checks."""
     toks = F.split(F.col(text_col), " ")
-    hashed = F.transform(toks, lambda t: F.xxhash64(t))
+    hashed = F.transform(toks, token_hash or (lambda t: F.xxhash64(t)))
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.lit(bits - 1))
     counts = F.aggregate(

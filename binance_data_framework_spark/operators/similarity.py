@@ -330,3 +330,240 @@ def topk_cosine_lsh(
         .where(F.col("rank") <= k)
         .select("probe_id", id_col, "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantized re-rank compression (the 100 TB ANN memory path)
+# ---------------------------------------------------------------------------
+
+
+def _pq_codes_udf(books: list[list[list[float]]], sub_dim: int):
+    """Vectorized PQ encoding: residual -> M codebook indices (argmin L2 per
+    subspace), one Arrow batch at a time. Ties break to the lowest index
+    (np.argmin), so encoding is deterministic."""
+    b3 = np.asarray(books, dtype=np.float64)  # M x ksub x sub_dim
+    bn = (b3 * b3).sum(axis=2)  # M x ksub
+    m_sub = len(books)
+
+    @pandas_udf("array<int>")
+    def codes(r: pd.Series) -> pd.Series:
+        mr = np.vstack(r.to_numpy())
+        rows = mr.reshape(len(mr), m_sub, sub_dim)
+        out = np.empty((len(mr), m_sub), dtype=np.int32)
+        for m in range(m_sub):
+            d = bn[m][None, :] - 2.0 * (rows[:, m, :] @ b3[m].T)
+            out[:, m] = np.argmin(d, axis=1)
+        return pd.Series(list(out))
+
+    return codes
+
+
+def _residual_udf(centroids: list[list[float]]):
+    cm = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("array<double>")
+    def resid(v: pd.Series, c: pd.Series) -> pd.Series:
+        mv = np.vstack(v.to_numpy())
+        return pd.Series(list(mv - cm[c.to_numpy()]))
+
+    return resid
+
+
+def pq_train(
+    residuals: DataFrame,
+    m_sub: int = 8,
+    ksub: int = 16,
+    n_iter: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    resid_col: str = "_r",
+) -> list[list[list[float]]]:
+    """Train M per-subspace codebooks (Lloyd's) over residual sub-vectors.
+
+    ALL subspaces train together in one DataFrame job per iteration: explode
+    each residual into its M sub-vectors, assign against the current
+    codebooks in one vectorized pass, update with a (subspace, code,
+    component)-keyed avg — map-side partial combine bounds every executor's
+    output at m_sub*ksub*sub_dim rows regardless of corpus size. Only the
+    codebooks (m_sub x ksub x sub_dim floats) reach the driver. Init =
+    lowest-id sub-vectors (deterministic, no RNG), mirroring kmeans_fit."""
+    sub_dim = dim // m_sub
+    subs = residuals.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[F.slice(resid_col, m * sub_dim + 1, sub_dim) for m in range(m_sub)]
+            )
+        ).alias("_m", "_s"),
+    )
+    w = Window.partitionBy("_m").orderBy(id_col)
+    init_rows = (
+        subs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= ksub)
+        .select("_m", "_rn", "_s")
+        .collect()
+    )
+    books: list[list[list[float]]] = [
+        [[0.0] * sub_dim for _ in range(ksub)] for _ in range(m_sub)
+    ]
+    for row in init_rows:
+        books[row["_m"]][row["_rn"] - 1] = list(row["_s"])
+
+    for _ in range(n_iter):
+        b3 = np.asarray(books, dtype=np.float64)
+        bn = (b3 * b3).sum(axis=2)
+
+        @pandas_udf("int")
+        def assign(m: pd.Series, s: pd.Series) -> pd.Series:
+            sv = np.vstack(s.to_numpy())
+            ms = m.to_numpy()
+            out = np.empty(len(sv), dtype=np.int32)
+            for mm in np.unique(ms):
+                mask = ms == mm
+                d = bn[mm][None, :] - 2.0 * (sv[mask] @ b3[mm].T)
+                out[mask] = np.argmin(d, axis=1)
+            return pd.Series(out)
+
+        means = (
+            subs.withColumn("_code", assign("_m", "_s"))
+            .select("_m", "_code", F.posexplode("_s").alias("_pos", "_x"))
+            .groupBy("_m", "_code", "_pos")
+            .agg(F.avg("_x").alias("_mean"))
+            .collect()
+        )
+        new = [[list(c) for c in bm] for bm in books]  # empty codes keep old
+        for r in means:
+            new[r["_m"]][r["_code"]][r["_pos"]] = r["_mean"]
+        books = new
+    return books
+
+
+def _adc_udf(
+    centroids: list[list[float]], books: list[list[list[float]]], sub_dim: int
+):
+    """Asymmetric-distance (ADC) approximate dot product:
+    dot(p, v) ~ dot(p, cell_centroid) + sum_m table_m[code_m], where
+    table_m[j] = dot(p_sub_m, codebook_m[j]). Lookup tables are built once
+    per UNIQUE probe per Arrow batch (probes repeat across candidate rows),
+    then gathered per candidate — the candidate side contributes only its
+    M-byte code."""
+    cm = np.asarray(centroids, dtype=np.float64)
+    b3 = np.asarray(books, dtype=np.float64)
+    m_sub = len(books)
+
+    @pandas_udf("double")
+    def adc(pid: pd.Series, pv: pd.Series, c: pd.Series, codes: pd.Series) -> pd.Series:
+        ids = pid.to_numpy()
+        uniq, first_idx, inv = np.unique(ids, return_index=True, return_inverse=True)
+        full = np.vstack(pv.to_numpy())
+        pu = full[first_idx]  # one probe row per unique probe
+        pus = pu.reshape(len(uniq), m_sub, sub_dim)
+        # tables: m_sub x n_uniq x ksub
+        tables = np.stack([pus[:, m, :] @ b3[m].T for m in range(m_sub)])
+        cd = np.vstack(codes.to_numpy())  # rows x m_sub
+        score = np.einsum("ij,ij->i", full, cm[c.to_numpy()])
+        for m in range(m_sub):
+            score = score + tables[m][inv, cd[:, m]]
+        return pd.Series(score)
+
+    return adc
+
+
+def topk_cosine_ivfpq(
+    df: DataFrame,
+    probe_filter: Column,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    dim: int = 64,
+    m_sub: int = 8,
+    ksub: int = 16,
+    refine: int = 4,
+) -> DataFrame:
+    """IVF-PQ with exact re-rank: the coarse IVF quantizer prunes to nprobe
+    cells, an ADC scan over PRODUCT-QUANTIZED codes shortlists k*refine
+    candidates per probe, and only the shortlist joins back its exact
+    vectors for the final cosine re-rank.
+
+    Why this is the 100 TB path: inside the probed cells the scan carries
+    (id, cell, M-byte code) — 8-16 bytes of payload per candidate instead of
+    a dim*8-byte vector (64x compression at dim=64/M=8) — so the
+    probes-x-cell-candidates stage moves bytes proportional to codes, not
+    vectors. Full vectors cross the wire only for the k*refine shortlist
+    (bounded per probe, independent of corpus size). Recall is bounded by
+    the IVF cell choice (as topk_cosine_ivf) times ADC shortlist quality;
+    `refine` buys shortlist recall back at 8 bytes/candidate. Final scores
+    are EXACT cosines of the shortlist — approximation affects which
+    candidates are ranked, never the reported values."""
+    centroids = kmeans_fit(df, n_centroids, 3, id_col, vec_col, dim)
+    cm = np.asarray(centroids, dtype=np.float64)
+    cn = (cm * cm).sum(axis=1)
+    sub_dim = dim // m_sub
+
+    base = with_norm(df, vec_col).withColumn("_c", _assign_udf(centroids)(F.col("_v")))
+    base = base.localCheckpoint(eager=False)
+    resid = base.select(
+        id_col, "_c", _residual_udf(centroids)(F.col("_v"), F.col("_c")).alias("_r")
+    )
+    books = pq_train(resid, m_sub, ksub, 2, dim, id_col)
+    coded = resid.select(
+        id_col, "_c", _pq_codes_udf(books, sub_dim)(F.col("_r")).alias("_code")
+    ).localCheckpoint(eager=False)
+
+    @pandas_udf("array<int>")
+    def probe_cells(v: pd.Series) -> pd.Series:
+        m = np.vstack(v.to_numpy())
+        d = cn[None, :] - 2.0 * (m @ cm.T)
+        order = np.argsort(d, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    probe_rows = base.where(probe_filter).select(
+        F.col(id_col).alias("probe_id"),
+        F.col("_v").alias("_pv"),
+        F.col("_norm").alias("_pnorm"),
+    )
+    probes = base.where(probe_filter).select(
+        F.col(id_col).alias("probe_id"),
+        F.col("_v").alias("_pv"),
+        F.explode(probe_cells(F.col("_v"))).alias("_c"),
+    )
+    adc = _adc_udf(centroids, books, sub_dim)
+    shortlist = (
+        coded.join(broadcast(probes), on="_c")
+        .where(F.col(id_col) != F.col("probe_id"))
+        .select(
+            "probe_id",
+            id_col,
+            adc(F.col("probe_id"), F.col("_pv"), F.col("_c"), F.col("_code")).alias(
+                "_adc"
+            ),
+        )
+    )
+    ws = Window.partitionBy("probe_id").orderBy(F.desc("_adc"), F.col(id_col))
+    short = (
+        shortlist.withColumn("_sr", F.row_number().over(ws))
+        .where(F.col("_sr") <= k * refine)
+        .select("probe_id", id_col)
+    )
+    # exact re-rank: ONLY the shortlist pulls full vectors
+    cand = base.select(id_col, F.col("_v").alias("_cv"), F.col("_norm").alias("_cnorm"))
+    dot2 = _pair_dot_udf()
+    rer = (
+        short.join(cand, on=id_col)
+        .join(broadcast(probe_rows), on="probe_id")
+        .select(
+            "probe_id",
+            id_col,
+            (dot2(F.col("_pv"), F.col("_cv")) / (F.col("_pnorm") * F.col("_cnorm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        rer.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("probe_id", id_col, "cosine", "rank")
+    )

@@ -1595,12 +1595,34 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_candidates(sigs, threshold=0.3)
 
 
-@register("window_ewma")
+@register(
+    "window_ewma",
+    f"""
+    WITH RECURSIVE bars AS ({_BARS_1H_SQL}),
+    nb AS (
+      SELECT symbol, bucket, close,
+             CAST(row_number() OVER (PARTITION BY symbol ORDER BY bucket)
+                  AS BIGINT) AS rn
+      FROM bars
+    ),
+    rec AS (
+      SELECT symbol, bucket, close, rn, close AS ewma_raw
+      FROM nb WHERE rn = 1
+      UNION ALL
+      SELECT nb.symbol, nb.bucket, nb.close, nb.rn,
+             0.8::DOUBLE * rec.ewma_raw + 0.2::DOUBLE * nb.close
+      FROM rec JOIN nb ON nb.symbol = rec.symbol AND nb.rn = rec.rn + 1
+    )
+    SELECT symbol, bucket, close, round(ewma_raw, 6) AS ewma FROM rec
+    """,
+)
 def q_window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-series EWMA via grouped applyInPandas (order-recursive — outside
-    builtin window frames; see operators/ohlcv.with_ewma). No SQL oracle
-    (DuckDB has no ewm); pytest checks exact equality against pandas' own
-    ewm on the same bars."""
+    builtin window frames; see operators/ohlcv.with_ewma). Oracle: DuckDB
+    recursive CTE computing the identical adjust=False recurrence
+    y_t = (1-a)*y_{{t-1}} + a*x_t seeded with the first close — same double
+    arithmetic, so values hash-match after the shared 6-dp round. pytest
+    additionally checks exact equality against pandas' own ewm."""
     from binance_data_framework_spark.operators.ohlcv import with_ewma
 
     return with_ewma(_bars_1h(spark, sf_dir), alpha=0.2)
@@ -1642,11 +1664,47 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.cluster_min_label(pairs, docs.select("doc_id"), "doc_id")
 
 
-@register("dedup_simhash")
+@register(
+    "dedup_simhash",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n,
+             list_transform(toks, t ->
+               list_reduce(
+                 list_prepend(7::BIGINT, list_transform(range(1, length(t) + 1),
+                                                        i -> ord(substr(t, i, 1))::BIGINT)),
+                 (a, c) -> (a * 31 + c) % 2147483647)
+               * 2147483648
+               + list_reduce(
+                 list_prepend(7::BIGINT, list_transform(range(1, length(t) + 1),
+                                                        i -> ord(substr(t, i, 1))::BIGINT)),
+                 (a, c) -> (a * 37 + c) % 2147483629)
+             ) AS hashed
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(coalesce(list_sum(list_transform(range(0, 62), b ->
+             CASE WHEN 2 * list_sum(list_transform(hashed, x -> (x >> b) & 1)) > n
+                  THEN (1::BIGINT << b) ELSE 0::BIGINT END)), 0) AS BIGINT) AS simhash
+    FROM h
+    """,
+)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash signatures (near-pair detection tested in pytest)."""
+    """SimHash signatures, driver-verifiable variant: the engine-portable
+    62-bit polynomial token hash (operators/dedup.portable_token_hash)
+    replaces xxhash64 so DuckDB reproduces the token hashes with list
+    lambdas and the ENTIRE signature fold (per-bit popcount accumulator ->
+    majority -> packed bits) is hash-match verified cross-engine.
+    Production default stays xxhash64 (same fold, JVM-native hash);
+    near-pair detection on the xxhash64 path is pytest-verified."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_signature(docs)
+    return D.simhash_signature(
+        docs, bits=62, token_hash=D.portable_token_hash
+    )
 
 
 @register("topk_similarity_lsh")
@@ -1766,6 +1824,20 @@ def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     path — each probe searches nprobe coarse cells only."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.topk_cosine_ivf(emb, F.col("vec_id") < 5, k=10).withColumn(
+        "cosine", F.round("cosine", 6)
+    )
+
+
+@register("topk_similarity_pq")
+def q_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k (operators/similarity.topk_cosine_ivfpq): product-
+    quantized ADC shortlist (8-byte codes instead of 512-byte vectors inside
+    the probed cells — the 100 TB ANN memory path) + exact cosine re-rank of
+    k*refine candidates. Rows-only by design (approximate candidate
+    selection); recall-vs-exact, exactness-of-reported-scores, and
+    determinism invariants are pytest-verified (tests/test_extensions.py)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.topk_cosine_ivfpq(emb, F.col("vec_id") < 5, k=10).withColumn(
         "cosine", F.round("cosine", 6)
     )
 
@@ -2362,6 +2434,7 @@ _DRIVER_ORDER = [
     "cohort_retention",
     "topk_skew_salted",
     "topk_similarity_ivf",
+    "topk_similarity_pq",
     "asof_align",
     "multimodal_features",
     "pack_sequences",

@@ -173,3 +173,45 @@ def test_cluster_min_label_long_chain_converges(spark):
         for r in D.cluster_min_label(pairs, ids, "doc_id").collect()
     }
     assert set(labels.values()) == {0}, f"chain split into {set(labels.values())}"
+
+
+def test_ivfpq_topk_invariants(spark, sf_dir):
+    """IVF-PQ with exact re-rank: reported scores are exact cosines (ADC
+    approximation only selects the shortlist), ranks are monotone, and
+    recall against the exact baseline stays within the IVF cell bound."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = S.topk_cosine(emb, F.col("vec_id") < 5, k=10).toPandas()
+    approx = S.topk_cosine_ivfpq(emb, F.col("vec_id") < 5, k=10).toPandas()
+    assert (approx.groupby("probe_id").size() <= 10).all()
+    for _, g in approx.groupby("probe_id"):
+        g = g.sort_values("rank")
+        assert (g["cosine"].diff().dropna() <= 1e-12).all()
+    merged = approx.merge(
+        exact, on=["probe_id", "vec_id"], how="left", suffixes=("_a", "_e")
+    )
+    both = merged["cosine_e"].notna()
+    # re-ranked scores are the exact cosine wherever the exact path scored
+    assert (merged.loc[both, "cosine_a"] - merged.loc[both, "cosine_e"]).abs().max() < 1e-6
+    assert both.mean() > 0.2  # nprobe=4/16 cells x ADC shortlist recall
+    # determinism: the full pipeline (kmeans + PQ + ADC + re-rank) is RNG-free
+    again = S.topk_cosine_ivfpq(emb, F.col("vec_id") < 5, k=10).toPandas()
+    assert approx.sort_values(["probe_id", "rank"]).reset_index(drop=True).equals(
+        again.sort_values(["probe_id", "rank"]).reset_index(drop=True)
+    )
+
+
+def test_pq_codes_shape(spark, sf_dir):
+    """PQ encoding invariants: M codes per vector, every code < ksub."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.kmeans_fit(emb, n_centroids=8, n_iter=2)
+    base = S.with_norm(emb).withColumn("_c", S._assign_udf(cents)(F.col("_v")))
+    resid = base.select(
+        "vec_id", "_c", S._residual_udf(cents)(F.col("_v"), F.col("_c")).alias("_r")
+    )
+    books = S.pq_train(resid, m_sub=8, ksub=16, n_iter=1)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    codes = resid.select(
+        S._pq_codes_udf(books, 8)(F.col("_r")).alias("_code")
+    ).toPandas()
+    assert codes["_code"].map(len).eq(8).all()
+    assert codes["_code"].map(max).lt(16).all() and codes["_code"].map(min).ge(0).all()
