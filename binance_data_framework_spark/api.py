@@ -196,20 +196,36 @@ class CacheOrFetchLoader:
         start: datetime,
         end: datetime,
         now: datetime | None = None,
+        max_workers: int = 8,
     ) -> DataFrame:
         """Bulk load (reference UI per-click symbol loop,
         colab_interface.py:228-243): each symbol runs the cache-or-fetch
-        kernel; results union into ONE DataFrame with the symbol column
-        (SURVEY §1.4 — the reference's dict[symbol -> DataFrame] becomes a
-        filterable column, and per-symbol fetches are independent jobs, so
-        at scale the reference's sequential loop becomes embarrassingly
-        parallel ingestion)."""
+        kernel CONCURRENTLY via a driver thread pool — Spark schedules jobs
+        submitted from multiple threads independently, so the coverage
+        probes, REST fetches, and upsert writes of different symbols
+        interleave and a 50-symbol backfill costs ~the slowest symbol, not
+        the sum (the reference's loop is strictly sequential). Safe because
+        the store's manifest commit rebase-serializes concurrent
+        different-series writers (store._commit_lock); for executor-parallel
+        paging WITHIN one symbol's range, the `binance_klines` DataSource is
+        the complementary path (sources/kline_datasource.py).
+
+        Results union into ONE DataFrame with the symbol column (SURVEY
+        §1.4 — the reference's dict[symbol -> DataFrame] becomes a
+        filterable column)."""
+        from concurrent.futures import ThreadPoolExecutor
+
         if not symbols:
             raise ValueError("symbols must be a non-empty list")
-        out = None
-        for sym in symbols:
-            df = self.load(sym, timeframe, start, end, now=now)
-            out = df if out is None else out.unionByName(df)
+        with ThreadPoolExecutor(max_workers=min(max_workers, len(symbols))) as pool:
+            futures = [
+                pool.submit(self.load, sym, timeframe, start, end, now=now)
+                for sym in symbols
+            ]
+            frames = [f.result() for f in futures]
+        out = frames[0]
+        for df in frames[1:]:
+            out = out.unionByName(df)
         return out
 
     def load_resampled(

@@ -6,20 +6,40 @@ rows sorted by ts inside each file — partition pruning replaces the
 reference's idx_symbol/idx_timeframe, the ``dt`` date partition bounds every
 rewrite to the touched days, and row-group min/max stats replace
 idx_timestamp (database_handler.py:120-125). Upsert = union-with-overlapping-
-days + precedence-aware dedup + dynamic partition overwrite, replacing SQLite
-``INSERT OR REPLACE`` (database_handler.py:215-218) WITHOUT the
-whole-partition write amplification: appending one day to a multi-year series
-reads and rewrites only that day's files. The API surface mirrors the
-reference's five public methods (README.md:82-114).
+days + precedence-aware dedup, replacing SQLite ``INSERT OR REPLACE``
+(database_handler.py:215-218) WITHOUT the whole-partition write
+amplification: appending one day to a multi-year series reads and rewrites
+only that day's files. The API surface mirrors the reference's five public
+methods (README.md:82-114).
 
-All filesystem metadata ops (existence probe, partition drop) go through the
-Hadoop FileSystem API resolved from the store root, so the same code runs on
-local disk, HDFS, or an object store (s3a/abfs/gs) — the layouts a 100 TB
-deployment actually lives on.
+SNAPSHOT COMMITS (the no-table-format-in-container stand-in for Delta/
+Iceberg): writers never delete data files in place. An upsert APPENDS
+uniquely-named parquet files for the touched days, then publishes a new
+versioned manifest (``_manifests/v{N}.json``, an atomic rename) listing the
+store's exact current file set. Readers resolve the LATEST manifest and scan
+only its files — a reader concurrent with an upsert sees either the old or
+the new snapshot, never a half-rewritten day (the transient FILE_NOT_EXIST
+window of dynamic partition overwrite is gone). Each manifest records the
+files it superseded; those are physically deleted TWO COMMITS LATER (a live
+scan can lag up to two snapshots behind mid-flight and still find every
+file it planned), which keeps cleanup O(changed files), never O(store). Writes stay single-writer-per-series
+(reference parity: one SQLite connection); the upgrade path for multi-writer
+MERGE is a real table format, for which this manifest layer is the drop-in
+seam. At very large file counts the JSON manifest becomes the metadata
+bottleneck — the same point at which Delta moves to parquet checkpoint
+manifests; same fix applies.
+
+All filesystem ops (manifest read/write/rename, existence probe, vacuum) go
+through the Hadoop FileSystem API resolved from the store root, so the same
+code runs on local disk, HDFS, or an object store (s3a/abfs/gs) — the
+layouts a 100 TB deployment actually lives on.
 """
 
 from __future__ import annotations
 
+import json
+import threading
+import uuid
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,6 +50,11 @@ from binance_data_framework_spark.operators.coverage import coverage_check, meta
 
 KEY = ["ts", "symbol", "timeframe"]
 OHLCV_COLS = ["ts", "symbol", "timeframe", "open", "high", "low", "close", "volume"]
+_SCHEMA = (
+    "ts timestamp, symbol string, timeframe string, open double, high double, "
+    "low double, close double, volume double"
+)
+_MANIFEST_DIR = "_manifests"
 
 
 def _utc(d: datetime) -> datetime:
@@ -40,33 +65,179 @@ def _utc(d: datetime) -> datetime:
 
 
 class OhlcvStore:
-    """Partitioned-Parquet OHLCV store with reference-parity semantics."""
+    """Partitioned-Parquet OHLCV store with reference-parity semantics and
+    snapshot-manifest commits (see module docstring)."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
-        self.root = root
+        self.root = root.rstrip("/")
+        # serializes the read-rebase-commit critical section so concurrent
+        # DIFFERENT-series writers on this store instance (e.g. load_many's
+        # per-symbol threads) compose instead of losing updates; the Spark
+        # write jobs themselves still run in parallel outside the lock
+        self._commit_lock = threading.Lock()
 
-    # -- helpers ---------------------------------------------------------
+    # -- filesystem helpers ----------------------------------------------
     def _fs_path(self, *segments: str):
         """(FileSystem, Path) for root/segments via the Hadoop FS API —
         works identically for file://, hdfs://, s3a:// roots."""
         jvm = self.spark._jvm
-        uri = "/".join([self.root.rstrip("/"), *segments])
+        uri = "/".join([self.root, *segments])
         path = jvm.org.apache.hadoop.fs.Path(uri)
         fs = path.getFileSystem(self.spark._jsc.hadoopConfiguration())
         return fs, path
 
+    def _write_bytes(self, relpath: str, data: bytes) -> None:
+        fs, path = self._fs_path(relpath)
+        out = fs.create(path, True)
+        out.write(bytearray(data))
+        out.close()
+
+    def _read_bytes(self, relpath: str) -> bytes:
+        fs, path = self._fs_path(relpath)
+        stream = fs.open(path)
+        try:
+            # byte[] return values cross the Py4J bridge as Python bytes
+            return bytes(
+                self.spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            )
+        finally:
+            stream.close()
+
+    # -- manifest protocol -----------------------------------------------
+    def _manifest_versions(self) -> list[int]:
+        fs, mdir = self._fs_path(_MANIFEST_DIR)
+        if not fs.exists(mdir):
+            return []
+        out = []
+        for st in fs.listStatus(mdir):
+            name = st.getPath().getName()
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def _read_manifest(self, version: int) -> dict:
+        return json.loads(self._read_bytes(f"{_MANIFEST_DIR}/v{version:012d}.json"))
+
+    def _list_data_files(self, *segments: str) -> list[str]:
+        """Recursively list data files (relative to root) under
+        root/segments, skipping hidden/metadata entries. Scheme-agnostic:
+        relative paths come from URI path comparison, so file:///, hdfs://
+        and s3a:// roots all yield the same manifest entries."""
+        fs, base = self._fs_path(*segments)
+        if not fs.exists(base):
+            return []
+        _, root_path = self._fs_path()
+        root_str = root_path.toUri().getPath()
+        out = []
+        stack = [base]
+        while stack:
+            for st in fs.listStatus(stack.pop()):
+                p = st.getPath()
+                name = p.getName()
+                if name.startswith(("_", ".")):
+                    continue
+                if st.isDirectory():
+                    stack.append(p)
+                elif name.endswith(".parquet"):
+                    out.append(p.toUri().getPath()[len(root_str) + 1:])
+        return out
+
+    def _snapshot(self) -> dict | None:
+        """Latest committed manifest; bootstraps a v1 manifest from a legacy
+        (pre-manifest) directory layout on first contact. None = empty store."""
+        versions = self._manifest_versions()
+        if versions:
+            return self._read_manifest(versions[-1])
+        with self._commit_lock:
+            versions = self._manifest_versions()  # re-check under the lock
+            if versions:
+                return self._read_manifest(versions[-1])
+            legacy = self._list_data_files()
+            if legacy:
+                return self._commit(sorted(legacy), [], prev=None)
+        return None
+
+    def _commit(self, files: list[str], removed: list[str], prev: dict | None) -> dict:
+        """Publish a new snapshot atomically, then vacuum what the PREVIOUS
+        commit superseded (safe: after this commit, those files are two
+        snapshots old) plus manifests older than the previous one.
+
+        The publish is a tmp-write + rename — atomic on HDFS, object stores
+        with atomic rename, and POSIX. On HDFS a rename to an existing
+        version fails (CAS against concurrent writers); POSIX rename
+        replaces, so the single-writer-per-series contract (reference
+        parity) is what rules out lost updates there — readers are snapshot-
+        safe either way."""
+        version = (prev["version"] + 1) if prev else 1
+        man = {"version": version, "files": sorted(files), "removed": sorted(removed)}
+        fs, mdir = self._fs_path(_MANIFEST_DIR)
+        if not fs.exists(mdir):
+            fs.mkdirs(mdir)
+        tmp_rel = f"{_MANIFEST_DIR}/_tmp-{uuid.uuid4().hex}.json"
+        self._write_bytes(tmp_rel, json.dumps(man).encode())
+        _, tmp_path = self._fs_path(tmp_rel)
+        _, final_path = self._fs_path(f"{_MANIFEST_DIR}/v{version:012d}.json")
+        if not fs.rename(tmp_path, final_path):
+            fs.delete(tmp_path, False)
+            raise RuntimeError(
+                f"concurrent manifest commit detected for version {version} "
+                f"(store is single-writer-per-series)"
+            )
+        self._vacuum(version)
+        return man
+
+    def _vacuum(self, version: int) -> None:
+        """Two-commit retention: at commit vN, physically delete the files
+        superseded at commit v(N-2) and manifests below v(N-2). A scan that
+        resolved its snapshot up to two commits ago still finds every file
+        it planned — rapid successive upserts can't yank files from under a
+        long-running concurrent reader (the bound is retention, not luck;
+        raise it by keeping more trailing manifests if scans outlive two
+        commits). Deletion work is O(that commit's superseded files), never
+        O(store); emptied partition dirs are pruned on the way up."""
+        grace_v = version - 2
+        if grace_v < 1 or grace_v not in self._manifest_versions():
+            return
+        grace = self._read_manifest(grace_v)
+        fs, root_path = self._fs_path()
+        root_str = root_path.toUri().getPath()
+        for rel in grace.get("removed", []):
+            _, p = self._fs_path(rel)
+            if fs.exists(p):
+                fs.delete(p, False)
+                parent = p.getParent()
+                # prune now-empty partition dirs up to (not incl.) the root
+                while (
+                    parent is not None
+                    and parent.toUri().getPath() != root_str
+                    and fs.exists(parent)
+                    and len(fs.listStatus(parent)) == 0
+                ):
+                    fs.delete(parent, False)
+                    parent = parent.getParent()
+        for v in self._manifest_versions():
+            if v < grace_v:
+                _, mp = self._fs_path(f"{_MANIFEST_DIR}/v{v:012d}.json")
+                fs.delete(mp, False)
+
+    # -- read path --------------------------------------------------------
     def _exists(self) -> bool:
-        fs, root = self._fs_path()
-        if not fs.exists(root):
-            return False
-        return any(
-            st.getPath().getName().startswith("symbol=")
-            for st in fs.listStatus(root)
+        man = self._snapshot()
+        return bool(man and man["files"])
+
+    def _empty(self, with_dt: bool) -> DataFrame:
+        schema = _SCHEMA + (", dt date" if with_dt else "")
+        return self.spark.createDataFrame([], schema).select(
+            *(OHLCV_COLS + ["dt"] if with_dt else OHLCV_COLS)
         )
 
     def _read_all(self, with_dt: bool = False) -> DataFrame:
-        df = self.spark.read.option("basePath", self.root).parquet(self.root)
+        man = self._snapshot()
+        if not man or not man["files"]:
+            return self._empty(with_dt)
+        paths = [f"{self.root}/{f}" for f in man["files"]]
+        df = self.spark.read.option("basePath", self.root).parquet(*paths)
         return df if with_dt else df.select(*OHLCV_COLS)
 
     # -- reference API surface ------------------------------------------
@@ -77,21 +248,16 @@ class OhlcvStore:
         SQLite ``INSERT OR REPLACE`` parity — via an explicit source-rank +
         row_number (deterministic under shuffle; Spark has no PK).
 
-        Ranged merge: one tiny agg action bounds the incoming batch's
-        [min(ts), max(ts)]; only stored rows in the overlapping ``dt`` date
-        partitions are read into the merge, and dynamic partition overwrite
-        rewrites only the (symbol, timeframe, dt) partitions present in the
-        merged frame — i.e. exactly the incoming days. Days outside the
-        incoming range are never read and never rewritten (the reference's
-        SQLite rewrites nothing but holds everything in one B-tree; a naive
-        Spark translation rewrote the whole series per batch).
-
-        Concurrency caveat: dynamic partition overwrite replaces files
-        non-atomically, so a READER scanning a day mid-rewrite can hit a
-        transient FILE_NOT_EXIST (retry resolves it). Single-writer-per-
-        series is assumed (reference parity: one SQLite connection); a
-        transactional table format (Delta/Iceberg) is the upgrade path for
-        concurrent reader snapshots.
+        Ranged merge: one tiny agg action bounds the incoming batch's day
+        window; only stored rows in the overlapping ``dt`` date partitions
+        are read into the merge, and only those days' files are superseded.
+        Days outside the incoming range are never read and never rewritten
+        (the reference's SQLite rewrites nothing but holds everything in one
+        B-tree; a naive Spark translation rewrote the whole series per
+        batch). The new day files are APPENDED (unique part names), then the
+        snapshot manifest swap publishes them and retires the old files —
+        concurrent readers see the old or the new day, never neither (see
+        module docstring).
         """
         incoming = (
             df.withColumn("symbol", F.lit(symbol))
@@ -99,29 +265,36 @@ class OhlcvStore:
             .select(*OHLCV_COLS)
             .withColumn("_rank", F.lit(0))
         )
-        if self._exists():
-            # Bound the merge: the incoming batch is the small side (a fetch
-            # page / micro-batch); computing its ts bounds is one cheap job.
-            # Bounds must be computed as DateType IN Spark: collecting a
-            # TimestampType goes through datetime.fromtimestamp (PROCESS-local
-            # tz) while the dt partition column is to_date(ts) under the UTC
-            # session tz — on a non-UTC driver a .date() on the collected
-            # value can shift the merge window by a day and silently drop
-            # stored rows near midnight. DateType round-trips tz-free.
-            bounds = incoming.agg(
-                F.min(F.to_date("ts")).alias("lo_d"),
-                F.max(F.to_date("ts")).alias("hi_d"),
-            ).first()
-            if bounds["lo_d"] is None:
-                return True  # empty batch: nothing to merge or rewrite
-            lo_d, hi_d = bounds["lo_d"], bounds["hi_d"]
+        # Bounds must be computed as DateType IN Spark: collecting a
+        # TimestampType goes through datetime.fromtimestamp (PROCESS-local
+        # tz) while the dt partition column is to_date(ts) under the UTC
+        # session tz — on a non-UTC driver a .date() on the collected
+        # value can shift the merge window by a day and silently drop
+        # stored rows near midnight. DateType round-trips tz-free.
+        bounds = incoming.agg(
+            F.min(F.to_date("ts")).alias("lo_d"),
+            F.max(F.to_date("ts")).alias("hi_d"),
+        ).first()
+        if bounds["lo_d"] is None:
+            return True  # empty batch: nothing to merge or rewrite
+        lo_d, hi_d = bounds["lo_d"], bounds["hi_d"]
+        man = self._snapshot()
+        series_prefix = f"symbol={symbol}/timeframe={timeframe}/"
+
+        def _in_window(rel: str) -> bool:
+            if not rel.startswith(series_prefix):
+                return False
+            day = rel[len(series_prefix):].split("/", 1)[0]
+            if not day.startswith("dt="):
+                return False
+            d = datetime.strptime(day[3:], "%Y-%m-%d").date()
+            return lo_d <= d <= hi_d
+
+        superseded = [f for f in (man["files"] if man else []) if _in_window(f)]
+        if superseded:
             stored = (
-                self._read_all(with_dt=True)
-                .where(
-                    (F.col("symbol") == symbol)
-                    & (F.col("timeframe") == timeframe)
-                    & F.col("dt").between(F.lit(lo_d), F.lit(hi_d))
-                )
+                self.spark.read.option("basePath", self.root)
+                .parquet(*[f"{self.root}/{f}" for f in superseded])
                 .select(*OHLCV_COLS)
                 .withColumn("_rank", F.lit(1))
             )
@@ -132,6 +305,17 @@ class OhlcvStore:
             .where(F.col("_rn") == 1)
             .drop("_rank", "_rn")
         )
+        # Write to a PRIVATE staging dir, then FS-rename files into the
+        # final layout. Two reasons: (a) concurrent writers can't share one
+        # output root — Hadoop's FileOutputCommitter stages every job under
+        # root/_temporary, so parallel jobs (load_many's threads) corrupt
+        # each other's commits; (b) the staging listing IS the exact new
+        # file set — no diff-against-pre-listing, and a crashed writer's
+        # orphans sit invisibly in _staging-* (underscore-prefixed = ignored
+        # by readers and manifests), never adopted by a later commit. The
+        # renames are driver-side metadata ops, O(touched days); visibility
+        # is controlled by the manifest swap below, not by rename timing.
+        staging = f"_staging-{uuid.uuid4().hex}"
         (
             merged.withColumn("dt", F.to_date("ts"))
             # cluster by the physical partition key before writing: the merge
@@ -142,10 +326,31 @@ class OhlcvStore:
             .repartition("symbol", "timeframe", "dt")
             .sortWithinPartitions("ts")  # maximize row-group skipping on ts
             .write.partitionBy("symbol", "timeframe", "dt")
-            .option("partitionOverwriteMode", "dynamic")
             .mode("overwrite")
-            .save(self.root)
+            .save(f"{self.root}/{staging}")
         )
+        fs, staging_path = self._fs_path(staging)
+        new_files = []
+        for rel in self._list_data_files(staging):
+            dest_rel = rel.split("/", 1)[1]  # strip the staging prefix
+            _, src = self._fs_path(rel)
+            _, dst = self._fs_path(dest_rel)
+            fs.mkdirs(dst.getParent())
+            if not fs.rename(src, dst):
+                raise RuntimeError(f"failed to publish staged file {rel}")
+            new_files.append(dest_rel)
+        fs.delete(staging_path, True)
+        # commit-time rebase under the store lock: re-read the LATEST
+        # manifest (another thread may have committed a different series
+        # since our merge snapshot) and apply this write's delta to it —
+        # concurrent different-series writers compose; same-series writers
+        # remain the caller's single-writer contract
+        with self._commit_lock:
+            versions = self._manifest_versions()
+            latest = self._read_manifest(versions[-1]) if versions else None
+            sup = set(superseded)
+            files = [f for f in (latest["files"] if latest else []) if f not in sup]
+            self._commit(files + new_files, superseded, prev=latest)
         return True
 
     def get_data(
@@ -195,17 +400,24 @@ class OhlcvStore:
         return bool(row["covered"]), (row["start_ts"], row["end_ts"])
 
     def delete_data(self, symbol: str, timeframe: str) -> bool:
-        """Partition drop (reference delete_data, database_handler.py:243-255).
-        The partition IS the delete granule — recursive delete of the
-        directory through the Hadoop FS API (object-store safe); no rewrite
-        of unrelated data."""
-        fs, path = self._fs_path(f"symbol={symbol}", f"timeframe={timeframe}")
-        if not fs.exists(path):
+        """Series drop (reference delete_data, database_handler.py:243-255):
+        a manifest commit that retires every file of the series — logically
+        immediate and snapshot-safe for concurrent readers; the physical
+        files (and emptied dirs) are vacuumed at the next commit, same as an
+        upsert's superseded files. No rewrite of unrelated data ever."""
+        if not self._snapshot():  # bootstraps legacy layouts
             return False
-        fs.delete(path, True)
-        parent = path.getParent()
-        if fs.exists(parent) and len(fs.listStatus(parent)) == 0:
-            fs.delete(parent, False)
+        prefix = f"symbol={symbol}/timeframe={timeframe}/"
+        with self._commit_lock:
+            versions = self._manifest_versions()
+            man = self._read_manifest(versions[-1]) if versions else None
+            if not man:
+                return False
+            series_files = [f for f in man["files"] if f.startswith(prefix)]
+            if not series_files:
+                return False
+            remaining = [f for f in man["files"] if not f.startswith(prefix)]
+            self._commit(remaining, series_files, prev=man)
         return True
 
     def get_stored_info(self) -> DataFrame:

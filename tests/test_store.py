@@ -214,3 +214,80 @@ def test_save_data_process_tz_independent(store, spark):
     out = store.get_data("BTCUSDT", "1h")
     assert out.count() == 24  # hours 5..23 survived the ranged merge
     assert out.where(F.col("ts") == T0).first()["open"] == 500.0  # new rows won
+
+
+def test_concurrent_read_during_upsert(store, spark):
+    """Snapshot commits: a reader concurrent with a stream of upserts must
+    never hit a missing-file error (the transient FILE_NOT_EXIST window of
+    the old dynamic-partition-overwrite write path) and every observed
+    count is a committed snapshot's row count."""
+    import threading
+
+    store.save_data(_bars(spark, T0, 24, 100.0), "BTCUSDT", "1h")
+    errs, counts = [], []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                counts.append(store.get_data("BTCUSDT", "1h").count())
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+                return
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for i in range(5):
+            store.save_data(_bars(spark, T0, 24, 200.0 + i), "BTCUSDT", "1h")
+    finally:
+        stop.set()
+        t.join()
+    assert not errs, f"reader failed mid-upsert: {errs[:1]}"
+    assert counts and set(counts) == {24}  # always a full committed snapshot
+
+
+def test_manifest_snapshot_versions_and_vacuum(store, spark):
+    """Upserts append + commit, never delete in place: superseded day files
+    survive exactly two further commits (reader grace), then vacuum removes
+    them and prunes stale manifests."""
+    day = ["symbol=BTCUSDT", "timeframe=1h"]
+    store.save_data(_bars(spark, T0, 3, 100.0), "BTCUSDT", "1h")   # v1
+    assert len(store._list_data_files(*day)) == 1
+    store.save_data(_bars(spark, T0, 3, 200.0), "BTCUSDT", "1h")   # v2 supersedes v1's file
+    assert len(store._list_data_files(*day)) == 2  # old file still on disk (grace)
+    store.save_data(_bars(spark, T0, 3, 300.0), "BTCUSDT", "1h")   # v3 supersedes v2's
+    assert len(store._list_data_files(*day)) == 3  # v2-superseded still in grace
+    store.save_data(_bars(spark, T0, 3, 400.0), "BTCUSDT", "1h")   # v4: vacuums v2.removed
+    assert len(store._list_data_files(*day)) == 3  # v1's original file finally gone
+    # reads reflect only the latest snapshot throughout
+    rows = store.get_data("BTCUSDT", "1h").collect()
+    assert len(rows) == 3 and all(r["open"] >= 400.0 for r in rows)
+    # manifest dir retains only the trailing grace window
+    assert store._manifest_versions() == [2, 3, 4]
+
+
+def test_concurrent_different_series_saves_compose(store, spark):
+    """Commit-time rebase: two threads upserting DIFFERENT series on the
+    same store must both land (no lost update in the manifest swap)."""
+    import threading
+
+    errs = []
+
+    def save(sym, base):
+        try:
+            store.save_data(_bars(spark, T0, 12, base), sym, "1h")
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=save, args=(s, b))
+        for s, b in (("BTCUSDT", 100.0), ("ETHUSDT", 5.0), ("SOLUSDT", 1.0))
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    for sym in ("BTCUSDT", "ETHUSDT", "SOLUSDT"):
+        assert store.get_data(sym, "1h").count() == 12, sym
