@@ -79,13 +79,57 @@ def minhash_signature(
     shape for a 100 TB corpus.
     """
     sh = shingles(text_col, shingle_n)
-    sig = F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(F.lit(i), s)))
-            for i in range(num_hashes)
-        ]
-    )
+
+    # The seed column MUST be bound outside a single-parameter lambda: a
+    # `lambda s, i=i:` form has two parameters, which PySpark's HOF builder
+    # interprets as an (element, index) lambda — the "seed" silently becomes
+    # the shingle's ARRAY POSITION, identical for every slot, collapsing all
+    # num_hashes slots to one hash function (est_jaccard degenerates to
+    # {0,1}). Caught by the r3 cross-engine oracle for the portable variant;
+    # regression-tested by test_minhash_slots_are_independent.
+    def _slot(i: int) -> Column:
+        seed = F.lit(i)
+        return F.array_min(F.transform(sh, lambda s: F.xxhash64(seed, s)))
+
+    sig = F.array(*[_slot(i) for i in range(num_hashes)])
     return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_signature_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Engine-portable MinHash signatures: hash_i(s) = (a_i*H31(s) + b_i)
+    mod (2^31-1) over the portable 31-bit shingle hash, with a DISTINCT
+    multiplier per slot (a shared multiplier with per-slot offsets would
+    make every slot pick the same argmin shingle — perfectly correlated
+    slots, degenerate Jaccard estimates). Same plan shape as
+    minhash_signature (per-row HOFs, no explode/shuffle); the shingle-hash
+    array is checkpointed so the per-character polynomial runs ONCE per
+    shingle, not once per signature slot (Catalyst's projection collapse
+    would otherwise inline it num_hashes times). Exists so the driver can
+    hash-match the full MinHash+LSH pipeline against DuckDB; production
+    uses minhash_signature (xxhash64)."""
+    sh = shingles(text_col, shingle_n)
+    h31 = df.select(
+        F.col(id_col),
+        F.transform(sh, lambda s: portable_shingle_hash31(s)).alias("_h31"),
+    ).localCheckpoint(eager=False)
+    # single-parameter lambdas with the slot constants bound OUTSIDE — see
+    # the two-parameter-lambda trap documented in minhash_signature
+    def _slot(i: int) -> Column:
+        a, b = F.lit(2654435761 + 2 * i), F.lit(40503 * i + 1)
+        return F.array_min(
+            F.transform(
+                F.col("_h31"), lambda x: F.pmod(x * a + b, F.lit(2147483647))
+            )
+        )
+
+    sig = F.array(*[_slot(i) for i in range(num_hashes)])
+    return h31.select(F.col(id_col), sig.alias("sig"))
 
 
 def minhash_candidates(
@@ -93,9 +137,13 @@ def minhash_candidates(
     id_col: str = "doc_id",
     num_bands: int = 4,
     threshold: float = 0.5,
+    band_on_slice: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold) via LSH
-    banding over MinHash signatures."""
+    banding over MinHash signatures. ``band_on_slice`` keys the band join
+    on the raw slot slice (array equality — collision-free and
+    engine-portable for the oracle-checked variant) instead of its xxhash64
+    (bare-long band keys, the slimmest shuffle — production default)."""
     # Materialize signatures once: the banded self-join references `sigs` on
     # both sides and the pair filter reads them again — without a
     # materialization point Spark recomputes the signature expressions three
@@ -106,18 +154,17 @@ def minhash_candidates(
     # pair (each side is exploded num_bands ways — carrying `sig` through
     # multiplies shuffle bytes by ~num_bands * sig_len). Signatures join back
     # once per side afterwards, from the checkpointed sigs.
+    rows_per_band = (F.size("sig") / num_bands).cast("int")
+    slice_of = lambda b: F.slice("sig", b * rows_per_band + 1, rows_per_band)  # noqa: E731
+    band_key = (
+        (lambda b: slice_of(b)) if band_on_slice else (lambda b: F.xxhash64(slice_of(b)))
+    )
     banded = sigs.select(
         id_col,
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(num_bands - 1)),
-                lambda b: F.xxhash64(
-                    F.slice(
-                        "sig",
-                        b * (F.size("sig") / num_bands).cast("int") + 1,
-                        (F.size("sig") / num_bands).cast("int"),
-                    )
-                ),
+                lambda b: band_key(b),
             )
         ).alias("band_idx", "band_hash"),
     )
@@ -161,15 +208,13 @@ def dedup_near_minhash(
     return df.join(losers, on=id_col, how="left_anti")
 
 
-def portable_token_hash(t: Column) -> Column:
-    """Engine-portable 62-bit token hash: two 31-bit polynomial rolling
-    hashes over the token's code points (mod the Mersenne prime 2^31-1 and
-    its neighbor), packed as hi*2^31 + lo. Pure int64 arithmetic + HOFs, so
-    ANY SQL engine with list lambdas (DuckDB list_transform/list_reduce)
-    computes bit-identical values — this is what lets the driver hash-match
-    the whole simhash fold against an independent engine. Production
-    simhash defaults to xxhash64 (JVM-native, ~free); this hash exists for
-    cross-engine verifiability, not speed."""
+def _poly_hashes(t: Column) -> tuple[Column, Column]:
+    """Two 31-bit polynomial rolling hashes over the string's code points
+    (mod the Mersenne prime 2^31-1 and its neighbor) — the engine-portable
+    hash primitive: pure int64 arithmetic + HOFs, so ANY SQL engine with
+    list lambdas (DuckDB list_transform/list_reduce) computes bit-identical
+    values. Exists for cross-engine verifiability, not speed (production
+    paths use xxhash64, JVM-native)."""
     chars = F.when(F.length(t) > 0, F.transform(
         F.sequence(F.lit(1), F.length(t)),
         lambda i: F.ascii(F.substr(t, i, F.lit(1))).cast("long"),
@@ -182,7 +227,24 @@ def portable_token_hash(t: Column) -> Column:
         chars, F.lit(7).cast("long"),
         lambda a, c: F.pmod(a * F.lit(37) + c, F.lit(2147483629)),
     )
+    return h1, h2
+
+
+def portable_token_hash(t: Column) -> Column:
+    """Engine-portable 62-bit token hash (see _poly_hashes), packed as
+    hi*2^31 + lo — what lets the driver hash-match the whole simhash fold
+    against an independent engine (production simhash stays xxhash64)."""
+    h1, h2 = _poly_hashes(t)
     return h1 * F.lit(2147483648).cast("long") + h2
+
+
+def portable_shingle_hash31(s: Column) -> Column:
+    """Engine-portable 31-bit shingle hash mixing both polynomial hashes
+    ((h1*2654435761 + h2) mod 2^31; the product stays within int64). The
+    31-bit range keeps the per-slot minhash mixes (a_i*h + b_i) int64-safe
+    for every slot multiplier."""
+    h1, h2 = _poly_hashes(s)
+    return F.pmod(h1 * F.lit(2654435761) + h2, F.lit(2147483648))
 
 
 def simhash_signature(

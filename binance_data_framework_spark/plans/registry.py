@@ -1586,13 +1586,66 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- rows-only (non-SQL-expressible) extension ops -------------------------
 
 
-@register("dedup_near_minhash")
+_MH_CH = "list_transform(range(1, length(s) + 1), i -> ord(substr(s, i, 1))::BIGINT)"
+_MH_H31 = (
+    f"(list_reduce(list_prepend(7::BIGINT, {_MH_CH}), (a, c) -> (a * 31 + c) % 2147483647)"
+    f" * 2654435761"
+    f" + list_reduce(list_prepend(7::BIGINT, {_MH_CH}), (a, c) -> (a * 37 + c) % 2147483629))"
+    f" % 2147483648"
+)
+_MH_SLOTS = ",\n           ".join(
+    f"list_min(list_transform(h31, x -> (x * {2654435761 + 2 * i} + {40503 * i + 1})"
+    f" % 2147483647))"
+    for i in range(16)
+)
+
+
+@register(
+    "dedup_near_minhash",
+    f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents),
+    sh AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_transform(range(1, len(toks) - 1),
+                         j -> toks[j] || ' ' || toks[j + 1] || ' ' || toks[j + 2])
+                  ELSE [text] END AS shingles
+      FROM t),
+    h AS (SELECT doc_id, list_transform(shingles, s -> {_MH_H31}) AS h31 FROM sh),
+    sig AS (SELECT doc_id,
+           [{_MH_SLOTS}] AS sig
+      FROM h),
+    banded AS (
+      SELECT doc_id, u.b AS band_idx, list_slice(sig, u.b * 4 + 1, u.b * 4 + 4) AS band
+      FROM sig, unnest([0, 1, 2, 3]) AS u(b)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM banded a JOIN banded b2 ON a.band_idx = b2.band_idx AND a.band = b2.band
+      WHERE a.doc_id < b2.doc_id),
+    est AS (
+      SELECT p.id_a, p.id_b,
+             list_sum(list_transform(range(1, 17),
+               k -> CASE WHEN sa.sig[k] = sb.sig[k] THEN 1 ELSE 0 END))::DOUBLE / 16.0
+               AS est_jaccard
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.id_a
+      JOIN sig sb ON sb.doc_id = p.id_b)
+    SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.3
+    """,
+)
 def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidate pairs; invariants tested in pytest
-    (est_jaccard in [0,1], pairs symmetric-free, exact dups always pair)."""
+    """MinHash-LSH near-dup candidate pairs, driver-verifiable variant:
+    engine-portable 31-bit shingle hashes + per-slot LCG mixes
+    (operators/dedup.minhash_signature_portable) and band keys joined on
+    the raw slot slice, so DuckDB reproduces the ENTIRE
+    shingle->signature->band->pair->estimate pipeline and the driver
+    hash-matches it end to end. Production uses minhash_signature
+    (xxhash64 slots, hashed band keys — slimmest shuffle); its invariants
+    (est_jaccard in [0,1], pairs symmetric-free, exact dups always pair)
+    stay pytest-tested."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = D.minhash_signature(docs)
-    return D.minhash_candidates(sigs, threshold=0.3)
+    sigs = D.minhash_signature_portable(docs)
+    return D.minhash_candidates(sigs, threshold=0.3, band_on_slice=True)
 
 
 @register(
@@ -2379,12 +2432,50 @@ def q_fill_gaps_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-@register("window_rsi")
+@register(
+    "window_rsi",
+    f"""
+    WITH RECURSIVE bars AS ({_BARS_1H_SQL}),
+    nb AS (
+      SELECT symbol, bucket, close,
+             CAST(row_number() OVER (PARTITION BY symbol ORDER BY bucket)
+                  AS BIGINT) AS rn
+      FROM bars
+    ),
+    d AS (
+      SELECT symbol, bucket, close, rn,
+             greatest(close - lag(close) OVER w, 0.0) AS g,
+             greatest(lag(close) OVER w - close, 0.0) AS l
+      FROM nb
+      WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+    ),
+    rec AS (
+      SELECT symbol, rn, g AS ag, l AS al FROM d WHERE rn = 2
+      UNION ALL
+      SELECT d.symbol, d.rn,
+             ((1.0 - 1.0/14.0) * rec.ag + (1.0/14.0) * d.g)
+               / ((1.0 - 1.0/14.0) + (1.0/14.0)),
+             ((1.0 - 1.0/14.0) * rec.al + (1.0/14.0) * d.l)
+               / ((1.0 - 1.0/14.0) + (1.0/14.0))
+      FROM rec JOIN d ON d.symbol = rec.symbol AND d.rn = rec.rn + 1
+    )
+    SELECT nb.symbol, nb.bucket, nb.close,
+           CASE WHEN nb.rn >= 16 THEN
+             round(CASE WHEN rec.al = 0.0 THEN 100.0
+                        ELSE 100.0 - 100.0 / (1.0 + rec.ag / rec.al) END, 6)
+           END AS rsi
+    FROM nb LEFT JOIN rec ON rec.symbol = nb.symbol AND rec.rn = nb.rn
+    """,
+)
 def q_window_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """14-bar RSI per series (operators/ohlcv.with_rsi): Wilder's smoothing
-    is order-recursive like EWMA, hence grouped applyInPandas and a
-    rows-only driver check; exactness vs a reference pandas implementation
-    is pytest-verified (tests/test_resample.py)."""
+    is order-recursive like EWMA, hence grouped applyInPandas. Oracle:
+    DuckDB recursive CTE running pandas' exact adjust=False ewm update
+    (including its (old_wt*prev + new_wt*cur)/(old_wt+new_wt)
+    normalization, whose denominator is not exactly 1.0 in floating point)
+    over the gain/loss series, seeded at the first diff, masked until n+1
+    observations — hash-match verified. pytest additionally checks
+    exactness vs a straight pandas implementation (tests/test_resample.py)."""
     from binance_data_framework_spark.operators.ohlcv import with_rsi
 
     return with_rsi(_bars_1h(spark, sf_dir), 14)

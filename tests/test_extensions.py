@@ -215,3 +215,25 @@ def test_pq_codes_shape(spark, sf_dir):
     ).toPandas()
     assert codes["_code"].map(len).eq(8).all()
     assert codes["_code"].map(max).lt(16).all() and codes["_code"].map(min).ge(0).all()
+
+
+def test_minhash_slots_are_independent(spark, sf_dir):
+    """Regression for the two-parameter-lambda trap (a `lambda s, i=i:`
+    HOF lambda receives the ARRAY INDEX as its second argument, silently
+    replacing the per-slot seed): distinct slots must apply distinct hash
+    functions, so across the corpus most signatures contain more than one
+    distinct slot value, and est_jaccard must take values strictly between
+    0 and 1 somewhere (degenerate slot-correlated signatures estimate only
+    {0, 1})."""
+    docs = load_table(spark, sf_dir, "documents")
+    for sig_fn in (D.minhash_signature, D.minhash_signature_portable):
+        sigs = sig_fn(docs)
+        distinct_per_doc = sigs.select(
+            F.size(F.array_distinct("sig")).alias("n")
+        ).agg(F.avg("n").alias("avg_n")).first()["avg_n"]
+        assert distinct_per_doc > 4, (sig_fn.__name__, distinct_per_doc)
+        pairs = D.minhash_candidates(sigs, threshold=0.05)
+        frac = pairs.where(
+            (F.col("est_jaccard") > 0.0) & (F.col("est_jaccard") < 1.0)
+        ).count()
+        assert frac > 0, sig_fn.__name__
