@@ -221,6 +221,32 @@ class OhlcvStore:
                 _, mp = self._fs_path(f"{_MANIFEST_DIR}/v{v:012d}.json")
                 fs.delete(mp, False)
 
+    # -- time travel ------------------------------------------------------
+    def snapshot_versions(self) -> list[int]:
+        """Committed snapshot versions still readable (the trailing
+        retention window — see _vacuum)."""
+        return self._manifest_versions()
+
+    def read_version(self, version: int, with_dt: bool = False) -> DataFrame:
+        """Time-travel read (Delta-style VERSION AS OF): the exact file set
+        manifest v<version> committed. The retention invariant guarantees
+        every file of every RETAINED manifest is still on disk (a file
+        superseded at commit vK is deleted at vK+2, by which point manifest
+        v(K-1) — the last one referencing it — has been pruned), so this is
+        a consistent snapshot, not best-effort. Versions outside the
+        retention window raise."""
+        if version not in self._manifest_versions():
+            raise ValueError(
+                f"snapshot v{version} is not retained "
+                f"(available: {self._manifest_versions()})"
+            )
+        man = self._read_manifest(version)
+        if not man["files"]:
+            return self._empty(with_dt)
+        paths = [f"{self.root}/{f}" for f in man["files"]]
+        df = self.spark.read.option("basePath", self.root).parquet(*paths)
+        return df if with_dt else df.select(*OHLCV_COLS)
+
     # -- read path --------------------------------------------------------
     def _exists(self) -> bool:
         man = self._snapshot()

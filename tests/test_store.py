@@ -291,3 +291,26 @@ def test_concurrent_different_series_saves_compose(store, spark):
     assert not errs
     for sym in ("BTCUSDT", "ETHUSDT", "SOLUSDT"):
         assert store.get_data(sym, "1h").count() == 12, sym
+
+
+def test_time_travel_read_version(store, spark):
+    """Manifest time travel: retained snapshot versions read back their
+    exact historical file sets; versions vacuumed out of the retention
+    window raise instead of returning a torn snapshot."""
+    store.save_data(_bars(spark, T0, 3, 100.0), "BTCUSDT", "1h")  # v1
+    store.save_data(_bars(spark, T0, 3, 200.0), "BTCUSDT", "1h")  # v2
+    store.save_data(_bars(spark, T0, 3, 300.0), "BTCUSDT", "1h")  # v3
+    assert store.snapshot_versions() == [1, 2, 3]
+    assert [r["open"] for r in store.read_version(1).orderBy("ts").collect()] == [
+        100.0, 101.0, 102.0,
+    ]
+    assert [r["open"] for r in store.read_version(2).orderBy("ts").collect()] == [
+        200.0, 201.0, 202.0,
+    ]
+    store.save_data(_bars(spark, T0, 3, 400.0), "BTCUSDT", "1h")  # v4 prunes v1
+    assert store.snapshot_versions() == [2, 3, 4]
+    assert [r["open"] for r in store.read_version(2).orderBy("ts").collect()] == [
+        200.0, 201.0, 202.0,
+    ]
+    with pytest.raises(ValueError, match="not retained"):
+        store.read_version(1)
