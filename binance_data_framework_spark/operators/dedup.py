@@ -79,20 +79,42 @@ def minhash_signature(
     shape for a 100 TB corpus.
     """
     sh = shingles(text_col, shingle_n)
+    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(2147483648)))
+    return _sig_from_h31(df, base, id_col, num_hashes)
 
-    # The seed column MUST be bound outside a single-parameter lambda: a
-    # `lambda s, i=i:` form has two parameters, which PySpark's HOF builder
-    # interprets as an (element, index) lambda — the "seed" silently becomes
-    # the shingle's ARRAY POSITION, identical for every slot, collapsing all
-    # num_hashes slots to one hash function (est_jaccard degenerates to
-    # {0,1}). Caught by the r3 cross-engine oracle for the portable variant;
-    # regression-tested by test_minhash_slots_are_independent.
+
+def _sig_from_h31(
+    df: DataFrame, h31_expr: Column, id_col: str, num_hashes: int
+) -> DataFrame:
+    """Signature slots from a 31-bit base-hash array: slot_i = min over
+    shingles of (a_i*h + b_i) mod (2^31-1), with a DISTINCT multiplier per
+    slot (universal-hash family; 31-bit operands keep every product
+    int64-safe under ANSI mode). Hash the shingles ONCE into a checkpointed
+    array, then run num_hashes cheap arithmetic passes — the
+    one-pass-per-slot formulation re-evaluated the shingle construction and
+    string hashing num_hashes times (no cross-expression CSE in Catalyst's
+    interpreted HOFs) and measured ~4x slower at sf0.1.
+
+    Two traps this code dodges, regression-tested by
+    test_minhash_slots_are_independent: (1) a `lambda s, i=i:` HOF lambda
+    has two parameters, which PySpark interprets as (element, index) — the
+    "seed" silently becomes the shingle's ARRAY POSITION, identical for
+    every slot, collapsing all slots to one hash function (est_jaccard
+    degenerates to {0,1}); constants are bound OUTSIDE single-parameter
+    lambdas instead. (2) a shared multiplier with per-slot offsets would
+    make every slot pick the same argmin shingle — same degeneracy."""
+    h31 = df.select(F.col(id_col), h31_expr.alias("_h31")).localCheckpoint(
+        eager=False
+    )
+
     def _slot(i: int) -> Column:
-        seed = F.lit(i)
-        return F.array_min(F.transform(sh, lambda s: F.xxhash64(seed, s)))
+        a, b = F.lit(2654435761 + 2 * i), F.lit(40503 * i + 1)
+        return F.array_min(
+            F.transform(F.col("_h31"), lambda x: F.pmod(x * a + b, F.lit(2147483647)))
+        )
 
     sig = F.array(*[_slot(i) for i in range(num_hashes)])
-    return df.select(F.col(id_col), sig.alias("sig"))
+    return h31.select(F.col(id_col), sig.alias("sig"))
 
 
 def minhash_signature_portable(
@@ -102,34 +124,15 @@ def minhash_signature_portable(
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Engine-portable MinHash signatures: hash_i(s) = (a_i*H31(s) + b_i)
-    mod (2^31-1) over the portable 31-bit shingle hash, with a DISTINCT
-    multiplier per slot (a shared multiplier with per-slot offsets would
-    make every slot pick the same argmin shingle — perfectly correlated
-    slots, degenerate Jaccard estimates). Same plan shape as
-    minhash_signature (per-row HOFs, no explode/shuffle); the shingle-hash
-    array is checkpointed so the per-character polynomial runs ONCE per
-    shingle, not once per signature slot (Catalyst's projection collapse
-    would otherwise inline it num_hashes times). Exists so the driver can
-    hash-match the full MinHash+LSH pipeline against DuckDB; production
-    uses minhash_signature (xxhash64)."""
+    """Engine-portable MinHash signatures: identical slot mixes to
+    minhash_signature (_sig_from_h31) over the engine-portable 31-bit
+    shingle hash instead of xxhash64 — DuckDB reproduces it with list
+    lambdas, which is what lets the driver hash-match the full MinHash+LSH
+    pipeline. Production uses minhash_signature (same structure, JVM-native
+    base hash)."""
     sh = shingles(text_col, shingle_n)
-    h31 = df.select(
-        F.col(id_col),
-        F.transform(sh, lambda s: portable_shingle_hash31(s)).alias("_h31"),
-    ).localCheckpoint(eager=False)
-    # single-parameter lambdas with the slot constants bound OUTSIDE — see
-    # the two-parameter-lambda trap documented in minhash_signature
-    def _slot(i: int) -> Column:
-        a, b = F.lit(2654435761 + 2 * i), F.lit(40503 * i + 1)
-        return F.array_min(
-            F.transform(
-                F.col("_h31"), lambda x: F.pmod(x * a + b, F.lit(2147483647))
-            )
-        )
-
-    sig = F.array(*[_slot(i) for i in range(num_hashes)])
-    return h31.select(F.col(id_col), sig.alias("sig"))
+    base = F.transform(sh, lambda s: portable_shingle_hash31(s))
+    return _sig_from_h31(df, base, id_col, num_hashes)
 
 
 def minhash_candidates(

@@ -1598,12 +1598,10 @@ _MH_SLOTS = ",\n           ".join(
     f" % 2147483647))"
     for i in range(16)
 )
-
-
-@register(
-    "dedup_near_minhash",
-    f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents),
+# shared CTE chain: shingles -> portable 31-bit hashes -> 16-slot signatures
+# -> slice-keyed LSH bands -> candidate pairs -> Jaccard estimates
+_MH_PIPE = f"""
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents),
     sh AS (
       SELECT doc_id,
              CASE WHEN len(toks) >= 3
@@ -1618,7 +1616,7 @@ _MH_SLOTS = ",\n           ".join(
     banded AS (
       SELECT doc_id, u.b AS band_idx, list_slice(sig, u.b * 4 + 1, u.b * 4 + 4) AS band
       FROM sig, unnest([0, 1, 2, 3]) AS u(b)),
-    pairs AS (
+    cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
       FROM banded a JOIN banded b2 ON a.band_idx = b2.band_idx AND a.band = b2.band
       WHERE a.doc_id < b2.doc_id),
@@ -1627,9 +1625,16 @@ _MH_SLOTS = ",\n           ".join(
              list_sum(list_transform(range(1, 17),
                k -> CASE WHEN sa.sig[k] = sb.sig[k] THEN 1 ELSE 0 END))::DOUBLE / 16.0
                AS est_jaccard
-      FROM pairs p
+      FROM cand p
       JOIN sig sa ON sa.doc_id = p.id_a
       JOIN sig sb ON sb.doc_id = p.id_b)
+"""
+
+
+@register(
+    "dedup_near_minhash",
+    f"""
+    WITH {_MH_PIPE}
     SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.3
     """,
 )
@@ -1703,17 +1708,38 @@ def q_agg_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_clusters")
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_MH_PIPE},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM est WHERE est_jaccard >= 0.3
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM est WHERE est_jaccard >= 0.3),
+    reach AS (
+      SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges) n
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    labels AS (SELECT src, min(dst) AS cluster_id FROM reach GROUP BY src)
+    SELECT d.doc_id, CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+    FROM documents d LEFT JOIN labels l ON l.src = d.doc_id
+    """,
+)
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate cluster ids via iterative min-label propagation over
     the MinHash candidate-pair edge list (operators/dedup.cluster_min_label)
-    — the connected-components step of corpus dedup. Iterative (driver loop
-    with per-iteration checkpoint + convergence fixpoint), hence rows-only;
-    exactness of the propagation is pytest-verified on known graphs
-    including a chain longer than 2^5 hops."""
+    — the connected-components step of corpus dedup. Driver-verifiable
+    form: the portable-hash candidate pairs (as dedup_near_minhash) feed
+    the propagation, and the DuckDB oracle recomputes the same pairs plus
+    true connected components via recursive reachability + min-reachable-id
+    — so the iterative pointer-jumping propagation is hash-match checked
+    against an independent fixpoint formulation. pytest additionally
+    verifies the propagation on known graphs including a chain longer than
+    2^5 hops; production clustering composes minhash_signature (xxhash64)
+    with the same cluster_min_label."""
     docs = load_table(spark, sf_dir, "documents")
-    sigs = D.minhash_signature(docs)
-    pairs = D.minhash_candidates(sigs, threshold=0.3)
+    sigs = D.minhash_signature_portable(docs)
+    pairs = D.minhash_candidates(sigs, threshold=0.3, band_on_slice=True)
     return D.cluster_min_label(pairs, docs.select("doc_id"), "doc_id")
 
 

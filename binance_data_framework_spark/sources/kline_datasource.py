@@ -219,3 +219,48 @@ class KlineStreamReader(SimpleDataSourceStreamReader):
             }
         )
         return iter(list(reader.read(KlineSlice(lo, nxt - 1))))
+
+
+def read_klines_many(
+    spark,
+    symbols: list[str],
+    interval: str,
+    start_ms: int,
+    end_ms: int,
+    chunk_bars: int = 50_000,
+    mode: str = "http",
+    base_url: str | None = None,
+):
+    """Multi-symbol backfill as ONE Spark job: a union of per-symbol
+    `binance_klines` reads, so the input partitions of EVERY symbol's time
+    chunks schedule together on the executors — a 50-symbol x multi-year
+    backfill is (symbols x chunks) parallel fetch tasks in a single job,
+    bounded only by task slots, vs the reference's strictly sequential
+    per-symbol loop (colab_interface.py:228-243). Complements
+    api.load_many, which parallelizes driver-side cache-or-fetch kernels
+    (coverage probe + upsert per symbol): this is the raw-ingest path when
+    you KNOW you want the whole range fetched.
+
+    Call ``spark.dataSource.register(BinanceKlinesDataSource)`` once per
+    session first. Returns the union DataFrame (ts, open, high, low,
+    close, volume, symbol, timeframe).
+    """
+    from functools import reduce
+
+    if not symbols:
+        raise ValueError("symbols must be a non-empty list")
+    reads = []
+    for sym in symbols:
+        r = (
+            spark.read.format("binance_klines")
+            .option("symbol", sym)
+            .option("interval", interval)
+            .option("start_ms", str(start_ms))
+            .option("end_ms", str(end_ms))
+            .option("chunk_bars", str(chunk_bars))
+            .option("mode", mode)
+        )
+        if base_url:
+            r = r.option("base_url", base_url)
+        reads.append(r.load())
+    return reduce(lambda a, b: a.unionByName(b), reads)

@@ -719,3 +719,47 @@ def test_http_loopback_server_pagination_pacing_backoff(spark):
         assert info["symbols"][0]["symbol"] == "BTCUSDT"
     finally:
         srv.close()
+
+
+def test_read_klines_many_single_job_union(spark):
+    """Multi-symbol DataSource backfill: the union carries every symbol's
+    chunk partitions in one plan (executor-parallel across symbols AND
+    chunks), and per-symbol content equals the single-symbol read."""
+    from binance_data_framework_spark.sources.kline_datasource import (
+        BinanceKlinesDataSource,
+        read_klines_many,
+    )
+
+    spark.dataSource.register(BinanceKlinesDataSource)
+    t0_ms = 1_704_067_200_000
+    h = 3_600_000
+    out = read_klines_many(
+        spark,
+        ["BTCUSDT", "ETHUSDT", "SOLUSDT"],
+        "1h",
+        t0_ms,
+        t0_ms + 47 * h,
+        chunk_bars=16,
+        mode="fixture",
+    )
+    # 48 bars / 16 per chunk = 3 partitions per symbol, unioned => 9
+    assert out.rdd.getNumPartitions() == 9
+    counts = {r["symbol"]: r["count"] for r in out.groupBy("symbol").count().collect()}
+    assert counts == {"BTCUSDT": 48, "ETHUSDT": 48, "SOLUSDT": 48}
+    one = (
+        spark.read.format("binance_klines")
+        .option("symbol", "ETHUSDT")
+        .option("interval", "1h")
+        .option("start_ms", t0_ms)
+        .option("end_ms", t0_ms + 47 * h)
+        .option("chunk_bars", 16)
+        .option("mode", "fixture")
+        .load()
+    )
+    a = {(r["ts"], r["open"]) for r in out.where(out.symbol == "ETHUSDT").collect()}
+    b = {(r["ts"], r["open"]) for r in one.collect()}
+    assert a == b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_klines_many(spark, [], "1h", t0_ms, t0_ms + h)
