@@ -125,14 +125,46 @@ def minhash_signature_portable(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Engine-portable MinHash signatures: identical slot mixes to
-    minhash_signature (_sig_from_h31) over the engine-portable 31-bit
+    minhash_signature (_sig_from_h31) over an engine-portable 31-bit
     shingle hash instead of xxhash64 — DuckDB reproduces it with list
     lambdas, which is what lets the driver hash-match the full MinHash+LSH
     pipeline. Production uses minhash_signature (same structure, JVM-native
-    base hash)."""
-    sh = shingles(text_col, shingle_n)
-    base = F.transform(sh, lambda s: portable_shingle_hash31(s))
-    return _sig_from_h31(df, base, id_col, num_hashes)
+    base hash).
+
+    The shingle hash is TOKEN-level: each token is polynomial-hashed once
+    (portable_shingle_hash31) and a shingle's hash is the Horner fold of
+    its n consecutive token hashes mod 2^31-1. Hashing the materialized
+    "tok tok tok" shingle strings instead re-ran the per-character
+    polynomial over every token n times AND paid substr's O(position)
+    scan per character of the longer string — the token-level form
+    measured ~3x faster at sf0.1 with identical cross-engine semantics.
+    Docs with fewer than shingle_n tokens fold ALL their token hashes
+    into one shingle (init 7, same Horner step).
+
+    The token-hash array is checkpointed BEFORE the shingle fold: the
+    zip_with chain + short-doc branch reference it ~shingle_n times, and
+    Catalyst's interpreted HOFs do no common-subexpression elimination —
+    folding over the raw transform expression re-ran the per-character
+    polynomial per reference and gave the 3x back (measured)."""
+    toks = F.split(F.col(text_col), " ")
+    thdf = df.select(
+        F.col(id_col),
+        F.transform(toks, lambda t: portable_shingle_hash31(t)).alias("_th"),
+    ).localCheckpoint(eager=False)
+    th = F.col("_th")
+    sz = F.size(th)
+    m, p = F.lit(2147483647), F.lit(1000003)
+
+    def _horner(a: Column, b: Column) -> Column:
+        return F.pmod(a * p + b, m)
+
+    grams = th
+    for k in range(1, shingle_n):
+        grams = F.zip_with(grams, F.slice(th, k + 1, sz), _horner)
+    full = F.slice(grams, 1, F.greatest(sz - (shingle_n - 1), F.lit(0)))
+    short = F.array(F.aggregate(th, F.lit(7).cast("long"), _horner))
+    base = F.when(sz >= shingle_n, full).otherwise(short)
+    return _sig_from_h31(thdf, base, id_col, num_hashes)
 
 
 def minhash_candidates(

@@ -1598,18 +1598,25 @@ _MH_SLOTS = ",\n           ".join(
     f" % 2147483647))"
     for i in range(16)
 )
-# shared CTE chain: shingles -> portable 31-bit hashes -> 16-slot signatures
-# -> slice-keyed LSH bands -> candidate pairs -> Jaccard estimates
+# shared CTE chain: token hashes -> Horner-folded shingle hashes ->
+# 16-slot signatures -> slice-keyed LSH bands -> candidate pairs ->
+# Jaccard estimates (token-level hashing mirrors
+# dedup.minhash_signature_portable: each token polynomial-hashed once,
+# shingle hash = fold of 3 consecutive token hashes mod 2^31-1; docs with
+# <3 tokens fold ALL token hashes from init 7)
 _MH_PIPE = f"""
     t AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents),
-    sh AS (
-      SELECT doc_id,
-             CASE WHEN len(toks) >= 3
-                  THEN list_transform(range(1, len(toks) - 1),
-                         j -> toks[j] || ' ' || toks[j + 1] || ' ' || toks[j + 2])
-                  ELSE [text] END AS shingles
-      FROM t),
-    h AS (SELECT doc_id, list_transform(shingles, s -> {_MH_H31}) AS h31 FROM sh),
+    tk AS (SELECT doc_id, len(toks) AS n,
+                  list_transform(toks, s -> {_MH_H31}) AS th
+           FROM t),
+    h AS (SELECT doc_id,
+             CASE WHEN n >= 3
+                  THEN list_transform(range(1, n - 1),
+                         j -> (((th[j] * 1000003 + th[j + 1]) % 2147483647)
+                               * 1000003 + th[j + 2]) % 2147483647)
+                  ELSE [list_reduce(list_prepend(7::BIGINT, th),
+                          (a, c) -> (a * 1000003 + c) % 2147483647)] END AS h31
+          FROM tk),
     sig AS (SELECT doc_id,
            [{_MH_SLOTS}] AS sig
       FROM h),
