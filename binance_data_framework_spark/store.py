@@ -22,12 +22,33 @@ the new snapshot, never a half-rewritten day (the transient FILE_NOT_EXIST
 window of dynamic partition overwrite is gone). Each manifest records the
 files it superseded; those are physically deleted TWO COMMITS LATER (a live
 scan can lag up to two snapshots behind mid-flight and still find every
-file it planned), which keeps cleanup O(changed files), never O(store). Writes stay single-writer-per-series
-(reference parity: one SQLite connection); the upgrade path for multi-writer
-MERGE is a real table format, for which this manifest layer is the drop-in
-seam. At very large file counts the JSON manifest becomes the metadata
-bottleneck — the same point at which Delta moves to parquet checkpoint
-manifests; same fix applies.
+file it planned), which keeps cleanup O(changed files), never O(store).
+
+DELTA LOG + CHECKPOINTS (Delta-Lake-style): most manifests record only the
+commit's ``added``/``removed`` file deltas — a one-day upsert against a
+store of millions of files writes a few hundred bytes of metadata, not the
+full listing. Every ``_CHECKPOINT_EVERY``-th commit (and v1) also embeds
+the full ``files`` list; snapshot resolution walks back to the nearest
+checkpoint and replays the deltas forward (bounded: at most
+``_CHECKPOINT_EVERY + 2`` manifest reads per scan). Vacuum prunes
+manifests below the newest checkpoint the retention window still needs.
+Commit metadata IO is therefore amortized O(delta +
+files/_CHECKPOINT_EVERY) instead of O(store files) per commit.
+
+CONCURRENCY: commits are a read-rebase-commit loop. The publish rename is
+a CAS on filesystems where rename-to-existing fails (HDFS, most object
+stores' atomic-rename layers): losing a race raises internally and the
+writer REBASES — re-resolves the new head, re-applies its delta, retries —
+so concurrent DIFFERENT-series writers (threads via the in-process lock,
+processes via the CAS loop) compose without lost updates. Same-series
+writes remain single-writer by contract (reference parity: one SQLite
+connection); a same-series race is detected (the rebase finds its merged
+base files no longer live) and raised, never silently lost. POSIX rename
+replaces instead of failing, so on a bare local FS cross-process rebase
+degrades to last-writer-wins — the documented single-writer contract;
+in-process threads are still fully serialized by the lock. The upgrade
+path for true multi-writer MERGE is a real table format, for which this
+manifest layer is the drop-in seam.
 
 All filesystem ops (manifest read/write/rename, existence probe, vacuum) go
 through the Hadoop FileSystem API resolved from the store root, so the same
@@ -39,6 +60,7 @@ from __future__ import annotations
 
 import json
 import threading
+import time
 import uuid
 from datetime import datetime, timezone
 
@@ -55,6 +77,13 @@ _SCHEMA = (
     "low double, close double, volume double"
 )
 _MANIFEST_DIR = "_manifests"
+_CHECKPOINT_EVERY = 8  # every Nth manifest embeds the full file list
+_COMMIT_RETRIES = 5
+
+
+class ConcurrentCommit(RuntimeError):
+    """Another writer published this manifest version first (the publish
+    rename lost its CAS). Internal: _commit_rebased catches it and rebases."""
 
 
 def _utc(d: datetime) -> datetime:
@@ -143,34 +172,60 @@ class OhlcvStore:
                     out.append(p.toUri().getPath()[len(root_str) + 1:])
         return out
 
+    def _resolve(self, version: int) -> dict:
+        """Resolved snapshot {version, files} of manifest v<version>: walk
+        back to the nearest checkpoint manifest (one embedding the full
+        ``files`` list — every _CHECKPOINT_EVERY-th commit, v1, and any
+        legacy full manifest), then replay the delta manifests' removed/
+        added forward. Bounded by the checkpoint cadence, never O(history)."""
+        deltas = []
+        v, man = version, self._read_manifest(version)
+        while "files" not in man:
+            deltas.append(man)
+            v -= 1
+            man = self._read_manifest(v)
+        files = set(man["files"])
+        for d in reversed(deltas):
+            files -= set(d["removed"])
+            files |= set(d["added"])
+        return {"version": version, "files": sorted(files)}
+
     def _snapshot(self) -> dict | None:
-        """Latest committed manifest; bootstraps a v1 manifest from a legacy
-        (pre-manifest) directory layout on first contact. None = empty store."""
+        """Latest committed snapshot, resolved; bootstraps a v1 checkpoint
+        from a legacy (pre-manifest) directory layout on first contact.
+        None = empty store."""
         versions = self._manifest_versions()
         if versions:
-            return self._read_manifest(versions[-1])
+            return self._resolve(versions[-1])
         with self._commit_lock:
             versions = self._manifest_versions()  # re-check under the lock
             if versions:
-                return self._read_manifest(versions[-1])
+                return self._resolve(versions[-1])
             legacy = self._list_data_files()
             if legacy:
                 return self._commit(sorted(legacy), [], prev=None)
         return None
 
-    def _commit(self, files: list[str], removed: list[str], prev: dict | None) -> dict:
-        """Publish a new snapshot atomically, then vacuum what the PREVIOUS
+    def _commit(self, added: list[str], removed: list[str], prev: dict | None) -> dict:
+        """Publish one commit atomically, then vacuum what the PREVIOUS
         commit superseded (safe: after this commit, those files are two
-        snapshots old) plus manifests older than the previous one.
+        snapshots old) plus manifests below the checkpoint the retention
+        window needs. ``prev`` is the RESOLVED snapshot this delta applies
+        to (None = empty store). Most commits write only the delta;
+        checkpoint versions also embed the full file list (module
+        docstring, DELTA LOG + CHECKPOINTS).
 
         The publish is a tmp-write + rename — atomic on HDFS, object stores
-        with atomic rename, and POSIX. On HDFS a rename to an existing
-        version fails (CAS against concurrent writers); POSIX rename
-        replaces, so the single-writer-per-series contract (reference
-        parity) is what rules out lost updates there — readers are snapshot-
-        safe either way."""
+        with atomic rename, and POSIX. Where rename-to-existing fails
+        (HDFS), a lost race raises ConcurrentCommit for _commit_rebased to
+        retry; POSIX rename replaces, so there the single-writer-per-series
+        contract rules out lost updates — readers are snapshot-safe either
+        way. Returns the new RESOLVED snapshot."""
         version = (prev["version"] + 1) if prev else 1
-        man = {"version": version, "files": sorted(files), "removed": sorted(removed)}
+        files = sorted((set(prev["files"]) if prev else set()) - set(removed) | set(added))
+        man = {"version": version, "added": sorted(added), "removed": sorted(removed)}
+        if version == 1 or version % _CHECKPOINT_EVERY == 0:
+            man["files"] = files
         fs, mdir = self._fs_path(_MANIFEST_DIR)
         if not fs.exists(mdir):
             fs.mkdirs(mdir)
@@ -180,22 +235,54 @@ class OhlcvStore:
         _, final_path = self._fs_path(f"{_MANIFEST_DIR}/v{version:012d}.json")
         if not fs.rename(tmp_path, final_path):
             fs.delete(tmp_path, False)
-            raise RuntimeError(
-                f"concurrent manifest commit detected for version {version} "
-                f"(store is single-writer-per-series)"
+            raise ConcurrentCommit(
+                f"manifest v{version} was published by a concurrent writer"
             )
         self._vacuum(version)
-        return man
+        return {"version": version, "files": files}
+
+    def _commit_rebased(self, delta_fn) -> dict | None:
+        """Read-rebase-commit loop: resolve the CURRENT head, ask
+        ``delta_fn(latest_resolved_or_None)`` for this write's
+        (added, removed) — or None to abort with no commit — and publish.
+        If the publish loses the rename CAS to a concurrent PROCESS, rebase
+        onto the new head and retry (bounded); concurrent threads on this
+        instance are serialized by the lock outright. delta_fn is
+        responsible for detecting same-series conflicts against the head it
+        is given (save_data checks its merged base files are still live)."""
+        with self._commit_lock:
+            last_err: ConcurrentCommit | None = None
+            for attempt in range(_COMMIT_RETRIES):
+                if attempt:
+                    time.sleep(0.05 * attempt)
+                versions = self._manifest_versions()
+                latest = self._resolve(versions[-1]) if versions else None
+                delta = delta_fn(latest)
+                if delta is None:
+                    return None
+                added, removed = delta
+                try:
+                    return self._commit(added, removed, prev=latest)
+                except ConcurrentCommit as e:
+                    last_err = e
+            raise last_err
 
     def _vacuum(self, version: int) -> None:
         """Two-commit retention: at commit vN, physically delete the files
-        superseded at commit v(N-2) and manifests below v(N-2). A scan that
-        resolved its snapshot up to two commits ago still finds every file
-        it planned — rapid successive upserts can't yank files from under a
-        long-running concurrent reader (the bound is retention, not luck;
-        raise it by keeping more trailing manifests if scans outlive two
-        commits). Deletion work is O(that commit's superseded files), never
-        O(store); emptied partition dirs are pruned on the way up."""
+        superseded at commit v(N-2) and the manifests the retention window
+        no longer needs. A scan that resolved its snapshot up to two
+        commits ago still finds every file it planned — rapid successive
+        upserts can't yank files from under a long-running concurrent
+        reader (the bound is retention, not luck; raise it by keeping more
+        trailing manifests if scans outlive two commits). Deletion work is
+        O(that commit's superseded files), never O(store); emptied
+        partition dirs are pruned on the way up.
+
+        Manifest pruning keeps everything >= the newest CHECKPOINT at or
+        below v(N-2): delta manifests above it are still needed to resolve
+        the retained versions (v1 and every _CHECKPOINT_EVERY-th version
+        are checkpoints by construction, so the kept log is bounded by
+        _CHECKPOINT_EVERY + 2 manifests)."""
         grace_v = version - 2
         if grace_v < 1 or grace_v not in self._manifest_versions():
             return
@@ -216,16 +303,25 @@ class OhlcvStore:
                 ):
                     fs.delete(parent, False)
                     parent = parent.getParent()
+        keep_from = max(
+            (v for v in range(1, grace_v + 1) if v == 1 or v % _CHECKPOINT_EVERY == 0),
+            default=1,
+        )
         for v in self._manifest_versions():
-            if v < grace_v:
+            if v < keep_from:
                 _, mp = self._fs_path(f"{_MANIFEST_DIR}/v{v:012d}.json")
                 fs.delete(mp, False)
 
     # -- time travel ------------------------------------------------------
     def snapshot_versions(self) -> list[int]:
-        """Committed snapshot versions still readable (the trailing
-        retention window — see _vacuum)."""
-        return self._manifest_versions()
+        """Committed snapshot versions still readable: the trailing
+        two-commit retention window (see _vacuum). Older manifests may
+        still exist on disk as checkpoint/replay inputs, but their data
+        files are no longer deletion-protected — they are not offered."""
+        versions = self._manifest_versions()
+        if not versions:
+            return []
+        return [v for v in versions if v >= versions[-1] - 2]
 
     def read_version(self, version: int, with_dt: bool = False) -> DataFrame:
         """Time-travel read (Delta-style VERSION AS OF): the exact file set
@@ -235,12 +331,12 @@ class OhlcvStore:
         v(K-1) — the last one referencing it — has been pruned), so this is
         a consistent snapshot, not best-effort. Versions outside the
         retention window raise."""
-        if version not in self._manifest_versions():
+        if version not in self.snapshot_versions():
             raise ValueError(
                 f"snapshot v{version} is not retained "
-                f"(available: {self._manifest_versions()})"
+                f"(available: {self.snapshot_versions()})"
             )
-        man = self._read_manifest(version)
+        man = self._resolve(version)
         if not man["files"]:
             return self._empty(with_dt)
         paths = [f"{self.root}/{f}" for f in man["files"]]
@@ -366,17 +462,27 @@ class OhlcvStore:
                 raise RuntimeError(f"failed to publish staged file {rel}")
             new_files.append(dest_rel)
         fs.delete(staging_path, True)
-        # commit-time rebase under the store lock: re-read the LATEST
-        # manifest (another thread may have committed a different series
-        # since our merge snapshot) and apply this write's delta to it —
-        # concurrent different-series writers compose; same-series writers
-        # remain the caller's single-writer contract
-        with self._commit_lock:
-            versions = self._manifest_versions()
-            latest = self._read_manifest(versions[-1]) if versions else None
-            sup = set(superseded)
-            files = [f for f in (latest["files"] if latest else []) if f not in sup]
-            self._commit(files + new_files, superseded, prev=latest)
+        # commit-time rebase: re-resolve the LATEST snapshot (another
+        # thread or process may have committed a different series since our
+        # merge snapshot) and apply this write's delta to it — concurrent
+        # different-series writers compose (lock in-process, CAS-retry
+        # cross-process); a same-series race is detected and raised, since
+        # this merge was computed against files that are no longer live
+        sup = set(superseded)
+
+        def _delta(latest: dict | None):
+            live = set(latest["files"]) if latest else set()
+            gone = sup - live
+            if gone:
+                raise RuntimeError(
+                    f"concurrent same-series write detected for "
+                    f"{symbol}/{timeframe}: merged against "
+                    f"{len(gone)} file(s) no longer live (store is "
+                    f"single-writer-per-series); e.g. {sorted(gone)[:2]}"
+                )
+            return new_files, superseded
+
+        self._commit_rebased(_delta)
         return True
 
     def get_data(
@@ -434,17 +540,16 @@ class OhlcvStore:
         if not self._snapshot():  # bootstraps legacy layouts
             return False
         prefix = f"symbol={symbol}/timeframe={timeframe}/"
-        with self._commit_lock:
-            versions = self._manifest_versions()
-            man = self._read_manifest(versions[-1]) if versions else None
-            if not man:
-                return False
-            series_files = [f for f in man["files"] if f.startswith(prefix)]
+
+        def _delta(latest: dict | None):
+            if not latest:
+                return None
+            series_files = [f for f in latest["files"] if f.startswith(prefix)]
             if not series_files:
-                return False
-            remaining = [f for f in man["files"] if not f.startswith(prefix)]
-            self._commit(remaining, series_files, prev=man)
-        return True
+                return None
+            return [], series_files
+
+        return self._commit_rebased(_delta) is not None
 
     def get_stored_info(self) -> DataFrame:
         """Catalog scan: per-series coverage + row counts

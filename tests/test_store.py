@@ -263,8 +263,14 @@ def test_manifest_snapshot_versions_and_vacuum(store, spark):
     # reads reflect only the latest snapshot throughout
     rows = store.get_data("BTCUSDT", "1h").collect()
     assert len(rows) == 3 and all(r["open"] >= 400.0 for r in rows)
-    # manifest dir retains only the trailing grace window
-    assert store._manifest_versions() == [2, 3, 4]
+    # the manifest LOG retains the v1 checkpoint (the replay base for the
+    # v2-v4 delta manifests) plus the deltas; the READABLE window is still
+    # only the trailing two-commit grace
+    assert store._manifest_versions() == [1, 2, 3, 4]
+    assert store.snapshot_versions() == [2, 3, 4]
+    # delta manifests carry only their commit's changes, not the file list
+    assert "files" not in store._read_manifest(3)
+    assert len(store._read_manifest(3)["added"]) == 1
 
 
 def test_concurrent_different_series_saves_compose(store, spark):
@@ -314,3 +320,59 @@ def test_time_travel_read_version(store, spark):
     ]
     with pytest.raises(ValueError, match="not retained"):
         store.read_version(1)
+
+
+def test_delta_log_checkpoint_cadence_and_pruning(store, spark):
+    """Delta-log metadata at scale: ordinary commits write only their
+    added/removed delta; every _CHECKPOINT_EVERY-th commit embeds the full
+    file list, and vacuum prunes the log back to the checkpoint the
+    retention window needs — the kept log stays bounded no matter how many
+    commits the store has seen."""
+    for i in range(10):
+        store.save_data(_bars(spark, T0, 3, 100.0 * (i + 1)), "BTCUSDT", "1h")
+    # v8 is a checkpoint (full file list); its neighbors are deltas
+    assert "files" in store._read_manifest(8)
+    assert "files" not in store._read_manifest(9)
+    # at v10 the grace version is v8 (a checkpoint), so v1-v7 are pruned
+    assert store._manifest_versions() == [8, 9, 10]
+    assert store.snapshot_versions() == [8, 9, 10]
+    # resolution across the checkpoint boundary: v9 = v8.files + v9 delta
+    assert [r["open"] for r in store.read_version(9).orderBy("ts").collect()] == [
+        900.0, 901.0, 902.0,
+    ]
+    rows = store.get_data("BTCUSDT", "1h").collect()
+    assert len(rows) == 3 and all(r["open"] >= 1000.0 for r in rows)
+
+
+def test_commit_rebase_retries_on_lost_cas(store, spark, monkeypatch):
+    """A writer that loses the manifest-publish rename CAS to a concurrent
+    PROCESS (HDFS semantics) must rebase onto the new head and retry, not
+    fail: simulate the lost race by failing the first publish attempt
+    after another series' commit lands in between."""
+    from binance_data_framework_spark import store as store_mod
+
+    store.save_data(_bars(spark, T0, 6, 100.0), "BTCUSDT", "1h")  # v1
+
+    real_commit = store._commit
+    state = {"raced": False}
+
+    def racy_commit(added, removed, prev):
+        if not state["raced"]:
+            state["raced"] = True
+            # a concurrent PROCESS (separate instance = separate lock)
+            # publishes v2 first...
+            other = OhlcvStore(spark, store.root)
+            other.save_data(_bars(spark, T0, 4, 5.0), "ETHUSDT", "1h")
+            # ...and this writer's own v2 publish loses the rename CAS
+            raise store_mod.ConcurrentCommit("simulated lost rename race")
+        return real_commit(added, removed, prev)
+
+    monkeypatch.setattr(store, "_commit", racy_commit)
+    store.save_data(_bars(spark, T0, 6, 200.0), "BTCUSDT", "1h")
+    assert state["raced"]
+    latest = store._snapshot()
+    assert latest["version"] == 3  # v2 = the race's commit, v3 = the rebase
+    # both the raced-in series and the rebased upsert are in the snapshot
+    assert store.get_data("ETHUSDT", "1h").count() == 4
+    rows = store.get_data("BTCUSDT", "1h").collect()
+    assert len(rows) == 6 and all(r["open"] >= 200.0 for r in rows)
