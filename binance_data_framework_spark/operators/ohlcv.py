@@ -105,6 +105,59 @@ def resample_bars(
     )
 
 
+def downsample_m4(
+    bars: DataFrame,
+    n_buckets: int = 64,
+    value_col: str = "close",
+    ts_col: str = "bucket",
+    key_col: str = "symbol",
+) -> DataFrame:
+    """M4 chart downsampling (Jugel et al., VLDB 2014): per series, split
+    [min ts, max ts] into n_buckets equal-width pixel columns and keep the
+    first, last, min, and max value of each — the aggregate set that makes
+    an n_buckets-pixel-wide line chart of ANY series length pixel-identical
+    to plotting every row. This is the engine-side reduction behind the
+    reference's notebook plotting surface (colab_interface.py:467-499):
+    rendering stays client-side, but billions of rows become 4*n_buckets
+    points in one distributed pass.
+
+    Plan shape: per-series bounds aggregate (ONE ROW per series) broadcast
+    back, then one groupBy(key, pixel) — a narrow scan plus one shuffle
+    whose output is n_series * n_buckets rows. Pixel assignment is pure
+    int64 arithmetic (epoch-micros delta * n_buckets integer-div span):
+    deterministic, engine-portable, no double rounding at the bucket edge.
+    """
+    ts = F.col(ts_col)
+    bounds = bars.groupBy(key_col).agg(
+        F.min(F.unix_micros(ts)).alias("_lo"),
+        F.max(F.unix_micros(ts)).alias("_hi"),
+    )
+    pixel = (
+        F.when(
+            F.col("_hi") > F.col("_lo"),
+            F.least(
+                F.lit(n_buckets - 1).cast("long"),
+                F.expr(f"(_us - _lo) * {n_buckets} div (_hi - _lo)"),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+    )
+    v = F.col(value_col)
+    return (
+        bars.join(F.broadcast(bounds), key_col)
+        .withColumn("_us", F.unix_micros(ts))
+        .groupBy(F.col(key_col).alias("symbol"), pixel.alias("pixel"))
+        .agg(
+            F.min_by(v, ts).alias("v_first"),
+            F.min(v).alias("v_min"),
+            F.max(v).alias("v_max"),
+            F.max_by(v, ts).alias("v_last"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
 def trend_slope(
     bars: DataFrame,
     value_col: str = "close",

@@ -40,6 +40,7 @@ from binance_data_framework_spark.operators.coverage import (
     meta_coverage,
 )
 from binance_data_framework_spark.operators.ohlcv import (
+    downsample_m4,
     resample_bars,
     resample_ohlcv,
     with_sma,
@@ -193,6 +194,40 @@ def q_resample_from_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     the stored base; coarser frames derive from bars, not ticks."""
     bars_1m = ohlcv_view(spark, sf_dir, "1m")
     return resample_bars(bars_1m, "1h").withColumn("volume", F.round("volume", 6))
+
+
+@register(
+    "chart_downsample_m4",
+    f"""
+    WITH bars AS ({_BARS_1H_SQL}),
+    b AS (SELECT symbol, min(epoch_us(bucket)) AS lo, max(epoch_us(bucket)) AS hi
+          FROM bars GROUP BY 1),
+    px AS (
+      SELECT bars.symbol,
+             CASE WHEN hi > lo
+                  THEN least(63, (epoch_us(bucket) - lo) * 64 // (hi - lo))
+                  ELSE 0 END AS pixel,
+             bucket, close
+      FROM bars JOIN b USING (symbol))
+    SELECT symbol, CAST(pixel AS INT) AS pixel,
+           arg_min(close, bucket) AS v_first,
+           min(close) AS v_min,
+           max(close) AS v_max,
+           arg_max(close, bucket) AS v_last,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM px GROUP BY 1, 2
+    """,
+)
+def q_chart_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 pixel-perfect chart downsample of each series' close line to a
+    64-pixel-wide chart (operators/ohlcv.downsample_m4) — the engine-side
+    reduction behind the reference's notebook plot surface
+    (colab_interface.py:467-499): first/last/min/max per equal-width time
+    pixel, so the client renders billions of rows from 4*64 points with
+    no visual difference. Bounds agg is one row per series (broadcast);
+    the downsample itself is one shuffle of n_series*64 rows."""
+    bars = _bars_1h(spark, sf_dir)
+    return downsample_m4(bars, n_buckets=64)
 
 
 @register(
@@ -2538,6 +2573,8 @@ _DRIVER_ORDER = [
     "resample_ohlcv_1M",
     "agg_cube",
     "unpivot_ohlcv",
+    # -- new in r3: no prior driver row --
+    "chart_downsample_m4",
     # -- changed this round: fresh evidence wanted --
     "window_ewma",
     "dedup_simhash",

@@ -150,3 +150,33 @@ def test_rsi_matches_reference_pandas(spark):
             expect.reset_index(drop=True),
             check_names=False,
         )
+
+
+def test_downsample_m4_pixels_and_extremes(spark):
+    """M4 downsample on a hand-computed series: 8 hourly bars into 4
+    pixels = 2 bars each; per pixel first/last follow bar time and min/max
+    are the true extremes, so a 4-px-wide chart of the pixel output is
+    identical to one of the full series."""
+    from binance_data_framework_spark.operators.ohlcv import downsample_m4
+
+    t0 = datetime(2024, 1, 1)
+    closes = [10.0, 3.0, 7.0, 20.0, 5.0, 6.0, 2.0, 9.0]
+    rows = [("A", datetime(2024, 1, 1, h), c) for h, c in enumerate(closes)]
+    bars = spark.createDataFrame(rows, "symbol string, bucket timestamp, close double")
+    out = {
+        r["pixel"]: r
+        for r in downsample_m4(bars, n_buckets=4).collect()
+    }
+    assert set(out) == {0, 1, 2, 3}
+    # pixel 0 covers hours 0-1 (span 7h * 4 / 7 buckets by closed-range math:
+    # pixel = (h * 4) div 7 -> h0,h1 -> 0; h2,h3 -> 1; h4,h5 -> 2; h6,h7 -> 3)
+    assert (out[0]["v_first"], out[0]["v_min"], out[0]["v_max"], out[0]["v_last"]) == (10.0, 3.0, 10.0, 3.0)
+    assert (out[1]["v_first"], out[1]["v_max"], out[1]["v_last"]) == (7.0, 20.0, 20.0)
+    assert (out[3]["v_first"], out[3]["v_min"], out[3]["v_last"]) == (2.0, 2.0, 9.0)
+    assert sum(r["n_rows"] for r in out.values()) == 8
+    # single-row series: everything lands in pixel 0, no divide-by-zero
+    one = spark.createDataFrame(
+        [("B", t0, 42.0)], "symbol string, bucket timestamp, close double"
+    )
+    r = downsample_m4(one, n_buckets=4).collect()[0]
+    assert r["pixel"] == 0 and r["v_first"] == r["v_last"] == 42.0
