@@ -28,10 +28,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Parquet → footer min/max stats give the
     row-group skipping the reference needed 3 SQLite indexes for.
 
-    The `events` fixture stores TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects; read it as a long (nanosAsLong) and floor-div to
-    microseconds — the same ns→us truncation DuckDB applies, so oracle
-    comparisons stay exact.
+    The `events` fixture's ts column has varied across driver testdata
+    generations: TIMESTAMP(NANOS) (read as a long via nanosAsLong and
+    floor-divided to micros — the ns→us truncation DuckDB applies) or
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ by
+    Spark 4's inferTimestampNTZ). Both are naive-UTC instants by fixture
+    convention; normalize to session-tz TimestampType — the engine's
+    canonical type — so downstream epoch-ms functions (unix_millis in
+    coverage_check) and timestamp-literal comparisons type-check
+    identically for every generation.
     """
     # Defensive: the harness may hand us a session it built itself — pin the
     # engine's UTC discipline and the nanos read mode at runtime (both are
@@ -39,8 +44,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            # naive-UTC wall-clock → UTC instant (session tz is UTC)
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -79,10 +89,15 @@ def scan_events_range(
             df = df.where(F.col("ts") <= _ns(end) // 1000 * 1000 + 999)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     else:
+        # TIMESTAMP_NTZ (or plain TIMESTAMP) storage: filter on the RAW
+        # column so the predicate pushes to parquet row groups (a filter on
+        # a cast column would not), then normalize the type after.
         if start is not None:
             df = df.where(F.col("ts") >= F.lit(start))
         if end is not None:
             df = df.where(F.col("ts") <= F.lit(end))
+        if dict(df.dtypes).get("ts") == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -35,20 +35,23 @@ manifests below the newest checkpoint the retention window still needs.
 Commit metadata IO is therefore amortized O(delta +
 files/_CHECKPOINT_EVERY) instead of O(store files) per commit.
 
-CONCURRENCY: commits are a read-rebase-commit loop. The publish rename is
-a CAS on filesystems where rename-to-existing fails (HDFS, most object
-stores' atomic-rename layers): losing a race raises internally and the
-writer REBASES — re-resolves the new head, re-applies its delta, retries —
-so concurrent DIFFERENT-series writers (threads via the in-process lock,
+CONCURRENCY: commits are a read-rebase-commit loop. The manifest publish
+is CREATE-EXCLUSIVE: the fully-written tmp manifest is hard-linked to its
+versioned name on local filesystems (atomic, fails if the version exists
+— POSIX link(2) semantics) and renamed on HDFS/object-store layers where
+rename-to-existing fails — a true CAS on every supported scheme, with the
+content never partially visible. Losing the race raises internally and
+the writer REBASES — re-resolves the new head, re-applies its delta,
+retries — so concurrent DIFFERENT-series writers (threads via the
+per-root in-process lock shared by ALL OhlcvStore instances of a root,
 processes via the CAS loop) compose without lost updates. Same-series
 writes remain single-writer by contract (reference parity: one SQLite
-connection); a same-series race is detected (the rebase finds its merged
-base files no longer live) and raised, never silently lost. POSIX rename
-replaces instead of failing, so on a bare local FS cross-process rebase
-degrades to last-writer-wins — the documented single-writer contract;
-in-process threads are still fully serialized by the lock. The upgrade
-path for true multi-writer MERGE is a real table format, for which this
-manifest layer is the drop-in seam.
+connection); a same-series race is DETECTED on every scheme — the rebase
+finds its merged base files no longer live — and raised, never silently
+lost. Cross-process same-series racing is therefore a correctness-
+preserving error, not a data-loss hazard; the upgrade path for true
+multi-writer MERGE is a real table format, for which this manifest layer
+is the drop-in seam.
 
 All filesystem ops (manifest read/write/rename, existence probe, vacuum) go
 through the Hadoop FileSystem API resolved from the store root, so the same
@@ -80,10 +83,24 @@ _MANIFEST_DIR = "_manifests"
 _CHECKPOINT_EVERY = 8  # every Nth manifest embeds the full file list
 _COMMIT_RETRIES = 5
 
+# One commit lock per store ROOT, shared by every OhlcvStore instance of that
+# root in this process (ADVICE r3: a per-instance lock let two instances on
+# the same root race each other's read-rebase-commit sections). RLock, not
+# Lock: a rebase test may nest a second instance's commit on the same thread;
+# cross-thread exclusion is identical.
+_LOCKS_GUARD = threading.Lock()
+_COMMIT_LOCKS: dict[str, threading.RLock] = {}
+
+
+def _root_commit_lock(root: str) -> threading.RLock:
+    with _LOCKS_GUARD:
+        return _COMMIT_LOCKS.setdefault(root, threading.RLock())
+
 
 class ConcurrentCommit(RuntimeError):
     """Another writer published this manifest version first (the publish
-    rename lost its CAS). Internal: _commit_rebased catches it and rebases."""
+    lost its create-exclusive CAS). Internal: _commit_rebased catches it and
+    rebases."""
 
 
 def _utc(d: datetime) -> datetime:
@@ -101,10 +118,11 @@ class OhlcvStore:
         self.spark = spark
         self.root = root.rstrip("/")
         # serializes the read-rebase-commit critical section so concurrent
-        # DIFFERENT-series writers on this store instance (e.g. load_many's
-        # per-symbol threads) compose instead of losing updates; the Spark
-        # write jobs themselves still run in parallel outside the lock
-        self._commit_lock = threading.Lock()
+        # DIFFERENT-series writers on this root (e.g. load_many's per-symbol
+        # threads — across ALL instances of the root, see _root_commit_lock)
+        # compose instead of losing updates; the Spark write jobs themselves
+        # still run in parallel outside the lock
+        self._commit_lock = _root_commit_lock(self.root)
 
     # -- filesystem helpers ----------------------------------------------
     def _fs_path(self, *segments: str):
@@ -215,31 +233,62 @@ class OhlcvStore:
         checkpoint versions also embed the full file list (module
         docstring, DELTA LOG + CHECKPOINTS).
 
-        The publish is a tmp-write + rename — atomic on HDFS, object stores
-        with atomic rename, and POSIX. Where rename-to-existing fails
-        (HDFS), a lost race raises ConcurrentCommit for _commit_rebased to
-        retry; POSIX rename replaces, so there the single-writer-per-series
-        contract rules out lost updates — readers are snapshot-safe either
-        way. Returns the new RESOLVED snapshot."""
+        The publish is create-exclusive on every scheme (_publish_manifest):
+        a lost race raises ConcurrentCommit for _commit_rebased to retry.
+        Returns the new RESOLVED snapshot."""
         version = (prev["version"] + 1) if prev else 1
         files = sorted((set(prev["files"]) if prev else set()) - set(removed) | set(added))
         man = {"version": version, "added": sorted(added), "removed": sorted(removed)}
         if version == 1 or version % _CHECKPOINT_EVERY == 0:
             man["files"] = files
+        self._publish_manifest(version, json.dumps(man).encode())
+        self._vacuum(version)
+        return {"version": version, "files": files}
+
+    def _publish_manifest(self, version: int, data: bytes) -> None:
+        """Create-exclusive manifest publish (the commit CAS). The content
+        is fully written to an underscore-prefixed tmp file (invisible to
+        readers) first, then claimed as v<version> atomically:
+
+        - local filesystems: ``java.nio.Files.createLink`` — POSIX link(2)
+          is atomic and FAILS with FileAlreadyExistsException if the
+          version was already published, closing the r3-documented
+          last-writer-wins hole of plain POSIX rename;
+        - HDFS / object-store rename layers: ``fs.rename``, which fails
+          when the destination exists.
+
+        Either way a lost race raises ConcurrentCommit and the fully-
+        written content is never partially visible to readers."""
         fs, mdir = self._fs_path(_MANIFEST_DIR)
         if not fs.exists(mdir):
             fs.mkdirs(mdir)
         tmp_rel = f"{_MANIFEST_DIR}/_tmp-{uuid.uuid4().hex}.json"
-        self._write_bytes(tmp_rel, json.dumps(man).encode())
+        self._write_bytes(tmp_rel, data)
         _, tmp_path = self._fs_path(tmp_rel)
         _, final_path = self._fs_path(f"{_MANIFEST_DIR}/v{version:012d}.json")
-        if not fs.rename(tmp_path, final_path):
+        scheme = (final_path.toUri().getScheme() or fs.getUri().getScheme() or "").lower()
+        if scheme in ("", "file"):
+            jvm = self.spark._jvm
+            # java.io.File(...).toPath(): Paths.get is varargs, which Py4J
+            # cannot dispatch with a bare String
+            src = jvm.java.io.File(tmp_path.toUri().getPath()).toPath()
+            dst = jvm.java.io.File(final_path.toUri().getPath()).toPath()
+            try:
+                jvm.java.nio.file.Files.createLink(dst, src)
+            except Exception as e:  # Py4J wraps the Java exception
+                fs.delete(tmp_path, False)
+                if "FileAlreadyExistsException" in str(e):
+                    raise ConcurrentCommit(
+                        f"manifest v{version} was published by a concurrent writer"
+                    ) from None
+                raise
             fs.delete(tmp_path, False)
-            raise ConcurrentCommit(
-                f"manifest v{version} was published by a concurrent writer"
-            )
-        self._vacuum(version)
-        return {"version": version, "files": files}
+        else:
+            if not fs.rename(tmp_path, final_path):
+                fs.delete(tmp_path, False)
+                raise ConcurrentCommit(
+                    f"manifest v{version} was published by a concurrent writer"
+                )
 
     def _commit_rebased(self, delta_fn) -> dict | None:
         """Read-rebase-commit loop: resolve the CURRENT head, ask
@@ -287,22 +336,12 @@ class OhlcvStore:
         if grace_v < 1 or grace_v not in self._manifest_versions():
             return
         grace = self._read_manifest(grace_v)
-        fs, root_path = self._fs_path()
-        root_str = root_path.toUri().getPath()
+        fs, _ = self._fs_path()
         for rel in grace.get("removed", []):
             _, p = self._fs_path(rel)
             if fs.exists(p):
                 fs.delete(p, False)
-                parent = p.getParent()
-                # prune now-empty partition dirs up to (not incl.) the root
-                while (
-                    parent is not None
-                    and parent.toUri().getPath() != root_str
-                    and fs.exists(parent)
-                    and len(fs.listStatus(parent)) == 0
-                ):
-                    fs.delete(parent, False)
-                    parent = parent.getParent()
+                self._prune_empty_parents(p)
         keep_from = max(
             (v for v in range(1, grace_v + 1) if v == 1 or v % _CHECKPOINT_EVERY == 0),
             default=1,
@@ -311,6 +350,28 @@ class OhlcvStore:
             if v < keep_from:
                 _, mp = self._fs_path(f"{_MANIFEST_DIR}/v{v:012d}.json")
                 fs.delete(mp, False)
+
+    def _prune_empty_parents(self, p) -> None:
+        """Best-effort removal of now-empty partition dirs above a deleted
+        file, up to (not incl.) the store root. Tolerant of concurrent
+        writers: save_data's staged-file renames run OUTSIDE the commit
+        lock, so a dir observed empty here can be repopulated before the
+        delete — the non-recursive delete then fails (it never removes
+        data) and the prune simply stops (ADVICE r3: the prune must not
+        turn a benign interleave into a failed vacuum, and the writer side
+        retries its rename with fresh mkdirs for the same reason)."""
+        fs, root_path = self._fs_path()
+        root_str = root_path.toUri().getPath()
+        parent = p.getParent()
+        while parent is not None and parent.toUri().getPath() != root_str:
+            try:
+                if not fs.exists(parent) or len(fs.listStatus(parent)) != 0:
+                    return
+                if not fs.delete(parent, False):
+                    return
+            except Exception:  # noqa: BLE001 — concurrent repopulation
+                return
+            parent = parent.getParent()
 
     # -- time travel ------------------------------------------------------
     def snapshot_versions(self) -> list[int]:
@@ -451,17 +512,7 @@ class OhlcvStore:
             .mode("overwrite")
             .save(f"{self.root}/{staging}")
         )
-        fs, staging_path = self._fs_path(staging)
-        new_files = []
-        for rel in self._list_data_files(staging):
-            dest_rel = rel.split("/", 1)[1]  # strip the staging prefix
-            _, src = self._fs_path(rel)
-            _, dst = self._fs_path(dest_rel)
-            fs.mkdirs(dst.getParent())
-            if not fs.rename(src, dst):
-                raise RuntimeError(f"failed to publish staged file {rel}")
-            new_files.append(dest_rel)
-        fs.delete(staging_path, True)
+        new_files = self._publish_staged(staging)
         # commit-time rebase: re-resolve the LATEST snapshot (another
         # thread or process may have committed a different series since our
         # merge snapshot) and apply this write's delta to it — concurrent
@@ -482,8 +533,48 @@ class OhlcvStore:
                 )
             return new_files, superseded
 
-        self._commit_rebased(_delta)
+        self._commit_or_reclaim(new_files, _delta)
         return True
+
+    def _publish_staged(self, staging: str) -> list[str]:
+        """FS-rename a staging dir's data files into the final layout;
+        returns the new store-relative paths. Driver-side metadata ops,
+        O(touched days); reader VISIBILITY is still gated by the manifest
+        swap, not by rename timing."""
+        fs, staging_path = self._fs_path(staging)
+        new_files = []
+        for rel in self._list_data_files(staging):
+            dest_rel = rel.split("/", 1)[1]  # strip the staging prefix
+            _, src = self._fs_path(rel)
+            _, dst = self._fs_path(dest_rel)
+            fs.mkdirs(dst.getParent())
+            if not fs.rename(src, dst):
+                # a concurrent vacuum can prune the just-created parent dir
+                # (observed empty) between our mkdirs and rename; one retry
+                # with fresh mkdirs closes the interleave (ADVICE r3)
+                fs.mkdirs(dst.getParent())
+                if not fs.rename(src, dst):
+                    raise RuntimeError(f"failed to publish staged file {rel}")
+            new_files.append(dest_rel)
+        fs.delete(staging_path, True)
+        return new_files
+
+    def _commit_or_reclaim(self, new_files: list[str], delta_fn) -> dict | None:
+        """_commit_rebased, but a failed commit (same-series conflict,
+        exhausted CAS retries) must not leak the already-placed files into
+        the live layout: no manifest references them, so vacuum would never
+        reclaim them — an unbounded disk leak under repeated conflicts
+        (ADVICE r3). Remove them before re-raising."""
+        try:
+            return self._commit_rebased(delta_fn)
+        except BaseException:
+            fs, _ = self._fs_path()
+            for rel in new_files:
+                _, p = self._fs_path(rel)
+                if fs.exists(p):
+                    fs.delete(p, False)
+                    self._prune_empty_parents(p)
+            raise
 
     def get_data(
         self,
@@ -535,8 +626,9 @@ class OhlcvStore:
         """Series drop (reference delete_data, database_handler.py:243-255):
         a manifest commit that retires every file of the series — logically
         immediate and snapshot-safe for concurrent readers; the physical
-        files (and emptied dirs) are vacuumed at the next commit, same as an
-        upsert's superseded files. No rewrite of unrelated data ever."""
+        files (and emptied dirs) are vacuumed two commits later (the
+        _vacuum reader-grace window), same as an upsert's superseded
+        files. No rewrite of unrelated data ever."""
         if not self._snapshot():  # bootstraps legacy layouts
             return False
         prefix = f"symbol={symbol}/timeframe={timeframe}/"
@@ -550,6 +642,84 @@ class OhlcvStore:
             return [], series_files
 
         return self._commit_rebased(_delta) is not None
+
+    def optimize(
+        self,
+        symbol: str | None = None,
+        timeframe: str | None = None,
+        max_records_per_file: int = 0,
+    ) -> int:
+        """Small-file compaction (Delta ``OPTIMIZE`` parity): bin-pack every
+        day partition holding more than one file into one file (or
+        size-bounded files via ``max_records_per_file`` — the knob for days
+        too large for a single file at 100 TB), published through the same
+        snapshot-manifest commit as any write: added=compacted,
+        removed=originals. Snapshot-safe by construction — concurrent
+        readers keep the originals through the two-commit vacuum grace, and
+        time travel to pre-compaction versions still reads. Returns the
+        number of day partitions compacted.
+
+        Why it matters at scale: ranged upserts keep each LIVE day at one
+        file, but multi-file days still arise — legacy-layout adoption
+        (the _snapshot bootstrap inherits whatever file fragmentation the
+        external writer left), size-split writes (``max_records_per_file``),
+        and any future append-mode ingest. A store that adopted millions of
+        externally-written small files pays for them on every scan (task
+        count, open() overhead) and in every checkpoint manifest. Planning
+        here is metadata-only (group the manifest listing by day
+        dir — no data scan); the rewrite reads and writes ONLY the
+        multi-file days; commit cost stays O(touched files)."""
+        man = self._snapshot()
+        if not man:
+            return 0
+        groups: dict[str, list[str]] = {}
+        for rel in man["files"]:
+            dirpart, _, _ = rel.rpartition("/")
+            kv = dict(
+                seg.split("=", 1) for seg in dirpart.split("/") if "=" in seg
+            )
+            if not {"symbol", "timeframe", "dt"} <= kv.keys():
+                continue  # stray legacy file outside the partition layout
+            if symbol is not None and kv.get("symbol") != symbol:
+                continue
+            if timeframe is not None and kv.get("timeframe") != timeframe:
+                continue
+            groups.setdefault(dirpart, []).append(rel)
+        todo = {d: fl for d, fl in groups.items() if len(fl) > 1}
+        if not todo:
+            return 0
+        originals = sorted(f for fl in todo.values() for f in fl)
+        df = self.spark.read.option("basePath", self.root).parquet(
+            *[f"{self.root}/{f}" for f in originals]
+        )
+        staging = f"_staging-{uuid.uuid4().hex}"
+        writer = (
+            df.repartition("symbol", "timeframe", "dt")
+            .sortWithinPartitions("ts")  # keep row-group ts skipping tight
+            .write.partitionBy("symbol", "timeframe", "dt")
+            .mode("overwrite")
+        )
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.save(f"{self.root}/{staging}")
+        new_files = self._publish_staged(staging)
+        sup = set(originals)
+
+        def _delta(latest: dict | None):
+            live = set(latest["files"]) if latest else set()
+            gone = sup - live
+            if gone:
+                # a concurrent upsert superseded files we compacted: our
+                # rewrite would resurrect replaced rows — abort (reclaiming
+                # the compacted files), never publish stale data
+                raise RuntimeError(
+                    f"concurrent write during optimize: {len(gone)} "
+                    f"compacted file(s) no longer live; e.g. {sorted(gone)[:2]}"
+                )
+            return new_files, originals
+
+        self._commit_or_reclaim(new_files, _delta)
+        return len(todo)
 
     def get_stored_info(self) -> DataFrame:
         """Catalog scan: per-series coverage + row counts

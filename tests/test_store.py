@@ -274,15 +274,19 @@ def test_manifest_snapshot_versions_and_vacuum(store, spark):
 
 
 def test_concurrent_different_series_saves_compose(store, spark):
-    """Commit-time rebase: two threads upserting DIFFERENT series on the
-    same store must both land (no lost update in the manifest swap)."""
+    """Commit-time rebase: threads upserting DIFFERENT series on the same
+    root must all land (no lost update in the manifest swap) — each thread
+    through its OWN OhlcvStore instance, which exercises the per-root
+    shared commit lock (ADVICE r3: per-instance locks let two instances
+    race each other's read-rebase-commit sections)."""
     import threading
 
     errs = []
 
     def save(sym, base):
         try:
-            store.save_data(_bars(spark, T0, 12, base), sym, "1h")
+            own = OhlcvStore(spark, store.root)
+            own.save_data(_bars(spark, T0, 12, base), sym, "1h")
         except Exception as e:  # noqa: BLE001
             errs.append(e)
 
@@ -376,3 +380,112 @@ def test_commit_rebase_retries_on_lost_cas(store, spark, monkeypatch):
     assert store.get_data("ETHUSDT", "1h").count() == 4
     rows = store.get_data("BTCUSDT", "1h").collect()
     assert len(rows) == 6 and all(r["open"] >= 200.0 for r in rows)
+
+
+def _legacy_day(spark, root: str, day: str, n_files: int, base: float, n: int = 24):
+    """Write an externally-fragmented legacy day dir (no manifest): the
+    layout _snapshot bootstraps and optimize() bin-packs."""
+    start = datetime.fromisoformat(day)
+    (
+        _bars(spark, start, n, base)
+        .repartition(n_files)
+        .write.mode("overwrite")
+        .parquet(f"{root}/symbol=BTCUSDT/timeframe=1h/dt={day}")
+    )
+
+
+def test_optimize_binpacks_multifile_days(store, spark):
+    """N-file day → optimize → 1 file per (series, dt); rows and values
+    unchanged; the pre-compaction snapshot still time-travels (compaction
+    is a manifest commit like any other, not an in-place rewrite)."""
+    _legacy_day(spark, store.root, "2024-01-01", 3, 100.0)
+    _legacy_day(spark, store.root, "2024-01-02", 4, 200.0)
+    assert store._snapshot()["version"] == 1  # legacy bootstrap checkpoint
+    assert len(store._snapshot()["files"]) == 7
+    before = store.get_data("BTCUSDT", "1h").orderBy("ts").collect()
+
+    assert store.optimize() == 2  # two day partitions compacted
+    files = store._snapshot()["files"]
+    assert len(files) == 2
+    assert len([f for f in files if "dt=2024-01-01" in f]) == 1
+    after = store.get_data("BTCUSDT", "1h").orderBy("ts").collect()
+    assert after == before
+    # pre-compaction snapshot still reads its exact 7-file set
+    assert store.read_version(1).count() == 48
+    # already-compact store: no-op, no new commit
+    assert store.optimize() == 0
+    assert store._snapshot()["version"] == 2
+
+
+def test_optimize_max_records_per_file_binpacks_to_size(store, spark):
+    """The size knob for days too large for one file: 24-row day at
+    max_records_per_file=10 → 3 files, still one day dir, rows intact."""
+    _legacy_day(spark, store.root, "2024-01-01", 2, 100.0)
+    assert store.optimize(max_records_per_file=10) == 1
+    day_files = [
+        f for f in store._snapshot()["files"] if f.startswith("symbol=BTCUSDT/")
+    ]
+    assert len(day_files) == 3  # ceil(24 / 10)
+    assert store.get_data("BTCUSDT", "1h").count() == 24
+
+
+def test_commit_lock_shared_per_root(store, spark, tmp_path):
+    """All OhlcvStore instances of one root share one commit lock; a
+    different root gets its own (ADVICE r3)."""
+    assert OhlcvStore(spark, store.root)._commit_lock is store._commit_lock
+    other = OhlcvStore(spark, str(tmp_path / "elsewhere"))
+    assert other._commit_lock is not store._commit_lock
+
+
+def test_manifest_publish_is_create_exclusive(store, spark):
+    """The publish CAS holds on plain POSIX local FS: publishing an
+    already-committed manifest version raises ConcurrentCommit and leaves
+    the winner's manifest byte-identical — closing the r3-documented
+    last-writer-wins degradation of rename-based publish."""
+    from binance_data_framework_spark.store import ConcurrentCommit
+
+    store.save_data(_bars(spark, T0, 3, 100.0), "BTCUSDT", "1h")  # v1
+    before = store._read_manifest(1)
+    with pytest.raises(ConcurrentCommit):
+        store._publish_manifest(1, b'{"version": 1, "added": [], "removed": []}')
+    assert store._read_manifest(1) == before
+    # and no tmp debris is left behind in the manifest dir
+    fs, mdir = store._fs_path("_manifests")
+    names = [st.getPath().getName() for st in fs.listStatus(mdir)]
+    assert not [n for n in names if n.startswith("_tmp-")]
+
+
+def test_failed_same_series_commit_reclaims_staged_files(store, spark, monkeypatch):
+    """A save that loses a same-series race must (a) raise — the merge was
+    computed against files no longer live — and (b) remove the day files
+    it had already placed in the live layout: no manifest references them,
+    so vacuum would never reclaim them (ADVICE r3 orphan leak)."""
+    from binance_data_framework_spark import store as store_mod
+
+    store.save_data(_bars(spark, T0, 6, 100.0), "BTCUSDT", "1h")  # v1
+
+    real_commit = store._commit
+    state = {"raced": False}
+
+    def racy_commit(added, removed, prev):
+        if not state["raced"]:
+            state["raced"] = True
+            # a concurrent writer lands the SAME series first...
+            OhlcvStore(spark, store.root).save_data(
+                _bars(spark, T0, 6, 500.0), "BTCUSDT", "1h"
+            )
+            # ...and this writer's publish loses the CAS
+            raise store_mod.ConcurrentCommit("simulated lost race")
+        return real_commit(added, removed, prev)
+
+    monkeypatch.setattr(store, "_commit", racy_commit)
+    files_after_race = set(store._list_data_files())
+    with pytest.raises(RuntimeError, match="same-series"):
+        store.save_data(_bars(spark, T0, 6, 200.0), "BTCUSDT", "1h")
+    # the loser's staged files are gone again: on disk = v1's file (still in
+    # the vacuum grace window) + the winner's file, nothing else
+    assert set(store._list_data_files()) == files_after_race | set(
+        store._snapshot()["files"]
+    )
+    rows = store.get_data("BTCUSDT", "1h").collect()
+    assert len(rows) == 6 and all(r["open"] >= 500.0 for r in rows)
