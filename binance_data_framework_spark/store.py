@@ -27,13 +27,20 @@ file it planned), which keeps cleanup O(changed files), never O(store).
 DELTA LOG + CHECKPOINTS (Delta-Lake-style): most manifests record only the
 commit's ``added``/``removed`` file deltas — a one-day upsert against a
 store of millions of files writes a few hundred bytes of metadata, not the
-full listing. Every ``_CHECKPOINT_EVERY``-th commit (and v1) also embeds
-the full ``files`` list; snapshot resolution walks back to the nearest
-checkpoint and replays the deltas forward (bounded: at most
+full listing. Every ``_CHECKPOINT_EVERY``-th commit (and v1) also writes
+the full file list as a PARQUET checkpoint sidecar
+(``_manifests/v{N}-{uuid}.checkpoint.parquet``, referenced by name from
+the JSON manifest): at millions of files a JSON-embedded list is a
+>100 MB driver-parsed blob per checkpoint, while the parquet form is
+columnar-compressed, streamable, AND directly readable as a DataFrame
+(``spark.read.parquet``) for scale-out manifest analytics/merges — the
+same move Delta made with its parquet checkpoints. Legacy JSON ``files``
+checkpoints remain readable. Snapshot resolution walks back to the
+nearest checkpoint and replays the deltas forward (bounded: at most
 ``_CHECKPOINT_EVERY + 2`` manifest reads per scan). Vacuum prunes
-manifests below the newest checkpoint the retention window still needs.
-Commit metadata IO is therefore amortized O(delta +
-files/_CHECKPOINT_EVERY) instead of O(store files) per commit.
+manifests (and their checkpoint sidecars) below the newest checkpoint the
+retention window still needs. Commit metadata IO is therefore amortized
+O(delta + files/_CHECKPOINT_EVERY) instead of O(store files) per commit.
 
 CONCURRENCY: commits are a read-rebase-commit loop. The manifest publish
 is CREATE-EXCLUSIVE: the fully-written tmp manifest is hard-linked to its
@@ -166,6 +173,29 @@ class OhlcvStore:
     def _read_manifest(self, version: int) -> dict:
         return json.loads(self._read_bytes(f"{_MANIFEST_DIR}/v{version:012d}.json"))
 
+    # -- parquet checkpoint sidecars --------------------------------------
+    def _write_checkpoint(self, name: str, files: list[str]) -> None:
+        """Write a checkpoint file list as parquet (one ``path`` column),
+        through the same byte-level FS API as manifests — scheme-agnostic.
+        Columnar + dictionary/RLE compression makes a multi-million-file
+        listing megabytes instead of the >100 MB its JSON form would be,
+        and the sidecar is a plain parquet file Spark can scan directly."""
+        import io
+
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        buf = io.BytesIO()
+        papq.write_table(pa.table({"path": files}), buf, compression="zstd")
+        self._write_bytes(f"{_MANIFEST_DIR}/{name}", buf.getvalue())
+
+    def _read_checkpoint(self, name: str) -> list[str]:
+        import pyarrow as pa
+        import pyarrow.parquet as papq
+
+        data = self._read_bytes(f"{_MANIFEST_DIR}/{name}")
+        return papq.read_table(pa.BufferReader(data)).column("path").to_pylist()
+
     def _list_data_files(self, *segments: str) -> list[str]:
         """Recursively list data files (relative to root) under
         root/segments, skipping hidden/metadata entries. Scheme-agnostic:
@@ -198,11 +228,14 @@ class OhlcvStore:
         added forward. Bounded by the checkpoint cadence, never O(history)."""
         deltas = []
         v, man = version, self._read_manifest(version)
-        while "files" not in man:
+        while "files" not in man and "checkpoint" not in man:
             deltas.append(man)
             v -= 1
             man = self._read_manifest(v)
-        files = set(man["files"])
+        if "checkpoint" in man:
+            files = set(self._read_checkpoint(man["checkpoint"]))
+        else:  # legacy JSON-embedded checkpoint
+            files = set(man["files"])
         for d in reversed(deltas):
             files -= set(d["removed"])
             files |= set(d["added"])
@@ -239,9 +272,21 @@ class OhlcvStore:
         version = (prev["version"] + 1) if prev else 1
         files = sorted((set(prev["files"]) if prev else set()) - set(removed) | set(added))
         man = {"version": version, "added": sorted(added), "removed": sorted(removed)}
+        ckpt_name = None
         if version == 1 or version % _CHECKPOINT_EVERY == 0:
-            man["files"] = files
-        self._publish_manifest(version, json.dumps(man).encode())
+            # uuid-unique sidecar name: two writers racing the same version
+            # can never clobber each other's checkpoint — only the one whose
+            # JSON manifest wins the publish CAS gets referenced
+            ckpt_name = f"v{version:012d}-{uuid.uuid4().hex}.checkpoint.parquet"
+            self._write_checkpoint(ckpt_name, files)
+            man["checkpoint"] = ckpt_name
+        try:
+            self._publish_manifest(version, json.dumps(man).encode())
+        except ConcurrentCommit:
+            if ckpt_name is not None:  # reclaim the losing sidecar
+                fs, cp = self._fs_path(f"{_MANIFEST_DIR}/{ckpt_name}")
+                fs.delete(cp, False)
+            raise
         self._vacuum(version)
         return {"version": version, "files": files}
 
@@ -348,6 +393,13 @@ class OhlcvStore:
         )
         for v in self._manifest_versions():
             if v < keep_from:
+                try:
+                    stale_ckpt = self._read_manifest(v).get("checkpoint")
+                except Exception:  # noqa: BLE001 — already pruned elsewhere
+                    stale_ckpt = None
+                if stale_ckpt:
+                    _, cp = self._fs_path(f"{_MANIFEST_DIR}/{stale_ckpt}")
+                    fs.delete(cp, False)
                 _, mp = self._fs_path(f"{_MANIFEST_DIR}/v{v:012d}.json")
                 fs.delete(mp, False)
 

@@ -334,11 +334,22 @@ def test_delta_log_checkpoint_cadence_and_pruning(store, spark):
     commits the store has seen."""
     for i in range(10):
         store.save_data(_bars(spark, T0, 3, 100.0 * (i + 1)), "BTCUSDT", "1h")
-    # v8 is a checkpoint (full file list); its neighbors are deltas
-    assert "files" in store._read_manifest(8)
-    assert "files" not in store._read_manifest(9)
+    # v8 is a checkpoint (parquet file-list sidecar); its neighbors are deltas
+    m8 = store._read_manifest(8)
+    assert "checkpoint" in m8
+    assert store._read_checkpoint(m8["checkpoint"]) == store._resolve(8)["files"]
+    m9 = store._read_manifest(9)
+    assert "checkpoint" not in m9 and "files" not in m9
     # at v10 the grace version is v8 (a checkpoint), so v1-v7 are pruned
     assert store._manifest_versions() == [8, 9, 10]
+    # ...including v1's now-stale checkpoint sidecar: only v8's remains
+    fs, mdir = store._fs_path("_manifests")
+    sidecars = [
+        st.getPath().getName()
+        for st in fs.listStatus(mdir)
+        if st.getPath().getName().endswith(".checkpoint.parquet")
+    ]
+    assert sidecars == [m8["checkpoint"]]
     assert store.snapshot_versions() == [8, 9, 10]
     # resolution across the checkpoint boundary: v9 = v8.files + v9 delta
     assert [r["open"] for r in store.read_version(9).orderBy("ts").collect()] == [
@@ -427,6 +438,40 @@ def test_optimize_max_records_per_file_binpacks_to_size(store, spark):
     ]
     assert len(day_files) == 3  # ceil(24 / 10)
     assert store.get_data("BTCUSDT", "1h").count() == 24
+
+
+def test_checkpoint_parquet_roundtrips_100k_files(store, spark):
+    """The scale case parquet checkpoints exist for: a synthetic 100k-file
+    manifest round-trips exactly, and the sidecar is directly scannable by
+    Spark (the DataFrame-native path for manifest analytics at millions of
+    files, where a JSON blob would be a >100 MB driver parse)."""
+    files = [
+        f"symbol=S{i % 50}/timeframe=1h/dt=2024-01-{i % 28 + 1:02d}/part-{i:07d}.parquet"
+        for i in range(100_000)
+    ]
+    name = "v000000000042-roundtrip.checkpoint.parquet"
+    store._write_checkpoint(name, files)
+    assert store._read_checkpoint(name) == files
+    df = spark.read.parquet(f"{store.root}/_manifests/{name}")
+    assert df.count() == 100_000
+    assert df.columns == ["path"]
+
+
+def test_legacy_json_files_checkpoint_still_resolves(store, spark):
+    """Stores whose checkpoint manifests predate the parquet sidecar (JSON
+    ``files`` list) keep resolving — the on-disk log format is
+    forward-compatible, not a migration."""
+    import json
+
+    store.save_data(_bars(spark, T0, 3, 100.0), "BTCUSDT", "1h")  # v1 (parquet ckpt)
+    man = store._resolve(1)
+    legacy = {"version": 1, "added": man["files"], "removed": [], "files": man["files"]}
+    fs, mp = store._fs_path("_manifests/v000000000001.json")
+    fs.delete(mp, False)
+    store._write_bytes("_manifests/v000000000001.json", json.dumps(legacy).encode())
+    assert store._resolve(1)["files"] == man["files"]
+    store.save_data(_bars(spark, T0, 3, 200.0), "BTCUSDT", "1h")  # v2 delta on legacy base
+    assert store.get_data("BTCUSDT", "1h").count() == 3
 
 
 def test_commit_lock_shared_per_root(store, spark, tmp_path):
