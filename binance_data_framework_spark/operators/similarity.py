@@ -438,18 +438,104 @@ def pq_train(
     return books
 
 
+def _rotate_udf(R: np.ndarray):
+    """Vectorized orthogonal rotation: one batch matmul per Arrow batch."""
+    Rt = np.asarray(R, dtype=np.float64).T
+
+    @pandas_udf("array<double>")
+    def rot(v: pd.Series) -> pd.Series:
+        return pd.Series(list(np.vstack(v.to_numpy()) @ Rt))
+
+    return rot
+
+
+def opq_train(
+    residuals: DataFrame,
+    m_sub: int = 8,
+    ksub: int = 16,
+    n_sweeps: int = 2,
+    n_iter: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    resid_col: str = "_r",
+) -> tuple[list[list[float]], list[list[list[float]]]]:
+    """OPQ (Ge et al., CVPR 2013, non-parametric): learn an orthogonal
+    rotation R so that product quantization of R·x loses less than PQ of x
+    — the rotation decorrelates and balances variance across the M
+    subspaces, which is exactly the structure PQ's independent-subspace
+    assumption wants. Alternating minimization of ||R·x − q(R·x)||²:
+
+      (a) fix R: train PQ codebooks on the rotated residuals (pq_train);
+      (b) fix the codes: orthogonal-Procrustes update — with
+          y_i = q(R·x_i) the reconstruction, R* = U·Vᵀ from
+          SVD(Σ y_i·x_iᵀ) minimizes Σ ||R·x_i − y_i||².
+
+    Scale shape: step (b)'s Σ y·xᵀ is a dim×dim (64×64) matrix accumulated
+    as ONE grouped-by-partition applyInPandas pass emitting a flattened
+    partial matrix per partition — only n_partitions × dim² floats reach
+    the driver, where the trivial 64×64 SVD runs. Everything is
+    deterministic (no RNG anywhere: pq_train inits from lowest ids,
+    np.linalg.svd is deterministic for a fixed input).
+
+    Returns (R as dim×dim row-major lists, codebooks trained on R-rotated
+    residuals)."""
+    R = np.eye(dim)
+    books: list[list[list[float]]] = []
+    base = residuals.select(id_col, F.col(resid_col).alias("_x"))
+    for sweep in range(n_sweeps):
+        rot = base.select(id_col, _rotate_udf(R)(F.col("_x")).alias("_r"))
+        books = pq_train(rot, m_sub, ksub, n_iter, dim, id_col, "_r")
+        if sweep == n_sweeps - 1:
+            break  # end on codebook training for the final rotation
+        b3 = np.asarray(books, dtype=np.float64)
+        sub_dim = dim // m_sub
+        # carry the ORIGINAL x alongside its code — no join-back shuffle
+        coded = base.select(
+            "_x", _rotate_udf(R)(F.col("_x")).alias("_r")
+        ).select("_x", _pq_codes_udf(books, sub_dim)(F.col("_r")).alias("_code"))
+
+        def corr_partials(pdfs):
+            for pdf in pdfs:
+                x = np.vstack(pdf["_x"].to_numpy())
+                cd = np.vstack(pdf["_code"].to_numpy())
+                # y = reconstruction of R·x from the codes
+                y = np.concatenate(
+                    [b3[m][cd[:, m]] for m in range(m_sub)], axis=1
+                )
+                yield pd.DataFrame({"corr": [list((y.T @ x).ravel())]})
+
+        parts = coded.select("_x", "_code").mapInPandas(
+            corr_partials, "corr array<double>"
+        ).collect()
+        M = np.zeros((dim, dim))
+        for r in parts:
+            M += np.asarray(r["corr"]).reshape(dim, dim)
+        U, _, Vt = np.linalg.svd(M)
+        R = U @ Vt
+    return [list(row) for row in R], books
+
+
 def _adc_udf(
-    centroids: list[list[float]], books: list[list[list[float]]], sub_dim: int
+    centroids: list[list[float]],
+    books: list[list[list[float]]],
+    sub_dim: int,
+    rotation: list[list[float]] | None = None,
 ):
     """Asymmetric-distance (ADC) approximate dot product:
     dot(p, v) ~ dot(p, cell_centroid) + sum_m table_m[code_m], where
     table_m[j] = dot(p_sub_m, codebook_m[j]). Lookup tables are built once
     per UNIQUE probe per Arrow batch (probes repeat across candidate rows),
     then gathered per candidate — the candidate side contributes only its
-    M-byte code."""
+    M-byte code.
+
+    With an OPQ ``rotation`` R, the codes quantize R·residual, so the
+    probe-side tables are built from the ROTATED probe sub-vectors
+    (dot(p, r) = dot(R·p, R·r) for orthogonal R); the centroid term stays
+    in the original space."""
     cm = np.asarray(centroids, dtype=np.float64)
     b3 = np.asarray(books, dtype=np.float64)
     m_sub = len(books)
+    Rt = None if rotation is None else np.asarray(rotation, dtype=np.float64).T
 
     @pandas_udf("double")
     def adc(pid: pd.Series, pv: pd.Series, c: pd.Series, codes: pd.Series) -> pd.Series:
@@ -457,6 +543,8 @@ def _adc_udf(
         uniq, first_idx, inv = np.unique(ids, return_index=True, return_inverse=True)
         full = np.vstack(pv.to_numpy())
         pu = full[first_idx]  # one probe row per unique probe
+        if Rt is not None:
+            pu = pu @ Rt
         pus = pu.reshape(len(uniq), m_sub, sub_dim)
         # tables: m_sub x n_uniq x ksub
         tables = np.stack([pus[:, m, :] @ b3[m].T for m in range(m_sub)])
@@ -481,6 +569,8 @@ def topk_cosine_ivfpq(
     m_sub: int = 8,
     ksub: int = 16,
     refine: int = 4,
+    opq: bool = False,
+    opq_sweeps: int = 2,
 ) -> DataFrame:
     """IVF-PQ with exact re-rank: the coarse IVF quantizer prunes to nprobe
     cells, an ADC scan over PRODUCT-QUANTIZED codes shortlists k*refine
@@ -496,7 +586,13 @@ def topk_cosine_ivfpq(
     the IVF cell choice (as topk_cosine_ivf) times ADC shortlist quality;
     `refine` buys shortlist recall back at 8 bytes/candidate. Final scores
     are EXACT cosines of the shortlist — approximation affects which
-    candidates are ranked, never the reported values."""
+    candidates are ranked, never the reported values.
+
+    ``opq=True`` inserts a learned orthogonal rotation before quantization
+    (opq_train): codes quantize R·residual and the ADC probe tables rotate
+    to match — better shortlist quality at the SAME m_sub/ksub code budget
+    (the rotation costs one dim×dim matmul per batch at index/query time,
+    nothing per candidate)."""
     centroids = kmeans_fit(df, n_centroids, 3, id_col, vec_col, dim)
     cm = np.asarray(centroids, dtype=np.float64)
     cn = (cm * cm).sum(axis=1)
@@ -507,7 +603,14 @@ def topk_cosine_ivfpq(
     resid = base.select(
         id_col, "_c", _residual_udf(centroids)(F.col("_v"), F.col("_c")).alias("_r")
     )
-    books = pq_train(resid, m_sub, ksub, 2, dim, id_col)
+    if opq:
+        rotation, books = opq_train(resid, m_sub, ksub, opq_sweeps, 2, dim, id_col)
+        resid = resid.select(
+            id_col, "_c", _rotate_udf(np.asarray(rotation))(F.col("_r")).alias("_r")
+        )
+    else:
+        rotation = None
+        books = pq_train(resid, m_sub, ksub, 2, dim, id_col)
     coded = resid.select(
         id_col, "_c", _pq_codes_udf(books, sub_dim)(F.col("_r")).alias("_code")
     ).localCheckpoint(eager=False)
@@ -529,7 +632,7 @@ def topk_cosine_ivfpq(
         F.col("_v").alias("_pv"),
         F.explode(probe_cells(F.col("_v"))).alias("_c"),
     )
-    adc = _adc_udf(centroids, books, sub_dim)
+    adc = _adc_udf(centroids, books, sub_dim, rotation)
     shortlist = (
         coded.join(broadcast(probes), on="_c")
         .where(F.col(id_col) != F.col("probe_id"))

@@ -2649,6 +2649,21 @@ def q_topk_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("topk_recall_opq", _RECALL_ORACLE.format(floor=0.2))
+def q_topk_recall_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall certificate for IVF-PQ with the learned OPQ rotation
+    (operators/similarity.opq_train): same floors as the plain-PQ path;
+    the rotation's own invariant (lower quantization error at equal code
+    budget) is pytest-verified (test_opq_rotation_improves_quantization)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = F.col("vec_id") < 5
+    return _recall_invariant(
+        S.topk_cosine(emb, probe, k=10),
+        S.topk_cosine_ivfpq(emb, probe, k=10, opq=True),
+        0.2,
+    )
+
+
 @register(
     "sketch_error_bounds",
     """
@@ -2706,6 +2721,7 @@ _DRIVER_ORDER = [
     "topk_recall_lsh",
     "topk_recall_ivf",
     "topk_recall_pq",
+    "topk_recall_opq",
     "sketch_error_bounds",
     # -- the 8 queries with no driver row anywhere in r1∪r2 --
     "pretraining_pipeline",

@@ -217,6 +217,50 @@ def test_pq_codes_shape(spark, sf_dir):
     assert codes["_code"].map(max).lt(16).all() and codes["_code"].map(min).ge(0).all()
 
 
+def test_opq_rotation_improves_quantization(spark, sf_dir):
+    """OPQ invariants (Ge et al. 2013): the learned R is orthogonal; the
+    quantization error of R-rotated residuals under the OPQ codebooks is
+    LOWER than plain PQ at the same m_sub/ksub code budget (the objective
+    the alternating minimization descends); and the opq=True IVF-PQ
+    pipeline stays deterministic end-to-end (RNG-free: Lloyd inits from
+    lowest ids, Procrustes via deterministic SVD)."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.kmeans_fit(emb, 16, 3)
+    base = S.with_norm(emb).withColumn("_c", S._assign_udf(cents)(F.col("_v")))
+    resid = base.select(
+        "vec_id", "_c", S._residual_udf(cents)(F.col("_v"), F.col("_c")).alias("_r")
+    )
+    X = np.vstack(resid.toPandas()["_r"].to_numpy())
+
+    def qerr(rotation, books):
+        b3 = np.asarray(books)
+        Xr = X if rotation is None else X @ np.asarray(rotation).T
+        sub = Xr.reshape(len(Xr), 8, 8)
+        err = 0.0
+        for m in range(8):
+            d = ((sub[:, m, :][:, None, :] - b3[m][None, :, :]) ** 2).sum(axis=2)
+            err += d.min(axis=1).sum()
+        return err / len(Xr)
+
+    pq_books = S.pq_train(resid, 8, 16, 2, 64, "vec_id")
+    R, opq_books = S.opq_train(resid, 8, 16, 2, 2, 64, "vec_id")
+    Rn = np.asarray(R)
+    assert np.allclose(Rn @ Rn.T, np.eye(64), atol=1e-8)
+    assert qerr(R, opq_books) < qerr(None, pq_books)
+    # determinism + recall floor of the full opq pipeline
+    a = S.topk_cosine_ivfpq(emb, F.col("vec_id") < 5, k=10, opq=True).toPandas()
+    b = S.topk_cosine_ivfpq(emb, F.col("vec_id") < 5, k=10, opq=True).toPandas()
+    key = ["probe_id", "rank"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True)
+    )
+    exact = S.topk_cosine(emb, F.col("vec_id") < 5, k=10).toPandas()
+    merged = a.merge(exact, on=["probe_id", "vec_id"], how="left", suffixes=("_a", "_e"))
+    assert merged["cosine_e"].notna().mean() > 0.2
+
+
 def test_minhash_slots_are_independent(spark, sf_dir):
     """Regression for the two-parameter-lambda trap (a `lambda s, i=i:`
     HOF lambda receives the ARRAY INDEX as its second argument, silently
