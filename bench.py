@@ -1,6 +1,16 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
 on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+   "sweep": {...}, "sweep_total_sec": N, "sf": ...}
+
+`queries` is the stable 19-query headline set, best-of-3 (round-over-round
+comparable). `sweep` times EVERY registered query once — the off-headline
+heavies (IVF-PQ index build, portable-hash oracle variants, curation
+pipelines) become a per-round artifact diffable against SWEEP_BASELINE.json
+instead of being invisible to bench comparison (VERDICT r3 item 7).
+Single-run: coverage and trend, not steady-state precision — compare
+against the committed baseline with a noise band, and set
+SPARK_GRAFT_SKIP_SWEEP=1 for quick headline-only iteration.
 
 Each query is forced to full materialization with a noop write (count() would
 let Catalyst skip computing projected values).
@@ -83,17 +93,28 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if not os.environ.get("SPARK_GRAFT_SKIP_SWEEP"):
+        import gc
+
+        sweep: dict[str, float] = {}
+        for name, fn in QUERIES.items():
+            # drop the previous query's localCheckpoint blocks before timing
+            # (their lazy unpersist otherwise bleeds GC pressure into the
+            # next measurement — observed 0.6s -> 7s spikes in-sweep)
+            gc.collect()
+            start = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            sweep[name] = round(time.perf_counter() - start, 3)
+        payload["sweep"] = sweep
+        payload["sweep_total_sec"] = round(sum(sweep.values()), 3)
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

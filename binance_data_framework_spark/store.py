@@ -436,6 +436,32 @@ class OhlcvStore:
             return []
         return [v for v in versions if v >= versions[-1] - 2]
 
+    def history(self) -> DataFrame:
+        """Commit log as a DataFrame (Delta ``DESCRIBE HISTORY`` parity):
+        one row per retained manifest — version, delta sizes, checkpoint
+        flag, readability under the retention window. Metadata-only; the
+        pruned log is bounded at ~_CHECKPOINT_EVERY + 2 manifests, so this
+        never scales with store size."""
+        readable = set(self.snapshot_versions())
+        rows = []
+        for v in self._manifest_versions():
+            man = self._read_manifest(v)
+            is_ckpt = "checkpoint" in man or "files" in man
+            rows.append(
+                (
+                    v,
+                    len(man.get("added", man.get("files", []))),
+                    len(man.get("removed", [])),
+                    is_ckpt,
+                    v in readable,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "version long, n_added long, n_removed long, "
+            "is_checkpoint boolean, is_readable boolean",
+        )
+
     def read_version(self, version: int, with_dt: bool = False) -> DataFrame:
         """Time-travel read (Delta-style VERSION AS OF): the exact file set
         manifest v<version> committed. The retention invariant guarantees

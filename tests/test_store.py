@@ -474,6 +474,44 @@ def test_legacy_json_files_checkpoint_still_resolves(store, spark):
     assert store.get_data("BTCUSDT", "1h").count() == 3
 
 
+def test_history_describes_commit_log(store, spark):
+    """DESCRIBE HISTORY parity: one row per retained manifest with delta
+    sizes, checkpoint flag, and retention readability."""
+    for i in range(3):
+        store.save_data(_bars(spark, T0, 3, 100.0 * (i + 1)), "BTCUSDT", "1h")
+    h = {r["version"]: r for r in store.history().collect()}
+    assert set(h) == {1, 2, 3}
+    assert h[1]["is_checkpoint"] and not h[2]["is_checkpoint"]
+    assert all(r["is_readable"] for r in h.values())
+    assert h[2]["n_added"] == 1 and h[2]["n_removed"] == 1
+
+
+def test_cross_process_publish_race_rebases(store, spark):
+    """True cross-PROCESS CAS on plain POSIX: another OS process (no Spark —
+    a bare `open()` writer, which is exactly what a foreign writer looks
+    like to link(2)) publishes the next manifest version first. This
+    process's save_data must LOSE the create-exclusive claim for that
+    version and rebase onto the foreign commit — before r4 the POSIX
+    rename-publish would have silently replaced the foreign manifest."""
+    import subprocess
+    import sys
+
+    store.save_data(_bars(spark, T0, 6, 100.0), "BTCUSDT", "1h")  # v1
+
+    foreign = (
+        "import json, sys\n"
+        "p = sys.argv[1] + '/_manifests/v000000000002.json'\n"
+        "json.dump({'version': 2, 'added': [], 'removed': []}, open(p, 'x'))\n"
+    )
+    subprocess.run([sys.executable, "-c", foreign, store.root], check=True)
+
+    store.save_data(_bars(spark, T0, 6, 200.0), "BTCUSDT", "1h")
+    latest = store._snapshot()
+    assert latest["version"] == 3  # v2 = foreign no-op commit, v3 = rebase
+    rows = store.get_data("BTCUSDT", "1h").collect()
+    assert len(rows) == 6 and all(r["open"] >= 200.0 for r in rows)
+
+
 def test_commit_lock_shared_per_root(store, spark, tmp_path):
     """All OhlcvStore instances of one root share one commit lock; a
     different root gets its own (ADVICE r3)."""
