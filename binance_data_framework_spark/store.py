@@ -483,6 +483,62 @@ class OhlcvStore:
         return df if with_dt else df.select(*OHLCV_COLS)
 
     # -- read path --------------------------------------------------------
+    @staticmethod
+    def _series_window_files(
+        files: list[str],
+        symbol: str,
+        timeframe: str,
+        lo_d=None,
+        hi_d=None,
+        include_undated: bool = False,
+    ) -> list[str]:
+        """Prune a manifest file listing to one series (and optionally a
+        [lo_d, hi_d] day window) DRIVER-SIDE, before any Spark plan exists.
+
+        This is the manifest-level analogue of partition pruning, and at
+        scale it is load-bearing: handing the full listing to
+        ``spark.read.parquet(*paths)`` makes the file index — and every
+        task-planning structure built from it — O(store files) even though
+        Catalyst later prunes the partitions. A million-file store would
+        pay that on every single-series read. Pruning here keeps the scan
+        O(series ∩ window) end to end.
+
+        ``include_undated``: files under the series prefix but outside a
+        ``dt=`` day dir (possible in adopted legacy layouts) are included
+        for READS (they may hold any days) but excluded for WRITE
+        supersession (save_data only rewrites day-bounded files)."""
+        prefix = f"symbol={symbol}/timeframe={timeframe}/"
+        out = []
+        for rel in files:
+            if not rel.startswith(prefix):
+                continue
+            day = rel[len(prefix):].split("/", 1)[0]
+            if not day.startswith("dt="):
+                if include_undated:
+                    out.append(rel)
+                continue
+            d = datetime.strptime(day[3:], "%Y-%m-%d").date()
+            if (lo_d is not None and d < lo_d) or (hi_d is not None and d > hi_d):
+                continue
+            out.append(rel)
+        return out
+
+    def _read_series(
+        self, symbol: str, timeframe: str, lo_d=None, hi_d=None
+    ) -> DataFrame:
+        """Manifest-pruned scan of one series (see _series_window_files);
+        always carries the dt partition column for further filtering."""
+        man = self._snapshot()
+        if not man or not man["files"]:
+            return self._empty(with_dt=True)
+        files = self._series_window_files(
+            man["files"], symbol, timeframe, lo_d, hi_d, include_undated=True
+        )
+        if not files:
+            return self._empty(with_dt=True)
+        paths = [f"{self.root}/{f}" for f in files]
+        return self.spark.read.option("basePath", self.root).parquet(*paths)
+
     def _exists(self) -> bool:
         man = self._snapshot()
         return bool(man and man["files"])
@@ -540,18 +596,9 @@ class OhlcvStore:
             return True  # empty batch: nothing to merge or rewrite
         lo_d, hi_d = bounds["lo_d"], bounds["hi_d"]
         man = self._snapshot()
-        series_prefix = f"symbol={symbol}/timeframe={timeframe}/"
-
-        def _in_window(rel: str) -> bool:
-            if not rel.startswith(series_prefix):
-                return False
-            day = rel[len(series_prefix):].split("/", 1)[0]
-            if not day.startswith("dt="):
-                return False
-            d = datetime.strptime(day[3:], "%Y-%m-%d").date()
-            return lo_d <= d <= hi_d
-
-        superseded = [f for f in (man["files"] if man else []) if _in_window(f)]
+        superseded = self._series_window_files(
+            man["files"] if man else [], symbol, timeframe, lo_d, hi_d
+        )
         if superseded:
             stored = (
                 self.spark.read.option("basePath", self.root)
@@ -662,18 +709,24 @@ class OhlcvStore:
         end: datetime | None = None,
     ) -> DataFrame:
         """Pushed-down range scan, both endpoints inclusive (reference
-        get_data, database_handler.py:309-346). Partition pruning on
-        symbol/timeframe AND the derived dt date bounds; the ts predicate
-        reaches the parquet row groups. Naive bounds are pinned UTC before
-        becoming literals (see _utc)."""
-        df = self._read_all(with_dt=True).where(
-            (F.col("symbol") == symbol) & (F.col("timeframe") == timeframe)
-        )
-        if start is not None:
-            s = _utc(start)
+        get_data, database_handler.py:309-346). Pruning happens at THREE
+        levels: the manifest listing is cut to the series and day window
+        driver-side before the scan exists (_series_window_files — keeps
+        file-index work O(series ∩ window), not O(store)); the dt
+        partition-column predicates prune whatever remains at plan time;
+        and the ts predicate reaches the parquet row groups. Naive bounds
+        are pinned UTC before becoming literals (see _utc)."""
+        s = _utc(start) if start is not None else None
+        e = _utc(end) if end is not None else None
+        df = self._read_series(
+            symbol,
+            timeframe,
+            s.date() if s is not None else None,
+            e.date() if e is not None else None,
+        ).where((F.col("symbol") == symbol) & (F.col("timeframe") == timeframe))
+        if s is not None:
             df = df.where((F.col("dt") >= F.lit(s.date())) & (F.col("ts") >= F.lit(s)))
-        if end is not None:
-            e = _utc(end)
+        if e is not None:
             df = df.where((F.col("dt") <= F.lit(e.date())) & (F.col("ts") <= F.lit(e)))
         return df.select(*OHLCV_COLS).orderBy("ts")
 

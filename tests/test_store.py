@@ -474,6 +474,29 @@ def test_legacy_json_files_checkpoint_still_resolves(store, spark):
     assert store.get_data("BTCUSDT", "1h").count() == 3
 
 
+def test_get_data_prunes_manifest_driver_side(store, spark):
+    """get_data's scan must reference ONLY the requested series' files (and
+    only the in-window days when bounded) — pruned from the manifest
+    listing BEFORE the Spark plan exists, so file-index work is
+    O(series ∩ window) rather than O(store files) at scale."""
+    start2 = T0 + timedelta(days=1)
+    store.save_data(_bars(spark, T0, 30, 100.0), "BTCUSDT", "1h")  # 2 days
+    store.save_data(_bars(spark, T0, 12, 5.0), "ETHUSDT", "1h")
+    store.save_data(_bars(spark, T0, 12, 1.0), "BTCUSDT", "4h")
+
+    files = store.get_data("BTCUSDT", "1h").inputFiles()
+    assert files and all("symbol=BTCUSDT/timeframe=1h/" in f for f in files)
+    # day-window bound: only the second day's file is even in the scan
+    bounded = store.get_data(
+        "BTCUSDT", "1h", start=start2, end=start2 + timedelta(hours=5)
+    )
+    bfiles = bounded.inputFiles()
+    assert bfiles and all("dt=2024-01-02" in f for f in bfiles)
+    assert bounded.count() == 6
+    # correctness unchanged: full-series read still sees both days
+    assert store.get_data("BTCUSDT", "1h").count() == 30
+
+
 def test_history_describes_commit_log(store, spark):
     """DESCRIBE HISTORY parity: one row per retained manifest with delta
     sizes, checkpoint flag, and retention readability."""
