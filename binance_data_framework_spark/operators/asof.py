@@ -1,4 +1,4 @@
-"""As-of join: align a left event stream with the latest-prior right value.
+"""Time-alignment joins: as-of (latest-prior) and range (interval) joins.
 
 Natural multi-series extension of the reference's single-series model
 (SURVEY.md §2b `asof_align`). Spark has no ASOF JOIN operator; the naive
@@ -125,4 +125,51 @@ def asof_join(
             F.coalesce(F.col(f"_m_{c}"), F.col(f"_prev_{c}")).alias(f"{c}{suffix}")
             for c in value_cols
         ],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    window_sec: int,
+    ts_col: str = "ts",
+    by: tuple[str, ...] = (),
+    value_cols: tuple[str, ...] = ("value",),
+    suffix: str = "_r",
+) -> DataFrame:
+    """All (left, right) pairs with |right.ts − left.ts| <= window_sec (both
+    endpoints inclusive), optionally per ``by`` equi-keys — the interval
+    companion to `asof_join` (correlate every event with its neighborhood,
+    not just the latest-prior row).
+
+    Spark plans a raw inequality join as BroadcastNestedLoop/cartesian —
+    O(L×R) pair evaluations. Scale shape: quantize both sides into
+    width-``window_sec`` time buckets; a qualifying pair's bucket ids can
+    differ by at most 1, so the LEFT side explodes to its 3 adjacent bucket
+    ids and the join becomes an EQUI-join on (by…, bucket) —
+    shuffle-partitioned on real keys, pair work bounded by per-bucket
+    density, never |L|×|R|. Each qualifying pair meets on exactly ONE
+    bucket id (the right row's), so no dedup pass is needed; the residual
+    |Δts| <= w predicate runs post-join inside codegen. This is the
+    quantize-to-equi-key trick behind vendor range-join optimizations,
+    expressed with public DataFrame ops.
+
+    Output: all left columns + ``ts<suffix>`` + one ``<c><suffix>`` per
+    value column; inner semantics (unpartnered left rows drop)."""
+    by = list(by)
+    w_us = int(window_sec) * 1_000_000
+
+    lb = F.floor(F.unix_micros(F.col(ts_col)) / F.lit(w_us))
+    l = left.withColumn("_b", F.explode(F.array(lb - 1, lb, lb + 1)))
+    rts = f"{ts_col}{suffix}"
+    r = right.select(
+        *by,
+        F.col(ts_col).alias(rts),
+        *[F.col(c).alias(f"{c}{suffix}") for c in value_cols],
+    ).withColumn("_b", F.floor(F.unix_micros(F.col(rts)) / F.lit(w_us)))
+    delta = F.unix_micros(F.col(rts)) - F.unix_micros(F.col(ts_col))
+    return (
+        l.join(r, on=["_b", *by])
+        .where(F.abs(delta) <= F.lit(w_us))
+        .select(*left.columns, rts, *[f"{c}{suffix}" for c in value_cols])
     )

@@ -272,6 +272,47 @@ def with_ewma(
     )
 
 
+def with_macd(
+    bars: DataFrame,
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+    value_col: str = "close",
+    ts_col: str = "bucket",
+    key_col: str = "symbol",
+) -> DataFrame:
+    """MACD per series: EMA(fast) − EMA(slow), a signal EMA over the MACD
+    line, and the histogram — three chained ORDER-RECURSIVE EWMAs, the same
+    legitimate grouped-applyInPandas case as with_ewma/with_rsi (one
+    series-keyed shuffle, vectorized pandas ewm kernels per group; pandas
+    ``adjust=False`` semantics, each EMA seeded at its series' first
+    input). Rounding happens once at the end; the signal line chains off
+    the UNROUNDED MACD so the recurrence matches the oracle's double
+    arithmetic exactly."""
+    import pandas as pd
+
+    schema = (
+        f"{key_col} string, {ts_col} timestamp, {value_col} double, "
+        "macd double, signal double, histogram double"
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        ef = pdf[value_col].ewm(span=fast, adjust=False).mean()
+        es = pdf[value_col].ewm(span=slow, adjust=False).mean()
+        macd = ef - es
+        sig = macd.ewm(span=signal, adjust=False).mean()
+        out = pdf[[key_col, ts_col, value_col]].copy()
+        out["macd"] = macd.round(6)
+        out["signal"] = sig.round(6)
+        out["histogram"] = (macd - sig).round(6)
+        return out
+
+    return bars.select(key_col, ts_col, value_col).groupBy(key_col).applyInPandas(
+        fn, schema
+    )
+
+
 def with_rsi(
     bars: DataFrame,
     n: int = 14,

@@ -33,7 +33,7 @@ from binance_data_framework_spark.operators import dedup as D
 from binance_data_framework_spark.operators import multimodal as MM
 from binance_data_framework_spark.operators import similarity as S
 from binance_data_framework_spark.operators import text as TX
-from binance_data_framework_spark.operators.asof import asof_join
+from binance_data_framework_spark.operators.asof import asof_join, range_join
 from binance_data_framework_spark.operators.coverage import (
     coverage_check,
     gap_antijoin,
@@ -1733,6 +1733,53 @@ def q_window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_ewma(_bars_1h(spark, sf_dir), alpha=0.2)
 
 
+@register(
+    "window_macd",
+    f"""
+    WITH RECURSIVE bars AS ({_BARS_1H_SQL}),
+    nb AS (
+      SELECT symbol, bucket, close,
+             CAST(row_number() OVER (PARTITION BY symbol ORDER BY bucket)
+                  AS BIGINT) AS rn
+      FROM bars
+    ),
+    rec AS (
+      SELECT symbol, rn, close AS ef, close AS es, 0.0::DOUBLE AS sig
+      FROM nb WHERE rn = 1
+      UNION ALL
+      SELECT symbol, rn, ef, es,
+             ((1.0 - 2.0/10.0) * sig + (2.0/10.0) * (ef - es))
+               / ((1.0 - 2.0/10.0) + (2.0/10.0))
+      FROM (
+        SELECT nb.symbol, nb.rn,
+               ((1.0 - 2.0/13.0) * rec.ef + (2.0/13.0) * nb.close)
+                 / ((1.0 - 2.0/13.0) + (2.0/13.0)) AS ef,
+               ((1.0 - 2.0/27.0) * rec.es + (2.0/27.0) * nb.close)
+                 / ((1.0 - 2.0/27.0) + (2.0/27.0)) AS es,
+               rec.sig
+        FROM rec JOIN nb ON nb.symbol = rec.symbol AND nb.rn = rec.rn + 1
+      )
+    )
+    SELECT nb.symbol, nb.bucket, nb.close,
+           round(rec.ef - rec.es, 6) AS macd,
+           round(rec.sig, 6) AS signal,
+           round((rec.ef - rec.es) - rec.sig, 6) AS histogram
+    FROM nb JOIN rec ON rec.symbol = nb.symbol AND rec.rn = nb.rn
+    """,
+)
+def q_window_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD(12,26,9) per series (operators/ohlcv.with_macd): three chained
+    order-recursive EWMAs via grouped applyInPandas. Oracle: ONE DuckDB
+    recursive CTE carrying all three accumulators (fast EMA, slow EMA,
+    signal EMA over the in-row MACD), replicating pandas' adjust=False
+    normalization ((old*prev + new*cur)/(old+new), denominator not exactly
+    1.0 in doubles — same trap window_rsi documents) — hash-match
+    verified."""
+    from binance_data_framework_spark.operators.ohlcv import with_macd
+
+    return with_macd(_bars_1h(spark, sf_dir))
+
+
 @register("agg_sketches")
 def q_agg_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The sketch tier for 100 TB aggregation: HyperLogLog++ distinct counts
@@ -1986,6 +2033,31 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     right = ev.where(F.col("event_type") == "click").select("ts", "value")
     return asof_join(left, right, value_cols=("value",))
+
+
+@register(
+    "range_join_events",
+    """
+    SELECT l.event_id, l.user_id, l.ts, l.value AS p_value,
+           r.ts AS ts_r, r.value AS value_r
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      ON l.user_id = r.user_id
+     AND r.ts >= l.ts - INTERVAL 2 HOUR
+     AND r.ts <= l.ts + INTERVAL 2 HOUR
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval correlation (operators/asof.range_join): every click within
+    ±2h of each purchase, per user. The bucketized equi-join form — Spark
+    would otherwise plan the inequality as a nested-loop; DuckDB's IEJoin
+    oracle verifies the full pair set."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("p_value")
+    )
+    right = ev.where(F.col("event_type") == "click").select("user_id", "ts", "value")
+    return range_join(left, right, 7200, by=("user_id",))
 
 
 # ---------------------------------------------------------------------------
@@ -2725,6 +2797,8 @@ _DRIVER_ORDER = [
     "topk_recall_pq",
     "topk_recall_opq",
     "sketch_error_bounds",
+    "range_join_events",
+    "window_macd",
     # -- newest driver row is r1 (31) --
     "resample_from_base",
     "window_returns",

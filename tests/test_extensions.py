@@ -138,6 +138,33 @@ def test_asof_join_matches_bruteforce(spark):
         assert out[eid] == expected, (eid, lts, out[eid], expected)
 
 
+def test_range_join_matches_bruteforce(spark):
+    """Bucketized range join == brute-force |Δts| <= w pair enumeration,
+    including pairs that straddle a bucket boundary and ties exactly at
+    the window edge (both endpoints inclusive)."""
+    from binance_data_framework_spark.operators.asof import range_join
+
+    left_rows = [(i, datetime(2024, 1, 1) + timedelta(minutes=17 * i)) for i in range(30)]
+    right_rows = [
+        (datetime(2024, 1, 1, 0, 30) + timedelta(minutes=23 * j), float(j))
+        for j in range(25)
+    ]
+    left = spark.createDataFrame(left_rows, "event_id long, ts timestamp")
+    right = spark.createDataFrame(right_rows, "ts timestamp, value double")
+    w = 1800  # 30 min — odd vs both spacings, so boundary cases occur
+    got = {
+        (r["event_id"], r["ts_r"], r["value_r"])
+        for r in range_join(left, right, w).collect()
+    }
+    expected = {
+        (eid, rts, v)
+        for eid, lts in left_rows
+        for rts, v in right_rows
+        if abs((rts - lts).total_seconds()) <= w
+    }
+    assert got == expected and expected  # non-vacuous
+
+
 def test_asof_join_with_by_keys(spark):
     left = spark.createDataFrame(
         [("A", datetime(2024, 1, 2)), ("B", datetime(2024, 1, 2))],

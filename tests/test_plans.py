@@ -141,6 +141,15 @@ def test_exact_topk_broadcasts_probes_not_candidates(spark, sf_dir):
     assert len(re.findall(r"\n\(\d+\) Exchange\b", plan)) == 1
 
 
+def test_range_join_is_equi_join(spark, sf_dir):
+    """The interval join must plan as a shuffled EQUI-join on the
+    (bucket, user) key — never the nested-loop/cartesian Spark produces
+    for a raw inequality predicate (O(L×R) at scale)."""
+    plan = _plan(spark, sf_dir, "range_join_events")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_curation_plan_shapes(spark, sf_dir):
     """Curation ops must keep their audited shuffle budget: packing and the
     per-stratum ops are ONE keyed exchange; decontamination joins the
