@@ -2737,6 +2737,40 @@ def q_topk_recall_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_merge_bounds",
+    """
+    SELECT event_type AS symbol, true AS merge_ok
+    FROM events GROUP BY 1
+    """,
+)
+def q_sketch_merge_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE property that makes sketches the 100 TB aggregation tier:
+    mergeability. Build one HLL sketch PER (series, day) partial
+    (hll_sketch_agg), union-merge the partials per series
+    (hll_union_agg) — the exact two-level shape of a partial-aggregate
+    shuffle or an incremental daily rollup — and certify the merged
+    estimate lands within 5% of the exact per-series NDV. The oracle
+    predicts one all-true row per series; a merge-path regression flips
+    the boolean and hash-mismatches."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.to_date("ts").alias("day"),
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = daily.groupBy("symbol").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_users")
+    )
+    exact = q_agg_ndv(spark, sf_dir).select("symbol", "n_users")
+    return merged.join(exact, "symbol").select(
+        "symbol",
+        (
+            F.abs(F.col("merged_users") - F.col("n_users")) / F.col("n_users")
+            <= F.lit(0.05)
+        ).alias("merge_ok"),
+    )
+
+
+@register(
     "sketch_error_bounds",
     """
     SELECT event_type AS symbol,
@@ -2799,6 +2833,7 @@ _DRIVER_ORDER = [
     "sketch_error_bounds",
     "range_join_events",
     "window_macd",
+    "sketch_merge_bounds",
     # -- newest driver row is r1 (31) --
     "resample_from_base",
     "window_returns",

@@ -428,6 +428,42 @@ def test_optimize_binpacks_multifile_days(store, spark):
     assert store._snapshot()["version"] == 2
 
 
+def test_optimize_aborts_on_concurrent_write_and_reclaims(store, spark, monkeypatch):
+    """optimize() must never publish a compaction computed against files a
+    concurrent upsert superseded (it would resurrect replaced rows): the
+    commit-time conflict check raises, the compacted files are reclaimed,
+    and the concurrent writer's data wins."""
+    from binance_data_framework_spark import store as store_mod
+
+    _legacy_day(spark, store.root, "2024-01-01", 3, 100.0)
+    assert store._snapshot()["version"] == 1
+
+    real_commit = store._commit
+    state = {"raced": False}
+
+    def racy_commit(added, removed, prev):
+        if not state["raced"]:
+            state["raced"] = True
+            # an upsert replaces the day being compacted...
+            OhlcvStore(spark, store.root).save_data(
+                _bars(spark, datetime(2024, 1, 1), 24, 900.0), "BTCUSDT", "1h"
+            )
+            raise store_mod.ConcurrentCommit("simulated lost race")
+        return real_commit(added, removed, prev)
+
+    monkeypatch.setattr(store, "_commit", racy_commit)
+    with pytest.raises(RuntimeError, match="optimize"):
+        store.optimize()
+    # upsert's data won; the store reads consistently
+    rows = store.get_data("BTCUSDT", "1h").collect()
+    assert len(rows) == 24 and all(r["open"] >= 900.0 for r in rows)
+    # the aborted compaction's output is not on disk: live + grace only
+    live = set(store._snapshot()["files"])
+    on_disk = set(store._list_data_files())
+    graced = {f for f in on_disk - live}
+    assert len(live) == 1 and len(graced) == 3  # upsert file + 3 originals in grace
+
+
 def test_optimize_max_records_per_file_binpacks_to_size(store, spark):
     """The size knob for days too large for one file: 24-row day at
     max_records_per_file=10 → 3 files, still one day dir, rows intact."""
