@@ -1734,6 +1734,101 @@ def q_window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_stochastic",
+    f"""
+    WITH bars AS ({_BARS_1H_SQL}),
+    k AS (
+      SELECT symbol, bucket, close,
+             CASE WHEN count(*) OVER w >= 14
+                  AND max(high) OVER w > min(low) OVER w
+               THEN 100.0 * (close - min(low) OVER w)
+                    / (max(high) OVER w - min(low) OVER w)
+             END AS pct_k_raw
+      FROM bars
+      WINDOW w AS (PARTITION BY symbol ORDER BY bucket
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT symbol, bucket, close, round(pct_k_raw, 6) AS pct_k,
+           round(CASE WHEN count(pct_k_raw) OVER d = 3
+                 THEN avg(pct_k_raw) OVER d END, 6) AS pct_d
+    FROM k
+    WINDOW d AS (PARTITION BY symbol ORDER BY bucket
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic oscillator %K(14)/%D(3) per series — two chained keyed
+    ROWS frames (rolling min/max then a short SMA over %K), entirely
+    builtin window functions inside whole-stage codegen; %K masked until a
+    full 14-bar window exists (and on degenerate flat windows), %D until 3
+    %K values exist."""
+    bars = _bars_1h(spark, sf_dir)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("bucket")
+        .rowsBetween(-13, Window.currentRow)
+    )
+    hh, ll = F.max("high").over(w), F.min("low").over(w)
+    k_raw = F.when(
+        (F.count(F.lit(1)).over(w) >= 14) & (hh > ll),
+        F.lit(100.0) * (F.col("close") - ll) / (hh - ll),
+    )
+    d = (
+        Window.partitionBy("symbol")
+        .orderBy("bucket")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    kd = bars.select("symbol", "bucket", "close", k_raw.alias("_k"))
+    return kd.select(
+        "symbol",
+        "bucket",
+        "close",
+        F.round("_k", 6).alias("pct_k"),
+        F.round(
+            F.when(F.count("_k").over(d) == 3, F.avg("_k").over(d)), 6
+        ).alias("pct_d"),
+    )
+
+
+@register(
+    "window_obv",
+    f"""
+    WITH bars AS ({_BARS_1H_SQL}),
+    s AS (
+      SELECT symbol, bucket, close, volume,
+             CASE WHEN close > lag(close) OVER w THEN volume
+                  WHEN close < lag(close) OVER w THEN -volume
+                  ELSE 0.0 END AS signed_v
+      FROM bars
+      WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+    )
+    SELECT symbol, bucket, close,
+           round(sum(signed_v) OVER (PARTITION BY symbol ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS obv
+    FROM s
+    """,
+)
+def q_window_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-balance volume per series: sign(Δclose)·volume running sum — a
+    lag projection plus one keyed cumulative frame, all builtin (running
+    sums need no recursion, unlike EWMA)."""
+    bars = _bars_1h(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("bucket")
+    signed = (
+        F.when(F.col("close") > F.lag("close").over(w), F.col("volume"))
+        .when(F.col("close") < F.lag("close").over(w), -F.col("volume"))
+        .otherwise(F.lit(0.0))
+    )
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return bars.select("symbol", "bucket", "close", signed.alias("_sv")).select(
+        "symbol",
+        "bucket",
+        "close",
+        F.round(F.sum("_sv").over(cum), 6).alias("obv"),
+    )
+
+
+@register(
     "window_macd",
     f"""
     WITH RECURSIVE bars AS ({_BARS_1H_SQL}),
@@ -2834,6 +2929,8 @@ _DRIVER_ORDER = [
     "range_join_events",
     "window_macd",
     "sketch_merge_bounds",
+    "window_stochastic",
+    "window_obv",
     # -- newest driver row is r1 (31) --
     "resample_from_base",
     "window_returns",
