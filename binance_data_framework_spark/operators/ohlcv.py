@@ -313,6 +313,57 @@ def with_macd(
     )
 
 
+def with_heikin_ashi(
+    bars: DataFrame,
+    ts_col: str = "bucket",
+    key_col: str = "symbol",
+) -> DataFrame:
+    """Heikin-Ashi candles per series. ha_close is a per-row projection
+    ((o+h+l+c)/4), but ha_open is ORDER-RECURSIVE:
+    ha_open_t = (ha_open_{t-1} + ha_close_{t-1})/2 — which is exactly an
+    alpha=1/2 adjust=False EWMA over the ha_close series SHIFTED one bar
+    (seeded with (open_1+close_1)/2), so the grouped-applyInPandas kernel
+    stays a vectorized pandas ewm, no Python loop. ha_high/ha_low are
+    per-row max/min over {high, ha_open, ha_close}."""
+    import pandas as pd
+
+    schema = (
+        f"{key_col} string, {ts_col} timestamp, "
+        "ha_open double, ha_high double, ha_low double, ha_close double"
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        hc = (pdf["open"] + pdf["high"] + pdf["low"] + pdf["close"]) / 4.0
+        seed = (pdf["open"].iloc[0] + pdf["close"].iloc[0]) / 2.0
+        shifted = hc.shift(1)
+        shifted.iloc[0] = seed
+        ho = shifted.ewm(alpha=0.5, adjust=False).mean()
+        out = pdf[[key_col, ts_col]].copy()
+        out["ha_open"] = ho
+        out["ha_high"] = pd.concat([pdf["high"], ho, hc], axis=1).max(axis=1)
+        out["ha_low"] = pd.concat([pdf["low"], ho, hc], axis=1).min(axis=1)
+        out["ha_close"] = hc
+        return out
+
+    # Round JVM-side, NOT in the pandas kernel: the dyadic alpha makes
+    # ha values exact binary fractions, so round-half TIES at 6 dp are
+    # common — pandas rounds half-to-even, Spark's F.round and DuckDB's
+    # round() both round half away from zero. (The other applyInPandas
+    # kernels round in pandas safely only because their values are
+    # non-dyadic and ties are measure-zero.)
+    raw = (
+        bars.select(key_col, ts_col, "open", "high", "low", "close")
+        .groupBy(key_col)
+        .applyInPandas(fn, schema)
+    )
+    return raw.select(
+        key_col,
+        ts_col,
+        *[F.round(c, 6).alias(c) for c in ("ha_open", "ha_high", "ha_low", "ha_close")],
+    )
+
+
 def with_rsi(
     bars: DataFrame,
     n: int = 14,

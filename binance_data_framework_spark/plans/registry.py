@@ -1829,6 +1829,79 @@ def q_window_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_heikin_ashi",
+    f"""
+    WITH RECURSIVE bars AS ({_BARS_1H_SQL}),
+    nb AS (
+      SELECT symbol, bucket, open, high, low, close,
+             (open + high + low + close) / 4.0 AS hc,
+             CAST(row_number() OVER (PARTITION BY symbol ORDER BY bucket)
+                  AS BIGINT) AS rn
+      FROM bars),
+    rec AS (
+      SELECT symbol, rn, hc, (open + close) / 2.0 AS ho
+      FROM nb WHERE rn = 1
+      UNION ALL
+      SELECT nb.symbol, nb.rn, nb.hc,
+             (0.5 * rec.ho + 0.5 * rec.hc) / (0.5 + 0.5)
+      FROM rec JOIN nb ON nb.symbol = rec.symbol AND nb.rn = rec.rn + 1
+    )
+    SELECT nb.symbol, nb.bucket,
+           round(rec.ho, 6) AS ha_open,
+           round(greatest(nb.high, rec.ho, nb.hc), 6) AS ha_high,
+           round(least(nb.low, rec.ho, nb.hc), 6) AS ha_low,
+           round(nb.hc, 6) AS ha_close
+    FROM nb JOIN rec ON rec.symbol = nb.symbol AND rec.rn = nb.rn
+    """,
+)
+def q_window_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heikin-Ashi candles (operators/ohlcv.with_heikin_ashi): ha_open is
+    order-recursive but reduces to an alpha=1/2 EWMA over the shifted
+    per-row HA close, so the Spark kernel is a vectorized pandas ewm.
+    Oracle: recursive CTE carrying (ho, hc), replicating pandas'
+    adjust=False update with the dyadic alpha (exact in doubles) —
+    hash-match verified."""
+    from binance_data_framework_spark.operators.ohlcv import with_heikin_ashi
+
+    return with_heikin_ashi(_bars_1h(spark, sf_dir))
+
+
+@register(
+    "vwap_anchored",
+    f"""
+    WITH bars AS ({_BARS_1H_SQL})
+    SELECT symbol, bucket, close,
+           round(sum(close * volume) OVER w / sum(volume) OVER w, 6)
+             AS vwap_anchored
+    FROM bars
+    WINDOW w AS (PARTITION BY symbol ORDER BY bucket
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_vwap_anchored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchored VWAP per series (running Σ(price·vol)/Σvol from the series
+    start) — a ratio of two keyed cumulative frames, builtin and
+    codegen-resident; complements the per-bucket `agg_vwap`. Both running
+    sums accumulate in frame order on both engines, so the ratio
+    hash-matches at 6 dp."""
+    bars = _bars_1h(spark, sf_dir)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return bars.select(
+        "symbol",
+        "bucket",
+        "close",
+        F.round(
+            F.sum(F.col("close") * F.col("volume")).over(w) / F.sum("volume").over(w),
+            6,
+        ).alias("vwap_anchored"),
+    )
+
+
+@register(
     "window_macd",
     f"""
     WITH RECURSIVE bars AS ({_BARS_1H_SQL}),
@@ -2931,6 +3004,8 @@ _DRIVER_ORDER = [
     "sketch_merge_bounds",
     "window_stochastic",
     "window_obv",
+    "vwap_anchored",
+    "window_heikin_ashi",
     # -- newest driver row is r1 (31) --
     "resample_from_base",
     "window_returns",
@@ -2963,8 +3038,11 @@ _DRIVER_ORDER = [
     "cast_str_to_double",
     "map_tf_duration",
     "interval_arith",
-    # -- newest driver row is r2 (10) --
+    # -- newest driver row is r2 (10; ordered so the window cut at 50
+    #    favors the most distinctive surfaces — the overflow rotates in r5) --
     "dedup_exact",
+    "multimodal_resize",
+    "multimodal_frame_sample",
     "text_stats",
     "text_term_freq",
     "text_sentiment",
@@ -2972,8 +3050,6 @@ _DRIVER_ORDER = [
     "text_lang_id",
     "text_token_count",
     "doc_fingerprint",
-    "multimodal_resize",
-    "multimodal_frame_sample",
     # -- r3-green but inputs changed in r4 (events ts type normalization) --
     "coverage_check",
     "scan_table_range",

@@ -50,6 +50,40 @@ _times = st.lists(
 )
 
 
+_lr_times = st.tuples(
+    st.lists(st.integers(min_value=0, max_value=60 * 24), min_size=1, max_size=25, unique=True),
+    st.lists(st.integers(min_value=0, max_value=60 * 24), min_size=1, max_size=25, unique=True),
+    st.integers(min_value=1, max_value=180),  # window minutes
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_lr_times)
+def test_range_join_matches_bruteforce_property(spark, data):
+    """Bucketized range join == brute-force |Δts| <= w for arbitrary
+    timelines and window widths (bucket-boundary straddles and exact-edge
+    ties arise naturally under randomization)."""
+    from binance_data_framework_spark.operators.asof import range_join
+
+    lmins, rmins, wmin = data
+    w = wmin * 60
+    left_rows = [(i, T0 + timedelta(minutes=m)) for i, m in enumerate(sorted(lmins))]
+    right_rows = [(T0 + timedelta(minutes=m), float(m)) for m in sorted(rmins)]
+    left = spark.createDataFrame(left_rows, "event_id long, ts timestamp")
+    right = spark.createDataFrame(right_rows, "ts timestamp, value double")
+    got = {
+        (r["event_id"], r["ts_r"], r["value_r"])
+        for r in range_join(left, right, w).collect()
+    }
+    expected = {
+        (eid, rts, v)
+        for eid, lts in left_rows
+        for rts, v in right_rows
+        if abs((rts - lts).total_seconds()) <= w
+    }
+    assert got == expected
+
+
 @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
 @given(_times)
 def test_sessionize_matches_bruteforce(spark, times):
