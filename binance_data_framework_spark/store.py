@@ -111,10 +111,17 @@ class ConcurrentCommit(RuntimeError):
 
 
 def _utc(d: datetime) -> datetime:
-    """Pin naive datetimes to UTC (engine convention). PySpark converts naive
-    datetime literals through the PROCESS-local timezone — in a non-UTC
-    driver an unpinned bound would shift by the UTC offset."""
-    return d.replace(tzinfo=timezone.utc) if d.tzinfo is None else d
+    """Normalize a bound to a UTC-tagged datetime. Naive values are PINNED
+    as UTC (engine convention — PySpark converts naive literals through the
+    PROCESS-local timezone, so an unpinned bound would shift by the UTC
+    offset). Aware non-UTC values are CONVERTED: downstream code derives
+    the dt day-partition window via .date(), which must be the UTC calendar
+    day of the instant, not the wall-clock day in the caller's offset
+    (a +05:00 bound's wall date can be one day ahead of its UTC date,
+    silently pruning a qualifying partition)."""
+    if d.tzinfo is None:
+        return d.replace(tzinfo=timezone.utc)
+    return d.astimezone(timezone.utc)
 
 
 class OhlcvStore:
@@ -282,12 +289,25 @@ class OhlcvStore:
             man["checkpoint"] = ckpt_name
         try:
             self._publish_manifest(version, json.dumps(man).encode())
-        except ConcurrentCommit:
-            if ckpt_name is not None:  # reclaim the losing sidecar
+        except BaseException:
+            # reclaim the sidecar on ANY failed publish (lost CAS or IO
+            # error) — the manifest referencing it was never published, and
+            # vacuum only deletes sidecars named by manifests it prunes, so
+            # nothing else would ever reclaim it
+            if ckpt_name is not None:
                 fs, cp = self._fs_path(f"{_MANIFEST_DIR}/{ckpt_name}")
                 fs.delete(cp, False)
             raise
-        self._vacuum(version)
+        # Post-publish maintenance is BEST-EFFORT: the commit is durable the
+        # instant the manifest lands, and a vacuum hiccup (concurrent
+        # pruning, transient IO) must not turn a SUCCESSFUL commit into an
+        # exception — callers like _commit_or_reclaim would then delete
+        # data files the published manifest references. The next commit
+        # retries the same grace window.
+        try:
+            self._vacuum(version)
+        except Exception:  # noqa: BLE001
+            pass
         return {"version": version, "files": files}
 
     def _publish_manifest(self, version: int, data: bytes) -> None:
@@ -689,10 +709,20 @@ class OhlcvStore:
         exhausted CAS retries) must not leak the already-placed files into
         the live layout: no manifest references them, so vacuum would never
         reclaim them — an unbounded disk leak under repeated conflicts
-        (ADVICE r3). Remove them before re-raising."""
+        (ADVICE r3). Remove them before re-raising.
+
+        Reclaim triggers on `Exception` ONLY, and every exception _commit
+        can raise escapes strictly BEFORE the manifest publish (delta_fn
+        conflicts, head-resolution IO, exhausted CAS retries; post-publish
+        vacuum is best-effort inside _commit). A BaseException (e.g.
+        KeyboardInterrupt) can land AFTER a successful publish, where
+        deleting new_files would corrupt the committed snapshot — so it is
+        deliberately NOT caught here; a killed pre-publish writer leaves
+        unreferenced files reclaimable by a future optimize/manual sweep,
+        which is recoverable, unlike deleting published data."""
         try:
             return self._commit_rebased(delta_fn)
-        except BaseException:
+        except Exception:
             fs, _ = self._fs_path()
             for rel in new_files:
                 _, p = self._fs_path(rel)

@@ -533,6 +533,43 @@ def test_get_data_prunes_manifest_driver_side(store, spark):
     assert store.get_data("BTCUSDT", "1h").count() == 30
 
 
+def test_get_data_aware_nonutc_bounds_select_by_instant(store, spark):
+    """Bounds carrying a non-UTC tzinfo select by INSTANT: a +05:00 start
+    whose wall-clock date is a day ahead of its UTC date must not prune
+    the prior day's dt partition (regression: the day window was derived
+    with .date() in the bound's own offset, dropping qualifying rows both
+    in the manifest pruning and the dt predicate)."""
+    from datetime import timezone as _tz
+
+    store.save_data(_bars(spark, T0, 48, 100.0), "BTCUSDT", "1h")  # 2 days
+    plus5 = _tz(timedelta(hours=5))
+    start = datetime(2024, 1, 2, 2, 0, tzinfo=plus5)  # == 2024-01-01T21:00Z
+    end = datetime(2024, 1, 2, 8, 0, tzinfo=plus5)  # == 2024-01-02T03:00Z
+    rows = store.get_data("BTCUSDT", "1h", start=start, end=end).collect()
+    assert len(rows) == 7  # 21:00Z .. 03:00Z inclusive
+    assert min(r["ts"] for r in rows) == datetime(2024, 1, 1, 21)
+    covered, _ = store.check_data_exists(
+        "BTCUSDT", "1h", start, end, now=datetime(2024, 1, 2, 23, tzinfo=_tz.utc)
+    )
+    assert covered
+
+
+def test_vacuum_failure_does_not_fail_committed_save(store, spark, monkeypatch):
+    """Post-publish maintenance is best-effort: once the manifest CAS
+    lands the commit is durable, and a vacuum hiccup must not surface as
+    a failed save — the reclaim path would then delete data files the
+    published manifest references (code-review r4 finding)."""
+    store.save_data(_bars(spark, T0, 3, 100.0), "BTCUSDT", "1h")
+
+    def boom(version):
+        raise RuntimeError("transient vacuum IO failure")
+
+    monkeypatch.setattr(store, "_vacuum", boom)
+    assert store.save_data(_bars(spark, T0, 3, 200.0), "BTCUSDT", "1h")
+    rows = store.get_data("BTCUSDT", "1h").collect()
+    assert len(rows) == 3 and all(r["open"] >= 200.0 for r in rows)
+
+
 def test_history_describes_commit_log(store, spark):
     """DESCRIBE HISTORY parity: one row per retained manifest with delta
     sizes, checkpoint flag, and retention readability."""

@@ -20,11 +20,21 @@ FLOOR_SEC = 0.2  # below this, absolute jitter dominates — compare on the floo
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     band = 0.35
-    for a in sys.argv[1:]:
+    args: list[str] = []
+    argv = sys.argv[1:]
+    i = 0
+    while i < len(argv):
+        a = argv[i]
         if a.startswith("--band"):
-            band = float(a.split("=", 1)[1] if "=" in a else sys.argv[sys.argv.index(a) + 1])
+            if "=" in a:
+                band = float(a.split("=", 1)[1])
+            else:
+                i += 1
+                band = float(argv[i])
+        else:
+            args.append(a)
+        i += 1
     bench_path = args[0] if args else None
     if bench_path is None:
         print("usage: python tools/diff_sweep.py <bench_json> [--band 0.35]")
