@@ -570,6 +570,30 @@ def test_vacuum_failure_does_not_fail_committed_save(store, spark, monkeypatch):
     assert len(rows) == 3 and all(r["open"] >= 200.0 for r in rows)
 
 
+def test_csv_export_import_roundtrip(store, spark, tmp_path):
+    """export(fmt='csv') → import_csv into a FRESH store reproduces the
+    series exactly (CSV carries no types; the importer restates them),
+    including the multi-series no-args path and import idempotence."""
+    from binance_data_framework_spark.sources.csv_import import import_csv
+
+    store.save_data(_bars(spark, T0, 24, 100.0), "BTCUSDT", "1h")
+    store.save_data(_bars(spark, T0, 12, 5.0), "ETHUSDT", "1h")
+    out = str(tmp_path / "csv_out")
+    store.export(
+        store._read_all().orderBy("ts"), out, fmt="csv", single_file=True
+    )
+
+    dest = OhlcvStore(spark, str(tmp_path / "dest"))
+    assert import_csv(dest, out) == [("BTCUSDT", "1h"), ("ETHUSDT", "1h")]
+    a = store.get_data("BTCUSDT", "1h").orderBy("ts").collect()
+    b = dest.get_data("BTCUSDT", "1h").orderBy("ts").collect()
+    assert a == b
+    assert dest.get_data("ETHUSDT", "1h").count() == 12
+    # idempotent: re-import upserts the same rows, no duplicates
+    import_csv(dest, out)
+    assert dest.get_data("BTCUSDT", "1h").count() == 24
+
+
 def test_history_describes_commit_log(store, spark):
     """DESCRIBE HISTORY parity: one row per retained manifest with delta
     sizes, checkpoint flag, and retention readability."""
