@@ -364,6 +364,48 @@ def with_heikin_ashi(
     )
 
 
+def with_atr(
+    bars: DataFrame,
+    n: int = 14,
+    ts_col: str = "bucket",
+    key_col: str = "symbol",
+) -> DataFrame:
+    """Average True Range per series: TR_t = max(h−l, |h−c_{t-1}|,
+    |l−c_{t-1}|) (TR_1 = h_1−l_1), smoothed by Wilder's alpha=1/n EWMA —
+    order-recursive like RSI, same grouped-applyInPandas shape (ewm-from-
+    first-TR convention, matching with_rsi's smoothing; the classic
+    SMA-of-first-n seed variant differs only in warm-up). Rounding is
+    JVM-side for engine-identical half-tie behavior."""
+    import pandas as pd
+
+    schema = (
+        f"{key_col} string, {ts_col} timestamp, close double, "
+        "tr double, atr double"
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col).reset_index(drop=True)
+        pc = pdf["close"].shift(1)
+        tr = pd.concat(
+            [pdf["high"] - pdf["low"], (pdf["high"] - pc).abs(), (pdf["low"] - pc).abs()],
+            axis=1,
+        ).max(axis=1)
+        out = pdf[[key_col, ts_col, "close"]].copy()
+        out["tr"] = tr
+        out["atr"] = tr.ewm(alpha=1.0 / n, adjust=False).mean()
+        return out
+
+    raw = (
+        bars.select(key_col, ts_col, "high", "low", "close")
+        .groupBy(key_col)
+        .applyInPandas(fn, schema)
+    )
+    return raw.select(
+        key_col, ts_col, "close",
+        F.round("tr", 6).alias("tr"), F.round("atr", 6).alias("atr"),
+    )
+
+
 def with_rsi(
     bars: DataFrame,
     n: int = 14,

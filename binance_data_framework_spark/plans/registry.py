@@ -1829,6 +1829,47 @@ def q_window_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_atr",
+    f"""
+    WITH RECURSIVE bars AS ({_BARS_1H_SQL}),
+    nb AS (
+      SELECT symbol, bucket, high, low, close,
+             CAST(row_number() OVER (PARTITION BY symbol ORDER BY bucket)
+                  AS BIGINT) AS rn
+      FROM bars),
+    d AS (
+      SELECT symbol, bucket, close, rn,
+             greatest(high - low,
+                      coalesce(abs(high - lag(close) OVER w), high - low),
+                      coalesce(abs(low - lag(close) OVER w), high - low)) AS tr
+      FROM nb
+      WINDOW w AS (PARTITION BY symbol ORDER BY bucket)
+    ),
+    rec AS (
+      SELECT symbol, rn, tr, tr AS atr FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.symbol, d.rn, d.tr,
+             ((1.0 - 1.0/14.0) * rec.atr + (1.0/14.0) * d.tr)
+               / ((1.0 - 1.0/14.0) + (1.0/14.0))
+      FROM rec JOIN d ON d.symbol = rec.symbol AND d.rn = rec.rn + 1
+    )
+    SELECT d.symbol, d.bucket, d.close,
+           round(d.tr, 6) AS tr, round(rec.atr, 6) AS atr
+    FROM d JOIN rec ON rec.symbol = d.symbol AND rec.rn = d.rn
+    """,
+)
+def q_window_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ATR(14) per series (operators/ohlcv.with_atr): Wilder-smoothed true
+    range — order-recursive, grouped applyInPandas. Oracle: recursive CTE
+    over the lag-derived TR series with pandas' adjust=False
+    normalization; the first row's TR coalesces to high−low on both
+    engines."""
+    from binance_data_framework_spark.operators.ohlcv import with_atr
+
+    return with_atr(_bars_1h(spark, sf_dir))
+
+
+@register(
     "window_heikin_ashi",
     f"""
     WITH RECURSIVE bars AS ({_BARS_1H_SQL}),
@@ -2132,6 +2173,56 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         activity.join(firsts, on="user_id")
         .groupBy("cohort_day", F.datediff("active_day", "cohort_day").cast("long").alias("day_offset"))
         .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY 1),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.t_view GROUP BY 1),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t_click GROUP BY 1)
+    SELECT (SELECT count(*) FROM v) AS n_view,
+           (SELECT count(*) FROM c) AS n_click,
+           (SELECT count(*) FROM p) AS n_purchase
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): users whose first click
+    follows their first view, and first purchase follows that click.
+    Staged per-user min-aggregates chained by user-keyed equi-joins — each
+    stage shrinks the population, aggregates run on users (not events),
+    and every join key is user_id (uniform, skew-free). The per-stage
+    counts fold to one row."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_after(etype: str, prior: DataFrame | None, prior_ts: str, out: str):
+        e = ev.where(F.col("event_type") == etype).select("user_id", "ts")
+        if prior is not None:
+            e = e.join(prior, "user_id").where(F.col("ts") >= F.col(prior_ts))
+        return e.groupBy("user_id").agg(F.min("ts").alias(out))
+
+    v = first_after("view", None, "", "t_view")
+    c = first_after("click", v, "t_view", "t_click")
+    p = first_after("purchase", c, "t_click", "t_purchase")
+    # tagged union + conditional counts: one row, no 1x1 cartesian joins
+    tagged = (
+        v.select(F.lit("v").alias("s"))
+        .unionByName(c.select(F.lit("c").alias("s")))
+        .unionByName(p.select(F.lit("p").alias("s")))
+    )
+    return tagged.agg(
+        F.count(F.when(F.col("s") == "v", 1)).alias("n_view"),
+        F.count(F.when(F.col("s") == "c", 1)).alias("n_click"),
+        F.count(F.when(F.col("s") == "p", 1)).alias("n_purchase"),
     )
 
 
@@ -2984,15 +3075,15 @@ def q_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (empirically, r01-r03) records the first 50. Registration order above
 # follows SURVEY.md §2's narrative; the DRIVER order below is the round-4
 # evidence rotation (VERDICT r3 item 6). Window arithmetic (the cut at 50
-# is exact): 12 new-in-r4 queries (5 approximate-tier certificates + 7 new
+# is exact): 14 new-in-r4 queries (5 approximate-tier certificates + 9 new
 # operators) + the 31 queries whose newest driver row is r1 + the 4
 # r3-green queries whose INPUT changed this round (the events fixture's ts
 # storage moved to micros/NTZ, normalized in load_table — coverage_check
-# type-checks against exactly that) + 3 of the r2-newest tier
-# (dedup_exact and the two multimodal plans) = 50. The overflow tail —
-# the 7 remaining r2-newest text queries, then r3-green rows — rotates in
-# r5 and stays covered every round by the local oracle harness
-# (tools/check_oracles.py, 103/103) and pytest.
+# type-checks against exactly that) + the first of the r2-newest tier
+# (dedup_exact) = 50. The overflow tail — the 9 remaining r2-newest
+# queries (2 rounds old at r4, the r5 rotation's natural head), then
+# r3-green rows — stays covered every round by the local oracle harness
+# (tools/check_oracles.py, 105/105) and pytest.
 _DRIVER_ORDER = [
     # -- new in r4: driver-visible invariants for the approximate tier --
     "topk_recall_lsh",
@@ -3007,6 +3098,8 @@ _DRIVER_ORDER = [
     "window_obv",
     "vwap_anchored",
     "window_heikin_ashi",
+    "funnel_conversion",
+    "window_atr",
     # -- newest driver row is r1 (31) --
     "resample_from_base",
     "window_returns",
