@@ -31,6 +31,49 @@ def _utc_ms(d: datetime) -> int:
     return int(d.timestamp() * 1000)
 
 
+def _as_utc(d: datetime) -> datetime:
+    return d.replace(tzinfo=timezone.utc) if d.tzinfo is None else d.astimezone(timezone.utc)
+
+
+def _bucket_floor(d: datetime, tf: str) -> datetime:
+    """Start of the target bucket containing instant d (UTC calendar for
+    '1w'/'1M' — matching Spark's date_trunc week=Monday — fixed stride
+    otherwise)."""
+    from datetime import timedelta
+
+    from binance_data_framework_spark.functions.timeframes import (
+        TIMEFRAME_MS,
+        snap_down_ms,
+    )
+
+    d = _as_utc(d)
+    if tf == "1w":
+        day0 = (d - timedelta(days=d.weekday())).date()
+        return datetime(day0.year, day0.month, day0.day, tzinfo=timezone.utc)
+    if tf == "1M":
+        return datetime(d.year, d.month, 1, tzinfo=timezone.utc)
+    if tf not in TIMEFRAME_MS:
+        raise ValueError(f"unknown timeframe {tf!r}")
+    ms = snap_down_ms(int(d.timestamp() * 1000), TIMEFRAME_MS[tf])
+    return datetime.fromtimestamp(ms / 1000, tz=timezone.utc)
+
+
+def _bucket_end(d: datetime, tf: str) -> datetime:
+    """Last instant (ms resolution) of the target bucket containing d."""
+    from datetime import timedelta
+
+    from binance_data_framework_spark.functions.timeframes import TIMEFRAME_MS
+
+    f = _bucket_floor(d, tf)
+    if tf == "1w":
+        nxt = f + timedelta(days=7)
+    elif tf == "1M":
+        nxt = (f + timedelta(days=32)).replace(day=1)
+    else:
+        nxt = f + timedelta(milliseconds=TIMEFRAME_MS[tf])
+    return nxt - timedelta(milliseconds=1)
+
+
 def _validate_request(symbol: str, start: datetime, end: datetime) -> None:
     """API-layer input validation, raised before any plan is built
     (reference validate_nonempty, database_handler.py:204-207;
@@ -73,6 +116,7 @@ class CacheOrFetchLoader:
         timeframe: str,
         start: datetime,
         end: datetime,
+        now: datetime | None = None,
     ) -> DataFrame:
         """Gap-driven incremental fill — the design the reference planned but
         never implemented (plan.md:79-80; its actual behavior refetches the
@@ -91,13 +135,23 @@ class CacheOrFetchLoader:
 
         Calendar timeframes ('1w', '1M') are rejected: their buckets are
         calendar-derived (date_trunc), not a fixed-stride grid — derive them
-        via load_resampled over a fixed base instead."""
+        via load_resampled over a fixed base instead.
+
+        The expected grid is additionally capped at the last CLOSED bucket
+        relative to ``now`` (wall clock by default; injectable for tests):
+        the in-progress bucket's kline is PARTIAL at fetch time, and storing
+        it would freeze a wrong bar forever — once stored, the anti-join
+        never marks it missing again. `load` self-heals through the
+        coverage freshness escape; the gap-driven path must simply never
+        fetch an unfinished bucket."""
         from pyspark.sql import Window
         from pyspark.sql import functions as F
 
         from binance_data_framework_spark.functions.timeframes import (
             CALENDAR_TFS,
             TIMEFRAME_MS,
+            snap_down_ms,
+            snap_up_ms,
         )
 
         _validate_request(symbol, start, end)
@@ -106,10 +160,14 @@ class CacheOrFetchLoader:
                 f"load_incremental needs a fixed-stride timeframe; {timeframe!r} "
                 "buckets are calendar-derived — use load_resampled over a fixed base"
             )
+        if timeframe not in TIMEFRAME_MS:
+            raise ValueError(f"unknown timeframe {timeframe!r}")
         bar_ms = TIMEFRAME_MS[timeframe]
         spark = self.store.spark
-        lo = -(-_utc_ms(start) // bar_ms) * bar_ms  # first grid point >= start
-        hi = (_utc_ms(end) // bar_ms) * bar_ms  # last grid point <= end
+        lo = snap_up_ms(_utc_ms(start), bar_ms)  # first grid point >= start
+        hi = snap_down_ms(_utc_ms(end), bar_ms)  # last grid point <= end
+        now_ms = _utc_ms(now if now is not None else datetime.now(timezone.utc))
+        hi = min(hi, snap_down_ms(now_ms, bar_ms) - bar_ms)  # last CLOSED bucket
         if hi < lo:  # request shorter than one bar and off-grid: nothing to fill
             return self.store.get_data(symbol, timeframe, start, end)
         stored = self.store.get_data(symbol, timeframe, start, end).select("ts")
@@ -217,6 +275,11 @@ class CacheOrFetchLoader:
 
         if not symbols:
             raise ValueError("symbols must be a non-empty list")
+        # dedupe (order-preserving): a repeated symbol would race two
+        # same-series writers — silent duplicate rows on a cold store (both
+        # merge against the empty snapshot, so the conflict check can't
+        # fire) — and duplicate every row in the returned union
+        symbols = list(dict.fromkeys(symbols))
         with ThreadPoolExecutor(max_workers=min(max_workers, len(symbols))) as pool:
             futures = [
                 pool.submit(self.load, sym, timeframe, start, end, now=now)
@@ -238,10 +301,23 @@ class CacheOrFetchLoader:
         now: datetime | None = None,
     ) -> DataFrame:
         """Resample mode (colab_interface.py:374-434): load the base series
-        through the cache kernel, then derive target bars from base bars."""
+        through the cache kernel, then derive target bars from base bars.
+
+        The base fetch window is EXPANDED to target-bucket boundaries
+        (floor(start), end-of-bucket(end)): aggregating only base bars
+        inside [start, end] would build the boundary buckets from partial
+        data — a "daily" bar whose open is the 12:00 base bar — yet label
+        them indistinguishably from complete bars. Every returned bucket
+        intersecting [start, end] is built from its full base range."""
         from pyspark.sql import functions as F
 
-        base = self.load(symbol, base_timeframe, start, end, now=now)
+        base = self.load(
+            symbol,
+            base_timeframe,
+            _bucket_floor(start, target_timeframe),
+            _bucket_end(end, target_timeframe),
+            now=now,
+        )
         bars = base.select(
             "symbol",
             base["ts"].alias("bucket"),

@@ -57,6 +57,16 @@ WINDOW_DURATION: dict[str, str] = {
 }
 
 
+def snap_down_ms(ms: int, bar_ms: int) -> int:
+    """Largest bucket-grid point <= ms (floor to the bar grid)."""
+    return (ms // bar_ms) * bar_ms
+
+
+def snap_up_ms(ms: int, bar_ms: int) -> int:
+    """Smallest bucket-grid point >= ms (ceil to the bar grid)."""
+    return -(-ms // bar_ms) * bar_ms
+
+
 def timeframe_duration_col(tf_col: Column) -> Column:
     """Column expression mapping a timeframe string column -> duration ms.
 

@@ -80,10 +80,15 @@ class KlineReader(DataSourceReader):
         self.base_url = options.get("base_url")
 
     def partitions(self):
+        from binance_data_framework_spark.functions.timeframes import (
+            snap_down_ms,
+            snap_up_ms,
+        )
+
         # snap to the bucket grid (cf. api.load_incremental), then slice into
         # chunk_bars-sized, non-overlapping [start, end] ms windows
-        lo = -(-self.start_ms // self.bar_ms) * self.bar_ms
-        hi = (self.end_ms // self.bar_ms) * self.bar_ms
+        lo = snap_up_ms(self.start_ms, self.bar_ms)
+        hi = snap_down_ms(self.end_ms, self.bar_ms)
         if hi < lo:
             return [KlineSlice(self.start_ms, self.start_ms - 1)]  # empty slice
         chunk_ms = self.bar_ms * self.chunk_bars
@@ -102,10 +107,16 @@ class KlineReader(DataSourceReader):
             yield from self._read_http(partition)
 
     def _read_fixture(self, p: KlineSlice):
-        """Deterministic synthetic bars — pure f(timestamp), so any
-        partitioning of the range yields identical union output."""
+        """Deterministic synthetic bars — pure f(timestamp): the bar index
+        is the ABSOLUTE bucket index (ms // bar_ms), so any partitioning,
+        any reader start offset, and any batch/stream split of a range
+        yields identical bars for identical timestamps. (Pre-fix, i was
+        relative to the reader's start_ms: each streaming micro-batch — a
+        fresh reader whose start is the batch offset — restarted the value
+        pattern, so stream-ingested fixture bars disagreed with a batch
+        read of the same range.)"""
         for ms in range(p.start_ms, p.end_ms + 1, self.bar_ms):
-            i = (ms - self.start_ms) // self.bar_ms
+            i = ms // self.bar_ms
             base = 100.0 + (i % 50)
             yield (
                 datetime.fromtimestamp(ms / 1000, tz=timezone.utc),
@@ -171,20 +182,34 @@ class KlineStreamReader(SimpleDataSourceStreamReader):
         self.base_url = options.get("base_url")
 
     def initialOffset(self) -> dict:
-        lo = -(-self.start_ms // self.bar_ms) * self.bar_ms  # snap to grid
-        return {"next_ms": lo}
+        from binance_data_framework_spark.functions.timeframes import snap_up_ms
 
-    def _now_ms(self) -> int:
+        return {"next_ms": snap_up_ms(self.start_ms, self.bar_ms)}
+
+    def _wall_now_ms(self) -> int:
+        """Wall-clock 'now' driving bucket FINALIZATION (fixture mode uses
+        end_ms as the deterministic stand-in). Deliberately NOT clamped to
+        end_ms: finalization asks whether a bucket has closed in real time,
+        while end_ms bounds WHICH buckets are in range — clamping conflated
+        the two, so a bounded stream's final bucket (closed long ago by
+        real now) could never satisfy 'now >= close + one bar' and was
+        never emitted, permanently reading one bar fewer than a batch load
+        of identical options."""
         if self.mode == "fixture":
             assert self.end_ms is not None, "fixture mode needs end_ms"
             return self.end_ms
-        now = int(datetime.now(timezone.utc).timestamp() * 1000)
-        return min(now, self.end_ms) if self.end_ms is not None else now
+        return int(datetime.now(timezone.utc).timestamp() * 1000)
 
     def read(self, start: dict):
+        from binance_data_framework_spark.functions.timeframes import snap_down_ms
+
         lo = int(start["next_ms"])
-        # only FINALIZED bars: bucket + bar must have fully elapsed
-        hi_closed = ((self._now_ms() // self.bar_ms) - 1) * self.bar_ms
+        # only FINALIZED bars: bucket + bar must have fully elapsed...
+        hi_closed = snap_down_ms(self._wall_now_ms(), self.bar_ms) - self.bar_ms
+        if self.end_ms is not None:
+            # ...and the range cap is batch parity: the last grid point
+            # <= end_ms IS emitted once it closes
+            hi_closed = min(hi_closed, snap_down_ms(self.end_ms, self.bar_ms))
         hi = min(hi_closed, lo + (self.bars_per_batch - 1) * self.bar_ms)
         if hi < lo:
             return iter([]), start

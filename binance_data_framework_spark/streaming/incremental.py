@@ -37,17 +37,23 @@ def streaming_ohlcv(
     ts_col: str = "ts",
     key_col: str = "symbol",
     watermark_bars: int = 2,
+    volume_col: str | None = None,
 ) -> DataFrame:
     """Tick stream -> finalized OHLCV bars (append mode).
 
     Watermark = `watermark_bars` bar durations (reference freshness bound).
     State per key is one window's partial aggregate; windows close and emit
     once the watermark passes their end — bounded state at any scale.
+
+    ``volume_col``: pass the real trade-size column when the stream carries
+    one; the default sums the price column — a fixture-only proxy, the same
+    knob and caveat as the batch `resample_ohlcv` (operators/ohlcv.py).
     """
     if timeframe not in WINDOW_DURATION:
         raise ValueError(f"streaming resample supports fixed timeframes, got {timeframe!r}")
     wm_ms = watermark_bars * TIMEFRAME_MS[timeframe]
     ts, px = F.col(ts_col), F.col(price_col)
+    vol = F.col(volume_col) if volume_col is not None else px
     agg = (
         stream.withWatermark(ts_col, f"{wm_ms // 1000} seconds")
         .groupBy(F.col(key_col).alias("symbol"), F.window(ts, WINDOW_DURATION[timeframe]))
@@ -56,7 +62,7 @@ def streaming_ohlcv(
             F.max(px).alias("high"),
             F.min(px).alias("low"),
             F.max(F.struct(ts, px)).alias("_last"),
-            F.sum(px).alias("volume"),
+            F.sum(vol).alias("volume"),
             F.count(F.lit(1)).alias("n_ticks"),
         )
     )
@@ -143,19 +149,25 @@ def stream_to_store(
     timeframe: str,
     checkpoint_dir: str,
     trigger_available_now: bool = True,
+    ts_col: str = "ts",
 ):
     """Streaming upsert sink: each micro-batch runs the store's
     precedence-aware dedup-merge (`OhlcvStore.save_data` — the same kernel as
     batch INSERT OR REPLACE), so re-delivered bars are idempotent end to end.
     foreachBatch is the canonical Spark shape for upsert sinks (no built-in
     streaming MERGE target); the checkpoint gives exactly-once batch
-    boundaries on top of save_data's idempotency."""
+    boundaries on top of save_data's idempotency.
+
+    ``ts_col``: the bar-time column name — pass "bucket" to compose directly
+    with `streaming_ohlcv`'s output (which labels bars by window start)."""
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         store.save_data(
-            batch_df.select("ts", "open", "high", "low", "close", "volume"),
+            batch_df.select(
+                F.col(ts_col).alias("ts"), "open", "high", "low", "close", "volume"
+            ),
             symbol,
             timeframe,
         )
@@ -205,6 +217,7 @@ def streaming_asof(
     ts_col: str = "ts",
     quote_ts_col: str = "qts",
     quote_val_col: str = "qval",
+    how: str = "left_outer",
 ) -> DataFrame:
     """Watermarked streaming as-of join: each tick gets the latest quote at
     or before its timestamp, within `tolerance` (the streaming form of the
@@ -216,7 +229,13 @@ def streaming_asof(
     hash-partitioned, never cross; (2) a (key, tick-ts) aggregation picking
     max_by(quote, quote_ts), finalized exactly once when the watermark
     passes the tick. A tick whose window is still open is withheld (append
-    mode) — the streaming analogue of the batch operator's completeness."""
+    mode) — the streaming analogue of the batch operator's completeness.
+
+    ``how='left_outer'`` (default) mirrors the batch asof_join: a tick with
+    NO quote in tolerance still emits, with null quote/quote_ts, once the
+    watermark proves no match can arrive — an inner join would silently
+    drop such ticks (e.g. a quote feed outage makes ticks vanish
+    downstream). Pass 'inner' for matched-only output."""
     t = ticks.withWatermark(ts_col, watermark).alias("t")
     q = quotes.withWatermark(quote_ts_col, watermark).alias("q")
     j = t.join(
@@ -227,7 +246,7 @@ def streaming_asof(
             F.col(f"q.{quote_ts_col}")
             >= F.col(f"t.{ts_col}") - F.expr(f"INTERVAL {tolerance}")
         ),
-        "inner",
+        how,
     ).select(
         F.col(f"t.{key_col}").alias(key_col), ts_col, quote_ts_col, quote_val_col
     )

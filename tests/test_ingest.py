@@ -198,6 +198,75 @@ def test_incremental_snaps_to_bucket_grid(spark, tmp_path):
     assert out.count() == 9  # hours 1..9 (hour 0 precedes the 00:30 start)
 
 
+def test_incremental_never_fetches_open_bucket(spark, tmp_path):
+    """The expected grid is capped at the last CLOSED bucket relative to
+    `now`: the in-progress bucket's kline is partial at fetch time, and
+    storing it would freeze a wrong bar forever (the anti-join would never
+    mark it missing again) — code-review r4 finding."""
+    fetch, _ = fake_exchange(n_bars=100)
+    store = OhlcvStore(spark, str(tmp_path / "store_open"))
+    loader = CacheOrFetchLoader(store, PagedKlineSource(fetch, page_size=1000))
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    out = loader.load_incremental(
+        "BTCUSDT",
+        "1h",
+        t0,
+        t0 + timedelta(hours=9),
+        now=t0 + timedelta(hours=2, minutes=30),  # bucket 02:00 still open
+    )
+    assert out.count() == 2  # hours 0,1 only; the open bucket never lands
+    out2 = loader.load_incremental(
+        "BTCUSDT", "1h", t0, t0 + timedelta(hours=9), now=t0 + timedelta(hours=20)
+    )
+    assert out2.count() == 10  # once closed, the gap fills on the next call
+
+
+def test_load_many_dedupes_symbols(spark, tmp_path):
+    """A repeated symbol must not race two same-series writers on a cold
+    store (silent duplicate rows — both merge against the empty snapshot so
+    the conflict check can't fire) nor duplicate rows in the union."""
+    fetch, _ = fake_exchange(n_bars=12)
+    store = OhlcvStore(spark, str(tmp_path / "store_dup"))
+    loader = CacheOrFetchLoader(store, PagedKlineSource(fetch, page_size=1000))
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    out = loader.load_many(
+        ["BTCUSDT", "BTCUSDT"], "1h", t0, t0 + timedelta(hours=9), now=t0
+    )
+    assert out.count() == 10
+    assert store.get_data("BTCUSDT", "1h").count() == 10
+
+
+def test_load_resampled_boundary_buckets_complete(spark, tmp_path):
+    """Boundary target buckets aggregate their FULL base range: a mid-bucket
+    request start must not yield a partial bar labeled like a complete one
+    (the base fetch window expands to target-bucket boundaries on both
+    ends) — code-review r4 finding."""
+    fetch, _ = fake_exchange(n_bars=48)
+    store = OhlcvStore(spark, str(tmp_path / "store_rs"))
+    loader = CacheOrFetchLoader(store, PagedKlineSource(fetch, page_size=1000))
+    t0 = datetime(2024, 1, 1, tzinfo=timezone.utc)
+    out = (
+        loader.load_resampled(
+            "BTCUSDT",
+            "4h",
+            t0 + timedelta(hours=2),  # mid-bucket start
+            t0 + timedelta(hours=9),  # mid-bucket end
+            base_timeframe="1h",
+            now=t0,
+        )
+        .orderBy("bucket")
+        .collect()
+    )
+    assert [r["bucket"] for r in out] == [
+        datetime(2024, 1, 1, 0),
+        datetime(2024, 1, 1, 4),
+        datetime(2024, 1, 1, 8),
+    ]
+    assert out[0]["open"] == 100.0  # hour-0 open, not hour-2's
+    assert out[0]["high"] == 104.0  # max high over hours 0..3
+    assert out[2]["close"] == 111.5  # hour-11 close: end side completed too
+
+
 def test_incremental_rejects_calendar_timeframes(spark, tmp_path):
     fetch, _ = fake_exchange(n_bars=5)
     loader = CacheOrFetchLoader(
@@ -535,8 +604,56 @@ def test_stream_kline_source_to_store_end_to_end(spark, tmp_path):
         q.stop()
     out = store.get_data("BTCUSDT", "1h")
     assert out.count() == 8  # bars t0..t0+7h; the still-open t0+8h bucket never lands
+    # fixture purity regression: stream-ingested bars (three micro-batches,
+    # each a fresh reader) must be bit-identical to ONE batch read of the
+    # same range — the bar value derives from the absolute bucket index,
+    # never the reader's start offset
+    batch = (
+        spark.read.format("binance_klines")
+        .option("symbol", "BTCUSDT")
+        .option("interval", "1h")
+        .option("start_ms", t0_ms)
+        .option("end_ms", t0_ms + 7 * h)
+        .option("mode", "fixture")
+        .load()
+    )
+    got = {(r["ts"], r["open"], r["volume"]) for r in out.select("ts", "open", "volume").collect()}
+    exp = {(r["ts"], r["open"], r["volume"]) for r in batch.select("ts", "open", "volume").collect()}
+    assert got == exp
     first = out.select(F.unix_millis("ts").alias("ms"), "open").orderBy("ms").first()
-    assert (first["ms"], first["open"]) == (t0_ms, 100.0)
+    assert (first["ms"], first["open"]) == (t0_ms, 100.0 + (t0_ms // h) % 50)
+
+
+def test_stream_reader_bounded_range_emits_final_bar():
+    """A bounded stream must deliver the SAME bars a batch read of
+    identical options does. Pre-fix, 'now' was clamped to end_ms before
+    the one-bar finalization subtraction, so the final grid bar of a
+    bounded range could never satisfy 'closed' and was withheld forever
+    (code-review r4 finding). No Spark needed: drive read() directly with
+    a stubbed wall clock far past the range end."""
+    from binance_data_framework_spark.sources.kline_datasource import (
+        KlineStreamReader,
+    )
+
+    t0, h = 1_704_067_200_000, 3_600_000
+    r = KlineStreamReader(
+        {
+            "symbol": "BTCUSDT",
+            "interval": "1h",
+            "start_ms": str(t0),
+            "end_ms": str(t0 + 2 * h),
+            "mode": "fixture",
+            "bars_per_batch": "10",
+        }
+    )
+    r._wall_now_ms = lambda: t0 + 1000 * h  # months past the range end
+    rows, offset = r.read({"next_ms": t0})
+    got = [int(row[0].timestamp() * 1000) for row in rows]
+    assert got == [t0, t0 + h, t0 + 2 * h]  # incl. the final grid bar AT end_ms
+    assert offset == {"next_ms": t0 + 3 * h}
+    # and the cursor parks there: nothing further to emit
+    again, offset2 = r.read(offset)
+    assert list(again) == [] and offset2 == offset
 
 
 def test_incremental_fetch_ranges_process_tz_independent(spark, tmp_path):

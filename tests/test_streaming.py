@@ -198,6 +198,39 @@ def test_streaming_sessionize_finalized_sessions(spark, tmp_path):
     assert ("u1", datetime(2024, 1, 1, 9, 0)) not in got  # still open
 
 
+def test_streaming_ohlcv_composes_with_store_sink(spark, tmp_path):
+    """The module's own producer and sink compose directly: streaming_ohlcv
+    labels bars 'bucket', and stream_to_store(ts_col='bucket') maps it onto
+    the store's ts — plus the real-volume knob (volume_col) flows through
+    (code-review r4 findings)."""
+    from binance_data_framework_spark.store import OhlcvStore
+    from binance_data_framework_spark.streaming.incremental import stream_to_store
+
+    src = tmp_path / "src_compose"
+    src.mkdir()
+    rows = [
+        ("S", datetime(2024, 1, 1, 0, 10), 1.0, 100.0),
+        ("S", datetime(2024, 1, 1, 0, 50), 2.0, 50.0),
+        ("S", datetime(2024, 1, 1, 4, 0), 9.0, 1.0),  # watermark driver
+    ]
+    pdf = pd.DataFrame(rows, columns=["symbol", "ts", "price", "qty"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    pdf.to_parquet(f"{src}/p.parquet", index=False)
+    stream = spark.readStream.schema(
+        "symbol string, ts timestamp, price double, qty double"
+    ).parquet(str(src))
+    bars = streaming_ohlcv(stream, "1h", volume_col="qty")
+    store = OhlcvStore(spark, str(tmp_path / "compose_store"))
+    q = stream_to_store(
+        bars, store, "S", "1h", str(tmp_path / "compose_ckpt"), ts_col="bucket"
+    )
+    q.awaitTermination(120)
+    out = store.get_data("S", "1h").collect()
+    assert len(out) == 1  # only the finalized hour-0 bar landed
+    assert out[0]["ts"] == datetime(2024, 1, 1, 0, 0)
+    assert out[0]["volume"] == 150.0  # sum(qty), not sum(price)
+
+
 def test_streaming_asof_latest_prior_quote(spark, tmp_path):
     """Watermarked as-of: each finalized tick carries the latest quote at or
     before it within tolerance; ticks not yet past the watermark are
@@ -249,5 +282,7 @@ def test_streaming_asof_latest_prior_quote(spark, tmp_path):
     }
     assert got[("S", datetime(2024, 1, 1, 0, 30))] == (2.0, datetime(2024, 1, 1, 0, 20))
     assert got[("S", datetime(2024, 1, 1, 1, 40))] == (3.0, datetime(2024, 1, 1, 1, 30))
-    assert ("T", datetime(2024, 1, 1, 2, 0)) not in got  # outside tolerance
+    # no quote within tolerance -> the tick still emits, with nulls (left
+    # outer, matching the batch asof_join), instead of silently vanishing
+    assert got[("T", datetime(2024, 1, 1, 2, 0))] == (None, None)
     assert ("S", datetime(2024, 1, 1, 9, 0)) not in got  # still open
