@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from datetime import datetime, timezone
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -63,9 +63,13 @@ def coverage_check(
     fresh = (F.col("start_ts") <= F.col("req_start")) & (
         F.abs(F.lit(int(now.timestamp() * 1000)) - end_ms) < 2 * bar_ms
     )
+    # broadcast the BUILD side: a BroadcastHashJoin cannot build the
+    # preserved (left) side of a left-outer join, so a hint on `requests`
+    # would be silently dropped and both sides would shuffle. The coverage
+    # aggregate is the right side and is small by construction (one row per
+    # SERIES — bars-not-events cardinality), so it is the legal broadcast.
     return (
-        broadcast(requests)
-        .join(coverage, on=list(key_cols), how="left")
+        requests.join(broadcast(coverage), on=list(key_cols), how="left")
         .withColumn(
             "covered",
             F.coalesce(containment | fresh, F.lit(False)),
@@ -95,8 +99,21 @@ def expected_buckets(
     anchored at the series' min bucket, so the chunked union is
     element-identical to the one-shot sequence at any chunk size.
     """
-    from binance_data_framework_spark.functions.timeframes import TIMEFRAME_MS
+    from binance_data_framework_spark.functions.timeframes import (
+        CALENDAR_TFS,
+        TIMEFRAME_MS,
+    )
 
+    if timeframe in CALENDAR_TFS:
+        # '1w'/'1M' buckets are calendar-truncated (date_trunc), not a
+        # fixed-stride grid — stepping by the nominal duration would
+        # misalign with every real bucket (phantom gaps, useless fills)
+        raise ValueError(
+            f"expected_buckets needs a fixed-stride timeframe; {timeframe!r} "
+            "buckets are calendar-derived"
+        )
+    if timeframe not in TIMEFRAME_MS:
+        raise ValueError(f"unknown timeframe {timeframe!r}")
     bar_ms = TIMEFRAME_MS[timeframe]
     bounds = df.groupBy(key_col).agg(
         F.min(ts_col).alias("min_b"), F.max(ts_col).alias("max_b")
@@ -128,7 +145,6 @@ def expected_buckets(
 def gap_antijoin(
     df: DataFrame,
     timeframe: str,
-    spark: SparkSession | None = None,
     key_col: str = "symbol",
     ts_col: str = "bucket",
     chunk_bars: int = 65_536,
@@ -140,9 +156,11 @@ def gap_antijoin(
     (key, bucket) like any equi-join.
     """
     expected = expected_buckets(df, timeframe, key_col, ts_col, chunk_bars)
+    # preserve the caller's key column name (a key_col='pair' input must not
+    # come back renamed 'symbol'); 'missing_bucket' is the documented output
     return expected.join(
         df.select(key_col, ts_col), on=[key_col, ts_col], how="left_anti"
-    ).select(F.col(key_col).alias("symbol"), F.col(ts_col).alias("missing_bucket"))
+    ).select(F.col(key_col), F.col(ts_col).alias("missing_bucket"))
 
 
 def fill_forward(
@@ -161,13 +179,19 @@ def fill_forward(
     from pyspark.sql import Window
 
     grid = expected_buckets(bars, timeframe, key_col, ts_col)
-    joined = grid.join(bars, on=[key_col, ts_col], how="left")
+    # join-side PRESENCE flag, not value-null sniffing: a genuine bar whose
+    # first value column happens to be null is a real observation — it must
+    # not be flagged as synthesized (nor have its null overwritten
+    # mislabeled as a fill)
+    joined = grid.join(
+        bars.withColumn("_present", F.lit(True)), on=[key_col, ts_col], how="left"
+    )
     w = (
         Window.partitionBy(key_col)
         .orderBy(ts_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = joined.withColumn("is_filled", F.col(value_cols[0]).isNull())
+    out = joined.withColumn("is_filled", F.col("_present").isNull()).drop("_present")
     for c in value_cols:
         out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return out

@@ -94,12 +94,21 @@ def sample_stratified(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Keep ~rate% of each stratum via multiplicative hashing of the id —
-    a narrow filter (NO shuffle, no RNG): hash(id) % 100 < rate(stratum).
-    `rates` maps stratum value -> integer percent."""
+    a narrow filter (NO shuffle, no RNG). `rates` maps stratum value ->
+    integer percent.
+
+    The threshold compares the FULL 31-bit mixed value against
+    rate% of the range (h·100 < rate·2³¹ — pure int64-safe integer
+    arithmetic), i.e. Knuth multiplicative hashing read through its high
+    bits. The earlier form reduced the product mod 100, and
+    (id·M) mod 100 is a bijection of id mod 100 — membership depended
+    only on the id's last two decimal digits, so block-allocated id
+    schemes (shard·10⁶+k) got 0% or 100% instead of rate%."""
     rate = F.lit(default_rate)
     for k, v in rates.items():
         rate = F.when(F.col(stratum_col) == k, F.lit(v)).otherwise(rate)
-    keep = F.pmod(_mixed_id(id_col) * F.lit(_MULT), F.lit(100)) < rate
+    h = F.pmod(_mixed_id(id_col) * F.lit(_MULT), F.lit(_ID_MOD))
+    keep = h * F.lit(100) < rate * F.lit(_ID_MOD)
     return df.where(keep)
 
 

@@ -173,12 +173,24 @@ def minhash_candidates(
     num_bands: int = 4,
     threshold: float = 0.5,
     band_on_slice: bool = False,
+    num_hashes: int = 16,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold) via LSH
     banding over MinHash signatures. ``band_on_slice`` keys the band join
     on the raw slot slice (array equality — collision-free and
     engine-portable for the oracle-checked variant) instead of its xxhash64
-    (bare-long band keys, the slimmest shuffle — production default)."""
+    (bare-long band keys, the slimmest shuffle — production default).
+
+    ``num_hashes`` must match the signature generator's slot count and be
+    divisible by ``num_bands``: unequal bands would silently drop trailing
+    slots (recall loss), and num_bands > num_hashes would give EVERY doc a
+    zero-length band slice — one constant band key, turning the band
+    self-join into the full O(n²) cross product banding exists to avoid."""
+    if num_bands <= 0 or num_hashes % num_bands != 0:
+        raise ValueError(
+            f"num_bands={num_bands} must be a positive divisor of "
+            f"num_hashes={num_hashes} (equal bands, no empty slices)"
+        )
     # Materialize signatures once: the banded self-join references `sigs` on
     # both sides and the pair filter reads them again — without a
     # materialization point Spark recomputes the signature expressions three
@@ -189,7 +201,7 @@ def minhash_candidates(
     # pair (each side is exploded num_bands ways — carrying `sig` through
     # multiplies shuffle bytes by ~num_bands * sig_len). Signatures join back
     # once per side afterwards, from the checkpointed sigs.
-    rows_per_band = (F.size("sig") / num_bands).cast("int")
+    rows_per_band = num_hashes // num_bands  # validated: exact, never empty
     slice_of = lambda b: F.slice("sig", b * rows_per_band + 1, rows_per_band)  # noqa: E731
     band_key = (
         (lambda b: slice_of(b)) if band_on_slice else (lambda b: F.xxhash64(slice_of(b)))

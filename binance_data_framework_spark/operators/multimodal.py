@@ -77,7 +77,16 @@ def extract_features(
     Stub path derives (width, height, feature-vector) deterministically from
     the payload digest — stable across runs/partitionings — while exercising
     the exact schema/batching path a real decoder would use.
+    ``feature_dim`` <= 30: the stub reads 2 hex chars per component from the
+    64-char sha256 digest after the 4 width/height chars — validated here so
+    an oversized dim fails fast with a clear message instead of an opaque
+    executor ValueError mid-job.
     """
+    if not 1 <= feature_dim <= 30:
+        raise ValueError(
+            f"feature_dim={feature_dim} out of range [1, 30] for the sha256 "
+            "digest stub (2 hex chars per component, 4 reserved)"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

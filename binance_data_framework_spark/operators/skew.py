@@ -8,8 +8,9 @@ does not re-plan:
 
 - `salted_join`: replicate-right equi-join for a skewed LEFT side whose
   right side is too big to broadcast. Left rows scatter across
-  `n_salts` sub-keys (deterministic hash of the whole row — reproducible,
-  no RNG); right rows replicate n_salts ways; the join key becomes
+  `n_salts` sub-keys (round-robin on the task-local row index —
+  replay-deterministic, no RNG, and exact-duplicate hot rows still
+  spread); right rows replicate n_salts ways; the join key becomes
   (key, salt) so a hot key's rows spread over n_salts reducers.
 - `salted_topk`: two-phase top-k for skewed grouping keys. A plain
   `row_number().over(partitionBy(key))` funnels every row of a hot key
@@ -27,12 +28,16 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _salt(df: DataFrame, n_salts: int) -> Column:
-    """Deterministic per-row salt in [0, n_salts): hash of every column —
-    stable across retries/shuffles (no rand(), which breaks task replay)."""
-    return F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)).cast(
-        "int"
-    )
+def _salt(n_salts: int) -> Column:
+    """Per-row salt in [0, n_salts): round-robin over the task-local row
+    index. Deterministic under task replay (monotonically_increasing_id is
+    a pure function of (partition id, row position), both stable on retry
+    of the same input split — unlike rand()), touches no payload bytes
+    (hashing whole rows crashed on MapType columns and paid per-row
+    hashing of large text/binary), and — the point of salting — spreads
+    EXACT-DUPLICATE hot rows across salts, where a row-content hash sent
+    every copy of a boilerplate document to the same reducer."""
+    return F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
 
 
 def salted_join(
@@ -44,9 +49,16 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with the left side's hot keys scattered over `n_salts`
     reducers and the right side replicated to match. Output equals
-    `left.join(right, on, how)` for 'inner' and 'left' joins."""
+    `left.join(right, on, how)` for 'inner' and 'left' joins — the only
+    supported modes: with the right side exploded n_salts ways, an outer
+    right/full join would surface every unmatched right row n_salts times."""
     on = [on] if isinstance(on, str) else list(on)
-    l = left.withColumn("_salt", _salt(left, n_salts))
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r} "
+            "(the replicated right side would duplicate unmatched rows)"
+        )
+    l = left.withColumn("_salt", _salt(n_salts))
     r = right.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
@@ -70,7 +82,7 @@ def salted_topk(
         F.col(order_col).asc() if ascending else F.col(order_col).desc(),
         *[F.col(c) for c in (tiebreak_cols or [])],
     ]
-    salted = df.withColumn("_salt", _salt(df, n_salts))
+    salted = df.withColumn("_salt", _salt(n_salts))
     w1 = Window.partitionBy(*key_cols, "_salt").orderBy(*order)
     survivors = (
         salted.withColumn("_r1", F.row_number().over(w1))

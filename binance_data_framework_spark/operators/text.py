@@ -8,9 +8,8 @@ path never leaves the JVM.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast
 
 # Tiny lexicons: driver-side constants, broadcast or folded into the plan.
 SENTIMENT_LEXICON: dict[str, int] = {
@@ -62,7 +61,6 @@ def term_frequency(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def sentiment(
-    spark: SparkSession,
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",

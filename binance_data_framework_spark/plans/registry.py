@@ -1356,7 +1356,7 @@ def q_term_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return TX.sentiment(spark, load_table(spark, sf_dir, "documents"))
+    return TX.sentiment(load_table(spark, sf_dir, "documents"))
 
 
 @register(
@@ -2492,8 +2492,8 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT doc_id, lang, source
     FROM documents
-    WHERE ((doc_id % 2147483648) * 2654435761) % 100 <
-          CASE WHEN lang = 'en' THEN 50 ELSE 20 END
+    WHERE ((doc_id % 2147483648) * 2654435761) % 2147483648 * 100 <
+          (CASE WHEN lang = 'en' THEN 50 ELSE 20 END) * 2147483648
     """,
 )
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -115,3 +115,17 @@ def test_sample_hashes_survive_large_ids(spark):
     assert 0 < n < 1000  # no ArithmeticException, and actually selective
     res = CU.sample_reservoir(big, k=25)
     assert res.count() == 25
+
+
+def test_sample_stratified_mixes_beyond_low_digits(spark):
+    """Sample membership must depend on the full id, not id % 100: ids
+    block-allocated on a stride of 100 (shard*10^6+k schemes) previously
+    all shared one hash residue and got 0% or 100% regardless of the
+    requested rate (code-review r4 finding)."""
+    ids = spark.range(1000).select(
+        (F.col("id") * 100).alias("doc_id"),
+        F.lit("en").alias("lang"),
+        F.lit("wiki").alias("source"),
+    )
+    n = CU.sample_stratified(ids, rates={"en": 50}).count()
+    assert 300 < n < 700  # ~50%, not all-or-nothing

@@ -308,3 +308,15 @@ def test_minhash_slots_are_independent(spark, sf_dir):
             (F.col("est_jaccard") > 0.0) & (F.col("est_jaccard") < 1.0)
         ).count()
         assert frac > 0, sig_fn.__name__
+
+
+def test_minhash_candidates_rejects_degenerate_bands(spark, sf_dir):
+    """Band counts that don't divide the signature (dropped trailing
+    slots) or exceed it (zero-length slices -> one constant band key ->
+    full O(n^2) cross product) must raise (code-review r4 finding)."""
+    import pytest
+
+    sigs = D.minhash_signature(load_table(spark, sf_dir, "documents").limit(10))
+    for bad in (5, 20, 0):
+        with pytest.raises(ValueError, match="num_bands"):
+            D.minhash_candidates(sigs, num_bands=bad)

@@ -105,9 +105,7 @@ def test_gap_antijoin_chunked_grid_exact(spark):
             )
             missing = {
                 r["missing_bucket"]
-                for r in gap_antijoin(
-                    df, tf, spark=spark, chunk_bars=chunk_bars
-                ).collect()
+                for r in gap_antijoin(df, tf, chunk_bars=chunk_bars).collect()
             }
             assert missing == dropped, (
                 f"chunk_bars={chunk_bars} {tf}: {sorted(missing)} != {sorted(dropped)}"

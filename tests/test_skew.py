@@ -51,3 +51,40 @@ def test_salted_topk_matches_window_topk(spark):
         "k", "id", "v", "rank"
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    """The replicated right side would surface every unmatched right row
+    n_salts times under right/full joins — unsupported modes must raise,
+    not silently duplicate (code-review r4 finding)."""
+    import pytest
+
+    l = spark.createDataFrame([(1, "a")], "k long, v string")
+    r = spark.createDataFrame([(1, "b")], "k long, w string")
+    for how in ("right", "full", "full_outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(l, r, on="k", how=how)
+
+
+def test_salted_topk_spreads_exact_duplicate_hot_rows(spark):
+    """Salting must distribute IDENTICAL rows of a hot key across salts —
+    the motivating case (a boilerplate document duplicated en masse); a
+    row-content hash sent every copy to one reducer (code-review r4
+    finding). Also covers frames with Map columns, which the content hash
+    crashed on (xxhash64 rejects MapType)."""
+    rows = [("HOT", 1.0) for _ in range(400)] + [("COLD", 2.0)]
+    df = spark.createDataFrame(rows, "k string, score double").withColumn(
+        "meta", F.create_map(F.lit("a"), F.lit("b"))
+    )
+    from binance_data_framework_spark.operators.skew import _salt
+
+    n_distinct = (
+        df.where(F.col("k") == "HOT")
+        .withColumn("_s", _salt(8))
+        .select("_s")
+        .distinct()
+        .count()
+    )
+    assert n_distinct > 1  # duplicates spread, not funneled to one salt
+    out = salted_topk(df, "k", "score", k=1)
+    assert out.where(F.col("k") == "COLD").count() == 1
