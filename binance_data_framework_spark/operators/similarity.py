@@ -71,20 +71,6 @@ def topk_cosine(
     )
 
 
-def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
-    """Random-hyperplane (sign) bucket id: bit i = sign(v . plane_i).
-
-    `planes` are driver-side constants (seeded, tiny) folded into the plan as
-    array literals — no join, no UDF.
-    """
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bit = (_dot(vec_col, plane) > 0).cast("long")
-        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
-    return bucket
-
-
 def _planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (LCG; no numpy RNG state
     dependence) — same planes on every run/executor."""
@@ -140,6 +126,24 @@ def _pair_dot_udf():
     return dot2
 
 
+def _probe_cells_udf(centroids: list[list[float]], nprobe: int):
+    """Vectorized nprobe-nearest-cells assignment for IVF probes (shared by
+    the IVF and IVF-PQ paths): one distance matrix per Arrow batch, argsort
+    to the nprobe closest cell ids. nprobe > n_centroids degrades to all
+    cells (numpy slice semantics)."""
+    cm = np.asarray(centroids, dtype=np.float64)
+    cn = (cm * cm).sum(axis=1)
+
+    @pandas_udf("array<int>")
+    def probe_cells(v: pd.Series) -> pd.Series:
+        m = np.vstack(v.to_numpy())
+        d = cn[None, :] - 2.0 * (m @ cm.T)
+        order = np.argsort(d, axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    return probe_cells
+
+
 def _assign_udf(centroids: list[list[float]]):
     """Vectorized nearest-centroid assignment (L2): one distance matrix per
     Arrow batch against the broadcast centroid matrix."""
@@ -179,6 +183,13 @@ def kmeans_fit(
     )
     init = base.orderBy(id_col).limit(n_centroids).select("_v").collect()
     centroids = [list(r["_v"]) for r in init]
+    if not centroids:
+        raise ValueError("kmeans_fit needs a non-empty corpus")
+    # corpus smaller than the requested cell count: degrade to one cell per
+    # available init vector (the rebuild below indexed centroids[i] for
+    # i >= len(centroids) and raised IndexError — dict.get evaluates its
+    # default eagerly)
+    n_centroids = min(n_centroids, len(centroids))
     for _ in range(n_iter):
         assigned = base.withColumn("_c", _assign_udf(centroids)(F.col("_v")))
         means = (
@@ -215,26 +226,17 @@ def topk_cosine_ivf(
     count at scale. Complements sign-LSH (`topk_cosine_lsh`): IVF adapts to
     the data distribution, LSH is data-independent."""
     centroids = kmeans_fit(df, n_centroids, 3, id_col, vec_col, dim)
-    cm = np.asarray(centroids, dtype=np.float64)
-    cn = (cm * cm).sum(axis=1)
 
     base = with_norm(df, vec_col).withColumn(
         "_c", _assign_udf(centroids)(F.col("_v"))
     )
     base = base.localCheckpoint(eager=False)
 
-    @pandas_udf("array<int>")
-    def probe_cells(v: pd.Series) -> pd.Series:
-        m = np.vstack(v.to_numpy())
-        d = cn[None, :] - 2.0 * (m @ cm.T)
-        order = np.argsort(d, axis=1)[:, :nprobe].astype(np.int32)
-        return pd.Series(list(order))
-
     probes = base.where(probe_filter).select(
         F.col(id_col).alias("probe_id"),
         F.col("_v").alias("_pv"),
         F.col("_norm").alias("_pnorm"),
-        F.explode(probe_cells(F.col("_v"))).alias("_c"),
+        F.explode(_probe_cells_udf(centroids, nprobe)(F.col("_v"))).alias("_c"),
     )
     dot2 = _pair_dot_udf()
     scored = (
@@ -292,8 +294,11 @@ def topk_cosine_lsh(
         F.col("_v").alias("_pv"),
         F.col("_norm").alias("_pnorm"),
     )
-    probe_keys = exploded.where(probe_filter).select(
-        F.col(id_col).alias("probe_id"), "_t", "_b"
+    # filter on BASE (full columns), like the other topk_* paths: `exploded`
+    # carries only (id, table, bucket), so a probe_filter referencing any
+    # other df column would fail to resolve there
+    probe_keys = base.where(probe_filter).select(
+        F.col(id_col).alias("probe_id"), F.posexplode("_tb").alias("_t", "_b")
     )
     # Collision set grouped PER CANDIDATE — `collect_set(probe_id)` both
     # dedups pairs (a candidate can collide with the same probe in several
@@ -481,9 +486,18 @@ def opq_train(
     residuals)."""
     R = np.eye(dim)
     books: list[list[list[float]]] = []
-    base = residuals.select(id_col, F.col(resid_col).alias("_x"))
+    # checkpoint both the residual source and each sweep's rotation: every
+    # Spark action inside a sweep (pq_train's init + per-iter collects, the
+    # correlation pass) would otherwise re-run the rotation (and upstream
+    # residual) Arrow UDFs over the whole corpus — same rationale as the
+    # sibling paths' checkpoints
+    base = residuals.select(id_col, F.col(resid_col).alias("_x")).localCheckpoint(
+        eager=False
+    )
     for sweep in range(n_sweeps):
-        rot = base.select(id_col, _rotate_udf(R)(F.col("_x")).alias("_r"))
+        rot = base.select(
+            id_col, _rotate_udf(R)(F.col("_x")).alias("_r")
+        ).localCheckpoint(eager=False)
         books = pq_train(rot, m_sub, ksub, n_iter, dim, id_col, "_r")
         if sweep == n_sweeps - 1:
             break  # end on codebook training for the final rotation
@@ -594,8 +608,6 @@ def topk_cosine_ivfpq(
     (the rotation costs one dim×dim matmul per batch at index/query time,
     nothing per candidate)."""
     centroids = kmeans_fit(df, n_centroids, 3, id_col, vec_col, dim)
-    cm = np.asarray(centroids, dtype=np.float64)
-    cn = (cm * cm).sum(axis=1)
     sub_dim = dim // m_sub
 
     base = with_norm(df, vec_col).withColumn("_c", _assign_udf(centroids)(F.col("_v")))
@@ -615,13 +627,6 @@ def topk_cosine_ivfpq(
         id_col, "_c", _pq_codes_udf(books, sub_dim)(F.col("_r")).alias("_code")
     ).localCheckpoint(eager=False)
 
-    @pandas_udf("array<int>")
-    def probe_cells(v: pd.Series) -> pd.Series:
-        m = np.vstack(v.to_numpy())
-        d = cn[None, :] - 2.0 * (m @ cm.T)
-        order = np.argsort(d, axis=1)[:, :nprobe].astype(np.int32)
-        return pd.Series(list(order))
-
     probe_rows = base.where(probe_filter).select(
         F.col(id_col).alias("probe_id"),
         F.col("_v").alias("_pv"),
@@ -630,7 +635,7 @@ def topk_cosine_ivfpq(
     probes = base.where(probe_filter).select(
         F.col(id_col).alias("probe_id"),
         F.col("_v").alias("_pv"),
-        F.explode(probe_cells(F.col("_v"))).alias("_c"),
+        F.explode(_probe_cells_udf(centroids, nprobe)(F.col("_v"))).alias("_c"),
     )
     adc = _adc_udf(centroids, books, sub_dim, rotation)
     shortlist = (

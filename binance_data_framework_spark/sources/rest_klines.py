@@ -161,13 +161,14 @@ class PagedKlineSource:
         """Fetched pages -> analysis-ready OHLCV DataFrame: string->double
         casts + ms->timestamp + 12->6 column projection (api_connector.py:
         288-310), all as built-in column expressions."""
+        from binance_data_framework_spark.functions.casts import (
+            ms_to_ts,
+            str_to_double,
+        )
+
         rows = self.fetch_range(symbol, interval, start_ms, end_ms)
         raw = spark.createDataFrame(rows, RAW_KLINES)
         return raw.select(
-            F.timestamp_millis(F.col("timestamp")).alias("ts"),
-            F.col("open").cast("double").alias("open"),
-            F.col("high").cast("double").alias("high"),
-            F.col("low").cast("double").alias("low"),
-            F.col("close").cast("double").alias("close"),
-            F.col("volume").cast("double").alias("volume"),
+            ms_to_ts("timestamp").alias("ts"),
+            *[str_to_double(c).alias(c) for c in ("open", "high", "low", "close", "volume")],
         )

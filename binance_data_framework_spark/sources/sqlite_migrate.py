@@ -21,10 +21,12 @@ from __future__ import annotations
 
 import sqlite3
 from collections.abc import Iterator
+from contextlib import closing
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+from binance_data_framework_spark.functions.casts import ms_to_ts
 from binance_data_framework_spark.schemas import OHLCV_MS
 
 _SELECT = (
@@ -35,7 +37,9 @@ _SELECT = (
 
 def list_series(db_path: str) -> list[tuple[str, str]]:
     """Distinct (symbol, timeframe) series in the source database."""
-    with sqlite3.connect(db_path) as conn:
+    # closing(): the sqlite3 context manager only commits/rolls back on
+    # exit — it does NOT close, which leaks a read-locking handle per call
+    with closing(sqlite3.connect(db_path)) as conn:
         rows = conn.execute(
             "SELECT DISTINCT symbol, timeframe FROM ohlcv_data ORDER BY 1, 2"
         ).fetchall()
@@ -43,7 +47,7 @@ def list_series(db_path: str) -> list[tuple[str, str]]:
 
 
 def _batches(db_path: str, symbol: str, timeframe: str, batch_rows: int) -> Iterator[list]:
-    with sqlite3.connect(db_path) as conn:
+    with closing(sqlite3.connect(db_path)) as conn:
         cur = conn.execute(_SELECT, (symbol, timeframe))
         while True:
             rows = cur.fetchmany(batch_rows)
@@ -69,7 +73,7 @@ def migrate_sqlite(
         for rows in _batches(db_path, symbol, timeframe, batch_rows):
             raw = spark.createDataFrame(rows, OHLCV_MS)
             df = raw.select(
-                F.timestamp_millis(F.col("ts_ms")).alias("ts"),
+                ms_to_ts("ts_ms").alias("ts"),  # functions/casts: the one conversion convention
                 "open",
                 "high",
                 "low",

@@ -320,3 +320,26 @@ def test_minhash_candidates_rejects_degenerate_bands(spark, sf_dir):
     for bad in (5, 20, 0):
         with pytest.raises(ValueError, match="num_bands"):
             D.minhash_candidates(sigs, num_bands=bad)
+
+
+def test_kmeans_fit_small_corpus_degrades(spark, sf_dir):
+    """A corpus smaller than n_centroids degrades to one cell per available
+    vector instead of IndexError in the rebuild (code-review r4 finding) —
+    and the IVF path built on it still answers."""
+    emb = load_table(spark, sf_dir, "embeddings").limit(5)
+    cents = S.kmeans_fit(emb, n_centroids=16, n_iter=2)
+    assert len(cents) == 5
+    out = S.topk_cosine_ivf(emb, F.col("vec_id") < 2, k=3)
+    assert out.count() > 0
+
+
+def test_lsh_probe_filter_may_reference_any_column(spark, sf_dir):
+    """topk_cosine_lsh must accept the same probe filters the other topk_*
+    paths do: the filter previously ran against the exploded (id, table,
+    bucket) projection, so referencing any other df column failed to
+    resolve (code-review r4 finding)."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "kind", F.when(F.col("vec_id") < 5, F.lit("probe")).otherwise(F.lit("corpus"))
+    )
+    out = S.topk_cosine_lsh(emb, F.col("kind") == "probe", k=5)
+    assert out.count() > 0
