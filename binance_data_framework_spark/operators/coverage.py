@@ -191,7 +191,14 @@ def fill_forward(
         .orderBy(ts_col)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    out = joined.withColumn("is_filled", F.col("_present").isNull()).drop("_present")
+    out = joined.withColumn("is_filled", F.col("_present").isNull())
     for c in value_cols:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return out
+        # fill ONLY synthesized rows: a present bar whose value is genuinely
+        # null keeps its null (is_filled=false must agree with the value)
+        out = out.withColumn(
+            c,
+            F.when(
+                F.col("_present").isNull(), F.last(c, ignorenulls=True).over(w)
+            ).otherwise(F.col(c)),
+        )
+    return out.drop("_present")

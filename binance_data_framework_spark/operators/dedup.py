@@ -206,12 +206,24 @@ def minhash_candidates(
     band_key = (
         (lambda b: slice_of(b)) if band_on_slice else (lambda b: F.xxhash64(slice_of(b)))
     )
+    # Runtime guard: the plan-time divisibility check above cannot see the
+    # actual signature width, and a sigs frame generated with a different
+    # num_hashes would either drop trailing slots (recall loss) or band on
+    # empty slices (one constant key => O(n²) self-join). assert_true runs
+    # inside the band-key expression, so Catalyst cannot prune it away.
+    sig_len_ok = F.assert_true(
+        F.size("sig") == num_hashes,
+        F.concat(
+            F.lit(f"minhash_candidates: signature width != num_hashes={num_hashes}: "),
+            F.size("sig").cast("string"),
+        ),
+    )
     banded = sigs.select(
         id_col,
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(num_bands - 1)),
-                lambda b: band_key(b),
+                lambda b: F.when(sig_len_ok.isNull(), band_key(b)),
             )
         ).alias("band_idx", "band_hash"),
     )
@@ -250,7 +262,7 @@ def dedup_near_minhash(
     near-duplicate (single-link via direct pairs; full connected components
     would iterate min-label propagation — see cluster_min_label)."""
     sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_n)
-    pairs = minhash_candidates(sigs, id_col, num_bands, threshold)
+    pairs = minhash_candidates(sigs, id_col, num_bands, threshold, num_hashes=num_hashes)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
 

@@ -2809,12 +2809,16 @@ def q_window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT symbol, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
       FROM bounds),
     j AS (
-      SELECT g.symbol, g.bucket, b.close, b.close IS NULL AS is_filled
-      FROM grid g LEFT JOIN bars b USING (symbol, bucket))
+      -- join-side PRESENCE flag (not value-null sniffing), matching
+      -- fill_forward: a present bar with a null value stays null
+      SELECT g.symbol, g.bucket, b.close, b.present IS NULL AS is_filled
+      FROM grid g
+      LEFT JOIN (SELECT *, TRUE AS present FROM bars) b USING (symbol, bucket))
     SELECT symbol, bucket,
-           round(last_value(close IGNORE NULLS) OVER (
-             PARTITION BY symbol ORDER BY bucket ROWS UNBOUNDED PRECEDING), 6)
-             AS close,
+           round(CASE WHEN is_filled THEN
+             last_value(close IGNORE NULLS) OVER (
+               PARTITION BY symbol ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+           ELSE close END, 6) AS close,
            is_filled
     FROM j
     """,

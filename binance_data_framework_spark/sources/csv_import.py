@@ -9,9 +9,11 @@ dedup-upsert, so importing is idempotent and concurrent-reader-safe like any
 other write.
 
 Scale shape: the read is an ordinary distributed CSV scan (splittable,
-executor-parallel); only the tiny distinct series list is collected to drive
-the per-series upserts. Files exported WITHOUT symbol/timeframe columns
-(bare OHLCV) are supported by passing the series key explicitly.
+executor-parallel); multi-series files land through ``store.save_many`` —
+ONE Spark job and ONE manifest commit for the whole file, with only the
+per-series day-bounds row collected driver-side. Files exported WITHOUT
+symbol/timeframe columns (bare OHLCV) are supported by passing the series
+key explicitly (which must AGREE with any embedded key columns).
 """
 
 from __future__ import annotations
@@ -48,28 +50,42 @@ def import_csv(
 ) -> list[tuple[str, str]]:
     """Import a CSV export into the store; returns the upserted series.
 
-    With ``symbol``/``timeframe`` given, the whole file is one series
-    (bare-OHLCV exports). Otherwise the file must carry symbol/timeframe
-    columns and every contained series is upserted (the distinct series
-    list — tiny by construction — is the only driver-side collect)."""
+    With ``symbol``/``timeframe`` given, the file is treated as ONE series
+    (bare-OHLCV exports). If the file ALSO carries symbol/timeframe
+    columns, they must agree: a multi-series file imported under one
+    explicit key would silently relabel and merge foreign series (ADVICE
+    r4), so any row whose embedded key differs from the explicit one is an
+    error, not a relabel. Without explicit args the file must carry the
+    key columns, and every contained series lands through ONE
+    ``store.save_many`` call — one Spark job and one manifest commit for
+    the whole file, regardless of series count (the per-series
+    ``save_data`` loop this replaces cost O(series) jobs + commits)."""
     df = read_ohlcv_csv(store, path)
+    has_key_cols = "symbol" in df.columns and "timeframe" in df.columns
     if symbol is not None and timeframe is not None:
+        if has_key_cols:
+            embedded = (
+                df.select("symbol", "timeframe")
+                .distinct()
+                .orderBy("symbol", "timeframe")
+                .collect()
+            )
+            mismatched = [
+                (r["symbol"], r["timeframe"])
+                for r in embedded
+                if (r["symbol"], r["timeframe"]) != (symbol, timeframe)
+            ]
+            if mismatched:
+                raise ValueError(
+                    f"CSV at {path} contains series {mismatched[:3]} that "
+                    f"differ from the explicit ({symbol!r}, {timeframe!r}) "
+                    f"— omit symbol=/timeframe= to import every embedded "
+                    f"series, or import a single-series file"
+                )
         store.save_data(df.select("ts", *_VALUE_COLS), symbol, timeframe)
         return [(symbol, timeframe)]
-    if "symbol" not in df.columns or "timeframe" not in df.columns:
+    if not has_key_cols:
         raise ValueError(
             "CSV has no symbol/timeframe columns — pass symbol= and timeframe="
         )
-    series = [
-        (r["symbol"], r["timeframe"])
-        for r in df.select("symbol", "timeframe").distinct().orderBy("symbol", "timeframe").collect()
-    ]
-    for sym, tf in series:
-        store.save_data(
-            df.where((F.col("symbol") == sym) & (F.col("timeframe") == tf)).select(
-                "ts", *_VALUE_COLS
-            ),
-            sym,
-            tf,
-        )
-    return series
+    return store.save_many(df.select("ts", "symbol", "timeframe", *_VALUE_COLS))

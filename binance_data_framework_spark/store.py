@@ -383,8 +383,9 @@ class OhlcvStore:
 
     def _vacuum(self, version: int) -> None:
         """Two-commit retention: at commit vN, physically delete the files
-        superseded at commit v(N-2) and the manifests the retention window
-        no longer needs. A scan that resolved its snapshot up to two
+        superseded at or before commit v(N-2) (a bounded sweep over the
+        retained manifests, so a previously-failed vacuum is retried, not
+        leaked) and the manifests the retention window no longer needs. A scan that resolved its snapshot up to two
         commits ago still finds every file it planned — rapid successive
         upserts can't yank files from under a long-running concurrent
         reader (the bound is retention, not luck; raise it by keeping more
@@ -398,15 +399,34 @@ class OhlcvStore:
         are checkpoints by construction, so the kept log is bounded by
         _CHECKPOINT_EVERY + 2 manifests)."""
         grace_v = version - 2
-        if grace_v < 1 or grace_v not in self._manifest_versions():
+        if grace_v < 1:
             return
-        grace = self._read_manifest(grace_v)
         fs, _ = self._fs_path()
-        for rel in grace.get("removed", []):
-            _, p = self._fs_path(rel)
-            if fs.exists(p):
-                fs.delete(p, False)
-                self._prune_empty_parents(p)
+        # Sweep the removed lists of EVERY still-present manifest at or
+        # below the grace boundary, not only grace_v's: a vacuum that
+        # failed (swallowed best-effort in _commit) leaves its own grace
+        # version's removed files on disk, and no later commit would
+        # otherwise revisit that version — the files would leak forever
+        # (ADVICE r4). Idempotent: files deleted by earlier successful
+        # vacuums fail the exists() probe and are skipped. Bounded: the
+        # retained log is <= _CHECKPOINT_EVERY + 2 manifests, so this is
+        # O(retained manifests + this window's superseded files), never
+        # O(store history).
+        live_versions = self._manifest_versions()
+        if grace_v not in live_versions:
+            return
+        for v in live_versions:
+            if v > grace_v:
+                continue
+            try:
+                man = self._read_manifest(v)
+            except Exception:  # noqa: BLE001 — pruned by a concurrent vacuum
+                continue
+            for rel in man.get("removed", []):
+                _, p = self._fs_path(rel)
+                if fs.exists(p):
+                    fs.delete(p, False)
+                    self._prune_empty_parents(p)
         keep_from = max(
             (v for v in range(1, grace_v + 1) if v == 1 or v % _CHECKPOINT_EVERY == 0),
             default=1,
@@ -680,6 +700,84 @@ class OhlcvStore:
 
         self._commit_or_reclaim(new_files, _delta)
         return True
+
+    def save_many(self, df: DataFrame) -> list[tuple[str, str]]:
+        """Multi-series dedup-upsert in ONE Spark job and ONE manifest
+        commit. ``df`` must carry ``symbol``/``timeframe`` columns alongside
+        ts + value columns; every contained series is merged with the same
+        ranged, precedence-aware semantics as :meth:`save_data`, but the
+        merge window is PER SERIES (each series reads only its own
+        overlapping ``dt`` partitions) while the shuffle, staging write,
+        and manifest publish happen once for the whole batch — a
+        1000-series import costs one job + one commit, not 1000 of each
+        (job count independent of series count). Returns the sorted list
+        of (symbol, timeframe) series written.
+
+        The only driver-side collect is the per-series day-bounds agg —
+        one row per series, model-sized by construction."""
+        incoming = df.select(*OHLCV_COLS).withColumn("_rank", F.lit(0))
+        # per-series day windows (see save_data on why DateType, not ts)
+        bounds = (
+            incoming.groupBy("symbol", "timeframe")
+            .agg(
+                F.min(F.to_date("ts")).alias("lo_d"),
+                F.max(F.to_date("ts")).alias("hi_d"),
+            )
+            .collect()
+        )
+        series = sorted((r["symbol"], r["timeframe"]) for r in bounds)
+        if not series:
+            return []
+        man = self._snapshot()
+        live = man["files"] if man else []
+        superseded = sorted(
+            {
+                f
+                for r in bounds
+                for f in self._series_window_files(
+                    live, r["symbol"], r["timeframe"], r["lo_d"], r["hi_d"]
+                )
+            }
+        )
+        if superseded:
+            stored = (
+                self.spark.read.option("basePath", self.root)
+                .parquet(*[f"{self.root}/{f}" for f in superseded])
+                .select(*OHLCV_COLS)
+                .withColumn("_rank", F.lit(1))
+            )
+            incoming = incoming.unionByName(stored)
+        w = Window.partitionBy(*KEY).orderBy("_rank")
+        merged = (
+            incoming.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rank", "_rn")
+        )
+        staging = f"_staging-{uuid.uuid4().hex}"
+        (
+            merged.withColumn("dt", F.to_date("ts"))
+            .repartition("symbol", "timeframe", "dt")
+            .sortWithinPartitions("ts")
+            .write.partitionBy("symbol", "timeframe", "dt")
+            .mode("overwrite")
+            .save(f"{self.root}/{staging}")
+        )
+        new_files = self._publish_staged(staging)
+        sup = set(superseded)
+
+        def _delta(latest: dict | None):
+            live_now = set(latest["files"]) if latest else set()
+            gone = sup - live_now
+            if gone:
+                raise RuntimeError(
+                    f"concurrent same-series write detected during "
+                    f"save_many: merged against {len(gone)} file(s) no "
+                    f"longer live; e.g. {sorted(gone)[:2]}"
+                )
+            return new_files, superseded
+
+        self._commit_or_reclaim(new_files, _delta)
+        return series
 
     def _publish_staged(self, staging: str) -> list[str]:
         """FS-rename a staging dir's data files into the final layout;

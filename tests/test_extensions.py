@@ -343,3 +343,31 @@ def test_lsh_probe_filter_may_reference_any_column(spark, sf_dir):
     )
     out = S.topk_cosine_lsh(emb, F.col("kind") == "probe", k=5)
     assert out.count() > 0
+
+
+def test_dedup_near_minhash_forwards_num_hashes(spark, sf_dir):
+    """ADVICE r4: dedup_near_minhash must forward num_hashes to the
+    banding stage. num_hashes=32/num_bands=8 must band ALL 32 slots (and
+    still drop a planted duplicate); before the fix the candidates stage
+    assumed 16 slots, silently dropping half the signature."""
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    dup = docs.where(F.col("doc_id") == 0).withColumn("doc_id", F.lit(100000))
+    out = D.dedup_near_minhash(
+        docs.unionByName(dup), num_hashes=32, num_bands=8, threshold=0.9
+    )
+    ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 0 in ids and 100000 not in ids
+
+
+def test_minhash_candidates_asserts_signature_width(spark, sf_dir):
+    """The runtime width guard: banding 16-slot signatures under a
+    declared num_hashes=32 must raise at execution (zero-length trailing
+    slices would otherwise give every doc a constant band key — the
+    O(n^2) hole), not silently mis-band."""
+    import pytest
+
+    sigs = D.minhash_signature(
+        load_table(spark, sf_dir, "documents").limit(10), num_hashes=16
+    )
+    with pytest.raises(Exception, match="signature width"):
+        D.minhash_candidates(sigs, num_bands=8, num_hashes=32).collect()

@@ -178,3 +178,26 @@ def test_downsample_m4_pixels_and_extremes(spark):
     )
     r = downsample_m4(one, n_buckets=4).collect()[0]
     assert r["pixel"] == 0 and r["v_first"] == r["v_last"] == 42.0
+
+
+def test_fill_forward_preserves_present_nulls(spark):
+    """ADVICE r4: a PRESENT bar whose value is genuinely null must keep
+    its null (is_filled=false agrees with the value); only synthesized
+    grid rows are filled with the last observation."""
+    from datetime import datetime
+
+    from binance_data_framework_spark.operators.coverage import fill_forward
+
+    t = lambda h: datetime(2024, 1, 1, h)  # noqa: E731
+    bars = spark.createDataFrame(
+        [("X", t(0), 10.0), ("X", t(1), None), ("X", t(3), 40.0)],
+        "symbol string, bucket timestamp, close double",
+    )
+    out = {
+        r["bucket"]: (r["close"], r["is_filled"])
+        for r in fill_forward(bars, "1h", value_cols=("close",)).collect()
+    }
+    assert out[t(0)] == (10.0, False)
+    assert out[t(1)] == (None, False)  # genuine null NOT overwritten
+    assert out[t(2)] == (10.0, True)  # synthesized: last observation
+    assert out[t(3)] == (40.0, False)

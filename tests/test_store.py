@@ -692,3 +692,115 @@ def test_failed_same_series_commit_reclaims_staged_files(store, spark, monkeypat
     )
     rows = store.get_data("BTCUSDT", "1h").collect()
     assert len(rows) == 6 and all(r["open"] >= 500.0 for r in rows)
+
+
+def test_vacuum_sweeps_prior_failed_grace_window(store, spark, monkeypatch):
+    """A vacuum that fails (best-effort, swallowed by _commit) must not
+    permanently leak its grace version's removed files: the next
+    successful vacuum sweeps ALL retained manifests at or below its own
+    grace boundary, so the earlier window's files are reclaimed on the
+    next commit instead of leaking forever (ADVICE r4)."""
+    import os
+
+    store.save_data(_bars(spark, T0, 3, 100.0), "BTCUSDT", "1h")  # v1
+    store.save_data(_bars(spark, T0, 3, 200.0), "BTCUSDT", "1h")  # v2 removes v1's
+    store.save_data(_bars(spark, T0, 3, 300.0), "BTCUSDT", "1h")  # v3 removes v2's
+
+    def boom(version):
+        raise RuntimeError("transient vacuum IO failure")
+
+    monkeypatch.setattr(store, "_vacuum", boom)
+    # v4's vacuum (grace = v2) fails -> v2's removed files stay on disk
+    store.save_data(_bars(spark, T0, 3, 400.0), "BTCUSDT", "1h")
+    leaked = store._read_manifest(2)["removed"]
+    assert leaked and all(os.path.exists(f"{store.root}/{f}") for f in leaked)
+
+    monkeypatch.undo()
+    # v5's vacuum (grace = v3) must ALSO reclaim v2's leaked window
+    store.save_data(_bars(spark, T0, 3, 500.0), "BTCUSDT", "1h")
+    assert not any(os.path.exists(f"{store.root}/{f}") for f in leaked)
+    rows = store.get_data("BTCUSDT", "1h").collect()
+    assert len(rows) == 3 and all(r["open"] >= 500.0 for r in rows)
+
+
+def test_save_many_single_commit_multi_series(store, spark):
+    """save_many merges N series in ONE manifest commit with per-series
+    ranged windows: overlapping rows take new-wins precedence, untouched
+    days of other series are never rewritten, and the version advances by
+    exactly one for the whole batch."""
+    store.save_data(_bars(spark, T0, 24, 100.0), "BTCUSDT", "1h")
+    store.save_data(_bars(spark, T0, 24, 5.0), "ETHUSDT", "1h")
+    v_before = store._snapshot()["version"]
+    eth_files_before = {
+        f for f in store._snapshot()["files"] if "symbol=ETHUSDT" in f
+    }
+
+    batch = (
+        _bars(spark, T0, 6, 900.0)
+        .withColumn("symbol", F.lit("BTCUSDT"))
+        .unionByName(
+            _bars(spark, T0, 4, 50.0).withColumn("symbol", F.lit("LTCUSDT"))
+        )
+        .withColumn("timeframe", F.lit("1h"))
+    )
+    series = store.save_many(batch)
+    assert series == [("BTCUSDT", "1h"), ("LTCUSDT", "1h")]
+    assert store._snapshot()["version"] == v_before + 1
+    # precedence: the 6 overlapping BTC bars are replaced, the rest kept
+    btc = {r["ts"]: r["open"] for r in store.get_data("BTCUSDT", "1h").collect()}
+    assert len(btc) == 24
+    assert btc[T0] == 900.0 and btc[T0 + timedelta(hours=6)] == 106.0
+    # new series landed; untouched series' files were not rewritten
+    assert store.get_data("LTCUSDT", "1h").count() == 4
+    eth_files_after = {
+        f for f in store._snapshot()["files"] if "symbol=ETHUSDT" in f
+    }
+    assert eth_files_after == eth_files_before
+    assert store.get_data("ETHUSDT", "1h").count() == 24
+
+
+def test_import_csv_multi_series_is_one_commit(store, spark, tmp_path):
+    """Verdict r4 #4: a multi-series CSV import must cost ONE manifest
+    commit (job count independent of series count), not one per series."""
+    from binance_data_framework_spark.sources.csv_import import import_csv
+
+    store.save_data(_bars(spark, T0, 24, 100.0), "BTCUSDT", "1h")
+    store.save_data(_bars(spark, T0, 12, 5.0), "ETHUSDT", "1h")
+    out = str(tmp_path / "csv_out")
+    store.export(store._read_all().orderBy("ts"), out, fmt="csv", single_file=True)
+
+    dest = OhlcvStore(spark, str(tmp_path / "dest"))
+    assert import_csv(dest, out) == [("BTCUSDT", "1h"), ("ETHUSDT", "1h")]
+    assert dest._snapshot()["version"] == 1
+    assert dest.get_data("BTCUSDT", "1h").count() == 24
+    assert dest.get_data("ETHUSDT", "1h").count() == 12
+
+
+def test_import_csv_explicit_key_rejects_foreign_series(store, spark, tmp_path):
+    """ADVICE r4: importing a multi-series file under ONE explicit
+    (symbol, timeframe) must raise, not silently relabel and merge the
+    other series; a single-series file whose embedded key AGREES with the
+    explicit one still imports."""
+    from binance_data_framework_spark.sources.csv_import import import_csv
+
+    store.save_data(_bars(spark, T0, 4, 100.0), "BTCUSDT", "1h")
+    store.save_data(_bars(spark, T0, 4, 5.0), "ETHUSDT", "1h")
+    multi = str(tmp_path / "multi_csv")
+    store.export(store._read_all().orderBy("ts"), multi, fmt="csv", single_file=True)
+
+    dest = OhlcvStore(spark, str(tmp_path / "dest"))
+    with pytest.raises(ValueError, match="differ from the explicit"):
+        import_csv(dest, multi, symbol="BTCUSDT", timeframe="1h")
+    assert dest._snapshot() is None  # nothing was written
+
+    single = str(tmp_path / "single_csv")
+    store.export(
+        store._read_all().where(F.col("symbol") == "BTCUSDT").orderBy("ts"),
+        single,
+        fmt="csv",
+        single_file=True,
+    )
+    assert import_csv(dest, single, symbol="BTCUSDT", timeframe="1h") == [
+        ("BTCUSDT", "1h")
+    ]
+    assert dest.get_data("BTCUSDT", "1h").count() == 4
