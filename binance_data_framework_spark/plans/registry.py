@@ -971,17 +971,16 @@ def q_coverage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = meta_coverage(
         ev.select(F.col("event_type").alias("symbol"), "ts"), key_cols=("symbol",)
     )
-    req = spark.createDataFrame(
-        [
-            (
-                s,
-                tf,
-                datetime.fromisoformat(a).replace(tzinfo=timezone.utc),
-                datetime.fromisoformat(b).replace(tzinfo=timezone.utc),
-            )
+    # JVM-side VALUES relation (see lookup_export_meta: createDataFrame's
+    # Python-RDD path costs ~1.2 s of fixed overhead). The timestamp
+    # literals are UTC instants: load_table above pinned the session tz.
+    req = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(
+            f"('{s}', '{tf}', timestamp'{a}', timestamp'{b}')"
             for s, tf, a, b in _COVERAGE_REQS
-        ],
-        "symbol string, timeframe string, req_start timestamp, req_end timestamp",
+        )
+        + " AS req(symbol, timeframe, req_start, req_end)"
     )
     cov = cov.withColumn("timeframe", F.lit("1h"))
     return coverage_check(cov, req, _COVERAGE_NOW, key_cols=("symbol", "timeframe")).select(
@@ -1036,7 +1035,12 @@ def q_lookup_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = meta_coverage(
         ev.select(F.col("event_type").alias("symbol"), "ts"), key_cols=("symbol",)
     )
-    keys = spark.createDataFrame([("purchase",), ("click",)], "symbol string")
+    # JVM-side local relation (SQL VALUES), NOT createDataFrame: building a
+    # 2-row frame from Python objects goes through applySchemaToPythonRDD,
+    # which spins up Python workers for a Scan ExistingRDD — ~1.2 s of
+    # fixed per-query overhead local[32] (verdict r4 #3). VALUES folds to
+    # a LocalRelation that broadcasts without ever touching Python.
+    keys = spark.sql("SELECT * FROM VALUES ('purchase'), ('click') AS k(symbol)")
     return cov.join(broadcast(keys), on="symbol", how="left_semi")
 
 
@@ -1199,8 +1203,12 @@ def q_scan_exchange_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exchange-metadata dimension scan + the USDT/TRADING filter (reference
     get_exchange_info + pair filter, api_connector.py:145-164, 178-182): a
     driver-built small dimension — broadcast-sized by construction."""
-    info = spark.createDataFrame(
-        _EXCHANGE_INFO, "symbol string, status string, base string, quote string"
+    # JVM-side VALUES relation (see lookup_export_meta on why not
+    # createDataFrame for driver-built literal dims)
+    info = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"('{s}', '{st}', '{b}', '{q}')" for s, st, b, q in _EXCHANGE_INFO)
+        + " AS info(symbol, status, base, quote)"
     )
     return info.where(
         F.col("symbol").endswith("USDT") & (F.col("status") == "TRADING")
