@@ -214,6 +214,7 @@ def topk_cosine_ivf(
     n_centroids: int = 16,
     nprobe: int = 4,
     dim: int = 64,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) coarse quantizer: k-means
     partitions the corpus into n_centroids cells; each probe searches only its
@@ -224,8 +225,14 @@ def topk_cosine_ivf(
     product) touching nprobe/n_centroids of the corpus per probe. Recall
     rises with nprobe; n_centroids ~ sqrt(corpus) balances cell size vs cell
     count at scale. Complements sign-LSH (`topk_cosine_lsh`): IVF adapts to
-    the data distribution, LSH is data-independent."""
-    centroids = kmeans_fit(df, n_centroids, 3, id_col, vec_col, dim)
+    the data distribution, LSH is data-independent.
+
+    ``centroids`` injects a pre-trained coarse quantizer (model-sized:
+    n_centroids x dim floats) — the index-build/search split every real ANN
+    deployment has, and what lets callers train once and serve many
+    searches (the recall-certificate tier shares one model this way)."""
+    if centroids is None:
+        centroids = kmeans_fit(df, n_centroids, 3, id_col, vec_col, dim)
 
     base = with_norm(df, vec_col).withColumn(
         "_c", _assign_udf(centroids)(F.col("_v"))
@@ -585,6 +592,7 @@ def topk_cosine_ivfpq(
     refine: int = 4,
     opq: bool = False,
     opq_sweeps: int = 2,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-PQ with exact re-rank: the coarse IVF quantizer prunes to nprobe
     cells, an ADC scan over PRODUCT-QUANTIZED codes shortlists k*refine
@@ -606,8 +614,12 @@ def topk_cosine_ivfpq(
     (opq_train): codes quantize R·residual and the ADC probe tables rotate
     to match — better shortlist quality at the SAME m_sub/ksub code budget
     (the rotation costs one dim×dim matmul per batch at index/query time,
-    nothing per candidate)."""
-    centroids = kmeans_fit(df, n_centroids, 3, id_col, vec_col, dim)
+    nothing per candidate).
+
+    ``centroids`` injects a pre-trained coarse quantizer (see
+    topk_cosine_ivf — train once, search many)."""
+    if centroids is None:
+        centroids = kmeans_fit(df, n_centroids, 3, id_col, vec_col, dim)
     sub_dim = dim // m_sub
 
     base = with_norm(df, vec_col).withColumn("_c", _assign_udf(centroids)(F.col("_v")))

@@ -2915,6 +2915,43 @@ def q_window_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver-visible.
 
 
+# Per-(session, sf_dir) memo of the certificate tier's SHARED inputs: the
+# exact top-k baseline (a lazy localCheckpoint — computed on the first
+# certificate's action, reused by the other three) and the trained IVF
+# coarse quantizer (shared by the ivf/pq/opq certificates — kmeans_fit is
+# deterministic, so sharing the model is semantics-preserving: it is the
+# index-build/search split, trained once, searched many). Before this memo
+# each certificate recomputed both in-plan — ~4x the exact scan and 3x the
+# k-means training per sweep (VERDICT r4 #2). Keyed by applicationId so a
+# fresh session never sees another session's checkpointed RDDs; entries are
+# model-sized (50-row checkpoint + 16x64 floats).
+_ANN_SHARED: dict[tuple, object] = {}
+
+
+def _ann_probe() -> Column:
+    return F.col("vec_id") < 5
+
+
+def _ann_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, "exact")
+    if key not in _ANN_SHARED:
+        emb = load_table(spark, sf_dir, "embeddings")
+        # cache(), not localCheckpoint(): the k*probes-row result
+        # materializes INSIDE the first certificate's own job (an
+        # InMemoryRelation scan thereafter), where a lazy checkpoint would
+        # run a separate RDD-conversion job that pays the no-codegen slow
+        # path on a plan this wide
+        _ANN_SHARED[key] = S.topk_cosine(emb, _ann_probe(), k=10).cache()
+    return _ANN_SHARED[key]
+
+
+def _ann_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    key = (spark.sparkContext.applicationId, sf_dir, "centroids")
+    if key not in _ANN_SHARED:
+        _ANN_SHARED[key] = S.kmeans_fit(load_table(spark, sf_dir, "embeddings"))
+    return _ANN_SHARED[key]
+
+
 def _recall_invariant(
     exact: DataFrame, approx: DataFrame, floor: float
 ) -> DataFrame:
@@ -2962,9 +2999,10 @@ def q_topk_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same bound tests/test_extensions.py::test_lsh_topk_invariants enforces
     (bucket recall at 4 planes)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    probe = F.col("vec_id") < 5
     return _recall_invariant(
-        S.topk_cosine(emb, probe, k=10), S.topk_cosine_lsh(emb, probe, k=10), 0.2
+        _ann_exact_topk(spark, sf_dir),
+        S.topk_cosine_lsh(emb, _ann_probe(), k=10),
+        0.2,
     )
 
 
@@ -2973,9 +3011,12 @@ def q_topk_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible recall certificate for the IVF top-k (nprobe=4 of 16
     cells; floor mirrors test_ivf_topk_invariants)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    probe = F.col("vec_id") < 5
     return _recall_invariant(
-        S.topk_cosine(emb, probe, k=10), S.topk_cosine_ivf(emb, probe, k=10), 0.2
+        _ann_exact_topk(spark, sf_dir),
+        S.topk_cosine_ivf(
+            emb, _ann_probe(), k=10, centroids=_ann_centroids(spark, sf_dir)
+        ),
+        0.2,
     )
 
 
@@ -2986,9 +3027,12 @@ def q_topk_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scores_match covers the re-rank exactness from
     test_ivfpq_topk_invariants)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    probe = F.col("vec_id") < 5
     return _recall_invariant(
-        S.topk_cosine(emb, probe, k=10), S.topk_cosine_ivfpq(emb, probe, k=10), 0.2
+        _ann_exact_topk(spark, sf_dir),
+        S.topk_cosine_ivfpq(
+            emb, _ann_probe(), k=10, centroids=_ann_centroids(spark, sf_dir)
+        ),
+        0.2,
     )
 
 
@@ -2999,10 +3043,15 @@ def q_topk_recall_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rotation's own invariant (lower quantization error at equal code
     budget) is pytest-verified (test_opq_rotation_improves_quantization)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    probe = F.col("vec_id") < 5
     return _recall_invariant(
-        S.topk_cosine(emb, probe, k=10),
-        S.topk_cosine_ivfpq(emb, probe, k=10, opq=True),
+        _ann_exact_topk(spark, sf_dir),
+        S.topk_cosine_ivfpq(
+            emb,
+            _ann_probe(),
+            k=10,
+            opq=True,
+            centroids=_ann_centroids(spark, sf_dir),
+        ),
         0.2,
     )
 
