@@ -3133,77 +3133,20 @@ def q_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver presentation order
 # ---------------------------------------------------------------------------
 # The driver's correctness harness walks queries() in registration order and
-# (empirically, r01-r03) records the first 50. Registration order above
-# follows SURVEY.md §2's narrative; the DRIVER order below is the round-4
-# evidence rotation (VERDICT r3 item 6). Window arithmetic (the cut at 50
-# is exact): 14 new-in-r4 queries (5 approximate-tier certificates + 9 new
-# operators) + the 31 queries whose newest driver row is r1 + the 4
-# r3-green queries whose INPUT changed this round (the events fixture's ts
-# storage moved to micros/NTZ, normalized in load_table — coverage_check
-# type-checks against exactly that) + the first of the r2-newest tier
-# (dedup_exact) = 50. The overflow tail — the 9 remaining r2-newest
-# queries (2 rounds old at r4, the r5 rotation's natural head), then
-# r3-green rows — stays covered every round by the local oracle harness
+# (empirically, r01-r04) records the first 50. Registration order above
+# follows SURVEY.md §2's narrative; the DRIVER order below is the round-5
+# evidence rotation (VERDICT r4 item 6). Window arithmetic (the cut at 50
+# is exact): the 9 queries whose newest row was r2 (2 rounds stale — the
+# rotation head) + the 12 queries whose behavior or plan changed in r5
+# (they have green r3/r4 rows, but those predate the change) + 29 of the
+# 41 remaining r3-newest queries = 50. The 12 r3 overflow queries
+# (decontaminate, window_trend, pair_correlation, agg_vwap, sessionize,
+# rollup_volume, window_bollinger, window_drawdown, window_rsi, agg_cube,
+# unpivot_ohlcv, chart_downsample_m4) are r6's natural rotation head and
+# stay covered every round by the local oracle harness
 # (tools/check_oracles.py, 105/105) and pytest.
 _DRIVER_ORDER = [
-    # -- new in r4: driver-visible invariants for the approximate tier --
-    "topk_recall_lsh",
-    "topk_recall_ivf",
-    "topk_recall_pq",
-    "topk_recall_opq",
-    "sketch_error_bounds",
-    "range_join_events",
-    "window_macd",
-    "sketch_merge_bounds",
-    "window_stochastic",
-    "window_obv",
-    "vwap_anchored",
-    "window_heikin_ashi",
-    "funnel_conversion",
-    "window_atr",
-    # -- newest driver row is r1 (31) --
-    "resample_from_base",
-    "window_returns",
-    "pivot_close",
-    "window_rank",
-    "set_intersect",
-    "set_except",
-    "tpch_q6",
-    "project_ohlcv",
-    "filter_eq_range",
-    "filter_suffix_status",
-    "filter_contains_ci",
-    "filter_dropna",
-    "filter_rowlookup",
-    "sort_ts",
-    "sort_symbols",
-    "limit_preview",
-    "distinct_audit",
-    "union_pages",
-    "agg_count",
-    "agg_minmax_series",
-    "meta_coverage",
-    "lookup_export_meta",
-    "op_delete_partition",
-    "sink_export_parquet",
-    "sink_export_csv",
-    "fmt_export_name",
-    "scan_exchange_info",
-    "cast_ms_roundtrip",
-    "cast_str_to_double",
-    "map_tf_duration",
-    "interval_arith",
-    # -- r3-green but inputs changed in r4 (events ts type normalization;
-    #    coverage_check is the query the NTZ regression actually broke) --
-    "coverage_check",
-    "scan_table_range",
-    "upsert_precedence",
-    "asof_align",
-    # -- newest driver row is r2: the 3 most distinctive surfaces make the
-    #    cut; the 7 text queries overflow and rotate in r5 --
-    "dedup_exact",
-    "multimodal_resize",
-    "multimodal_frame_sample",
+    # -- newest driver row was r2 (2 rounds old): the r5 rotation's head --
     "text_stats",
     "text_term_freq",
     "text_sentiment",
@@ -3211,6 +3154,57 @@ _DRIVER_ORDER = [
     "text_lang_id",
     "text_token_count",
     "doc_fingerprint",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    # -- behavior/plan changed in r5: need fresh driver rows --
+    #    fill_forward conditional fill + oracle; minhash num_hashes
+    #    forwarding + runtime width guard (near_minhash, clusters); shared
+    #    exact-baseline/centroids in the certificate tier + centroids param
+    #    on the ivf/pq operators; VALUES local relations (lookup/coverage/
+    #    exchange_info)
+    "fill_gaps_forward",
+    "dedup_near_minhash",
+    "dedup_clusters",
+    "topk_similarity_ivf",
+    "topk_similarity_pq",
+    "lookup_export_meta",
+    "coverage_check",
+    "scan_exchange_info",
+    "topk_recall_lsh",
+    "topk_recall_ivf",
+    "topk_recall_pq",
+    "topk_recall_opq",
+    # -- newest driver row is r3 (29 of 41 remaining; the 12 overflow
+    #    queries are r6's rotation head) --
+    "flagship_ohlcv_sma",
+    "resample_ohlcv",
+    "resample_ohlcv_1w",
+    "resample_ohlcv_1M",
+    "window_sma",
+    "dedup_simhash",
+    "embed_near_dup",
+    "pretraining_pipeline",
+    "topk_similarity",
+    "topk_similarity_lsh",
+    "agg_sketches",
+    "agg_ndv",
+    "agg_percentiles",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "gap_antijoin",
+    "json_extract",
+    "corpus_curation",
+    "dedup_ngram_jaccard",
+    "window_ewma",
+    "asof_align_by",
+    "cohort_retention",
+    "topk_skew_salted",
+    "multimodal_features",
+    "pack_sequences",
+    "sample_stratified",
+    "sample_reservoir",
+    "quality_quantile_filter",
 ]
 
 _missing = [n for n in _DRIVER_ORDER if n not in QUERIES]

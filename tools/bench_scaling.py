@@ -1,0 +1,96 @@
+"""Empirical scaling run for the heavy dedup/ANN/range-join tier
+(VERDICT r4 #1): run each heavy query at sf0.1 and at the 10×
+replicated-disjoint fixture (tools/make_scale_fixture.py), and record
+per-query (t_big / t_small) ratios plus output row counts into
+BENCH_SCALING.json at the repo root.
+
+Methodology: one shared session (JVM + python-worker warm for both
+scales); per (query, scale) the STEADY-STATE time is best-of-RUNS — the
+first run additionally pays plan compile + session warmup, which is
+fixed overhead, not scaling signal (it is still recorded as `cold`).
+Row counts are recorded because a ratio is only meaningful when the big
+run really did ~factor× the work.
+
+Usage: python tools/bench_scaling.py [small_dir] [big_dir] [factor] [runs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from binance_data_framework_spark.plans.registry import QUERIES
+from binance_data_framework_spark.session import get_spark
+
+HEAVY = [
+    "dedup_simhash",
+    "dedup_clusters",
+    "dedup_near_minhash",
+    "embed_near_dup",
+    "topk_similarity_pq",
+    "range_join_events",
+    "pretraining_pipeline",
+]
+
+
+def main() -> int:
+    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    big = sys.argv[2] if len(sys.argv) > 2 else "_scratch/sf1"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    runs = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    spark = get_spark("bench-scaling")
+    out: dict = {
+        "factor": factor,
+        "small_dir": small,
+        "big_dir": big,
+        "runs_per_point": runs,
+        "methodology": (
+            "Big fixture = replicate-with-disjoint-shifts (tools/"
+            "make_scale_fixture.py): per-replica word tagging / vector "
+            "perturbation / id+time shifts keep pair density LINEAR in the "
+            "factor, so ratio measures the engine, not planted duplicate "
+            "cliques. One shared warm session; sec_* is best-of-N count() "
+            "time (distributed compute, excluding driver row "
+            "serialization); cold_* includes first-run plan compile. "
+            "Ratios well under the factor mean the query is still "
+            "fixed-overhead-bound at this absolute scale."
+        ),
+        "queries": {},
+    }
+    for name in HEAVY:
+        fn = QUERIES[name]
+        rec: dict = {}
+        for tag, sf_dir in (("small", small), ("big", big)):
+            best, cold, rows = float("inf"), None, None
+            for i in range(runs):
+                t0 = time.time()
+                rows = fn(spark, sf_dir).count()
+                dt = time.time() - t0
+                if i == 0:
+                    cold = dt
+                best = min(best, dt)
+            rec[f"sec_{tag}"] = round(best, 3)
+            rec[f"cold_{tag}"] = round(cold, 3)
+            rec[f"rows_{tag}"] = rows
+        rec["ratio"] = round(rec["sec_big"] / rec["sec_small"], 2)
+        rec["rows_ratio"] = round(rec["rows_big"] / max(rec["rows_small"], 1), 2)
+        out["queries"][name] = rec
+        print(
+            f"{name}: small={rec['sec_small']}s big={rec['sec_big']}s "
+            f"ratio={rec['ratio']}x rows {rec['rows_small']}->{rec['rows_big']}",
+            flush=True,
+        )
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_SCALING.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+        f.write("\n")
+    print(f"wrote {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

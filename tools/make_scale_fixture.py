@@ -1,0 +1,152 @@
+"""Build an N×-scale fixture from an existing testdata dir by replication
+with DISJOINT shifts — the scaling-measurement companion to TESTDATA.md's
+driver-generated fixtures (which stop at sf0.1).
+
+Why disjoint shifts and not plain copies: the heavy-tier operators under
+measurement (minhash/simhash banding, embedding near-dup, IVF-PQ, per-user
+range join) all scale in PAIR DENSITY, and verbatim replication would plant
+factor-sized exact-duplicate cliques — pair counts would grow by
+factor² (45 planted pairs per doc at 10×), measuring the fixture's
+artifact, not the engine. Each replica k instead lives in its own space:
+
+- documents: every word is tagged ``word~k`` (k>0), so word-3-gram shingle
+  sets across replicas are DISJOINT — each replica reproduces sf0.1's
+  internal near-dup structure exactly, and corpus-wide pair density scales
+  linearly with the factor (the design claim under test);
+- embeddings: replica vectors get a deterministic unit-noise push of
+  0.6·||v|| (seed 42+k), dropping cross-replica cosine to ~0.86 of
+  parallel — far below the 0.99s of planted copies — while intra-replica
+  geometry is untouched; vec_ids shift by k·N so the fixed probe sets
+  (vec_id < 5 / < 200) keep their sf0.1 size, as they would in a real
+  train-once-query-few deployment;
+- events: ids/users/time shift per replica (k·30 days keeps per-day
+  density identical), so per-user ±window joins stay intra-replica.
+
+Deterministic end to end (DuckDB SQL + seeded numpy). Output schema is
+asserted identical to the source dir's, so load_table's dtype handling is
+exercised unchanged.
+
+Usage: python tools/make_scale_fixture.py SRC_DIR DST_DIR [FACTOR=10]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+TABLES = ("documents", "embeddings", "events")
+
+
+def _docs_sql(src: str, factor: int) -> str:
+    parts = []
+    for k in range(factor):
+        if k == 0:
+            parts.append(
+                f"SELECT doc_id, text, lang, source, n_chars FROM read_parquet('{src}')"
+            )
+        else:
+            parts.append(
+                f"""
+                SELECT doc_id + {k} * (1 + (SELECT max(doc_id) FROM read_parquet('{src}'))) AS doc_id,
+                       array_to_string(
+                         list_transform(str_split(text, ' '), x -> x || '~{k}'),
+                         ' ') AS text,
+                       lang, source,
+                       CAST(length(array_to_string(
+                         list_transform(str_split(text, ' '), x -> x || '~{k}'),
+                         ' ')) AS BIGINT) AS n_chars
+                FROM read_parquet('{src}')"""
+            )
+    return " UNION ALL ".join(parts)
+
+
+def _events_sql(src: str, factor: int) -> str:
+    parts = []
+    for k in range(factor):
+        if k == 0:
+            parts.append(f"SELECT * FROM read_parquet('{src}')")
+        else:
+            parts.append(
+                f"""
+                SELECT event_id + {k} * (1 + (SELECT max(event_id) FROM read_parquet('{src}'))) AS event_id,
+                       ts + INTERVAL {k * 30} DAY AS ts,
+                       user_id + {k} * (1 + (SELECT max(user_id) FROM read_parquet('{src}'))) AS user_id,
+                       event_type, value, props
+                FROM read_parquet('{src}')"""
+            )
+    return " UNION ALL ".join(parts)
+
+
+def _scale_embeddings(src: str, dst: str, factor: int) -> None:
+    t = pq.read_table(src)
+    vec_type = t.schema.field("embedding").type
+    v = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    labels = np.asarray(t["label"].to_pylist())
+    n, dim = v.shape
+    offset = int(ids.max()) + 1
+    all_ids, all_vecs, all_labels = [], [], []
+    for k in range(factor):
+        if k == 0:
+            vk = v
+        else:
+            rng = np.random.default_rng(42 + k)
+            u = rng.standard_normal(size=(n, dim))
+            u /= np.linalg.norm(u, axis=1, keepdims=True)
+            norms = np.linalg.norm(v, axis=1, keepdims=True)
+            vk = v + 0.6 * norms * u
+        all_ids.append(ids + k * offset)
+        all_vecs.append(vk)
+        all_labels.append(labels)
+    out = pa.table(
+        {
+            "vec_id": pa.array(np.concatenate(all_ids), type=t.schema.field("vec_id").type),
+            "embedding": pa.array(
+                [row for blk in all_vecs for row in blk.astype(np.float32).tolist()],
+                type=vec_type,
+            ),
+            "label": pa.array(
+                np.concatenate(all_labels), type=t.schema.field("label").type
+            ),
+        }
+    )
+    pq.write_table(out, dst)
+
+
+def main() -> int:
+    src_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dst_dir = sys.argv[2] if len(sys.argv) > 2 else "_scratch/sf1"
+    factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    os.makedirs(dst_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"COPY ({_docs_sql(f'{src_dir}/documents.parquet', factor)}) "
+        f"TO '{dst_dir}/documents.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        f"COPY ({_events_sql(f'{src_dir}/events.parquet', factor)}) "
+        f"TO '{dst_dir}/events.parquet' (FORMAT PARQUET)"
+    )
+    _scale_embeddings(
+        f"{src_dir}/embeddings.parquet", f"{dst_dir}/embeddings.parquet", factor
+    )
+    for t in TABLES:
+        src_schema = pq.read_schema(f"{src_dir}/{t}.parquet")
+        dst_schema = pq.read_schema(f"{dst_dir}/{t}.parquet")
+        for f in src_schema:
+            g = dst_schema.field(f.name)
+            assert str(f.type) == str(g.type), (t, f.name, f.type, g.type)
+        n_src = pq.read_metadata(f"{src_dir}/{t}.parquet").num_rows
+        n_dst = pq.read_metadata(f"{dst_dir}/{t}.parquet").num_rows
+        assert n_dst == factor * n_src, (t, n_src, n_dst)
+        print(f"{t}: {n_src} -> {n_dst} rows (x{factor})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
