@@ -78,6 +78,13 @@ def timeframe_duration_col(tf_col: Column) -> Column:
 
 
 def timeframe_dim(spark: SparkSession) -> DataFrame:
-    """The timeframe dimension as a (broadcastable) 15-row DataFrame."""
-    rows = [(tf, ms) for tf, ms in TIMEFRAME_MS.items()]
-    return spark.createDataFrame(rows, "timeframe string, duration_ms long")
+    """The timeframe dimension as a (broadcastable) 15-row DataFrame.
+
+    SQL VALUES, not createDataFrame: a Python-object local relation plans
+    a Scan ExistingRDD that spins up Python workers for 15 rows (~1.2 s
+    fixed overhead per query); VALUES folds to a JVM LocalRelation."""
+    rows = ", ".join(f"('{tf}', {ms})" for tf, ms in TIMEFRAME_MS.items())
+    return spark.sql(
+        f"SELECT timeframe, CAST(duration_ms AS BIGINT) AS duration_ms "
+        f"FROM VALUES {rows} AS t(timeframe, duration_ms)"
+    )

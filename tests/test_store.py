@@ -804,3 +804,43 @@ def test_import_csv_explicit_key_rejects_foreign_series(store, spark, tmp_path):
         ("BTCUSDT", "1h")
     ]
     assert dest.get_data("BTCUSDT", "1h").count() == 4
+
+
+def test_long_reader_across_optimize_and_grace_boundary(store, spark):
+    """Pins the two-commit retention contract for a LONG-RUNNING reader
+    (verdict r4 #5): a scan planned at version N still completes after an
+    optimize() + one more commit (its files sit inside the vacuum grace
+    window), and after a SECOND post-optimize commit the pre-optimize
+    files are physically reclaimed — the old plan is beyond the
+    documented retention bound, while a fresh resolve reads everything.
+    If scans must outlive more commits, raise retention by keeping more
+    trailing manifests (store._vacuum docstring)."""
+    import os
+
+    # a fragmented legacy day (3 files) gives optimize real compaction work
+    # (an upsert would rewrite the day to one file)
+    _legacy_day(spark, store.root, "2024-01-01", 3, 100.0)
+    v0 = store._snapshot()["version"]  # bootstrap commit
+    old_files = store._snapshot()["files"]
+    old_scan = store.get_data("BTCUSDT", "1h")  # plans against version v0
+
+    assert store.optimize("BTCUSDT", "1h") >= 1  # v0+1: supersedes old files
+    store.save_data(
+        _bars(spark, T0 + timedelta(days=5), 3, 300.0), "BTCUSDT", "1h"
+    )  # v0+2: vacuum grace covers <= v0 — pre-optimize files still live
+    assert store._snapshot()["version"] == v0 + 2
+    assert all(os.path.exists(f"{store.root}/{f}") for f in old_files)
+    # the old scan is <= 2 commits behind: every file it planned exists
+    assert old_scan.count() == 24
+
+    store.save_data(
+        _bars(spark, T0 + timedelta(days=6), 3, 400.0), "BTCUSDT", "1h"
+    )  # v0+3: vacuum sweeps <= v0+1 — optimize's superseded files reclaimed
+    gone = [f for f in old_files if not os.path.exists(f"{store.root}/{f}")]
+    assert gone, "pre-optimize files must be reclaimed past the grace window"
+    # the >2-commits-stale plan now fails fast (missing files), it does not
+    # silently return partial data
+    with pytest.raises(Exception, match="(?i)file|exist|found"):
+        old_scan.count()
+    # a fresh resolve sees the full series regardless
+    assert store.get_data("BTCUSDT", "1h").count() == 30
