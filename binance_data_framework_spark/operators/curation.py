@@ -23,6 +23,13 @@ with 100 TB-honest shapes:
   score, rank-based rather than threshold-on-interpolated-percentile, so
   results are exact, deterministic, and tie-stable (no float-equality
   knife-edges at the quantile boundary).
+- `chunk_documents` — overlapping fixed-token-window chunking (the
+  context-window split upstream of embedding/packing): a pure narrow
+  projection, no shuffle, no UDF.
+- `sample_mixture` — recipe-weighted data mixing: per-source downsampling
+  to hit target output proportions at the largest feasible corpus size,
+  via one model-sized count collect + the same portable id-hash filter as
+  `sample_stratified`.
 """
 
 from __future__ import annotations
@@ -201,3 +208,108 @@ def quality_quantile_filter(
         .where(F.col("_rn") <= F.ceil(F.col("_cnt") * F.lit(keep_fraction)))
         .drop("_cnt", "_rn")
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    max_tokens: int = 2048,
+    overlap: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into overlapping fixed-token-window chunks —
+    the context-window chunking step a pretraining/RAG pipeline runs
+    before embedding or packing (the operation upstream of
+    pack_sequences, which bins whole docs).
+
+    Returns (id, chunk_id, start_tok, n_tokens, chunk_text): chunk k
+    covers tokens [k·stride, k·stride + max_tokens) with
+    stride = max_tokens − overlap; the final chunk may be shorter, and a
+    doc with ≤ max_tokens tokens yields exactly one chunk.
+
+    Scale shape: a pure NARROW projection — tokenize once, compute the
+    chunk count per row, posexplode the start offsets, slice. No shuffle,
+    no UDF; at 100 TB this is map-side work that pipelines into whatever
+    shuffle follows (embedding, dedup, packing)."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"need 0 <= overlap ({overlap}) < max_tokens ({max_tokens}): "
+            f"stride = max_tokens - overlap must be positive"
+        )
+    stride = max_tokens - overlap
+    base = df.select(
+        F.col(id_col),
+        F.split(F.col(text_col), " ").alias("_toks"),
+    ).withColumn("_n", F.size("_toks"))
+    # chunks needed so the last window reaches the end:
+    # max(ceil((n - overlap) / stride), 1)
+    n_chunks = F.greatest(
+        F.ceil((F.col("_n") - F.lit(overlap)) / F.lit(float(stride))),
+        F.lit(1),
+    ).cast("int")
+    exploded = base.select(
+        F.col(id_col),
+        "_toks",
+        "_n",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1), lambda k: k * F.lit(stride)
+            )
+        ).alias("chunk_id", "_start"),
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("_start").cast("long").alias("start_tok"),
+        F.least(F.lit(max_tokens), F.col("_n") - F.col("_start"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.array_join(F.slice("_toks", F.col("_start") + 1, max_tokens), " ").alias(
+            "chunk_text"
+        ),
+    )
+
+
+def sample_mixture(
+    df: DataFrame,
+    target: dict[str, float],
+    key_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic mixture sampling: downsample each source so the
+    OUTPUT composition matches the target weights — the data-mixing step
+    that turns a heterogeneous crawl into a recipe-weighted pretraining
+    corpus. Sources absent from ``target`` are dropped.
+
+    The output is the LARGEST corpus achieving the exact target mixture
+    without oversampling any source: cap = min_s(n_s / w_s), and source s
+    keeps rate_s = w_s·cap / n_s of its rows (the binding source keeps
+    everything). Per-source counts are one aggregate collect (model-sized:
+    one row per source); membership is then the same engine-portable
+    multiplicative id-hash as sample_stratified — a pure narrow FILTER,
+    no shuffle, no RNG, reproducible across runs and engines. Rates are
+    held as floor(rate·10⁶) ppm so the keep predicate is exact int64
+    arithmetic."""
+    import math
+
+    if not target or any(w <= 0 for w in target.values()):
+        raise ValueError("target must be a non-empty {source: weight>0} map")
+    counts = {
+        r["k"]: r["n"]
+        for r in df.groupBy(F.col(key_col).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if r["k"] in target
+    }
+    missing = sorted(set(target) - set(counts))
+    if missing:
+        raise ValueError(f"target sources absent from the corpus: {missing}")
+    cap = min(counts[s] / w for s, w in target.items())
+    ppm = {
+        s: math.floor(w * cap / counts[s] * 1_000_000.0) for s, w in target.items()
+    }
+    rate = F.lit(None).cast("long")
+    for s, p in sorted(ppm.items()):
+        rate = F.when(F.col(key_col) == s, F.lit(p)).otherwise(rate)
+    h = F.pmod(_mixed_id(id_col) * F.lit(_MULT), F.lit(_ID_MOD))
+    return df.where(rate.isNotNull() & (h * F.lit(1_000_000) < rate * F.lit(_ID_MOD)))

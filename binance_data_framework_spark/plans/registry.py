@@ -2567,6 +2567,65 @@ def q_quality_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", F.round("score", 6).alias("score"))
 
 
+@register(
+    "chunk_documents",
+    """
+    WITH d AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents),
+    n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM d),
+    c AS (SELECT doc_id, toks, n,
+            greatest(CAST(ceil((n - 8) / 24.0) AS BIGINT), 1) AS n_chunks
+          FROM n),
+    e AS (SELECT doc_id, toks, n,
+            unnest(generate_series(0, n_chunks - 1)) AS ck
+          FROM c)
+    SELECT doc_id,
+           CAST(ck AS BIGINT) AS chunk_id,
+           CAST(ck * 24 AS BIGINT) AS start_tok,
+           CAST(least(32, n - ck * 24) AS BIGINT) AS n_tokens,
+           array_to_string(toks[ck*24 + 1 : ck*24 + 32], ' ') AS chunk_text
+    FROM e
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking
+    (operators/curation.chunk_documents, max_tokens=32/overlap=8): the step
+    upstream of embedding/packing in a pretraining or RAG pipeline. A pure
+    narrow projection — tokenize once, posexplode the stride-spaced start
+    offsets, slice — no shuffle, no UDF; at 100 TB this is map-side work
+    that pipelines into whatever shuffle follows."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CU.chunk_documents(docs, max_tokens=32, overlap=8)
+
+
+@register(
+    "sample_mixture",
+    """
+    WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+    counts AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+    cap AS (SELECT min(n / wt) AS cap FROM counts JOIN w USING (source)),
+    rates AS (
+      SELECT w.source, CAST(floor(wt * cap / n * 1000000) AS BIGINT) AS ppm
+      FROM w JOIN counts USING (source) CROSS JOIN cap)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE ((d.doc_id % 2147483648) * 2654435761) % 2147483648 * 1000000
+          < r.ppm * 2147483648
+    """,
+)
+def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recipe-weighted data mixing (operators/curation.sample_mixture):
+    downsample each source so the OUTPUT composition hits the target
+    weights (50/30/20 over src0/1/2 here) at the largest feasible corpus —
+    cap = min(n_s/w_s), rate_s = w_s·cap/n_s, held as exact ppm integers.
+    One model-sized count collect, then the same engine-portable
+    multiplicative id-hash filter as sample_stratified: narrow, no
+    shuffle, no RNG — the oracle recomputes cap/rates in SQL and predicts
+    the member set bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    return CU.sample_mixture(
+        docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    ).select("doc_id", "lang", "source")
+
 
 @register(
     "decontaminate",
@@ -3138,13 +3197,15 @@ def q_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 # evidence rotation (VERDICT r4 item 6). Window arithmetic (the cut at 50
 # is exact): the 9 queries whose newest row was r2 (2 rounds stale — the
 # rotation head) + the 12 queries whose behavior or plan changed in r5
-# (they have green r3/r4 rows, but those predate the change) + 29 of the
-# 41 remaining r3-newest queries = 50. The 12 r3 overflow queries
-# (decontaminate, window_trend, pair_correlation, agg_vwap, sessionize,
-# rollup_volume, window_bollinger, window_drawdown, window_rsi, agg_cube,
-# unpivot_ohlcv, chart_downsample_m4) are r6's natural rotation head and
-# stay covered every round by the local oracle harness
-# (tools/check_oracles.py, 105/105) and pytest.
+# (they have green r3/r4 rows, but those predate the change) + the 2
+# operators NEW in r5 (chunk_documents, sample_mixture) + 27 of the
+# 41 remaining r3-newest queries = 50. The 14 r3 overflow queries
+# (sample_reservoir, quality_quantile_filter, decontaminate, window_trend,
+# pair_correlation, agg_vwap, sessionize, rollup_volume, window_bollinger,
+# window_drawdown, window_rsi, agg_cube, unpivot_ohlcv,
+# chart_downsample_m4) are r6's natural rotation head and stay covered
+# every round by the local oracle harness (tools/check_oracles.py,
+# 107/107) and pytest.
 _DRIVER_ORDER = [
     # -- newest driver row was r2 (2 rounds old): the r5 rotation's head --
     "text_stats",
@@ -3203,8 +3264,9 @@ _DRIVER_ORDER = [
     "multimodal_features",
     "pack_sequences",
     "sample_stratified",
-    "sample_reservoir",
-    "quality_quantile_filter",
+    # -- new in r5 (chunking + mixture sampling) --
+    "chunk_documents",
+    "sample_mixture",
 ]
 
 _missing = [n for n in _DRIVER_ORDER if n not in QUERIES]

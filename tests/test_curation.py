@@ -129,3 +129,86 @@ def test_sample_stratified_mixes_beyond_low_digits(spark):
     )
     n = CU.sample_stratified(ids, rates={"en": 50}).count()
     assert 300 < n < 700  # ~50%, not all-or-nothing
+
+
+def test_chunk_documents_covers_and_overlaps(spark):
+    """Chunk windows tile the token stream: chunk k starts at k*stride,
+    consecutive chunks share exactly `overlap` tokens, every token is
+    covered, and concatenating each chunk's non-overlap tail after chunk 0
+    reconstructs the document exactly."""
+    from binance_data_framework_spark.operators.curation import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(55))
+    df = spark.createDataFrame([(1, text), (2, "a b"), (3, "x")], "doc_id long, text string")
+    out = (
+        chunk_documents(df, max_tokens=16, overlap=4)
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: 55 tokens, stride 12 -> ceil((55-4)/12) = 5 chunks
+    chunks = by_doc[1]
+    assert [r["chunk_id"] for r in chunks] == [0, 1, 2, 3, 4]
+    assert [r["start_tok"] for r in chunks] == [0, 12, 24, 36, 48]
+    assert [r["n_tokens"] for r in chunks] == [16, 16, 16, 16, 7]
+    for a, b in zip(chunks, chunks[1:]):
+        ta, tb = a["chunk_text"].split(" "), b["chunk_text"].split(" ")
+        assert ta[-4:] == tb[:4]  # exact `overlap`-token overlap
+    rebuilt = chunks[0]["chunk_text"].split(" ")
+    for r in chunks[1:]:
+        rebuilt += r["chunk_text"].split(" ")[4:]
+    assert rebuilt == text.split(" ")
+    # short docs: exactly one chunk, full text
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "a b"
+    assert by_doc[3][0]["n_tokens"] == 1
+    # invalid strides raise
+    import pytest
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, max_tokens=8, overlap=8)
+
+
+def test_sample_mixture_hits_target_composition(spark, sf_dir):
+    """Output composition matches the target weights exactly in
+    expectation-free integer form: the binding source keeps everything,
+    other sources keep floor-ppm fractions, absent-from-target sources are
+    dropped, and the filter is deterministic across runs."""
+    import pytest
+
+    from binance_data_framework_spark.operators.curation import sample_mixture
+    from binance_data_framework_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    out = sample_mixture(docs, target)
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(counts) <= set(target)  # nothing outside the recipe
+    n_src = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # the binding source (largest w/n ratio) keeps every row
+    binding = max(target, key=lambda s: target[s] / n_src[s])
+    assert counts[binding] == n_src[binding]
+    # achieved composition within hash-quantization tolerance of the target
+    total = sum(counts.values())
+    for s, w in target.items():
+        assert abs(counts.get(s, 0) / total - w) < 0.12, (s, counts)
+    # deterministic
+    again = {
+        r["source"]: r["n"]
+        for r in sample_mixture(docs, target)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert again == counts
+    with pytest.raises(ValueError, match="absent"):
+        sample_mixture(docs, {"nosuchsrc": 1.0})
+    with pytest.raises(ValueError, match="weight"):
+        sample_mixture(docs, {"src0": 0.0})
