@@ -224,8 +224,9 @@ def chunk_documents(
 
     Returns (id, chunk_id, start_tok, n_tokens, chunk_text): chunk k
     covers tokens [k·stride, k·stride + max_tokens) with
-    stride = max_tokens − overlap; the final chunk may be shorter, and a
-    doc with ≤ max_tokens tokens yields exactly one chunk.
+    stride = max_tokens − overlap; the final chunk may be shorter, a doc
+    with ≤ max_tokens tokens yields exactly one chunk, and a null-text
+    doc yields none.
 
     Scale shape: a pure NARROW projection — tokenize once, compute the
     chunk count per row, posexplode the start offsets, slice. No shuffle,
@@ -237,10 +238,17 @@ def chunk_documents(
             f"stride = max_tokens - overlap must be positive"
         )
     stride = max_tokens - overlap
-    base = df.select(
-        F.col(id_col),
-        F.split(F.col(text_col), " ").alias("_toks"),
-    ).withColumn("_n", F.size("_toks"))
+    # null-text docs yield NO chunks (documented): without the filter,
+    # null-skipping greatest/least would fabricate one chunk claiming
+    # n_tokens = max_tokens of a document that has none (code-review r5)
+    base = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.split(F.col(text_col), " ").alias("_toks"),
+        )
+        .withColumn("_n", F.size("_toks"))
+    )
     # chunks needed so the last window reaches the end:
     # max(ceil((n - overlap) / stride), 1)
     n_chunks = F.greatest(
@@ -272,28 +280,34 @@ def chunk_documents(
 
 def sample_mixture(
     df: DataFrame,
-    target: dict[str, float],
+    target: dict[str, int],
     key_col: str = "source",
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Deterministic mixture sampling: downsample each source so the
-    OUTPUT composition matches the target weights — the data-mixing step
+    OUTPUT composition matches the target recipe — the data-mixing step
     that turns a heterogeneous crawl into a recipe-weighted pretraining
-    corpus. Sources absent from ``target`` are dropped.
+    corpus. ``target`` maps source -> INTEGER parts (e.g. {a: 5, b: 3,
+    c: 2} for a 50/30/20 mix); sources absent from ``target`` are dropped.
 
     The output is the LARGEST corpus achieving the exact target mixture
-    without oversampling any source: cap = min_s(n_s / w_s), and source s
-    keeps rate_s = w_s·cap / n_s of its rows (the binding source keeps
-    everything). Per-source counts are one aggregate collect (model-sized:
-    one row per source); membership is then the same engine-portable
-    multiplicative id-hash as sample_stratified — a pure narrow FILTER,
-    no shuffle, no RNG, reproducible across runs and engines. Rates are
-    held as floor(rate·10⁶) ppm so the keep predicate is exact int64
-    arithmetic."""
-    import math
-
-    if not target or any(w <= 0 for w in target.values()):
-        raise ValueError("target must be a non-empty {source: weight>0} map")
+    without oversampling any source: with binding source
+    b = argmin(n_s/w_s), source s keeps rate_s = (w_s·n_b)/(w_b·n_s) of
+    its rows, and the binding source keeps EVERYTHING — guaranteed, not
+    approximate: integer parts make the per-source keep thresholds exact
+    arbitrary-precision integers, floor(w_s·n_b·2³¹ / (w_b·n_s)), so the
+    binding source's threshold is exactly 2³¹ (no float ppm rounding that
+    could shave its top hash values). Per-source counts are one aggregate
+    collect (model-sized: one row per source); membership is then the
+    same engine-portable multiplicative id-hash as sample_stratified — a
+    pure narrow FILTER, no shuffle, no RNG, reproducible across runs and
+    engines (the DuckDB oracle recomputes the thresholds with the same
+    integer arithmetic in HUGEINT)."""
+    if not target or any(not isinstance(w, int) or w <= 0 for w in target.values()):
+        raise ValueError(
+            "target must be a non-empty {source: integer weight > 0} recipe "
+            "(integer parts keep the keep-thresholds exact)"
+        )
     counts = {
         r["k"]: r["n"]
         for r in df.groupBy(F.col(key_col).alias("k"))
@@ -304,12 +318,16 @@ def sample_mixture(
     missing = sorted(set(target) - set(counts))
     if missing:
         raise ValueError(f"target sources absent from the corpus: {missing}")
-    cap = min(counts[s] / w for s, w in target.items())
-    ppm = {
-        s: math.floor(w * cap / counts[s] * 1_000_000.0) for s, w in target.items()
+    # binding source: smallest n/w (ties broken by name for determinism —
+    # the oracle selects with the same (n/w, name) ordering); thresholds
+    # in exact Python big-int arithmetic, clamped to the full hash range
+    b = min(sorted(target), key=lambda s: counts[s] / target[s])
+    thr = {
+        s: min(_ID_MOD, (w * counts[b] * _ID_MOD) // (target[b] * counts[s]))
+        for s, w in target.items()
     }
     rate = F.lit(None).cast("long")
-    for s, p in sorted(ppm.items()):
+    for s, p in sorted(thr.items()):
         rate = F.when(F.col(key_col) == s, F.lit(p)).otherwise(rate)
     h = F.pmod(_mixed_id(id_col) * F.lit(_MULT), F.lit(_ID_MOD))
-    return df.where(rate.isNotNull() & (h * F.lit(1_000_000) < rate * F.lit(_ID_MOD)))
+    return df.where(rate.isNotNull() & (h < rate))

@@ -2600,31 +2600,38 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sample_mixture",
     """
-    WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+    WITH w(source, wt) AS (VALUES ('src0', 5), ('src1', 3), ('src2', 2)),
     counts AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
-    cap AS (SELECT min(n / wt) AS cap FROM counts JOIN w USING (source)),
-    rates AS (
-      SELECT w.source, CAST(floor(wt * cap / n * 1000000) AS BIGINT) AS ppm
-      FROM w JOIN counts USING (source) CROSS JOIN cap)
+    b AS (
+      SELECT source AS bs, wt AS bw, n AS bn
+      FROM counts JOIN w USING (source)
+      ORDER BY n / CAST(wt AS DOUBLE), source LIMIT 1),
+    thr AS (
+      SELECT w.source,
+             least(CAST(2147483648 AS HUGEINT),
+                   CAST(wt AS HUGEINT) * bn * 2147483648 // (bw * n)) AS t
+      FROM w JOIN counts USING (source) CROSS JOIN b)
     SELECT d.doc_id, d.lang, d.source
-    FROM documents d JOIN rates r ON d.source = r.source
-    WHERE ((d.doc_id % 2147483648) * 2654435761) % 2147483648 * 1000000
-          < r.ppm * 2147483648
+    FROM documents d JOIN thr r ON d.source = r.source
+    WHERE CAST(((d.doc_id % 2147483648) * 2654435761) % 2147483648 AS HUGEINT)
+          < r.t
     """,
 )
 def q_sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recipe-weighted data mixing (operators/curation.sample_mixture):
     downsample each source so the OUTPUT composition hits the target
-    weights (50/30/20 over src0/1/2 here) at the largest feasible corpus —
-    cap = min(n_s/w_s), rate_s = w_s·cap/n_s, held as exact ppm integers.
-    One model-sized count collect, then the same engine-portable
-    multiplicative id-hash filter as sample_stratified: narrow, no
-    shuffle, no RNG — the oracle recomputes cap/rates in SQL and predicts
-    the member set bit-for-bit."""
+    recipe (5/3/2 parts over src0/1/2 here) at the largest feasible
+    corpus. Integer parts make every keep-threshold an exact integer —
+    floor(w_s·n_b·2³¹/(w_b·n_s)) — so the binding source provably keeps
+    everything. One model-sized count collect, then the same
+    engine-portable multiplicative id-hash filter as sample_stratified:
+    narrow, no shuffle, no RNG — the oracle recomputes the thresholds
+    with the same integer arithmetic (HUGEINT) and predicts the member
+    set bit-for-bit."""
     docs = load_table(spark, sf_dir, "documents")
-    return CU.sample_mixture(
-        docs, {"src0": 0.5, "src1": 0.3, "src2": 0.2}
-    ).select("doc_id", "lang", "source")
+    return CU.sample_mixture(docs, {"src0": 5, "src1": 3, "src2": 2}).select(
+        "doc_id", "lang", "source"
+    )
 
 
 @register(
@@ -2991,8 +2998,19 @@ def _ann_probe() -> Column:
     return F.col("vec_id") < 5
 
 
+def _ann_evict_stale(app_id: str) -> None:
+    """Drop memo entries from other (stopped) sessions: their cached
+    DataFrames and session object graphs must not outlive the session in a
+    long-lived process (pytest, a looping driver). The dead sessions'
+    cache memory was freed with their executors; this frees the driver-
+    side references (code-review r5)."""
+    for k in [k for k in _ANN_SHARED if k[0] != app_id]:
+        del _ANN_SHARED[k]
+
+
 def _ann_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (spark.sparkContext.applicationId, sf_dir, "exact")
+    _ann_evict_stale(key[0])
     if key not in _ANN_SHARED:
         emb = load_table(spark, sf_dir, "embeddings")
         # cache(), not localCheckpoint(): the k*probes-row result
@@ -3006,6 +3024,7 @@ def _ann_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ann_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
     key = (spark.sparkContext.applicationId, sf_dir, "centroids")
+    _ann_evict_stale(key[0])
     if key not in _ANN_SHARED:
         _ANN_SHARED[key] = S.kmeans_fit(load_table(spark, sf_dir, "embeddings"))
     return _ANN_SHARED[key]
@@ -3235,8 +3254,8 @@ _DRIVER_ORDER = [
     "topk_recall_ivf",
     "topk_recall_pq",
     "topk_recall_opq",
-    # -- newest driver row is r3 (29 of 41 remaining; the 12 overflow
-    #    queries are r6's rotation head) --
+    # -- newest driver row is r3 (27 of 41 remaining; the 14 overflow
+    #    queries listed in the header comment are r6's rotation head) --
     "flagship_ohlcv_sma",
     "resample_ohlcv",
     "resample_ohlcv_1w",

@@ -306,8 +306,12 @@ class OhlcvStore:
         # retries the same grace window.
         try:
             self._vacuum(version)
+            self._vacuum_failed = False
         except Exception:  # noqa: BLE001
-            pass
+            # remembered so the NEXT commit's vacuum widens to the full
+            # retained-window sweep (see _vacuum); checkpoint commits sweep
+            # unconditionally, covering failures in other processes
+            self._vacuum_failed = True
         return {"version": version, "files": files}
 
     def _publish_manifest(self, version: int, data: bytes) -> None:
@@ -402,21 +406,31 @@ class OhlcvStore:
         if grace_v < 1:
             return
         fs, _ = self._fs_path()
-        # Sweep the removed lists of EVERY still-present manifest at or
-        # below the grace boundary, not only grace_v's: a vacuum that
-        # failed (swallowed best-effort in _commit) leaves its own grace
-        # version's removed files on disk, and no later commit would
-        # otherwise revisit that version — the files would leak forever
-        # (ADVICE r4). Idempotent: files deleted by earlier successful
-        # vacuums fail the exists() probe and are skipped. Bounded: the
-        # retained log is <= _CHECKPOINT_EVERY + 2 manifests, so this is
-        # O(retained manifests + this window's superseded files), never
-        # O(store history).
+        # Normally only grace_v's removed list is processed (each version is
+        # visited exactly once in steady state — no repeat exists() probes
+        # per commit). A vacuum that failed (swallowed best-effort in
+        # _commit) leaves its grace version's removed files on disk, and no
+        # later commit would otherwise revisit that version — the files
+        # would leak forever (ADVICE r4). So the sweep WIDENS to every
+        # still-present manifest at or below the grace boundary when (a)
+        # this instance remembers a failed vacuum (_vacuum_failed), or (b)
+        # this is a checkpoint commit — the unconditional periodic sweep
+        # that also reclaims leaks from OTHER processes' failed vacuums,
+        # within <= _CHECKPOINT_EVERY commits. Idempotent (exists() probe)
+        # and bounded: the retained log is <= _CHECKPOINT_EVERY + 2
+        # manifests, never O(store history); the wide probes are paid only
+        # after a failure or once per checkpoint cadence (code-review r5:
+        # the always-wide form re-probed every long-gone file every commit).
         live_versions = self._manifest_versions()
         if grace_v not in live_versions:
             return
+        wide = (
+            getattr(self, "_vacuum_failed", False)
+            or version == 1
+            or version % _CHECKPOINT_EVERY == 0
+        )
         for v in live_versions:
-            if v > grace_v:
+            if v > grace_v or (not wide and v != grace_v):
                 continue
             try:
                 man = self._read_manifest(v)
@@ -631,7 +645,16 @@ class OhlcvStore:
         bounds = incoming.agg(
             F.min(F.to_date("ts")).alias("lo_d"),
             F.max(F.to_date("ts")).alias("hi_d"),
+            F.sum(F.col("ts").isNull().cast("long")).alias("n_null_ts"),
         ).first()
+        if bounds["n_null_ts"]:
+            # a null ts would write dt=__HIVE_DEFAULT_PARTITION__, which the
+            # manifest lists but the day-window parser cannot prune — poison
+            # for every later scan. Data error: raise, don't silently drop.
+            raise ValueError(
+                f"save_data({symbol}/{timeframe}): {bounds['n_null_ts']} "
+                f"row(s) with null ts (unparseable timestamps?)"
+            )
         if bounds["lo_d"] is None:
             return True  # empty batch: nothing to merge or rewrite
         lo_d, hi_d = bounds["lo_d"], bounds["hi_d"]
@@ -716,15 +739,38 @@ class OhlcvStore:
         The only driver-side collect is the per-series day-bounds agg —
         one row per series, model-sized by construction."""
         incoming = df.select(*OHLCV_COLS).withColumn("_rank", F.lit(0))
-        # per-series day windows (see save_data on why DateType, not ts)
+        # per-series day windows (see save_data on why DateType, not ts).
+        # The same aggregation also counts null keys/timestamps: a CSV
+        # import's to_timestamp silently yields NULL for malformed values,
+        # and without the guard a null symbol crashes the sort while an
+        # all-null-ts series gets (None, None) bounds — which
+        # _series_window_files treats as UNBOUNDED, superseding and
+        # rewriting the entire stored series (code-review r5). Null keys
+        # are a data error: raise, never silently drop or relabel.
         bounds = (
             incoming.groupBy("symbol", "timeframe")
             .agg(
                 F.min(F.to_date("ts")).alias("lo_d"),
                 F.max(F.to_date("ts")).alias("hi_d"),
+                F.sum(F.col("ts").isNull().cast("long")).alias("n_null_ts"),
             )
             .collect()
         )
+        bad = [
+            r
+            for r in bounds
+            if r["symbol"] is None
+            or r["timeframe"] is None
+            or r["n_null_ts"]
+            or r["lo_d"] is None
+        ]
+        if bad:
+            raise ValueError(
+                f"save_many: {len(bad)} series with null symbol/timeframe "
+                f"or unparseable ts (first: symbol={bad[0]['symbol']!r}, "
+                f"timeframe={bad[0]['timeframe']!r}, "
+                f"null_ts_rows={bad[0]['n_null_ts']})"
+            )
         series = sorted((r["symbol"], r["timeframe"]) for r in bounds)
         if not series:
             return []

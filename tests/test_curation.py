@@ -181,7 +181,7 @@ def test_sample_mixture_hits_target_composition(spark, sf_dir):
     from binance_data_framework_spark.sources.fixtures import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    target = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    target = {"src0": 5, "src1": 3, "src2": 2}
     out = sample_mixture(docs, target)
     counts = {
         r["source"]: r["n"]
@@ -197,8 +197,9 @@ def test_sample_mixture_hits_target_composition(spark, sf_dir):
     assert counts[binding] == n_src[binding]
     # achieved composition within hash-quantization tolerance of the target
     total = sum(counts.values())
+    parts = sum(target.values())
     for s, w in target.items():
-        assert abs(counts.get(s, 0) / total - w) < 0.12, (s, counts)
+        assert abs(counts.get(s, 0) / total - w / parts) < 0.12, (s, counts)
     # deterministic
     again = {
         r["source"]: r["n"]
@@ -209,6 +210,9 @@ def test_sample_mixture_hits_target_composition(spark, sf_dir):
     }
     assert again == counts
     with pytest.raises(ValueError, match="absent"):
-        sample_mixture(docs, {"nosuchsrc": 1.0})
+        sample_mixture(docs, {"nosuchsrc": 1})
     with pytest.raises(ValueError, match="weight"):
-        sample_mixture(docs, {"src0": 0.0})
+        sample_mixture(docs, {"src0": 0})
+    with pytest.raises(ValueError, match="integer"):
+        sample_mixture(docs, {"src0": 0.5})  # float parts would reintroduce
+        # the ppm-floor rounding that shaved the binding source

@@ -844,3 +844,60 @@ def test_long_reader_across_optimize_and_grace_boundary(store, spark):
         old_scan.count()
     # a fresh resolve sees the full series regardless
     assert store.get_data("BTCUSDT", "1h").count() == 30
+
+
+def test_vacuum_checkpoint_sweep_reclaims_other_writers_leak(store, spark, monkeypatch):
+    """A vacuum failure in ANOTHER process leaves no in-memory flag here —
+    the periodic wide sweep at checkpoint commits (every
+    _CHECKPOINT_EVERY-th version) still reclaims the leaked window within
+    a bounded number of commits."""
+    import os
+
+    from binance_data_framework_spark.store import _CHECKPOINT_EVERY
+
+    store.save_data(_bars(spark, T0, 3, 100.0), "BTCUSDT", "1h")  # v1
+    store.save_data(_bars(spark, T0, 3, 200.0), "BTCUSDT", "1h")  # v2
+    store.save_data(_bars(spark, T0, 3, 300.0), "BTCUSDT", "1h")  # v3
+
+    def boom(version):
+        raise RuntimeError("transient vacuum IO failure")
+
+    monkeypatch.setattr(store, "_vacuum", boom)
+    store.save_data(_bars(spark, T0, 3, 400.0), "BTCUSDT", "1h")  # v4, leak v2's
+    leaked = store._read_manifest(2)["removed"]
+    assert leaked and all(os.path.exists(f"{store.root}/{f}") for f in leaked)
+    monkeypatch.undo()
+
+    # a DIFFERENT instance (fresh process stand-in: no _vacuum_failed flag)
+    # commits up to the next checkpoint version
+    other = OhlcvStore(spark, store.root)
+    v = store._snapshot()["version"]
+    next_ckpt = ((v // _CHECKPOINT_EVERY) + 1) * _CHECKPOINT_EVERY
+    day = 10
+    while other._snapshot()["version"] < next_ckpt:
+        other.save_data(
+            _bars(spark, T0 + timedelta(days=day), 2, 500.0), "BTCUSDT", "1h"
+        )
+        day += 1
+    assert not any(os.path.exists(f"{store.root}/{f}") for f in leaked)
+
+
+def test_save_rejects_null_timestamps_and_keys(store, spark):
+    """Null keys / unparseable timestamps are data errors, not silent
+    drops: a null ts would write dt=__HIVE_DEFAULT_PARTITION__, which the
+    day-window parser cannot prune (code-review r5)."""
+    bad_ts = spark.createDataFrame(
+        [(None, 1.0, 2.0, 0.5, 1.5, 10.0), (datetime(2024, 1, 1), 1.0, 2.0, 0.5, 1.5, 10.0)],
+        "ts timestamp, open double, high double, low double, close double, volume double",
+    )
+    with pytest.raises(ValueError, match="null ts"):
+        store.save_data(bad_ts, "BTCUSDT", "1h")
+
+    batch = (
+        _bars(spark, T0, 2, 100.0)
+        .withColumn("symbol", F.lit(None).cast("string"))
+        .withColumn("timeframe", F.lit("1h"))
+    )
+    with pytest.raises(ValueError, match="null symbol"):
+        store.save_many(batch)
+    assert store._snapshot() is None  # nothing landed
