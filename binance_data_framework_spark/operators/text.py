@@ -155,6 +155,206 @@ def token_count_bpe(
     )
 
 
+# PII patterns (applied in this order — specific before general so a match
+# is never double-redacted). RE2/Java-regex common subset: no backrefs, no
+# lookaround, \b is the ASCII word boundary in both engines.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    (r"[0-9]+", "<NUM>"),
+)
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Regex PII/numeral redaction — the scrubbing pass a pretraining
+    pipeline runs before packing. Emails, IPv4 addresses, then bare digit
+    runs are replaced by typed placeholders; ``n_redacted`` counts the
+    matches each stage saw (counted on that stage's input, so an already-
+    redacted span is never recounted). Pure ``regexp_replace`` /
+    ``regexp_count`` column math — narrow, zero shuffle, stays in codegen."""
+    redacted = F.col(text_col)
+    n = F.lit(0).cast("long")
+    for pat, repl in PII_PATTERNS:
+        n = n + F.regexp_count(redacted, F.lit(pat))
+        redacted = F.regexp_replace(redacted, pat, repl)
+    return df.select(
+        F.col(id_col),
+        redacted.alias("redacted"),
+        n.alias("n_redacted"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals: the fraction of word
+    bigrams belonging to the single most frequent bigram, and the fraction
+    covered by ANY duplicated bigram (the standard cut features for
+    boilerplate / degenerate-repetition filtering).
+
+    Scale shape: entirely NARROW — bigrams are run-length-scanned inside a
+    sorted per-doc array with one ``aggregate`` HOF, so a 100 TB corpus
+    needs zero shuffle (vs the explode + two-level groupBy formulation,
+    which shuffles every bigram occurrence)."""
+    toks = tokens_col(text_col)
+    bigr = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    nb = F.size(bigr).cast("long")
+    zero = F.lit(0).cast("long")
+    # run-length scan over the sorted bigram array: acc tracks the current
+    # run and folds finished runs into top (longest) / dup (total length of
+    # runs > 1). "" is a safe sentinel: a real bigram always contains a space.
+    init = F.struct(
+        F.lit("").alias("prev"),
+        zero.alias("run"),
+        zero.alias("top"),
+        zero.alias("dup"),
+    )
+    def _step(acc, x):
+        close_run = x != acc["prev"]
+        return F.struct(
+            x.alias("prev"),
+            F.when(close_run, F.lit(1).cast("long"))
+            .otherwise(acc["run"] + 1)
+            .alias("run"),
+            F.when(close_run, F.greatest(acc["top"], acc["run"]))
+            .otherwise(acc["top"])
+            .alias("top"),
+            F.when(
+                close_run & (acc["run"] > 1), acc["dup"] + acc["run"]
+            )
+            .otherwise(acc["dup"])
+            .alias("dup"),
+        )
+    stats = F.aggregate(
+        F.array_sort(bigr),
+        init,
+        _step,
+        lambda acc: F.struct(
+            F.greatest(acc["top"], acc["run"]).alias("top"),
+            (
+                acc["dup"]
+                + F.when(acc["run"] > 1, acc["run"]).otherwise(zero)
+            ).alias("dup"),
+        ),
+    )
+    frac = lambda c: F.when(nb > 0, F.round(c.cast("double") / nb, 6)).otherwise(  # noqa: E731
+        F.lit(0.0)
+    )
+    return df.select(
+        F.col(id_col),
+        nb.alias("n_bigrams"),
+        frac(stats["top"]).alias("top_bigram_frac"),
+        frac(stats["dup"]).alias("dup_bigram_frac"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF (smooth idf = ln((N+1)/(df+1))),
+    rank ties broken by term. The classic relevance/keyword-extraction
+    primitive over a corpus.
+
+    Scale shape: one explode + (doc, term) groupBy for tf; df and N derive
+    from tf by vocab-keyed / scalar aggregates, joined back via a broadcast
+    (vocab-bounded, not corpus-bounded) and a 1-row broadcast cross join.
+    Ranking windows are keyed by doc. Rank on the ROUNDED score so the
+    ordering is reproducible across engines."""
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(id_col),
+            F.col("term"),
+            F.round(
+                F.col("tf").cast("double")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "rank", "tfidf")
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 retrieval: rank documents against a bag-of-words query,
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)). Returns the top-k matching
+    docs (≥1 query-term hit), score ties broken by doc_id.
+
+    Scale shape: the per-term filter runs BEFORE the (doc, term) shuffle —
+    only query-term occurrences ever shuffle, everything else dies in the
+    scan stage. df per query term and the corpus (N, avgdl) scalars are
+    broadcast; the final top-k is a sort of the tiny matched set."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    toks = tokens_col(text_col)
+    hits = (
+        df.select(
+            F.col(id_col), F.size(toks).cast("long").alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .where(F.col("term").isin(*query_terms))
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.size(toks)).alias("avgdl"),
+    )
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tfd = F.col("tf").cast("double")
+    term_score = idf * (
+        tfd * (k1 + 1.0)
+        / (tfd + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        hits.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(term_score), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def fingerprint(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

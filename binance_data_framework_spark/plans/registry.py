@@ -3207,6 +3207,293 @@ def q_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# r5 additions: retrieval / corpus-hygiene text ops + TA channel indicators
+# ===========================================================================
+
+
+@register(
+    "text_pii_redact",
+    r"""
+    WITH s AS (
+      SELECT event_id, props,
+             len(regexp_extract_all(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n1,
+             regexp_replace(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+      FROM events),
+    s2 AS (
+      SELECT event_id, n1,
+             n1 + len(regexp_extract_all(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS n2,
+             regexp_replace(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t2
+      FROM s)
+    SELECT event_id,
+           regexp_replace(t2, '[0-9]+', '<NUM>', 'g') AS redacted,
+           CAST(n2 + len(regexp_extract_all(t2, '[0-9]+')) AS BIGINT) AS n_redacted
+    FROM s2
+    """,
+)
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/numeral scrubbing over the events payload column (the fixture's
+    only text with digits) — emails, IPv4, digit runs → typed placeholders
+    with a per-row match count. Narrow regexp column math; see
+    TX.pii_redact. (Extension op — the reference has no scrubbing pass;
+    its closest surface is payload stringification, data_exporter.py.)"""
+    ev = load_table(spark, sf_dir, "events")
+    return TX.pii_redact(ev, text_col="props", id_col="event_id")
+
+
+@register(
+    "text_repetition",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    b AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 2
+               THEN list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])
+               ELSE [] END AS bigr
+      FROM t),
+    e AS (SELECT doc_id, unnest(bigr) AS g FROM b),
+    c AS (SELECT doc_id, g, count(*) AS cnt FROM e GROUP BY doc_id, g),
+    a AS (
+      SELECT doc_id, sum(cnt) AS nb, max(cnt) AS top,
+             sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS dup
+      FROM c GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(coalesce(a.nb, 0) AS BIGINT) AS n_bigrams,
+           coalesce(round(a.top / CAST(a.nb AS DOUBLE), 6), 0.0) AS top_bigram_frac,
+           coalesce(round(a.dup / CAST(a.nb AS DOUBLE), 6), 0.0) AS dup_bigram_frac
+    FROM t LEFT JOIN a USING (doc_id)
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition fractions (top-bigram / duplicated-bigram
+    coverage) per document — the boilerplate-filter features. The Spark
+    plan is ZERO-shuffle: a run-length HOF scan over each doc's sorted
+    bigram array (TX.repetition_stats); the oracle is the equivalent
+    explode + two-level aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.repetition_stats(docs)
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH tf AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      FROM documents),
+    tfc AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY doc_id, term),
+    dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT doc_id, term,
+             round(CAST(tf AS DOUBLE) * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+      FROM tfc JOIN dfc USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rank
+      FROM scored)
+    SELECT doc_id, term, CAST(rank AS INT) AS rank, tfidf
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smooth idf, rank ties broken by
+    term, ranked on the ROUNDED score for cross-engine determinism). One
+    (doc, term) shuffle; df joins back via vocab-bounded broadcast; N via a
+    1-row broadcast cross join — see TX.tfidf_top_terms."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = TX.tfidf_top_terms(docs)
+    return out.select(
+        "doc_id", "term", F.col("rank").cast("int").alias("rank"), "tfidf"
+    )
+
+
+BM25_QUERY = ("spark", "vector", "stream")
+
+
+@register(
+    "bm25_search",
+    f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    hits AS (
+      SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d),
+    tf AS (
+      SELECT doc_id, dl, term, count(*) AS tf FROM hits
+      WHERE term IN {BM25_QUERY!r}
+      GROUP BY doc_id, dl, term),
+    dfc AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    s AS (SELECT count(*) AS n_docs, avg(len(toks)) AS avgdl FROM d),
+    scored AS (
+      SELECT doc_id,
+             sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (CAST(tf AS DOUBLE) * 2.2
+                    / (CAST(tf AS DOUBLE)
+                       + 1.2 * (0.25 + 0.75 * dl / avgdl)))) AS score
+      FROM tf JOIN dfc USING (term) CROSS JOIN s
+      GROUP BY doc_id)
+    SELECT doc_id, round(score, 6) AS score
+    FROM scored ORDER BY round(score, 6) DESC, doc_id LIMIT 10
+    """,
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 retrieval for a 3-term query (k1=1.2, b=0.75).
+    The term filter runs BEFORE the (doc, term) shuffle, so only query-term
+    occurrences shuffle; df and corpus stats broadcast — see
+    TX.bm25_search."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.bm25_search(docs, BM25_QUERY)
+
+
+@register(
+    "window_cci",
+    f"""
+    WITH bars AS ({_BARS_1H_SQL}),
+    t AS (
+      SELECT symbol, bucket, (high + low + close) / 3.0 AS tp FROM bars),
+    m AS (
+      SELECT symbol, bucket, tp,
+             avg(tp) OVER w AS ma,
+             list(tp) OVER w AS tps,
+             count(*) OVER w AS cnt
+      FROM t
+      WINDOW w AS (PARTITION BY symbol ORDER BY bucket
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+    dev AS (
+      SELECT symbol, bucket, tp, ma, cnt,
+             list_sum(list_transform(tps, x -> abs(x - ma))) / len(tps) AS md
+      FROM m)
+    SELECT symbol, bucket,
+           round(CASE WHEN cnt >= 20 AND md > 0
+                 THEN (tp - ma) / (0.015 * md) END, 6) AS cci
+    FROM dev
+    """,
+)
+def q_window_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commodity Channel Index CCI(20) per series: typical price vs its
+    20-bar mean, scaled by the window's MEAN ABSOLUTE DEVIATION — the
+    deviation-around-the-current-window-mean is not a plain window
+    aggregate, so it's computed JVM-side as an `aggregate` HOF over
+    `collect_list(tp)` of the same keyed ROWS frame (deterministic frame
+    order on both engines → bit-identical sums). Masked until 20 bars and
+    on flat windows. (Extension op; reference TA surface is
+    colab_interface.py's plotting of raw OHLCV.)"""
+    bars = _bars_1h(spark, sf_dir)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("bucket")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    tp = ((F.col("high") + F.col("low") + F.col("close")) / 3.0).alias("tp")
+    t = bars.select("symbol", "bucket", tp)
+    m = t.select(
+        "symbol",
+        "bucket",
+        "tp",
+        F.avg("tp").over(w).alias("ma"),
+        F.collect_list("tp").over(w).alias("tps"),
+        F.count(F.lit(1)).over(w).alias("cnt"),
+    )
+    md = (
+        F.aggregate(
+            F.col("tps"),
+            F.lit(0.0),
+            lambda acc, x: acc + F.abs(x - F.col("ma")),
+        )
+        / F.size("tps")
+    )
+    return m.select(
+        "symbol",
+        "bucket",
+        F.round(
+            F.when(
+                (F.col("cnt") >= 20) & (md > 0),
+                (F.col("tp") - F.col("ma")) / (0.015 * md),
+            ),
+            6,
+        ).alias("cci"),
+    )
+
+
+@register(
+    "window_donchian",
+    f"""
+    WITH bars AS ({_BARS_1H_SQL}),
+    c AS (
+      SELECT symbol, bucket, close,
+             max(high) OVER w AS upper, min(low) OVER w AS lower,
+             count(*) OVER w AS cnt,
+             max(high) OVER p AS prev_upper, count(*) OVER p AS prev_cnt
+      FROM bars
+      WINDOW w AS (PARTITION BY symbol ORDER BY bucket
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+             p AS (PARTITION BY symbol ORDER BY bucket
+                   ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+    SELECT symbol, bucket,
+           round(CASE WHEN cnt >= 20 THEN upper END, 6) AS upper,
+           round(CASE WHEN cnt >= 20 THEN lower END, 6) AS lower,
+           round(CASE WHEN cnt >= 20 THEN (upper + lower) / 2.0 END, 6) AS mid,
+           CASE WHEN prev_cnt >= 20 THEN close > prev_upper END AS breakout
+    FROM c
+    """,
+)
+def q_window_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian channel(20) per series: rolling high/low band + midline,
+    and the channel-breakout signal (close above the PRIOR 20-bar high —
+    the turtle-trading entry). Pure keyed ROWS-frame min/max inside
+    codegen; the breakout frame ends at 1 PRECEDING so today's bar never
+    triggers on itself."""
+    bars = _bars_1h(spark, sf_dir)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("bucket")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    p = Window.partitionBy("symbol").orderBy("bucket").rowsBetween(-20, -1)
+    full = F.count(F.lit(1)).over(w) >= 20
+    upper = F.max("high").over(w)
+    lower = F.min("low").over(w)
+    return bars.select(
+        "symbol",
+        "bucket",
+        F.round(F.when(full, upper), 6).alias("upper"),
+        F.round(F.when(full, lower), 6).alias("lower"),
+        F.round(F.when(full, (upper + lower) / 2.0), 6).alias("mid"),
+        F.when(
+            F.count(F.lit(1)).over(p) >= 20,
+            F.col("close") > F.max("high").over(p),
+        ).alias("breakout"),
+    )
+
+
+@register(
+    "window_roc",
+    f"""
+    WITH bars AS ({_BARS_1H_SQL})
+    SELECT symbol, bucket,
+           round(100.0 * (close - lag(close, 12) OVER o)
+                 / lag(close, 12) OVER o, 6) AS roc,
+           round(close - lag(close, 12) OVER o, 6) AS momentum
+    FROM bars
+    WINDOW o AS (PARTITION BY symbol ORDER BY bucket)
+    """,
+)
+def q_window_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-of-change ROC(12) and momentum per series — close vs the close
+    12 bars back. A single keyed lag window, null until the lookback
+    exists."""
+    bars = _bars_1h(spark, sf_dir)
+    o = Window.partitionBy("symbol").orderBy("bucket")
+    lagc = F.lag("close", 12).over(o)
+    return bars.select(
+        "symbol",
+        "bucket",
+        F.round(100.0 * (F.col("close") - lagc) / lagc, 6).alias("roc"),
+        F.round(F.col("close") - lagc, 6).alias("momentum"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # driver presentation order
 # ---------------------------------------------------------------------------
@@ -3216,15 +3503,19 @@ def q_sketch_error_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 # evidence rotation (VERDICT r4 item 6). Window arithmetic (the cut at 50
 # is exact): the 9 queries whose newest row was r2 (2 rounds stale — the
 # rotation head) + the 12 queries whose behavior or plan changed in r5
-# (they have green r3/r4 rows, but those predate the change) + the 2
-# operators NEW in r5 (chunk_documents, sample_mixture) + 27 of the
-# 41 remaining r3-newest queries = 50. The 14 r3 overflow queries
-# (sample_reservoir, quality_quantile_filter, decontaminate, window_trend,
+# (they have green r3/r4 rows, but those predate the change) + the 9
+# operators NEW in r5 (chunk_documents, sample_mixture, text_pii_redact,
+# text_repetition, tfidf_top_terms, bm25_search, window_cci,
+# window_donchian, window_roc) + 20 of the 41 remaining r3-newest
+# queries = 50. The 21 r3 overflow queries (the 14 listed below plus
+# tpch_q1/q3/q5, json_extract, window_ewma, cohort_retention,
+# multimodal_features — all untouched since their green r3 rows) are r6's
+# natural rotation head and stay covered every round by the local oracle
+# harness (tools/check_oracles.py, 114/114) and pytest:
+# sample_reservoir, quality_quantile_filter, decontaminate, window_trend,
 # pair_correlation, agg_vwap, sessionize, rollup_volume, window_bollinger,
 # window_drawdown, window_rsi, agg_cube, unpivot_ohlcv,
-# chart_downsample_m4) are r6's natural rotation head and stay covered
-# every round by the local oracle harness (tools/check_oracles.py,
-# 107/107) and pytest.
+# chart_downsample_m4.
 _DRIVER_ORDER = [
     # -- newest driver row was r2 (2 rounds old): the r5 rotation's head --
     "text_stats",
@@ -3254,7 +3545,7 @@ _DRIVER_ORDER = [
     "topk_recall_ivf",
     "topk_recall_pq",
     "topk_recall_opq",
-    # -- newest driver row is r3 (27 of 41 remaining; the 14 overflow
+    # -- newest driver row is r3 (20 of 41 remaining; the 21 overflow
     #    queries listed in the header comment are r6's rotation head) --
     "flagship_ohlcv_sma",
     "resample_ohlcv",
@@ -3269,23 +3560,24 @@ _DRIVER_ORDER = [
     "agg_sketches",
     "agg_ndv",
     "agg_percentiles",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
     "gap_antijoin",
-    "json_extract",
     "corpus_curation",
     "dedup_ngram_jaccard",
-    "window_ewma",
     "asof_align_by",
-    "cohort_retention",
     "topk_skew_salted",
-    "multimodal_features",
     "pack_sequences",
     "sample_stratified",
-    # -- new in r5 (chunking + mixture sampling) --
+    # -- new in r5 (chunking, mixture sampling, corpus hygiene, retrieval,
+    #    channel indicators) --
     "chunk_documents",
     "sample_mixture",
+    "text_pii_redact",
+    "text_repetition",
+    "tfidf_top_terms",
+    "bm25_search",
+    "window_cci",
+    "window_donchian",
+    "window_roc",
 ]
 
 _missing = [n for n in _DRIVER_ORDER if n not in QUERIES]

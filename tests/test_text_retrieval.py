@@ -1,0 +1,105 @@
+"""Edge-case tests for the r5 corpus-hygiene / retrieval text operators
+(PII redaction, repetition fractions, TF-IDF, BM25) — the oracle gate
+covers fixture-scale hash equality; these pin the hand-checkable
+semantics the fixtures can't reach (empty docs, overlapping PII spans,
+tie-breaks)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from binance_data_framework_spark.operators import text as TX
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pii_redact_stages_do_not_double_count(spark):
+    # the email's digits/dots must not be re-matched by the IP or number
+    # stage (they are redacted before those stages see the text)
+    df = _docs(spark, [(1, "mail bob42@h4x.example.com ip 10.0.0.1 n 77")])
+    row = TX.pii_redact(df).collect()[0]
+    assert row["redacted"] == "mail <EMAIL> ip <IP> n <NUM>"
+    assert row["n_redacted"] == 3
+
+
+def test_pii_redact_clean_text_untouched(spark):
+    df = _docs(spark, [(1, "no pii here at all")])
+    row = TX.pii_redact(df).collect()[0]
+    assert row["redacted"] == "no pii here at all"
+    assert row["n_redacted"] == 0
+
+
+def test_repetition_fractions_hand_checked(spark):
+    # "a b a b a" -> bigrams [a b, b a, a b, b a]: top "a b" covers 2/4,
+    # every bigram is duplicated -> dup 4/4
+    df = _docs(spark, [(1, "a b a b a"), (2, "w x y z"), (3, "solo")])
+    out = {r["doc_id"]: r for r in TX.repetition_stats(df).collect()}
+    assert out[1]["n_bigrams"] == 4
+    assert out[1]["top_bigram_frac"] == 0.5
+    assert out[1]["dup_bigram_frac"] == 1.0
+    # all-distinct bigrams -> zero repetition
+    assert out[2]["n_bigrams"] == 3
+    assert out[2]["top_bigram_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out[2]["dup_bigram_frac"] == 0.0
+    # single-token doc: no bigrams, fractions defined as 0
+    assert out[3]["n_bigrams"] == 0
+    assert out[3]["top_bigram_frac"] == 0.0
+    assert out[3]["dup_bigram_frac"] == 0.0
+
+
+def test_tfidf_rank_and_tie_break(spark):
+    # "z" appears only in doc 1 (idf high); "a" appears everywhere
+    # (idf = ln(4/4) = 0 -> never outranks); equal-score terms order
+    # alphabetically
+    df = _docs(
+        spark,
+        [(1, "z z a"), (2, "a b c"), (3, "a b c"), (4, "a b c")],
+    )
+    out = TX.tfidf_top_terms(df, k=2).collect()
+    doc1 = sorted(
+        [r for r in out if r["doc_id"] == 1], key=lambda r: r["rank"]
+    )
+    assert doc1[0]["term"] == "z"
+    exp = round(2 * math.log((4 + 1) / (1 + 1)), 6)
+    assert doc1[0]["tfidf"] == pytest.approx(exp, abs=1e-6)
+    doc2 = sorted(
+        [r for r in out if r["doc_id"] == 2], key=lambda r: r["rank"]
+    )
+    # b and c tie exactly -> alphabetical
+    assert [r["term"] for r in doc2] == ["b", "c"]
+
+
+def test_bm25_prefers_rarer_term_and_matches_formula(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "rare common filler filler"),
+            (2, "common filler filler filler"),
+            (3, "filler filler filler filler"),
+        ],
+    )
+    out = TX.bm25_search(df, ("rare", "common"), k=10).collect()
+    assert [r["doc_id"] for r in out] == [1, 2]  # doc 3 matches nothing
+    # hand-computed score for doc 2: one 'common' hit, dl=4, avgdl=4
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+    exp = idf * (1 * 2.2) / (1 + 1.2 * (0.25 + 0.75 * 1.0))
+    assert out[1]["score"] == pytest.approx(round(exp, 6), abs=1e-6)
+    assert out[0]["score"] > out[1]["score"]
+
+
+def test_bm25_empty_query_raises(spark):
+    df = _docs(spark, [(1, "a")])
+    with pytest.raises(ValueError):
+        TX.bm25_search(df, ())
+
+
+def test_repetition_plan_is_narrow(spark):
+    # the repetition scan must not shuffle: no Exchange in the plan
+    df = _docs(spark, [(1, "a b a b")])
+    plan = TX.repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
