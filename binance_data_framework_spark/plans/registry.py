@@ -3309,6 +3309,31 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_unigram_logprob",
+    """
+    WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    e AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM d),
+    tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM e GROUP BY doc_id, dl, term),
+    fr AS (SELECT term, sum(tf) AS freq FROM tf GROUP BY term),
+    tot AS (SELECT CAST(sum(len(toks)) AS DOUBLE) AS total_tokens FROM d)
+    SELECT doc_id, CAST(dl AS BIGINT) AS n_tokens,
+           round(sum(CAST(tf AS DOUBLE)
+                     * ln(CAST(freq AS DOUBLE) / total_tokens)) / dl, 6)
+             AS avg_logprob
+    FROM tf JOIN fr USING (term) CROSS JOIN tot
+    GROUP BY doc_id, dl
+    """,
+)
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality proxy: per-doc mean log-probability under the
+    corpus unigram LM (rare-token docs rank low, boilerplate high). One
+    (doc, term) shuffle; the unigram model is vocab-bounded and broadcast —
+    see TX.unigram_logprob."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.unigram_logprob(docs)
+
+
 BM25_QUERY = ("spark", "vector", "stream")
 
 
@@ -3503,15 +3528,15 @@ def q_window_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # evidence rotation (VERDICT r4 item 6). Window arithmetic (the cut at 50
 # is exact): the 9 queries whose newest row was r2 (2 rounds stale — the
 # rotation head) + the 12 queries whose behavior or plan changed in r5
-# (they have green r3/r4 rows, but those predate the change) + the 9
+# (they have green r3/r4 rows, but those predate the change) + the 10
 # operators NEW in r5 (chunk_documents, sample_mixture, text_pii_redact,
-# text_repetition, tfidf_top_terms, bm25_search, window_cci,
-# window_donchian, window_roc) + 20 of the 41 remaining r3-newest
-# queries = 50. The 21 r3 overflow queries (the 14 listed below plus
-# tpch_q1/q3/q5, json_extract, window_ewma, cohort_retention,
-# multimodal_features — all untouched since their green r3 rows) are r6's
-# natural rotation head and stay covered every round by the local oracle
-# harness (tools/check_oracles.py, 114/114) and pytest:
+# text_repetition, tfidf_top_terms, bm25_search, text_unigram_logprob,
+# window_cci, window_donchian, window_roc) + 19 of the 41 remaining
+# r3-newest queries = 50. The 22 r3 overflow queries (the 14 listed below
+# plus tpch_q1/q3/q5, json_extract, window_ewma, cohort_retention,
+# multimodal_features, gap_antijoin — all untouched since their green r3
+# rows) are r6's natural rotation head and stay covered every round by
+# the local oracle harness (tools/check_oracles.py, 115/115) and pytest:
 # sample_reservoir, quality_quantile_filter, decontaminate, window_trend,
 # pair_correlation, agg_vwap, sessionize, rollup_volume, window_bollinger,
 # window_drawdown, window_rsi, agg_cube, unpivot_ohlcv,
@@ -3545,7 +3570,7 @@ _DRIVER_ORDER = [
     "topk_recall_ivf",
     "topk_recall_pq",
     "topk_recall_opq",
-    # -- newest driver row is r3 (20 of 41 remaining; the 21 overflow
+    # -- newest driver row is r3 (19 of 41 remaining; the 22 overflow
     #    queries listed in the header comment are r6's rotation head) --
     "flagship_ohlcv_sma",
     "resample_ohlcv",
@@ -3560,7 +3585,6 @@ _DRIVER_ORDER = [
     "agg_sketches",
     "agg_ndv",
     "agg_percentiles",
-    "gap_antijoin",
     "corpus_curation",
     "dedup_ngram_jaccard",
     "asof_align_by",
@@ -3575,6 +3599,7 @@ _DRIVER_ORDER = [
     "text_repetition",
     "tfidf_top_terms",
     "bm25_search",
+    "text_unigram_logprob",
     "window_cci",
     "window_donchian",
     "window_roc",

@@ -98,6 +98,18 @@ def test_bm25_empty_query_raises(spark):
         TX.bm25_search(df, ())
 
 
+def test_unigram_logprob_hand_checked(spark):
+    # corpus: "a a b" + "a" -> freqs a=3, b=1, total=4
+    df = _docs(spark, [(1, "a a b"), (2, "a")])
+    out = {r["doc_id"]: r for r in TX.unigram_logprob(df).collect()}
+    exp1 = (2 * math.log(3 / 4) + 1 * math.log(1 / 4)) / 3
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["avg_logprob"] == pytest.approx(round(exp1, 6), abs=1e-6)
+    assert out[2]["avg_logprob"] == pytest.approx(round(math.log(3 / 4), 6), abs=1e-6)
+    # boilerplate (common tokens) must outrank rare-token docs
+    assert out[2]["avg_logprob"] > out[1]["avg_logprob"]
+
+
 def test_repetition_plan_is_narrow(spark):
     # the repetition scan must not shuffle: no Exchange in the plan
     df = _docs(spark, [(1, "a b a b")])
