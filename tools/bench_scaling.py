@@ -34,6 +34,12 @@ HEAVY = [
     "topk_similarity_pq",
     "range_join_events",
     "pretraining_pipeline",
+    # r5 text/retrieval tier: one (doc,term) shuffle apiece (tfidf/bm25/
+    # logprob) or fully narrow (repetition) — expected ~linear
+    "text_repetition",
+    "tfidf_top_terms",
+    "bm25_search",
+    "text_unigram_logprob",
 ]
 
 
