@@ -331,3 +331,64 @@ def sample_mixture(
         rate = F.when(F.col(key_col) == s, F.lit(p)).otherwise(rate)
     h = F.pmod(_mixed_id(id_col) * F.lit(_MULT), F.lit(_ID_MOD))
     return df.where(rate.isNotNull() & (h < rate))
+
+
+def shard_assign(
+    df: DataFrame, n_shards: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic shard assignment for training-data export: shard =
+    (portable multiplicative id-hash) mod n_shards. Pure narrow
+    projection — no shuffle, no RNG; the same doc lands in the same shard
+    across runs and engines (the DuckDB oracle replays the identical
+    int64 arithmetic). Hash-then-mod (rather than id mod n) decorrelates
+    shard membership from id locality, so range-loaded corpora still
+    spread uniformly."""
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    h = F.pmod(_mixed_id(id_col) * F.lit(_MULT), F.lit(_ID_MOD))
+    return df.withColumn("shard", F.pmod(h, F.lit(n_shards)).cast("int"))
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-shard manifest (doc count, token/char totals, id range) — the
+    sidecar a trainer consumes to plan epochs without opening shard files.
+    One aggregate keyed by shard id (n_shards groups — model-sized)."""
+    return (
+        shard_assign(df, n_shards, id_col)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(whitespace_tokens(text_col)).alias("n_tokens"),
+            F.sum(F.length(text_col)).alias("n_chars"),
+            F.min(id_col).alias("min_doc_id"),
+            F.max(id_col).alias("max_doc_id"),
+        )
+    )
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> None:
+    """Write the corpus as n_shards deterministic training shards:
+    ``path/shard=K/`` each holding ONE parquet file with rows sorted by
+    id (reproducible byte-for-byte given the same input). The
+    repartition keys ONLY on the shard column, so each shard is exactly
+    one write task — choose n_shards so corpus_size/n_shards fits a task
+    (the same knob as pack_sequences), and the sort is per-shard, never
+    global."""
+    out = shard_assign(df, n_shards, id_col)
+    (
+        out.repartition(n_shards, F.col("shard"))
+        .sortWithinPartitions("shard", id_col)
+        .write.partitionBy("shard")
+        .mode("overwrite")
+        .parquet(path)
+    )

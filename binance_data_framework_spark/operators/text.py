@@ -280,10 +280,12 @@ def tfidf_top_terms(
     primitive over a corpus.
 
     Scale shape: one explode + (doc, term) groupBy for tf; df and N derive
-    from tf by vocab-keyed / scalar aggregates, joined back via a broadcast
-    (vocab-bounded, not corpus-bounded) and a 1-row broadcast cross join.
-    Ranking windows are keyed by doc. Rank on the ROUNDED score so the
-    ordering is reproducible across engines."""
+    from tf by vocab-keyed / scalar aggregates. The df join is a plain
+    term-keyed equi-join — NOT a forced broadcast: a web-scale corpus's
+    term dictionary (typo tail included) can be executor-sized, so AQE
+    picks broadcast only when the dictionary really is small. N is a
+    1-row broadcast cross join. Ranking windows are keyed by doc. Rank on
+    the ROUNDED score so the ordering is reproducible across engines."""
     from pyspark.sql import Window
 
     tf = (
@@ -294,7 +296,7 @@ def tfidf_top_terms(
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df_t), "term")
+        tf.join(df_t, "term")
         .crossJoin(F.broadcast(n_docs))
         .select(
             F.col(id_col),
@@ -376,9 +378,10 @@ def unigram_logprob(
     corpus frequency is ≥ 1 by construction.
 
     Scale shape: one (doc, term) shuffle for tf; the unigram model (term →
-    corpus freq) is a vocab-bounded aggregate broadcast back, and the
-    total-token count a 1-row broadcast cross join — the corpus is scanned,
-    never collected."""
+    corpus freq) joins back on the term key — not a forced broadcast, since
+    a web-scale dictionary can be executor-sized (AQE broadcasts when it
+    is small) — and the total-token count is a 1-row broadcast cross join;
+    the corpus is scanned, never collected."""
     toks = tokens_col(text_col)
     tf = (
         df.select(
@@ -392,7 +395,7 @@ def unigram_logprob(
     freqs = tf.groupBy("term").agg(F.sum("tf").alias("freq"))
     total = df.agg(F.sum(F.size(toks)).cast("double").alias("total_tokens"))
     return (
-        tf.join(F.broadcast(freqs), "term")
+        tf.join(freqs, "term")
         .crossJoin(F.broadcast(total))
         .groupBy(id_col, "dl")
         .agg(

@@ -3300,8 +3300,9 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (smooth idf, rank ties broken by
     term, ranked on the ROUNDED score for cross-engine determinism). One
-    (doc, term) shuffle; df joins back via vocab-bounded broadcast; N via a
-    1-row broadcast cross join — see TX.tfidf_top_terms."""
+    (doc, term) shuffle; df joins back on the term key (AQE broadcasts
+    when the dictionary is small); N via a 1-row broadcast cross join —
+    see TX.tfidf_top_terms."""
     docs = load_table(spark, sf_dir, "documents")
     out = TX.tfidf_top_terms(docs)
     return out.select(
@@ -3328,10 +3329,46 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style quality proxy: per-doc mean log-probability under the
     corpus unigram LM (rare-token docs rank low, boilerplate high). One
-    (doc, term) shuffle; the unigram model is vocab-bounded and broadcast —
-    see TX.unigram_logprob."""
+    (doc, term) shuffle; the unigram model joins back on the term key
+    (AQE broadcasts when it is small) — see TX.unigram_logprob."""
     docs = load_table(spark, sf_dir, "documents")
     return TX.unigram_logprob(docs)
+
+
+@register(
+    "shard_manifest",
+    """
+    WITH s AS (
+      SELECT doc_id, text,
+             CAST((((doc_id % 2147483648) * 2654435761) % 2147483648) % 8
+                  AS INT) AS shard
+      FROM documents)
+    SELECT shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           min(doc_id) AS min_doc_id,
+           max(doc_id) AS max_doc_id
+    FROM s GROUP BY shard
+    """,
+)
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest for an 8-shard deterministic export
+    (CU.shard_assign / CU.export_shards): per-shard doc count, token and
+    char totals, id range — the sidecar a trainer plans epochs from. The
+    shard id is the engine-portable multiplicative id-hash mod n, so the
+    oracle replays the identical int64 arithmetic; the aggregate is keyed
+    by shard (model-sized group count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = CU.shard_manifest(docs, n_shards=8)
+    return m.select(
+        "shard",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        "min_doc_id",
+        "max_doc_id",
+    )
 
 
 BM25_QUERY = ("spark", "vector", "stream")
@@ -3528,15 +3565,16 @@ def q_window_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # evidence rotation (VERDICT r4 item 6). Window arithmetic (the cut at 50
 # is exact): the 9 queries whose newest row was r2 (2 rounds stale — the
 # rotation head) + the 12 queries whose behavior or plan changed in r5
-# (they have green r3/r4 rows, but those predate the change) + the 10
+# (they have green r3/r4 rows, but those predate the change) + the 11
 # operators NEW in r5 (chunk_documents, sample_mixture, text_pii_redact,
 # text_repetition, tfidf_top_terms, bm25_search, text_unigram_logprob,
-# window_cci, window_donchian, window_roc) + 19 of the 41 remaining
-# r3-newest queries = 50. The 22 r3 overflow queries (the 14 listed below
-# plus tpch_q1/q3/q5, json_extract, window_ewma, cohort_retention,
-# multimodal_features, gap_antijoin — all untouched since their green r3
-# rows) are r6's natural rotation head and stay covered every round by
-# the local oracle harness (tools/check_oracles.py, 115/115) and pytest:
+# window_cci, window_donchian, window_roc, shard_manifest) + 18 of the
+# 41 remaining r3-newest queries = 50. The 23 r3 overflow queries (the
+# 14 listed below plus tpch_q1/q3/q5, json_extract, window_ewma,
+# cohort_retention, multimodal_features, gap_antijoin, agg_percentiles —
+# all untouched since their green r3 rows) are r6's natural rotation
+# head and stay covered every round by the local oracle harness
+# (tools/check_oracles.py, 116/116) and pytest:
 # sample_reservoir, quality_quantile_filter, decontaminate, window_trend,
 # pair_correlation, agg_vwap, sessionize, rollup_volume, window_bollinger,
 # window_drawdown, window_rsi, agg_cube, unpivot_ohlcv,
@@ -3570,7 +3608,7 @@ _DRIVER_ORDER = [
     "topk_recall_ivf",
     "topk_recall_pq",
     "topk_recall_opq",
-    # -- newest driver row is r3 (19 of 41 remaining; the 22 overflow
+    # -- newest driver row is r3 (18 of 41 remaining; the 23 overflow
     #    queries listed in the header comment are r6's rotation head) --
     "flagship_ohlcv_sma",
     "resample_ohlcv",
@@ -3584,7 +3622,6 @@ _DRIVER_ORDER = [
     "topk_similarity_lsh",
     "agg_sketches",
     "agg_ndv",
-    "agg_percentiles",
     "corpus_curation",
     "dedup_ngram_jaccard",
     "asof_align_by",
@@ -3603,6 +3640,7 @@ _DRIVER_ORDER = [
     "window_cci",
     "window_donchian",
     "window_roc",
+    "shard_manifest",
 ]
 
 _missing = [n for n in _DRIVER_ORDER if n not in QUERIES]

@@ -216,3 +216,52 @@ def test_sample_mixture_hits_target_composition(spark, sf_dir):
     with pytest.raises(ValueError, match="integer"):
         sample_mixture(docs, {"src0": 0.5})  # float parts would reintroduce
         # the ppm-floor rounding that shaved the binding source
+
+
+def test_shard_export_round_trip_deterministic(spark, tmp_path):
+    from binance_data_framework_spark.operators.curation import (
+        export_shards,
+        shard_assign,
+        shard_manifest,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} text body") for i in range(200)], "doc_id long, text string"
+    )
+    path = str(tmp_path / "shards")
+    export_shards(docs, path, n_shards=4)
+    back = spark.read.parquet(path)
+    # every doc present exactly once, shard column recovered from the layout
+    assert back.count() == 200
+    assert set(back.columns) == {"doc_id", "text", "shard"}
+    # layout matches the narrow assignment exactly
+    expect = {
+        (r["doc_id"], r["shard"])
+        for r in shard_assign(docs, 4).select("doc_id", "shard").collect()
+    }
+    got = {(r["doc_id"], int(r["shard"])) for r in back.select("doc_id", "shard").collect()}
+    assert got == expect
+    # one data file per shard directory (deterministic single write task)
+    import glob
+    import os
+
+    for d in sorted(glob.glob(os.path.join(path, "shard=*"))):
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+    # manifest totals agree with the written shards
+    m = {r["shard"]: r["n_docs"] for r in shard_manifest(docs, 4).collect()}
+    sizes = {
+        int(r["shard"]): r["n"]
+        for r in back.groupBy("shard").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert m == sizes
+
+
+def test_shard_assign_rejects_bad_n(spark):
+    import pytest
+
+    from binance_data_framework_spark.operators.curation import shard_assign
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        shard_assign(docs, 0)
