@@ -269,6 +269,30 @@ def repetition_stats(
     )
 
 
+def _doc_term_tf(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    terms: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Shared (doc, dl, term) -> tf building block for the retrieval ops
+    (tfidf / bm25 / unigram_logprob): explode tokens, optionally filter to
+    a query-term set BEFORE the shuffle (only matching occurrences ever
+    shuffle), then one (doc, dl, term)-keyed count. dl (doc length in
+    tokens) rides the key — it is functionally dependent on the doc id,
+    so it adds no groups. One definition keeps the three ops' tokenization
+    and null handling in lockstep with each other and their oracles."""
+    toks = tokens_col(text_col)
+    hits = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("dl"),
+        F.explode(toks).alias("term"),
+    )
+    if terms is not None:
+        hits = hits.where(F.col("term").isin(*terms))
+    return hits.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
 def tfidf_top_terms(
     df: DataFrame,
     text_col: str = "text",
@@ -288,11 +312,7 @@ def tfidf_top_terms(
     the ROUNDED score so the ordering is reproducible across engines."""
     from pyspark.sql import Window
 
-    tf = (
-        df.select(F.col(id_col), F.explode(tokens_col(text_col)).alias("term"))
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = _doc_term_tf(df, text_col, id_col)
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -336,15 +356,7 @@ def bm25_search(
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
     toks = tokens_col(text_col)
-    hits = (
-        df.select(
-            F.col(id_col), F.size(toks).cast("long").alias("dl"),
-            F.explode(toks).alias("term"),
-        )
-        .where(F.col("term").isin(*query_terms))
-        .groupBy(id_col, "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    hits = _doc_term_tf(df, text_col, id_col, terms=tuple(query_terms))
     df_t = hits.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     stats = df.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -383,15 +395,7 @@ def unigram_logprob(
     is small) — and the total-token count is a 1-row broadcast cross join;
     the corpus is scanned, never collected."""
     toks = tokens_col(text_col)
-    tf = (
-        df.select(
-            F.col(id_col),
-            F.size(toks).cast("long").alias("dl"),
-            F.explode(toks).alias("term"),
-        )
-        .groupBy(id_col, "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
+    tf = _doc_term_tf(df, text_col, id_col)
     freqs = tf.groupBy("term").agg(F.sum("tf").alias("freq"))
     total = df.agg(F.sum(F.size(toks)).cast("double").alias("total_tokens"))
     return (

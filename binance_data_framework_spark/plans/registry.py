@@ -3457,21 +3457,26 @@ def q_window_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.collect_list("tp").over(w).alias("tps"),
         F.count(F.lit(1)).over(w).alias("cnt"),
     )
-    md = (
+    # stage md in its own projection: the HOF fold is excluded from codegen
+    # subexpression elimination, so inlining it in both the md>0 guard and
+    # the CCI value would fold the 20-element list TWICE per row (the same
+    # pitfall repetition_stats documents; the oracle's dev CTE mirrors this)
+    dev = m.withColumn(
+        "_md",
         F.aggregate(
             F.col("tps"),
             F.lit(0.0),
             lambda acc, x: acc + F.abs(x - F.col("ma")),
         )
-        / F.size("tps")
+        / F.size("tps"),
     )
-    return m.select(
+    return dev.select(
         "symbol",
         "bucket",
         F.round(
             F.when(
-                (F.col("cnt") >= 20) & (md > 0),
-                (F.col("tp") - F.col("ma")) / (0.015 * md),
+                (F.col("cnt") >= 20) & (F.col("_md") > 0),
+                (F.col("tp") - F.col("ma")) / (0.015 * F.col("_md")),
             ),
             6,
         ).alias("cci"),

@@ -9,7 +9,6 @@ from __future__ import annotations
 import math
 
 import pytest
-from pyspark.sql import functions as F
 
 from binance_data_framework_spark.operators import text as TX
 
