@@ -3535,6 +3535,55 @@ def q_window_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "window_median",
+    f"""
+    WITH bars AS ({_BARS_1H_SQL})
+    SELECT symbol, bucket,
+           round(median(close) OVER w, 6) AS med20,
+           round(close - median(close) OVER w, 6) AS dev
+    FROM bars
+    WINDOW w AS (PARTITION BY symbol ORDER BY bucket
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_window_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 20-bar median (and deviation from it) per series — the
+    robust-statistics window Spark has no builtin for (percentile_approx
+    is an estimate; a median must be exact to oracle-match). Computed as
+    collect_list over the keyed ROWS frame, then a STAGED sort+pick
+    projection: odd count -> middle element, even -> mean of the two
+    middles (DuckDB's interpolating median does the same). element_at's
+    O(n) walk is fine here — 3 accesses into a 20-element array, unlike
+    the per-element quadratic blowup repetition_stats documents."""
+    bars = _bars_1h(spark, sf_dir)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("bucket")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    m = bars.select(
+        "symbol",
+        "bucket",
+        "close",
+        F.array_sort(F.collect_list("close").over(w)).alias("_s"),
+    )
+    n = F.size("_s")
+    half = (n / 2).cast("int")
+    med = F.when(
+        n % 2 == 1, F.element_at("_s", half + 1)
+    ).otherwise(
+        (F.element_at("_s", half) + F.element_at("_s", half + 1)) / 2.0
+    )
+    staged = m.withColumn("_med", med)
+    return staged.select(
+        "symbol",
+        "bucket",
+        F.round("_med", 6).alias("med20"),
+        F.round(F.col("close") - F.col("_med"), 6).alias("dev"),
+    )
+
+
+@register(
     "window_roc",
     f"""
     WITH bars AS ({_BARS_1H_SQL})
@@ -3570,16 +3619,17 @@ def q_window_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # evidence rotation (VERDICT r4 item 6). Window arithmetic (the cut at 50
 # is exact): the 9 queries whose newest row was r2 (2 rounds stale — the
 # rotation head) + the 12 queries whose behavior or plan changed in r5
-# (they have green r3/r4 rows, but those predate the change) + the 11
+# (they have green r3/r4 rows, but those predate the change) + the 12
 # operators NEW in r5 (chunk_documents, sample_mixture, text_pii_redact,
 # text_repetition, tfidf_top_terms, bm25_search, text_unigram_logprob,
-# window_cci, window_donchian, window_roc, shard_manifest) + 18 of the
-# 41 remaining r3-newest queries = 50. The 23 r3 overflow queries (the
-# 14 listed below plus tpch_q1/q3/q5, json_extract, window_ewma,
-# cohort_retention, multimodal_features, gap_antijoin, agg_percentiles —
-# all untouched since their green r3 rows) are r6's natural rotation
-# head and stay covered every round by the local oracle harness
-# (tools/check_oracles.py, 116/116) and pytest:
+# window_cci, window_donchian, window_roc, window_median,
+# shard_manifest) + 17 of the 41 remaining r3-newest queries = 50. The
+# 24 r3 overflow queries (the 14 listed below plus tpch_q1/q3/q5,
+# json_extract, window_ewma, cohort_retention, multimodal_features,
+# gap_antijoin, agg_percentiles, dedup_ngram_jaccard — all untouched
+# since their green r3 rows) are r6's natural rotation head and stay
+# covered every round by the local oracle harness
+# (tools/check_oracles.py, 117/117) and pytest:
 # sample_reservoir, quality_quantile_filter, decontaminate, window_trend,
 # pair_correlation, agg_vwap, sessionize, rollup_volume, window_bollinger,
 # window_drawdown, window_rsi, agg_cube, unpivot_ohlcv,
@@ -3613,7 +3663,7 @@ _DRIVER_ORDER = [
     "topk_recall_ivf",
     "topk_recall_pq",
     "topk_recall_opq",
-    # -- newest driver row is r3 (18 of 41 remaining; the 23 overflow
+    # -- newest driver row is r3 (17 of 41 remaining; the 24 overflow
     #    queries listed in the header comment are r6's rotation head) --
     "flagship_ohlcv_sma",
     "resample_ohlcv",
@@ -3628,7 +3678,6 @@ _DRIVER_ORDER = [
     "agg_sketches",
     "agg_ndv",
     "corpus_curation",
-    "dedup_ngram_jaccard",
     "asof_align_by",
     "topk_skew_salted",
     "pack_sequences",
@@ -3645,6 +3694,7 @@ _DRIVER_ORDER = [
     "window_cci",
     "window_donchian",
     "window_roc",
+    "window_median",
     "shard_manifest",
 ]
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from binance_data_framework_spark.operators import text as TX
 
@@ -114,3 +115,59 @@ def test_repetition_plan_is_narrow(spark):
     df = _docs(spark, [(1, "a b a b")])
     plan = TX.repetition_stats(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# --- property-based equivalence vs a pure-Python reference ---------------
+
+from collections import Counter  # noqa: E402
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_corpus = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=12),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _ref_repetition(tokens: list[str]) -> tuple[int, float, float]:
+    bigrams = [f"{a} {b}" for a, b in zip(tokens, tokens[1:])]
+    nb = len(bigrams)
+    if nb == 0:
+        return 0, 0.0, 0.0
+    counts = Counter(bigrams)
+    top = max(counts.values())
+    dup = sum(c for c in counts.values() if c > 1)
+    return nb, round(top / nb, 6), round(dup / nb, 6)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_corpus)
+def test_repetition_matches_counter_reference(spark, corpus):
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(corpus)]
+    df = _docs(spark, rows)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["top_bigram_frac"], r["dup_bigram_frac"])
+        for r in TX.repetition_stats(df).collect()
+    }
+    for i, toks in enumerate(corpus):
+        assert got[i] == _ref_repetition(toks), (i, toks)
+
+
+def test_pii_redact_is_idempotent(spark, sf_dir):
+    # placeholders contain no digits/@ -> a second pass must be a no-op
+    from binance_data_framework_spark.sources.fixtures import load_table
+
+    ev = load_table(spark, sf_dir, "events").limit(500).select(
+        "event_id", "props"
+    )
+    once = TX.pii_redact(ev, text_col="props", id_col="event_id")
+    twice = TX.pii_redact(
+        once.select("event_id", "redacted"), text_col="redacted", id_col="event_id"
+    )
+    joined = once.alias("a").join(twice.alias("b"), "event_id")
+    diverged = joined.where(
+        (F.col("a.redacted") != F.col("b.redacted")) | (F.col("b.n_redacted") != 0)
+    ).count()
+    assert diverged == 0
