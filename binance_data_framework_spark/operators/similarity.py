@@ -687,3 +687,78 @@ def topk_cosine_ivfpq(
         .where(F.col("rank") <= k)
         .select("probe_id", id_col, "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# all-pairs k-NN self-join (the corpus-vs-itself companion to topk_cosine_*)
+# ---------------------------------------------------------------------------
+
+
+def knn_self_lsh(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate all-pairs k-NN: every vector gets its k nearest
+    neighbors (cosine) — the self-join form used for embedding-cluster
+    dedup and graph building, where `topk_cosine_*`'s probe-vs-corpus
+    shape doesn't apply (there is no small probe side to broadcast).
+
+    Scale shape: candidate generation is an EQUI-JOIN of the (table,
+    bucket) explosion against itself — no broadcast anywhere, so both
+    sides stream at corpus scale. Pair dedup (a pair can collide in
+    several tables) happens on BARE id pairs before any vector moves;
+    vectors join back id-keyed from the checkpointed bucketed base, the
+    Arrow-batched dot scores each surviving pair once, and the final
+    top-k is a keyed window per source id. Reducer fan-in per bucket is
+    bounded by 2^-n_planes of a table, same as topk_cosine_lsh; skewed
+    natural clusters are the LSH-tuning concern (raise n_planes), not a
+    join-plan concern."""
+    planes_all = [_planes(dim, n_planes, seed=42 + 1000 * t) for t in range(n_tables)]
+    buckets = _lsh_buckets_udf(planes_all)
+    base = (
+        with_norm(df, vec_col)
+        .withColumn("_tb", buckets(F.col("_v")))
+        .localCheckpoint(eager=False)
+    )
+    exploded = base.select(id_col, F.posexplode("_tb").alias("_t", "_b"))
+    left = exploded.select(F.col(id_col).alias("id_a"), "_t", "_b")
+    right = exploded.select(F.col(id_col).alias("id_b"), "_t", "_b")
+    pairs = (
+        left.join(right, ["_t", "_b"])
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.col("_norm").alias("_na"),
+    )
+    vb = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_norm").alias("_nb"),
+    )
+    dot2 = _pair_dot_udf()
+    scored = (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (dot2(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.col("id_b"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("id_a", "id_b", "cosine", "rank")
+    )

@@ -371,3 +371,25 @@ def test_minhash_candidates_asserts_signature_width(spark, sf_dir):
     )
     with pytest.raises(Exception, match="signature width"):
         D.minhash_candidates(sigs, num_bands=8, num_hashes=32).collect()
+
+
+def test_knn_self_join_invariants(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(200)
+    out = S.knn_self_lsh(emb, k=3, n_planes=3, n_tables=8).collect()
+    by_src: dict = {}
+    for r in out:
+        assert r["id_a"] != r["id_b"]  # never its own neighbor
+        assert -1.0 - 1e-9 <= r["cosine"] <= 1.0 + 1e-9
+        by_src.setdefault(r["id_a"], []).append((r["rank"], r["cosine"], r["id_b"]))
+    for src, rows in by_src.items():
+        rows.sort()
+        assert len(rows) <= 3
+        ranks = [r[0] for r in rows]
+        assert ranks == list(range(1, len(rows) + 1))  # dense ranks from 1
+        cos = [r[1] for r in rows]
+        assert cos == sorted(cos, reverse=True)  # ordered by similarity
+    # each pair appears at most once per direction
+    assert len({(r["id_a"], r["id_b"]) for r in out}) == len(out)
+    # deterministic: seeded planes -> identical rerun
+    again = S.knn_self_lsh(emb, k=3, n_planes=3, n_tables=8).collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in out}
