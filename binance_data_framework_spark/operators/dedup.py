@@ -445,3 +445,43 @@ def cluster_min_label(
         labels.select(F.col("src").alias(id_col), F.col("label").alias("cluster_id"))
         .unionByName(singletons)
     )
+
+
+def fuzzy_edit_pairs(
+    df: DataFrame,
+    name_col: str,
+    block_expr: Column,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Blocked edit-distance near-duplicate pairs over a DICTIONARY of
+    distinct strings (record-linkage style, complementing the token-set
+    methods above: minhash/simhash miss single-character typos, levenshtein
+    catches them).
+
+    Scale shape: dedupe the dictionary, not the rows — `distinct` first
+    bounds the self-join input by the vocabulary size (entity names / brands
+    / hosts are heavy-tailed: billions of rows, thousands of distinct
+    strings), then the block key (caller-chosen, e.g. last token or
+    length+prefix band) bounds candidate pairs to O(sum block^2) over
+    vocabulary-sized blocks. levenshtein() is JVM codegen, evaluated only
+    on blocked candidates. Blocking recall is a documented property of the
+    chosen block key (a typo in the block token moves the string to another
+    block), exactly as in standard record linkage.
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    names = (
+        df.select(F.col(name_col).alias("name"))
+        .where(F.col("name").isNotNull())
+        .distinct()
+        .withColumn("blk", block_expr)
+    )
+    a = names.select(F.col("name").alias("name_a"), F.col("blk"))
+    b = names.select(F.col("name").alias("name_b"), F.col("blk"))
+    return (
+        a.join(b, on="blk")
+        .where(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= max_dist)
+        .select("name_a", "name_b", "dist")
+    )

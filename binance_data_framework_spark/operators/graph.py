@@ -1,0 +1,72 @@
+"""Iterative graph analytics over DataFrame edge lists.
+
+PageRank complements the label-propagation connected components in
+operators/dedup.py (dedup_clusters): components answer "which docs are the
+same", PageRank answers "which node is central" — used to pick cluster
+representatives (keep the most-linked duplicate) and to weight crawl/corpus
+sources by link authority.
+
+Scale shape (100 TB): each iteration is ONE shuffle — contributions are
+`edges ⋈ ranks` on the source key (ranks is node-sized, edges edge-sized;
+Catalyst/AQE broadcasts ranks when it fits, else both sides hash-partition
+on the node id and successive iterations REUSE that partitioning), then a
+hash-agg on the destination key. The iteration count is fixed and small
+(power iteration converges geometrically at rate ~damping), so the plan is
+a bounded unrolled join chain — no driver-side loop state, no collect; the
+only scalar (node count N) stays in-plan via a broadcast cross join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def symmetrize(pairs: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Undirected pair list (a, b) -> directed edge list with both arcs."""
+    fwd = pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    rev = pairs.select(F.col(dst).alias("src"), F.col(src).alias("dst"))
+    return fwd.unionByName(rev)
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration power-method PageRank over a directed edge list
+    (columns src, dst). Returns (node, pagerank) for every node with an
+    outgoing edge; rank is NOT rounded — callers round for display/oracle.
+
+    Every node is assumed to have out-degree >= 1 (true for symmetrized
+    near-dup graphs); dangling-mass redistribution is therefore not needed.
+    r_{t+1}(v) = (1-d)/N + d * sum_{u->v} r_t(u) / outdeg(u).
+    """
+    if n_iter < 1:
+        raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n"))
+    # out-degree + node count carried on one node-sized frame; N rides along
+    # as a broadcast scalar so the whole computation stays one lazy plan.
+    deg_n = deg.crossJoin(broadcast(n_nodes))
+    ranks = deg_n.select(
+        F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("rank")
+    )
+    for _ in range(n_iter):
+        contribs = (
+            edges.join(deg_n, "src")
+            .join(ranks, edges["src"] == ranks["node"])
+            .groupBy("dst")
+            .agg(
+                F.sum(F.col("rank") / F.col("deg")).alias("contrib"),
+                F.first("n").alias("n"),
+            )
+        )
+        ranks = contribs.select(
+            F.col("dst").alias("node"),
+            (
+                (1.0 - damping) / F.col("n") + damping * F.col("contrib")
+            ).alias("rank"),
+        )
+    return ranks

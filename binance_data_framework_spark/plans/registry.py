@@ -30,6 +30,7 @@ from pyspark.sql.functions import broadcast
 from binance_data_framework_spark.functions.timeframes import TIMEFRAME_MS, timeframe_dim
 from binance_data_framework_spark.operators import curation as CU
 from binance_data_framework_spark.operators import dedup as D
+from binance_data_framework_spark.operators import graph as G
 from binance_data_framework_spark.operators import multimodal as MM
 from binance_data_framework_spark.operators import similarity as S
 from binance_data_framework_spark.operators import text as TX
@@ -685,6 +686,176 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
+    )
+
+
+@register(
+    "tpch_q10",
+    """
+    SELECT c_custkey, c_name, revenue, n_name, round(c_acctbal, 2) AS c_acctbal
+    FROM (
+      SELECT c_custkey, c_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             n_name, c_acctbal
+      FROM customer JOIN orders ON c_custkey = o_custkey
+                    JOIN lineitem ON l_orderkey = o_orderkey
+                    JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= DATE '1996-10-01' AND o_orderdate < DATE '1997-01-01'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, n_name, c_acctbal)
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 returned-item report: one-quarter order window joined to
+    R-flagged lineitems, grouped per customer, top-20. Plan shape: nation
+    broadcasts, orders' date filter prunes before the l_orderkey shuffle
+    join, and the final top-20 is TakeOrderedAndProject on the ROUNDED
+    revenue (cross-engine tie order pinned by the unique c_custkey)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .join(broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            "n_name",
+            F.round("c_acctbal", 2).alias("c_acctbal"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q14",
+    """
+    SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue,
+           count(*) AS n_rows
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1997-01-01' AND l_shipdate < DATE '1997-03-01'
+    """,
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 promo-revenue share: a 2-month shipdate window joined to
+    part on the part key, folded to ONE conditional-sum ratio row. Both
+    sums share one hash-agg pass (map-side partials reduce the shuffle to
+    2 doubles/partition); the p_type CASE stays in codegen."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-03-01").cast("date"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
+                / F.sum(disc),
+                4,
+            ).alias("promo_revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "tpch_q18",
+    """
+    SELECT c_custkey, o_orderkey, o_orderdate,
+           round(o_totalprice, 2) AS o_totalprice,
+           round(big.sum_qty, 6) AS sum_qty
+    FROM orders
+      JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+            FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300) big
+        ON o_orderkey = big.l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_orderkey
+    """,
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: the HAVING subquery aggregates
+    lineitem FIRST (the only big shuffle, on l_orderkey), shrinking the
+    spine to the >300-quantity orders before either join — the surviving
+    key set is tiny, so AQE converts both follow-up joins to broadcasts at
+    runtime. Ordered by the unique order key for cross-engine stability."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
+        .join(cust, cust["c_custkey"] == orders["o_custkey"])
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("sum_qty", 6).alias("sum_qty"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "tpch_q19",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_rows
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#9' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 discounted revenue: the classic OR-of-ANDs predicate.
+    Catalyst's CNF conversion extracts the single-side implications —
+    part gets `p_brand IN (...) AND p_size <= 35` and lineitem gets
+    `l_quantity BETWEEN 1 AND 30` pushed to their scans — so only
+    disjunct-eligible rows reach the join; the full mixed predicate then
+    runs post-join in codegen."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = li.join(part, part["p_partkey"] == li["l_partkey"])
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#13") & F.col("p_size").between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#20") & F.col("p_size").between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#9") & F.col("p_size").between(1, 35) & q.between(20, 30))
+    )
+    return j.where(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
     )
 
 
@@ -3661,6 +3832,152 @@ def q_window_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ===========================================================================
+# r5 additions: robust anomaly detection, record-linkage fuzzy dedup,
+# PageRank centrality over the near-dup graph
+# ===========================================================================
+
+
+@register(
+    "anomaly_mad",
+    """
+    WITH med AS (SELECT event_type, median(value) AS med FROM events GROUP BY 1),
+    dev AS (SELECT e.event_id, e.event_type, e.value, m.med
+            FROM events e JOIN med m USING (event_type)),
+    mad AS (SELECT event_type, median(abs(value - med)) AS mad FROM dev GROUP BY 1)
+    SELECT event_id, d.event_type, value,
+           round(0.6745 * (value - med) / mad, 6) AS zscore
+    FROM dev d JOIN mad USING (event_type)
+    WHERE abs(0.6745 * (value - med) / mad) > 3.5
+    """,
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection (median/MAD modified z-score, the standard
+    pre-training metric-cleaning gate — mean/stddev z-scores are themselves
+    dragged by the outliers they should flag). Two grouped EXACT percentiles
+    over the metric (med, then MAD of deviations) — each a single hash-agg
+    shuffle on the low-cardinality group key — then the per-row score is a
+    broadcast join + codegen filter; no window, no sort, corpus scanned
+    twice but shuffled only as (group, percentile-state) partials."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.select("event_id", "event_type", "value").join(
+        broadcast(med), "event_type"
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad")
+    )
+    z = 0.6745 * (F.col("value") - F.col("med")) / F.col("mad")
+    return (
+        dev.join(broadcast(mad), "event_type")
+        .where(F.abs(z) > 3.5)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(z, 6).alias("zscore"),
+        )
+    )
+
+
+@register(
+    "dedup_fuzzy_edit",
+    """
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part WHERE p_name IS NOT NULL),
+    blocked AS (SELECT name, string_split(name, ' ')[-1] AS blk FROM names)
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+    FROM blocked a JOIN blocked b ON a.blk = b.blk AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 2
+    """,
+)
+def q_dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance near-dup pairs over the part-name DICTIONARY
+    (record-linkage: typo-class duplicates that token-set minhash/simhash
+    cannot see). distinct-first bounds the self-join by vocabulary size,
+    the last-token block bounds candidates to per-block pairs; levenshtein
+    runs in codegen on blocked candidates only (operators/dedup.py
+    fuzzy_edit_pairs)."""
+    part = load_table(spark, sf_dir, "part")
+    pairs = D.fuzzy_edit_pairs(
+        part,
+        "p_name",
+        block_expr=F.element_at(F.split(F.col("name"), " "), -1),
+        max_dist=2,
+    )
+    return pairs.select(
+        "name_a", "name_b", F.col("dist").cast("bigint").alias("dist")
+    )
+
+
+_PAGERANK_PAIRS_SQL = """
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      FROM embeddings),
+    p AS (SELECT vec_id AS id_a, emb AS p_emb, nrm AS p_nrm FROM e WHERE vec_id < 200),
+    pairs AS (
+      SELECT id_a, vec_id AS id_b
+      FROM p, e
+      WHERE vec_id > id_a
+        AND list_sum(list_transform(list_zip(p_emb, emb), s -> s[1] * s[2]))
+            / (p_nrm * nrm) >= 0.35),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b AS src, id_a AS dst FROM pairs),
+    deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+    r0 AS (SELECT d.src AS node, 1.0 / (SELECT n FROM nn) AS rank FROM deg d)
+"""
+
+
+@register(
+    "graph_pagerank",
+    _PAGERANK_PAIRS_SQL
+    + """,
+    r1 AS (SELECT e.dst AS node,
+                  (1.0 - 0.85) / (SELECT n FROM nn)
+                  + 0.85 * sum(r.rank / d.deg) AS rank
+           FROM edges e JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src
+           GROUP BY e.dst),
+    r2 AS (SELECT e.dst AS node,
+                  (1.0 - 0.85) / (SELECT n FROM nn)
+                  + 0.85 * sum(r.rank / d.deg) AS rank
+           FROM edges e JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src
+           GROUP BY e.dst),
+    r3 AS (SELECT e.dst AS node,
+                  (1.0 - 0.85) / (SELECT n FROM nn)
+                  + 0.85 * sum(r.rank / d.deg) AS rank
+           FROM edges e JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src
+           GROUP BY e.dst)
+    SELECT node, round(rank, 6) AS pagerank FROM r3
+    """,
+)
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the embedding near-dup graph (3 power
+    iterations, damping 0.85): ranks duplicate-cluster members so curation
+    keeps the most-connected representative. Edge list = the exact
+    embed_near_dup pairs symmetrized; each iteration is one src-keyed join
+    + one dst-keyed hash agg (operators/graph.py pagerank — N stays
+    in-plan as a broadcast scalar, no collect, bounded unrolled chain)."""
+    base = S.with_norm(load_table(spark, sf_dir, "embeddings"))
+    probes = base.where(F.col("vec_id") < 200).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("_v").alias("_pv"),
+        F.col("_norm").alias("_pn"),
+    )
+    cand = base.join(broadcast(probes), F.col("vec_id") > F.col("id_a"))
+    cos = S._dot(F.col("_pv"), F.col("_v")) / (F.col("_pn") * F.col("_norm"))
+    pairs = cand.where(cos >= 0.35).select(
+        F.col("id_a").alias("src"), F.col("vec_id").alias("dst")
+    )
+    edges = G.symmetrize(pairs)
+    ranks = G.pagerank(edges, n_iter=3, damping=0.85)
+    return ranks.select("node", F.round("rank", 6).alias("pagerank"))
+
+
 # ---------------------------------------------------------------------------
 # driver presentation order
 # ---------------------------------------------------------------------------
@@ -3670,22 +3987,24 @@ def q_window_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # evidence rotation (VERDICT r4 item 6). Window arithmetic (the cut at 50
 # is exact): the 9 queries whose newest row was r2 (2 rounds stale — the
 # rotation head) + the 12 queries whose behavior or plan changed in r5
-# (they have green r3/r4 rows, but those predate the change) + the 14
+# (they have green r3/r4 rows, but those predate the change) + the 21
 # operators NEW in r5 (chunk_documents, sample_mixture, text_pii_redact,
 # text_repetition, tfidf_top_terms, bm25_search, text_unigram_logprob,
 # window_cci, window_donchian, window_roc, window_median,
-# shard_manifest, knn_join_lsh, knn_recall_self) + 15 of the 41
-# remaining r3-newest queries = 50. The 26 r3 overflow queries (the 14
-# listed below plus tpch_q1/q3/q5, json_extract, window_ewma,
-# cohort_retention, multimodal_features, gap_antijoin, agg_percentiles,
-# dedup_ngram_jaccard, corpus_curation, asof_align_by — all untouched
-# since their green r3 rows) are r6's natural rotation head and stay
-# covered every round by the local oracle harness
-# (tools/check_oracles.py, 119/119) and pytest:
+# shard_manifest, knn_join_lsh, knn_recall_self, tpch_q10, tpch_q14,
+# tpch_q18, tpch_q19, anomaly_mad, dedup_fuzzy_edit, graph_pagerank)
+# + 8 of the 41 remaining r3-newest queries = 50. The 33 r3 overflow
+# queries (the 21 listed below plus tpch_q1/q3/q5, json_extract,
+# window_ewma, cohort_retention, multimodal_features, gap_antijoin,
+# agg_percentiles, dedup_ngram_jaccard, corpus_curation, asof_align_by —
+# all untouched since their green r3 rows) are r6's natural rotation head
+# and stay covered every round by the local oracle harness
+# (tools/check_oracles.py, 126/126) and pytest:
 # sample_reservoir, quality_quantile_filter, decontaminate, window_trend,
 # pair_correlation, agg_vwap, sessionize, rollup_volume, window_bollinger,
 # window_drawdown, window_rsi, agg_cube, unpivot_ohlcv,
-# chart_downsample_m4.
+# chart_downsample_m4, resample_ohlcv_1w, resample_ohlcv_1M, agg_ndv,
+# topk_skew_salted, pack_sequences, sample_stratified, agg_sketches.
 _DRIVER_ORDER = [
     # -- newest driver row was r2 (2 rounds old): the r5 rotation's head --
     "text_stats",
@@ -3715,25 +4034,18 @@ _DRIVER_ORDER = [
     "topk_recall_ivf",
     "topk_recall_pq",
     "topk_recall_opq",
-    # -- newest driver row is r3 (15 of 41 remaining; the 26 overflow
+    # -- newest driver row is r3 (8 of 41 remaining; the 33 overflow
     #    queries listed in the header comment are r6's rotation head) --
     "flagship_ohlcv_sma",
     "resample_ohlcv",
-    "resample_ohlcv_1w",
-    "resample_ohlcv_1M",
     "window_sma",
     "dedup_simhash",
     "embed_near_dup",
     "pretraining_pipeline",
     "topk_similarity",
     "topk_similarity_lsh",
-    "agg_sketches",
-    "agg_ndv",
-    "topk_skew_salted",
-    "pack_sequences",
-    "sample_stratified",
     # -- new in r5 (chunking, mixture sampling, corpus hygiene, retrieval,
-    #    channel indicators) --
+    #    channel indicators, TPC-H breadth, anomaly/linkage/centrality) --
     "chunk_documents",
     "sample_mixture",
     "text_pii_redact",
@@ -3748,6 +4060,13 @@ _DRIVER_ORDER = [
     "shard_manifest",
     "knn_join_lsh",
     "knn_recall_self",
+    "tpch_q10",
+    "tpch_q14",
+    "tpch_q18",
+    "tpch_q19",
+    "anomaly_mad",
+    "dedup_fuzzy_edit",
+    "graph_pagerank",
 ]
 
 _missing = [n for n in _DRIVER_ORDER if n not in QUERIES]

@@ -393,3 +393,58 @@ def test_knn_self_join_invariants(spark, sf_dir):
     # deterministic: seeded planes -> identical rerun
     again = S.knn_self_lsh(emb, k=3, n_planes=3, n_tables=8).collect()
     assert {tuple(r) for r in again} == {tuple(r) for r in out}
+
+
+def test_pagerank_sums_to_one_and_ranks_hub_highest(spark):
+    from binance_data_framework_spark.operators import graph as G
+
+    # star graph: node 0 linked to 1..5 (undirected)
+    pairs = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src bigint, dst bigint"
+    )
+    ranks = G.pagerank(G.symmetrize(pairs), n_iter=5).collect()
+    total = sum(r["rank"] for r in ranks)
+    assert abs(total - 1.0) < 1e-9  # rank mass conserved (no dangling nodes)
+    by_node = {r["node"]: r["rank"] for r in ranks}
+    assert len(by_node) == 6 and all(v > 0 for v in by_node.values())
+    # the hub dominates every leaf, and leaves tie exactly by symmetry
+    assert by_node[0] > max(v for k, v in by_node.items() if k != 0)
+    leaf_ranks = {round(v, 12) for k, v in by_node.items() if k != 0}
+    assert len(leaf_ranks) == 1
+
+
+def test_pagerank_rejects_zero_iterations(spark):
+    import pytest
+
+    from binance_data_framework_spark.operators import graph as G
+
+    pairs = spark.createDataFrame([(0, 1)], "src bigint, dst bigint")
+    with pytest.raises(ValueError):
+        G.pagerank(G.symmetrize(pairs), n_iter=0)
+
+
+def test_fuzzy_edit_pairs_blocking_semantics(spark):
+    df = spark.createDataFrame(
+        [("cold bolt",), ("old bolt",), ("cold belt",), ("cold bolt",), (None,)],
+        "p_name string",
+    )
+    pairs = D.fuzzy_edit_pairs(
+        df,
+        "p_name",
+        block_expr=F.element_at(F.split(F.col("name"), " "), -1),
+        max_dist=2,
+    ).collect()
+    found = {(p["name_a"], p["name_b"]): p["dist"] for p in pairs}
+    # within-block typo pair found (dict dedup: the repeated name collapses)
+    assert found == {("cold bolt", "old bolt"): 1}
+    # 'cold belt' is 1 edit from 'cold bolt' but in another BLOCK — the
+    # documented recall property of last-token blocking
+    assert ("cold belt", "cold bolt") not in found
+
+
+def test_fuzzy_edit_pairs_rejects_negative_dist(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a b",)], "p_name string")
+    with pytest.raises(ValueError):
+        D.fuzzy_edit_pairs(df, "p_name", block_expr=F.col("name"), max_dist=-1)
