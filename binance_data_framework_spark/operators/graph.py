@@ -45,11 +45,18 @@ def pagerank(
     """
     if n_iter < 1:
         raise ValueError(f"n_iter must be >= 1, got {n_iter}")
+    # Truncate lineage ONCE: the edge list may be expensive to derive (a
+    # near-dup candidate join), and it is referenced twice per iteration —
+    # without this every unrolled iteration re-expands the full upstream
+    # plan (observed: 8+ replayed candidate joins for 3 iterations).
+    edges = edges.localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n"))
     # out-degree + node count carried on one node-sized frame; N rides along
     # as a broadcast scalar so the whole computation stays one lazy plan.
-    deg_n = deg.crossJoin(broadcast(n_nodes))
+    # node-sized; checkpointed so each iteration reuses it instead of
+    # re-aggregating the edge list per reference
+    deg_n = deg.crossJoin(broadcast(n_nodes)).localCheckpoint(eager=False)
     ranks = deg_n.select(
         F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("rank")
     )

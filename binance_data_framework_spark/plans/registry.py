@@ -822,6 +822,43 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q13",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution: LEFT OUTER join with a
+    non-key residual predicate (the classic outer-join-correctness trap:
+    the filter must stay in the JOIN CONDITION — as a WHERE it would turn
+    the join inner and silently drop zero-order customers), then a
+    two-level aggregate whose second groupBy shrinks to the distinct count
+    values (#orders per customer ~ small int), so the final shuffle is
+    histogram-sized."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust["c_custkey"] == orders["o_custkey"])
+            & (orders["o_orderpriority"] != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@register(
     "tpch_q19",
     """
     SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
@@ -3912,6 +3949,74 @@ def q_dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_substring",
+    """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    g AS (SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS gram
+          FROM t, LATERAL unnest(generate_series(1, len(toks) - 7)) AS u(i)
+          WHERE len(toks) >= 8),
+    dupg AS (SELECT gram FROM g GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+    total AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM g GROUP BY 1),
+    dup AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans
+            FROM g JOIN dupg USING (gram) GROUP BY 1)
+    SELECT t.doc_id, n_spans,
+           coalesce(n_dup_spans, 0) AS n_dup_spans,
+           round(CAST(coalesce(n_dup_spans, 0) AS DOUBLE) / n_spans, 6) AS dup_frac
+    FROM total t LEFT JOIN dup USING (doc_id)
+    """,
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup signal (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): per document, the
+    fraction of its 8-token spans that also occur in ANOTHER document —
+    the curation gate for cross-doc boilerplate/licence-block repetition
+    that whole-doc minhash scores as unique. Suffix-array semantics
+    re-expressed Spark-first: sliding 8-grams via transform/slice (no
+    Python), ONE gram-keyed shuffle to find cross-doc spans (map-side
+    distinct partials), then the small duplicated-gram set broadcasts back
+    onto the span stream for the per-doc fraction — at 100 TB the gram
+    shuffle is the token stream once, and the dup-gram dictionary is
+    corpus-repetition-sized, not corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 7),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 8)),
+    )
+    spans = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size(toks) >= 8, grams).otherwise(F.array().cast("array<string>"))
+        ).alias("gram"),
+    )
+    dupg = (
+        spans.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    total = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    dup = (
+        spans.join(broadcast(dupg), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup_spans"))
+    )
+    return (
+        total.join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0).cast("bigint")).alias("n_dup_spans"),
+            F.round(
+                F.coalesce("n_dup_spans", F.lit(0).cast("bigint")).cast("double")
+                / F.col("n_spans"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
 _PAGERANK_PAIRS_SQL = """
     WITH e AS (
       SELECT vec_id, embedding::DOUBLE[] AS emb,
@@ -3987,14 +4092,14 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # evidence rotation (VERDICT r4 item 6). Window arithmetic (the cut at 50
 # is exact): the 9 queries whose newest row was r2 (2 rounds stale — the
 # rotation head) + the 12 queries whose behavior or plan changed in r5
-# (they have green r3/r4 rows, but those predate the change) + the 21
-# operators NEW in r5 (chunk_documents, sample_mixture, text_pii_redact,
+# (they have green r3/r4 rows, but those predate the change) + the 22
+# operators NEW in r5 (dedup_substring, chunk_documents, sample_mixture, text_pii_redact,
 # text_repetition, tfidf_top_terms, bm25_search, text_unigram_logprob,
 # window_cci, window_donchian, window_roc, window_median,
 # shard_manifest, knn_join_lsh, knn_recall_self, tpch_q10, tpch_q14,
 # tpch_q18, tpch_q19, anomaly_mad, dedup_fuzzy_edit, graph_pagerank)
-# + 8 of the 41 remaining r3-newest queries = 50. The 33 r3 overflow
-# queries (the 21 listed below plus tpch_q1/q3/q5, json_extract,
+# + 6 of the 41 remaining r3-newest queries = 50. The 35 r3 overflow
+# queries (the 23 listed below plus tpch_q1/q3/q5, json_extract,
 # window_ewma, cohort_retention, multimodal_features, gap_antijoin,
 # agg_percentiles, dedup_ngram_jaccard, corpus_curation, asof_align_by —
 # all untouched since their green r3 rows) are r6's natural rotation head
@@ -4004,7 +4109,8 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pair_correlation, agg_vwap, sessionize, rollup_volume, window_bollinger,
 # window_drawdown, window_rsi, agg_cube, unpivot_ohlcv,
 # chart_downsample_m4, resample_ohlcv_1w, resample_ohlcv_1M, agg_ndv,
-# topk_skew_salted, pack_sequences, sample_stratified, agg_sketches.
+# topk_skew_salted, pack_sequences, sample_stratified, agg_sketches,
+# topk_similarity, pretraining_pipeline.
 _DRIVER_ORDER = [
     # -- newest driver row was r2 (2 rounds old): the r5 rotation's head --
     "text_stats",
@@ -4034,15 +4140,13 @@ _DRIVER_ORDER = [
     "topk_recall_ivf",
     "topk_recall_pq",
     "topk_recall_opq",
-    # -- newest driver row is r3 (8 of 41 remaining; the 33 overflow
+    # -- newest driver row is r3 (6 of 41 remaining; the 35 overflow
     #    queries listed in the header comment are r6's rotation head) --
     "flagship_ohlcv_sma",
     "resample_ohlcv",
     "window_sma",
     "dedup_simhash",
     "embed_near_dup",
-    "pretraining_pipeline",
-    "topk_similarity",
     "topk_similarity_lsh",
     # -- new in r5 (chunking, mixture sampling, corpus hygiene, retrieval,
     #    channel indicators, TPC-H breadth, anomaly/linkage/centrality) --
@@ -4067,6 +4171,8 @@ _DRIVER_ORDER = [
     "anomaly_mad",
     "dedup_fuzzy_edit",
     "graph_pagerank",
+    "dedup_substring",
+    "tpch_q13",
 ]
 
 _missing = [n for n in _DRIVER_ORDER if n not in QUERIES]

@@ -164,3 +164,52 @@ def test_curation_plan_shapes(spark, sf_dir):
         assert n <= max_exchanges, f"{name}: {n} exchanges (budget {max_exchanges})"
     plan = _plan(spark, sf_dir, "decontaminate")
     assert "BroadcastHashJoin" in plan, "decontaminate lost the broadcast gram join"
+
+
+def test_tpch_q19_pushes_or_implications_to_both_scans(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q19")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any("p_brand" in p and "p_size" in p for p in pushed), (
+        "part scan missing the extracted brand/size OR-implication"
+    )
+    assert any("l_quantity" in p for p in pushed), (
+        "lineitem scan missing the extracted quantity OR-implication"
+    )
+
+
+def test_tpch_q13_outer_join_filter_on_nonpreserved_side_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q13")
+    assert "LeftOuter" in plan
+    # Catalyst pushes the non-key predicate into the ORDERS scan (legal for
+    # the non-preserved side: non-matching orders drop pre-join, customer
+    # rows survive as nulls). What must NOT happen is a post-join Filter on
+    # the orders column — that would turn the join inner and silently drop
+    # zero-order customers.
+    assert re.search(
+        r"PushedFilters: \[[^\]]*Not\(EqualTo\(o_orderpriority", plan
+    ), "orders-side predicate not pushed to its scan"
+    # the preserved (customer) side must NOT acquire any filter at all —
+    # its scan detail block (up to the next node) has no PushedFilters line
+    cust_block = plan[plan.find("customer.parquet") :]
+    cust_block = cust_block[: cust_block.find("\n(")]
+    assert "PushedFilters" not in cust_block
+
+
+def test_anomaly_mad_is_broadcast_scored_no_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "anomaly_mad")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan  # grouped percentiles, not a sorted window
+
+
+def test_dedup_substring_broadcasts_dup_gram_dictionary(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_substring")
+    assert "BroadcastHashJoin" in plan, "dup-gram set should broadcast back"
+    assert "PythonUDF" not in plan  # transform/slice/concat_ws stay in codegen
+
+
+def test_pagerank_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "graph_pagerank")
+    assert "CartesianProduct" not in plan
+    # the only nested-loop is the broadcast probe-pair generation
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
