@@ -40,6 +40,13 @@ HEAVY = [
     "tfidf_top_terms",
     "bm25_search",
     "text_unigram_logprob",
+    # late-r5 additions over the replicated tables: substring-span dedup
+    # (one gram shuffle — expected ~linear), PageRank (fixed probe set →
+    # candidate scan dominates, graph ~constant), MAD anomaly scoring
+    # (two grouped percentiles — expected ~linear)
+    "dedup_substring",
+    "graph_pagerank",
+    "anomaly_mad",
 ]
 
 
