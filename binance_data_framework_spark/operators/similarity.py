@@ -16,6 +16,8 @@ similarity literature). Two tiers:
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -694,14 +696,23 @@ def topk_cosine_ivfpq(
 # ---------------------------------------------------------------------------
 
 
+def auto_planes(n: int, target_bucket: int = 250) -> int:
+    """Plane count that keeps expected LSH bucket occupancy ~target_bucket
+    at corpus size n: ceil(log2(n / target_bucket)), clamped to [2, 16].
+    Candidate volume per table is ~n * n / 2^planes, so this is what makes
+    the all-pairs self-join ~linear in n instead of quadratic."""
+    return max(2, min(16, math.ceil(math.log2(max(n, 2) / target_bucket))))
+
+
 def knn_self_lsh(
     df: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 4,
+    n_planes: int | None = None,
     n_tables: int = 6,
     dim: int = 64,
+    target_bucket: int = 250,
 ) -> DataFrame:
     """Approximate all-pairs k-NN: every vector gets its k nearest
     neighbors (cosine) — the self-join form used for embedding-cluster
@@ -717,7 +728,22 @@ def knn_self_lsh(
     top-k is a keyed window per source id. Reducer fan-in per bucket is
     bounded by 2^-n_planes of a table, same as topk_cosine_lsh; skewed
     natural clusters are the LSH-tuning concern (raise n_planes), not a
-    join-plan concern."""
+    join-plan concern.
+
+    n_planes=None (the default) derives the plane count from the corpus
+    size: ceil(log2(n / target_bucket)), clamped to [2, 16]. Candidate
+    work per table is ~n * bucket_size = n * n/2^planes — a FIXED plane
+    count certified at one scale goes quadratic at the next (3 planes,
+    tuned for ~250-vector buckets at 2k vectors, means 2.5k-vector
+    buckets and ~50M raw candidates per table at 20k — the auto rule
+    picks 7 planes there, ~156-vector buckets, ~3M per table; ratio
+    measured in BENCH_SCALING.json). Deriving planes from n keeps bucket
+    occupancy ~constant, so
+    candidate volume scales ~linearly with the corpus; the one count()
+    action is model-sized orchestration, same class as the IVF centroid
+    collect. Pass an explicit n_planes to pin a certified setting."""
+    if n_planes is None:
+        n_planes = auto_planes(df.count(), target_bucket)
     planes_all = [_planes(dim, n_planes, seed=42 + 1000 * t) for t in range(n_tables)]
     buckets = _lsh_buckets_udf(planes_all)
     base = (

@@ -822,6 +822,81 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q4",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 order-priority check: correlated EXISTS expressed as a
+    LEFT SEMI join (equi on the order key + the correlated late-ship
+    residual evaluated inside the semi join — each order emits at most
+    once regardless of matching lineitem count, which a plain inner join
+    + distinct would pay a dedup shuffle to recover). The quarter filter
+    prunes orders before the join; output is priority-histogram-sized."""
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders["o_orderkey"] == li["l_orderkey"])
+            & (li["l_shipdate"] > orders["o_orderdate"]),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q22",
+    """
+    SELECT c_nationkey, CAST(count(*) AS BIGINT) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= DATE '1999-01-01')
+    GROUP BY c_nationkey
+    """,
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 global-sales-opportunity (adapted to the fixture's
+    columns: nation key for country code, lapsed-since-1999 for "no
+    orders"): a SCALAR subquery (the positive-balance mean — one row,
+    broadcast into the filter, never a shuffle) plus NOT EXISTS as a
+    LEFT ANTI join against the date-pruned orders — the anti side
+    shrinks to recent orders before the join, and the final aggregate is
+    nation-histogram-sized."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    recent = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("date")
+    )
+    return (
+        cust.crossJoin(broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(recent, cust["c_custkey"] == recent["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
+
+
+@register(
     "tpch_q13",
     """
     SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
@@ -3284,11 +3359,15 @@ def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate all-pairs k-NN (5 neighbors per vector) via multi-table
     sign-LSH self-join — the corpus-vs-itself shape (embedding-graph /
     cluster-dedup input) where no probe side exists to broadcast; see
-    S.knn_self_lsh. (3 planes, 12 tables) holds 0.97 recall at sf0.01
-    (certified by knn_recall_self). Approximate by design -> rows-only
-    driver check + the hash-matched certificate row."""
+    S.knn_self_lsh. Plane count is derived from the corpus size
+    (ceil(log2(n/250)), which resolves to the certified 3 planes at
+    sf0.01 — 0.97 recall, knn_recall_self — and grows at larger
+    fixtures so candidate volume stays ~linear instead of quadratic;
+    scaling measured in BENCH_SCALING.json).
+    Approximate by design -> rows-only driver check + the hash-matched
+    certificate row."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = S.knn_self_lsh(emb, k=5, n_planes=3, n_tables=12)
+    out = S.knn_self_lsh(emb, k=5, n_tables=12)
     return out.select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine"), "rank"
     )
@@ -4098,8 +4177,8 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window_cci, window_donchian, window_roc, window_median,
 # shard_manifest, knn_join_lsh, knn_recall_self, tpch_q10, tpch_q14,
 # tpch_q18, tpch_q19, anomaly_mad, dedup_fuzzy_edit, graph_pagerank)
-# + 6 of the 41 remaining r3-newest queries = 50. The 35 r3 overflow
-# queries (the 23 listed below plus tpch_q1/q3/q5, json_extract,
+# + 4 of the 41 remaining r3-newest queries = 50. The 37 r3 overflow
+# queries (the 25 listed below plus tpch_q1/q3/q5, json_extract,
 # window_ewma, cohort_retention, multimodal_features, gap_antijoin,
 # agg_percentiles, dedup_ngram_jaccard, corpus_curation, asof_align_by —
 # all untouched since their green r3 rows) are r6's natural rotation head
@@ -4110,7 +4189,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # window_drawdown, window_rsi, agg_cube, unpivot_ohlcv,
 # chart_downsample_m4, resample_ohlcv_1w, resample_ohlcv_1M, agg_ndv,
 # topk_skew_salted, pack_sequences, sample_stratified, agg_sketches,
-# topk_similarity, pretraining_pipeline.
+# topk_similarity, pretraining_pipeline, dedup_simhash, resample_ohlcv.
 _DRIVER_ORDER = [
     # -- newest driver row was r2 (2 rounds old): the r5 rotation's head --
     "text_stats",
@@ -4140,12 +4219,10 @@ _DRIVER_ORDER = [
     "topk_recall_ivf",
     "topk_recall_pq",
     "topk_recall_opq",
-    # -- newest driver row is r3 (6 of 41 remaining; the 35 overflow
+    # -- newest driver row is r3 (4 of 41 remaining; the 37 overflow
     #    queries listed in the header comment are r6's rotation head) --
     "flagship_ohlcv_sma",
-    "resample_ohlcv",
     "window_sma",
-    "dedup_simhash",
     "embed_near_dup",
     "topk_similarity_lsh",
     # -- new in r5 (chunking, mixture sampling, corpus hygiene, retrieval,
@@ -4173,6 +4250,8 @@ _DRIVER_ORDER = [
     "graph_pagerank",
     "dedup_substring",
     "tpch_q13",
+    "tpch_q4",
+    "tpch_q22",
 ]
 
 _missing = [n for n in _DRIVER_ORDER if n not in QUERIES]

@@ -448,3 +448,16 @@ def test_fuzzy_edit_pairs_rejects_negative_dist(spark):
     df = spark.createDataFrame([("a b",)], "p_name string")
     with pytest.raises(ValueError):
         D.fuzzy_edit_pairs(df, "p_name", block_expr=F.col("name"), max_dist=-1)
+
+
+def test_auto_planes_tracks_corpus_size():
+    # certified fixture sizes: 2k vectors -> the certified 3 planes;
+    # 10x -> 7 (bucket occupancy ~constant); floor/ceiling clamps hold
+    assert S.auto_planes(2000) == 3
+    assert S.auto_planes(20000) == 7
+    assert S.auto_planes(200) == 2       # floor: tiny corpus, 2 planes min
+    assert S.auto_planes(0) == 2         # degenerate corpus doesn't crash
+    assert S.auto_planes(10**12) == 16   # ceiling clamp
+    # occupancy bound: n / 2^planes <= target for every mid-range n
+    for n in (500, 5000, 50000, 500000):
+        assert n / 2 ** S.auto_planes(n) <= 250

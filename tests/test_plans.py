@@ -213,3 +213,19 @@ def test_pagerank_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the only nested-loop is the broadcast probe-pair generation
     assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_tpch_q4_semi_join_no_dedup_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q4")
+    assert "LeftSemi" in plan
+    # EXISTS as semi join: the correlated residual lives IN the join, and no
+    # Distinct/dedup aggregate is needed to recover per-order multiplicity
+    assert re.search(r"Join condition: \(l_shipdate[^\n]*> o_orderdate", plan)
+    assert len(re.findall(r"\n\(\d+\) Exchange\b", plan)) <= 3
+
+
+def test_tpch_q22_scalar_subquery_and_anti_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q22")
+    assert "LeftAnti" in plan
+    # the recent-orders side is pruned at the scan before the anti join
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate", plan)

@@ -47,6 +47,9 @@ HEAVY = [
     "dedup_substring",
     "graph_pagerank",
     "anomaly_mad",
+    # all-pairs k-NN with size-derived plane count (3 planes at 2k
+    # vectors, 7 at 20k): candidate volume should stay ~linear
+    "knn_join_lsh",
 ]
 
 
