@@ -934,6 +934,46 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q17",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#13' AND p_type = 'SMALL'
+      AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue: a correlated AGGREGATE
+    subquery (per-part average quantity) de-correlated by hand into a
+    per-part aggregate joined back — the per-part thresholds derive from
+    the FILTERED part dimension, so the avg aggregate runs only over
+    lineitems of qualifying parts (a broadcast semi-filter before the
+    groupBy), and the threshold join back is part-keyed and tiny. Spark's
+    own de-correlation produces the same two-phase shape; writing it
+    explicitly keeps the filter-first ordering deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#13") & (F.col("p_type") == "SMALL")
+    )
+    qualifying = li.join(
+        broadcast(part.select("p_partkey")), li["l_partkey"] == part["p_partkey"]
+    )
+    thresholds = qualifying.groupBy("l_partkey").agg(
+        (0.2 * F.avg("l_quantity")).alias("_qty_cap")
+    )
+    return (
+        qualifying.join(broadcast(thresholds), "l_partkey")
+        .where(F.col("l_quantity") < F.col("_qty_cap"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
     "tpch_q19",
     """
     SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
@@ -4183,26 +4223,30 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # follows SURVEY.md §2's narrative; the DRIVER order below is the round-5
 # evidence rotation (VERDICT r4 item 6). Window arithmetic (the cut at 50
 # is exact): the 9 queries whose newest row was r2 (2 rounds stale — the
-# rotation head) + the 12 queries whose behavior or plan changed in r5
-# (they have green r3/r4 rows, but those predate the change) + the 22
-# operators NEW in r5 (dedup_substring, chunk_documents, sample_mixture, text_pii_redact,
+# rotation head) + the 13 queries whose behavior or plan changed in r5
+# (fill_forward's conditional fill; minhash num_hashes forwarding and
+# runtime width guard; the shared exact-baseline/centroids in the
+# certificate tier; VALUES local relations in lookup/coverage/
+# exchange_info; filter_dropna's cheap-gate-first rewrite) + the 26
+# operators NEW in r5 (chunk_documents, sample_mixture, text_pii_redact,
 # text_repetition, tfidf_top_terms, bm25_search, text_unigram_logprob,
-# window_cci, window_donchian, window_roc, window_median,
-# shard_manifest, knn_join_lsh, knn_recall_self, tpch_q10, tpch_q14,
-# tpch_q18, tpch_q19, anomaly_mad, dedup_fuzzy_edit, graph_pagerank)
-# + 3 of the 41 remaining r3-newest queries = 50. The 38 r3 overflow
-# queries (the 25 listed below plus window_sma plus tpch_q1/q3/q5, json_extract,
-# window_ewma, cohort_retention, multimodal_features, gap_antijoin,
-# agg_percentiles, dedup_ngram_jaccard, corpus_curation, asof_align_by —
-# all untouched since their green r3 rows) are r6's natural rotation head
+# window_cci, window_donchian, window_roc, window_median, shard_manifest,
+# knn_join_lsh, knn_recall_self, tpch_q4/q10/q13/q14/q17/q18/q19/q22,
+# anomaly_mad, dedup_fuzzy_edit, graph_pagerank, dedup_substring)
+# + 2 retained r3-newest queries (flagship_ohlcv_sma, topk_similarity_lsh)
+# = 50. The 81 overflow queries — all with green r3 or r4 rows, untouched
+# since — are r6's natural rotation head (oldest evidence first:
+# tpch_q1/q3/q5, json_extract, window_ewma, cohort_retention,
+# multimodal_features, gap_antijoin, agg_percentiles, dedup_ngram_jaccard,
+# corpus_curation, asof_align_by, sample_reservoir,
+# quality_quantile_filter, decontaminate, window_trend, pair_correlation,
+# agg_vwap, sessionize, rollup_volume, window_bollinger, window_drawdown,
+# window_rsi, agg_cube, unpivot_ohlcv, chart_downsample_m4,
+# resample_ohlcv/_1w/_1M, agg_ndv, topk_skew_salted, pack_sequences,
+# sample_stratified, agg_sketches, topk_similarity, pretraining_pipeline,
+# dedup_simhash, window_sma, embed_near_dup, then the r4-green remainder)
 # and stay covered every round by the local oracle harness
-# (tools/check_oracles.py, 126/126) and pytest:
-# sample_reservoir, quality_quantile_filter, decontaminate, window_trend,
-# pair_correlation, agg_vwap, sessionize, rollup_volume, window_bollinger,
-# window_drawdown, window_rsi, agg_cube, unpivot_ohlcv,
-# chart_downsample_m4, resample_ohlcv_1w, resample_ohlcv_1M, agg_ndv,
-# topk_skew_salted, pack_sequences, sample_stratified, agg_sketches,
-# topk_similarity, pretraining_pipeline, dedup_simhash, resample_ohlcv.
+# (tools/check_oracles.py, 131/131) and pytest.
 _DRIVER_ORDER = [
     # -- newest driver row was r2 (2 rounds old): the r5 rotation's head --
     "text_stats",
@@ -4233,10 +4277,9 @@ _DRIVER_ORDER = [
     "topk_recall_pq",
     "topk_recall_opq",
     "filter_dropna",
-    # -- newest driver row is r3 (3 of 41 remaining; the 38 overflow
+    # -- newest driver row is r3 (2 of 41 remaining; the 39 overflow
     #    queries listed in the header comment are r6's rotation head) --
     "flagship_ohlcv_sma",
-    "embed_near_dup",
     "topk_similarity_lsh",
     # -- new in r5 (chunking, mixture sampling, corpus hygiene, retrieval,
     #    channel indicators, TPC-H breadth, anomaly/linkage/centrality) --
@@ -4265,6 +4308,7 @@ _DRIVER_ORDER = [
     "tpch_q13",
     "tpch_q4",
     "tpch_q22",
+    "tpch_q17",
 ]
 
 _missing = [n for n in _DRIVER_ORDER if n not in QUERIES]

@@ -197,3 +197,107 @@ def test_stratified_sampling_is_nested(spark, offset, n):
             for r in sample_stratified(docs, rates={}, default_rate=rate).collect()
         }
     assert sets[10] <= sets[30] <= sets[80]
+
+
+_graphs = st.sets(
+    st.tuples(
+        st.integers(min_value=0, max_value=12), st.integers(min_value=0, max_value=12)
+    ).filter(lambda p: p[0] != p[1]),
+    min_size=1,
+    max_size=25,
+).map(lambda s: sorted({(min(a, b), max(a, b)) for a, b in s}))
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_graphs)
+def test_pagerank_matches_bruteforce(spark, pairs):
+    """PageRank on a random symmetrized graph matches a numpy power
+    iteration exactly (same arithmetic order per node-contribution sum is
+    NOT guaranteed, so compare to 1e-9), and mass is conserved."""
+    import numpy as np
+
+    from binance_data_framework_spark.operators import graph as G
+
+    df = spark.createDataFrame(pairs, "src bigint, dst bigint")
+    got = {
+        r["node"]: r["rank"]
+        for r in G.pagerank(G.symmetrize(df), n_iter=3, damping=0.85).collect()
+    }
+
+    edges = pairs + [(b, a) for a, b in pairs]
+    nodes = sorted({a for a, _ in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    deg = np.zeros(len(nodes))
+    for a, _ in edges:
+        deg[idx[a]] += 1
+    r = np.full(len(nodes), 1.0 / len(nodes))
+    for _ in range(3):
+        nxt = np.full(len(nodes), 0.15 / len(nodes))
+        for a, b in edges:
+            nxt[idx[b]] += 0.85 * r[idx[a]] / deg[idx[a]]
+        r = nxt
+    assert set(got) == set(nodes)
+    for n in nodes:
+        assert abs(got[n] - r[idx[n]]) < 1e-9
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+_doc_texts = st.lists(
+    st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+        min_size=0,
+        max_size=20,
+    ).map(" ".join),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_doc_texts)
+def test_substring_dedup_matches_bruteforce(spark, texts):
+    """Per-doc duplicated-span fractions match a brute-force 8-gram model:
+    docs under 8 tokens are excluded, fractions are in [0,1], and a span is
+    'duplicated' iff the same 8-gram occurs in ANOTHER doc."""
+    from collections import Counter, defaultdict
+
+    from binance_data_framework_spark.plans.registry import q_dedup_substring
+
+    rows = [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    import binance_data_framework_spark.sources.fixtures as FX
+
+    orig = FX.load_table
+    FX.load_table = lambda s, d, t: df  # the query only reads `documents`
+    try:
+        import binance_data_framework_spark.plans.registry as R
+
+        orig_r = R.load_table
+        R.load_table = lambda s, d, t: df
+        try:
+            got = {
+                r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_frac"])
+                for r in q_dedup_substring(spark, "ignored").collect()
+            }
+        finally:
+            R.load_table = orig_r
+    finally:
+        FX.load_table = orig
+
+    gram_docs = defaultdict(set)
+    doc_grams = {}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        grams = [" ".join(toks[j : j + 8]) for j in range(len(toks) - 7)]
+        doc_grams[i] = grams
+        for g in grams:
+            gram_docs[g].add(i)
+    expect = {}
+    for i, grams in doc_grams.items():
+        if not grams:
+            continue
+        dup = sum(1 for g in grams if len(gram_docs[g]) >= 2)
+        expect[i] = (len(grams), dup, round(dup / len(grams), 6))
+    assert got == expect
