@@ -2384,6 +2384,75 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_keep_representative",
+    f"""
+    WITH RECURSIVE {_MH_PIPE},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM est WHERE est_jaccard >= 0.3
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM est WHERE est_jaccard >= 0.3),
+    reach AS (
+      SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges) n
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+    labels AS (SELECT src, min(dst) AS cluster_id FROM reach GROUP BY src),
+    alldocs AS (
+      SELECT d.doc_id, CAST(coalesce(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id
+      FROM documents d LEFT JOIN labels l ON l.src = d.doc_id),
+    deg AS (SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg
+            FROM edges GROUP BY 1),
+    m AS (SELECT a.doc_id, a.cluster_id, coalesce(deg.deg, 0) AS deg
+          FROM alldocs a LEFT JOIN deg USING (doc_id)),
+    sized AS (
+      SELECT doc_id, cluster_id, deg,
+             CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY deg DESC, doc_id) AS rn
+      FROM m)
+    SELECT cluster_id, doc_id AS kept_doc_id, deg AS kept_degree, cluster_size
+    FROM sized WHERE rn = 1 AND cluster_size >= 2
+    """,
+)
+def q_dedup_keep_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative selection — the step AFTER clustering that decides
+    which duplicate survives: per near-dup cluster, keep the member with
+    the highest candidate-graph degree (the most-corroborated copy; ties
+    to the lowest id). Composes the minhash pipeline, the iterative
+    min-label components, and a degree count; the final pick is one
+    cluster-keyed window over the cluster-membership frame (duplicate-
+    graph-sized, not corpus-sized — singleton clusters are filtered
+    before the window via the size predicate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signature_portable(docs)
+    pairs = D.minhash_candidates(sigs, threshold=0.3, band_on_slice=True)
+    labels = D.cluster_min_label(pairs, docs.select("doc_id"), "doc_id")
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    m = labels.join(deg, "doc_id", "left").select(
+        "doc_id",
+        "cluster_id",
+        F.coalesce("deg", F.lit(0).cast("bigint")).alias("deg"),
+    )
+    wc = Window.partitionBy("cluster_id")
+    wr = Window.partitionBy("cluster_id").orderBy(F.desc("deg"), "doc_id")
+    return (
+        m.withColumn("cluster_size", F.count(F.lit(1)).over(wc))
+        .withColumn("rn", F.row_number().over(wr))
+        .where((F.col("rn") == 1) & (F.col("cluster_size") >= 2))
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("kept_doc_id"),
+            F.col("deg").alias("kept_degree"),
+            "cluster_size",
+        )
+    )
+
+
+@register(
     "dedup_simhash",
     """
     WITH t AS (
@@ -4227,14 +4296,17 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (fill_forward's conditional fill; minhash num_hashes forwarding and
 # runtime width guard; the shared exact-baseline/centroids in the
 # certificate tier; VALUES local relations in lookup/coverage/
-# exchange_info; filter_dropna's cheap-gate-first rewrite) + the 26
+# exchange_info; filter_dropna's cheap-gate-first rewrite) + the 27
 # operators NEW in r5 (chunk_documents, sample_mixture, text_pii_redact,
 # text_repetition, tfidf_top_terms, bm25_search, text_unigram_logprob,
 # window_cci, window_donchian, window_roc, window_median, shard_manifest,
 # knn_join_lsh, knn_recall_self, tpch_q4/q10/q13/q14/q17/q18/q19/q22,
-# anomaly_mad, dedup_fuzzy_edit, graph_pagerank, dedup_substring)
-# + 2 retained r3-newest queries (flagship_ohlcv_sma, topk_similarity_lsh)
-# = 50. The 81 overflow queries — all with green r3 or r4 rows, untouched
+# anomaly_mad, dedup_fuzzy_edit, graph_pagerank, dedup_substring,
+# dedup_keep_representative)
+# + 1 retained r3-newest query (topk_similarity_lsh)
+# = 50. The 82 overflow queries — flagship itself is re-run by the
+# driver's entry() smoke every round, so its oracle row rotating to r6
+# loses no coverage — — all with green r3 or r4 rows, untouched
 # since — are r6's natural rotation head (oldest evidence first:
 # tpch_q1/q3/q5, json_extract, window_ewma, cohort_retention,
 # multimodal_features, gap_antijoin, agg_percentiles, dedup_ngram_jaccard,
@@ -4246,7 +4318,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sample_stratified, agg_sketches, topk_similarity, pretraining_pipeline,
 # dedup_simhash, window_sma, embed_near_dup, then the r4-green remainder)
 # and stay covered every round by the local oracle harness
-# (tools/check_oracles.py, 131/131) and pytest.
+# (tools/check_oracles.py, 132/132) and pytest.
 _DRIVER_ORDER = [
     # -- newest driver row was r2 (2 rounds old): the r5 rotation's head --
     "text_stats",
@@ -4279,7 +4351,6 @@ _DRIVER_ORDER = [
     "filter_dropna",
     # -- newest driver row is r3 (2 of 41 remaining; the 39 overflow
     #    queries listed in the header comment are r6's rotation head) --
-    "flagship_ohlcv_sma",
     "topk_similarity_lsh",
     # -- new in r5 (chunking, mixture sampling, corpus hygiene, retrieval,
     #    channel indicators, TPC-H breadth, anomaly/linkage/centrality) --
@@ -4309,6 +4380,7 @@ _DRIVER_ORDER = [
     "tpch_q4",
     "tpch_q22",
     "tpch_q17",
+    "dedup_keep_representative",
 ]
 
 _missing = [n for n in _DRIVER_ORDER if n not in QUERIES]
