@@ -470,11 +470,13 @@ def fuzzy_edit_pairs(
     """
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    # block_expr is evaluated against the CALLER'S columns (before any
+    # rename), so it is written in terms of name_col, e.g.
+    # F.element_at(F.split(F.col("p_name"), " "), -1)
     names = (
-        df.select(F.col(name_col).alias("name"))
+        df.select(F.col(name_col).alias("name"), block_expr.alias("blk"))
         .where(F.col("name").isNotNull())
         .distinct()
-        .withColumn("blk", block_expr)
     )
     a = names.select(F.col("name").alias("name_a"), F.col("blk"))
     b = names.select(F.col("name").alias("name_b"), F.col("blk"))

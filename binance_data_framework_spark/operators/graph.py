@@ -65,15 +65,21 @@ def pagerank(
             edges.join(deg_n, "src")
             .join(ranks, edges["src"] == ranks["node"])
             .groupBy("dst")
-            .agg(
-                F.sum(F.col("rank") / F.col("deg")).alias("contrib"),
-                F.first("n").alias("n"),
-            )
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
         )
-        ranks = contribs.select(
-            F.col("dst").alias("node"),
-            (
-                (1.0 - damping) / F.col("n") + damping * F.col("contrib")
-            ).alias("rank"),
+        # LEFT join back onto the full node set: a node with out-edges but
+        # no in-edges (possible in directed graphs satisfying the
+        # precondition, e.g. 0->1, 1<->2) still keeps its teleport mass —
+        # an inner join on contribs would silently drop it from iteration 2
+        # on and leak its rank mass.
+        ranks = (
+            deg_n.join(contribs, deg_n["src"] == contribs["dst"], "left")
+            .select(
+                F.col("src").alias("node"),
+                (
+                    (1.0 - damping) / F.col("n")
+                    + damping * F.coalesce("contrib", F.lit(0.0))
+                ).alias("rank"),
+            )
         )
     return ranks

@@ -2420,23 +2420,22 @@ def q_dedup_keep_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the lowest id). Composes the minhash pipeline, the iterative
     min-label components, and a degree count; the final pick is one
     cluster-keyed window over the cluster-membership frame (duplicate-
-    graph-sized, not corpus-sized — singleton clusters are filtered
-    before the window via the size predicate)."""
+    graph-sized, not corpus-sized — the INNER join on the degree frame
+    keeps only edge endpoints, and every member of a size>=2 cluster is
+    one)."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = D.minhash_signature_portable(docs)
-    pairs = D.minhash_candidates(sigs, threshold=0.3, band_on_slice=True)
-    labels = D.cluster_min_label(pairs, docs.select("doc_id"), "doc_id")
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")).unionByName(
-        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    # referenced by cluster_min_label's edge union AND the degree count:
+    # checkpoint so the banded candidate join runs once, not ~4 times
+    pairs = D.minhash_candidates(sigs, threshold=0.3, band_on_slice=True).localCheckpoint(
+        eager=False
     )
+    labels = D.cluster_min_label(pairs, docs.select("doc_id"), "doc_id")
+    edges = G.symmetrize(pairs, "id_a", "id_b")
     deg = edges.groupBy(F.col("src").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("deg")
     )
-    m = labels.join(deg, "doc_id", "left").select(
-        "doc_id",
-        "cluster_id",
-        F.coalesce("deg", F.lit(0).cast("bigint")).alias("deg"),
-    )
+    m = labels.join(deg, "doc_id").select("doc_id", "cluster_id", "deg")
     wc = Window.partitionBy("cluster_id")
     wr = Window.partitionBy("cluster_id").orderBy(F.desc("deg"), "doc_id")
     return (
@@ -4079,7 +4078,7 @@ def q_window_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, d.event_type, value,
            round(0.6745 * (value - med) / mad, 6) AS zscore
     FROM dev d JOIN mad USING (event_type)
-    WHERE abs(0.6745 * (value - med) / mad) > 3.5
+    WHERE mad > 0 AND abs(0.6745 * (value - med) / mad) > 3.5
     """,
 )
 def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4100,10 +4099,14 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     mad = dev.groupBy("event_type").agg(
         F.percentile(F.abs(F.col("value") - F.col("med")), F.lit(0.5)).alias("mad")
     )
+    # mad == 0 (>= half the group exactly at the median — quantized or
+    # constant-heavy metrics) makes the modified z-score undefined; such
+    # degenerate groups are excluded rather than emitting ±Infinity for
+    # every off-median row (and diverging from the oracle's NULL division)
     z = 0.6745 * (F.col("value") - F.col("med")) / F.col("mad")
     return (
         dev.join(broadcast(mad), "event_type")
-        .where(F.abs(z) > 3.5)
+        .where((F.col("mad") > 0) & (F.abs(z) > 3.5))
         .select(
             "event_id",
             "event_type",
@@ -4135,7 +4138,7 @@ def q_dedup_fuzzy_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.fuzzy_edit_pairs(
         part,
         "p_name",
-        block_expr=F.element_at(F.split(F.col("name"), " "), -1),
+        block_expr=F.element_at(F.split(F.col("p_name"), " "), -1),
         max_dist=2,
     )
     return pairs.select(
@@ -4276,9 +4279,11 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = base.join(broadcast(probes), F.col("vec_id") > F.col("id_a"))
     cos = S._dot(F.col("_pv"), F.col("_v")) / (F.col("_pn") * F.col("_norm"))
+    # symmetrize references pairs twice (forward + reverse): checkpoint so
+    # the broadcast candidate join — the dominant cost — runs once
     pairs = cand.where(cos >= 0.35).select(
         F.col("id_a").alias("src"), F.col("vec_id").alias("dst")
-    )
+    ).localCheckpoint(eager=False)
     edges = G.symmetrize(pairs)
     ranks = G.pagerank(edges, n_iter=3, damping=0.85)
     return ranks.select("node", F.round("rank", 6).alias("pagerank"))

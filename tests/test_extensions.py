@@ -413,6 +413,22 @@ def test_pagerank_sums_to_one_and_ranks_hub_highest(spark):
     assert len(leaf_ranks) == 1
 
 
+def test_pagerank_keeps_source_only_nodes(spark):
+    """Directed graph satisfying the out-degree>=1 precondition where node
+    0 has NO incoming edge (0->1, 1<->2): node 0 must stay in the output
+    with its teleport mass every iteration, and mass stays conserved —
+    the inner-join formulation silently dropped it from iteration 2 on."""
+    from binance_data_framework_spark.operators import graph as G
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 1)], "src bigint, dst bigint"
+    )
+    ranks = {r["node"]: r["rank"] for r in G.pagerank(edges, n_iter=4).collect()}
+    assert set(ranks) == {0, 1, 2}
+    assert abs(ranks[0] - 0.15 / 3) < 1e-12  # teleport-only, every iteration
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
 def test_pagerank_rejects_zero_iterations(spark):
     import pytest
 
@@ -431,7 +447,7 @@ def test_fuzzy_edit_pairs_blocking_semantics(spark):
     pairs = D.fuzzy_edit_pairs(
         df,
         "p_name",
-        block_expr=F.element_at(F.split(F.col("name"), " "), -1),
+        block_expr=F.element_at(F.split(F.col("p_name"), " "), -1),
         max_dist=2,
     ).collect()
     found = {(p["name_a"], p["name_b"]): p["dist"] for p in pairs}
@@ -447,7 +463,7 @@ def test_fuzzy_edit_pairs_rejects_negative_dist(spark):
 
     df = spark.createDataFrame([("a b",)], "p_name string")
     with pytest.raises(ValueError):
-        D.fuzzy_edit_pairs(df, "p_name", block_expr=F.col("name"), max_dist=-1)
+        D.fuzzy_edit_pairs(df, "p_name", block_expr=F.col("p_name"), max_dist=-1)
 
 
 def test_auto_planes_tracks_corpus_size():
