@@ -697,6 +697,10 @@ class OhlcvStore:
             .repartition("symbol", "timeframe", "dt")
             .sortWithinPartitions("ts")  # maximize row-group skipping on ts
             .write.partitionBy("symbol", "timeframe", "dt")
+            # zstd: ~30-40% smaller than snappy at comparable scan cost —
+            # at 100 TB the dominant cost is bytes scanned/stored, and the
+            # manifest checkpoints already standardized on zstd
+            .option("compression", "zstd")
             .mode("overwrite")
             .save(f"{self.root}/{staging}")
         )
@@ -805,6 +809,10 @@ class OhlcvStore:
             .repartition("symbol", "timeframe", "dt")
             .sortWithinPartitions("ts")
             .write.partitionBy("symbol", "timeframe", "dt")
+            # zstd: ~30-40% smaller than snappy at comparable scan cost —
+            # at 100 TB the dominant cost is bytes scanned/stored, and the
+            # manifest checkpoints already standardized on zstd
+            .option("compression", "zstd")
             .mode("overwrite")
             .save(f"{self.root}/{staging}")
         )
@@ -1002,6 +1010,7 @@ class OhlcvStore:
             df.repartition("symbol", "timeframe", "dt")
             .sortWithinPartitions("ts")  # keep row-group ts skipping tight
             .write.partitionBy("symbol", "timeframe", "dt")
+            .option("compression", "zstd")  # same codec as fresh writes
             .mode("overwrite")
         )
         if max_records_per_file:
