@@ -1478,6 +1478,27 @@ def q_export_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ingest_jsonl",
+    """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+)
+def q_ingest_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL corpus ingest round-trip (sources/jsonl_docs.py): documents
+    out as line-delimited JSON shards, back in through the schema-enforced
+    PERMISSIVE reader — proving the bulk-corpus ingest path preserves every
+    value exactly (the oracle is the original table). The read is one
+    scan with NO inference pass (explicit schema) and drops nothing here
+    because the shards are well-formed; the malformed-line quarantine path
+    is pytest-covered (test_jsonl_corrupt_line_quarantine)."""
+    from binance_data_framework_spark.sources import jsonl_docs as J
+
+    path = _export_dir(spark, "ingest_jsonl")
+    J.write_jsonl(load_table(spark, sf_dir, "documents"), path)
+    return J.read_jsonl_documents(spark, path)
+
+
+@register(
     "fmt_export_name",
     """
     WITH cov AS (
@@ -4301,17 +4322,17 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (fill_forward's conditional fill; minhash num_hashes forwarding and
 # runtime width guard; the shared exact-baseline/centroids in the
 # certificate tier; VALUES local relations in lookup/coverage/
-# exchange_info; filter_dropna's cheap-gate-first rewrite) + the 27
+# exchange_info; filter_dropna's cheap-gate-first rewrite) + the 28
 # operators NEW in r5 (chunk_documents, sample_mixture, text_pii_redact,
 # text_repetition, tfidf_top_terms, bm25_search, text_unigram_logprob,
 # window_cci, window_donchian, window_roc, window_median, shard_manifest,
 # knn_join_lsh, knn_recall_self, tpch_q4/q10/q13/q14/q17/q18/q19/q22,
 # anomaly_mad, dedup_fuzzy_edit, graph_pagerank, dedup_substring,
-# dedup_keep_representative)
-# + 1 retained r3-newest query (topk_similarity_lsh)
-# = 50. The 82 overflow queries — flagship itself is re-run by the
-# driver's entry() smoke every round, so its oracle row rotating to r6
-# loses no coverage — — all with green r3 or r4 rows, untouched
+# dedup_keep_representative, ingest_jsonl)
+# = 50 exactly. The 83 overflow queries — flagship itself is re-run by
+# the driver's entry() smoke every round, and topk_similarity_lsh's
+# quality is certified by the in-window topk_recall_lsh row, so their
+# rotation to r6 loses no coverage — — all with green r3 or r4 rows, untouched
 # since — are r6's natural rotation head (oldest evidence first:
 # tpch_q1/q3/q5, json_extract, window_ewma, cohort_retention,
 # multimodal_features, gap_antijoin, agg_percentiles, dedup_ngram_jaccard,
@@ -4323,7 +4344,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sample_stratified, agg_sketches, topk_similarity, pretraining_pipeline,
 # dedup_simhash, window_sma, embed_near_dup, then the r4-green remainder)
 # and stay covered every round by the local oracle harness
-# (tools/check_oracles.py, 132/132) and pytest.
+# (tools/check_oracles.py, 133/133) and pytest.
 _DRIVER_ORDER = [
     # -- newest driver row was r2 (2 rounds old): the r5 rotation's head --
     "text_stats",
@@ -4354,9 +4375,6 @@ _DRIVER_ORDER = [
     "topk_recall_pq",
     "topk_recall_opq",
     "filter_dropna",
-    # -- newest driver row is r3 (2 of 41 remaining; the 39 overflow
-    #    queries listed in the header comment are r6's rotation head) --
-    "topk_similarity_lsh",
     # -- new in r5 (chunking, mixture sampling, corpus hygiene, retrieval,
     #    channel indicators, TPC-H breadth, anomaly/linkage/centrality) --
     "chunk_documents",
@@ -4386,6 +4404,7 @@ _DRIVER_ORDER = [
     "tpch_q22",
     "tpch_q17",
     "dedup_keep_representative",
+    "ingest_jsonl",
 ]
 
 _missing = [n for n in _DRIVER_ORDER if n not in QUERIES]

@@ -973,3 +973,26 @@ def test_stream_endurance_restart_exactly_once(spark, tmp_path):
         for r in batch.select("ts", "open", "close", "volume").collect()
     }
     assert got == exp
+
+
+def test_jsonl_roundtrip_and_corrupt_line_quarantine(spark, tmp_path):
+    """JSONL ingest: schema-enforced read round-trips clean rows exactly;
+    a malformed line is quarantined (raw text preserved) without failing
+    the read or leaking a partial row into the clean stream."""
+    from binance_data_framework_spark.sources import jsonl_docs as J
+
+    p = tmp_path / "docs"
+    p.mkdir()
+    good = '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web", "n_chars": 11}'
+    bad = '{"doc_id": 2, "text": "truncated'
+    (p / "part-0.jsonl").write_text(good + "\n" + bad + "\n")
+
+    clean = J.read_jsonl_documents(spark, str(p)).collect()
+    assert len(clean) == 1
+    r = clean[0]
+    assert (r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"]) == (
+        1, "hello world", "en", "web", 11,
+    )
+
+    quarantined = J.corrupt_lines(spark, str(p)).collect()
+    assert [q["raw_line"] for q in quarantined] == [bad]

@@ -229,3 +229,14 @@ def test_tpch_q22_scalar_subquery_and_anti_join(spark, sf_dir):
     assert "LeftAnti" in plan
     # the recent-orders side is pruned at the scan before the anti join
     assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual\(o_orderdate", plan)
+
+
+def test_whole_registry_plan_lint(spark, sf_dir):
+    """Every registered query's physical plan is free of scale
+    anti-patterns (cartesian products, row-at-a-time Python UDFs,
+    non-allowlisted nested-loop joins, unkeyed windows) — the
+    whole-registry sweep behind the targeted shape tests above."""
+    from tools.lint_plans import lint
+
+    bad = lint(sf_dir)
+    assert not bad, f"plan lint violations: {bad}"

@@ -1,0 +1,111 @@
+"""Repo-wide physical-plan lint: build every registered query's plan and
+flag scale anti-patterns in the Catalyst output. tests/test_plans.py pins
+specific shapes for specific queries; this sweep catches a regression in
+ANY query the moment it appears — the whole-registry version of
+".explain and iterate until it's the plan you'd want".
+
+Checked per query (plan build only, nothing executes except driver-side
+model fits that are part of plan construction):
+- CartesianProduct              -> never acceptable
+- BatchEvalPython               -> row-at-a-time Python UDF in the plan
+- BroadcastNestedLoopJoin       -> only on the allowlist (intentional
+  broadcast probe x candidate generation, where the non-equi predicate IS
+  the operator and one side is model/probe-sized)
+- windowspecdefinition()        -> unkeyed (empty partitionBy) windows only
+  on the allowlist (provably tiny inputs)
+
+Exit code = number of violating queries. Usage:
+    python tools/lint_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from binance_data_framework_spark.plans.registry import QUERIES
+from binance_data_framework_spark.session import get_spark
+
+# Broadcast nested-loop is the DOCUMENTED plan for the exact similarity /
+# near-dup probe generation (a broadcast probe set against the corpus with
+# the cosine/ inequality predicate evaluated in codegen — the equi-join
+# alternative IS the LSH/IVF tier) and for tiny literal-dim cross joins.
+BNLJ_OK = {
+    "topk_similarity",
+    "embed_near_dup",
+    "graph_pagerank",
+    "topk_recall_lsh",
+    "topk_recall_ivf",
+    "topk_recall_pq",
+    "topk_recall_opq",
+    "knn_recall_self",
+    "sketch_error_bounds",  # 5-row certificate joins
+    "tpch_q22",  # 1-row scalar-subquery mean broadcast into the filter
+    "pair_correlation",  # 2-series spine, bar-count-sized cross
+    # 1-row corpus-stats scalar cross (N docs / avg doclen broadcast into
+    # the per-(doc,term) scoring expression):
+    "bm25_search",
+    "tfidf_top_terms",
+    "text_unigram_logprob",
+}
+
+# Unkeyed windows allowed only over provably tiny/aggregated frames.
+UNKEYED_WINDOW_OK = {
+    "chart_downsample_m4",  # bucket timeline (m4 pixel count, fixed)
+    "window_rank",  # explicit global-rank demo over 5-series aggregate
+    # asof bucket-timeline fill: the window runs over the DISTINCT quote
+    # buckets (time-grid-sized, not row-sized) — the documented exception
+    # in test_plans.test_windows_are_keyed; the keyed variant is
+    # asof_align_by
+    "asof_align",
+}
+
+
+def lint(sf_dir: str) -> dict[str, list[str]]:
+    spark = get_spark("plan-lint")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    bad: dict[str, list[str]] = {}
+    for name, fn in QUERIES.items():
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().explainString(mode)
+        except Exception as e:  # noqa: BLE001 - report, don't abort the sweep
+            bad.setdefault(name, []).append(f"plan build failed: {e}")
+            continue
+        probs = []
+        if "CartesianProduct" in plan:
+            probs.append("CartesianProduct")
+        if "BatchEvalPython" in plan:
+            probs.append("BatchEvalPython (row-at-a-time Python UDF)")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_OK:
+            probs.append("BroadcastNestedLoopJoin (not allowlisted)")
+        if name not in UNKEYED_WINDOW_OK:
+            for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+                # spec = partitionExprs..., orderExprs..., frame. Partition
+                # expressions are bare columns; order expressions carry
+                # ASC/DESC — so a spec whose FIRST element is an ordering
+                # has an empty partition list (a global single-task window).
+                head = spec.split(",", 1)[0]
+                if " ASC" in head or " DESC" in head:
+                    probs.append(f"unkeyed window: {spec[:60]}")
+                    break
+        if probs:
+            bad[name] = probs
+    return bad
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    bad = lint(sf_dir)
+    for name, probs in sorted(bad.items()):
+        print(f"FAIL  {name}: {'; '.join(probs)}")
+    print(f"{len(QUERIES) - len(bad)}/{len(QUERIES)} plans clean")
+    return len(bad)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
