@@ -1490,7 +1490,7 @@ def q_ingest_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     value exactly (the oracle is the original table). The read is one
     scan with NO inference pass (explicit schema) and drops nothing here
     because the shards are well-formed; the malformed-line quarantine path
-    is pytest-covered (test_jsonl_corrupt_line_quarantine)."""
+    is pytest-covered (test_jsonl_roundtrip_and_corrupt_line_quarantine)."""
     from binance_data_framework_spark.sources import jsonl_docs as J
 
     path = _export_dir(spark, "ingest_jsonl")

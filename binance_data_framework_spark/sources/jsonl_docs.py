@@ -6,19 +6,30 @@ module covers the corpus-side ingest the north-star extensions need: bulk
 document shards land as JSONL, get schema-enforced on read, and malformed
 lines are quarantined instead of failing the job.
 
+Implementation note — why ``read.text + from_json`` and not
+``spark.read.json``: the JSON datasource's PERMISSIVE corrupt-record
+detection depends on the columns the downstream plan happens to reference
+(a type-malformed field that gets pruned away is never parsed, so the bad
+row silently leaks into the "clean" stream), and a query that references
+only the corrupt column outright fails (SPARK-21610). Parsing the raw line
+with ``from_json`` carrying its own corrupt-record field gives
+projection-independent semantics: a line is clean iff the ENTIRE declared
+schema parses, regardless of what the caller selects — verified by test
+(count(), pruned select, and a type-malformed line all behave).
+
 Scale notes:
-- ALWAYS pass the explicit schema: ``spark.read.json`` without one runs a
-  full inference pass over every byte before the real read — at 100 TB
-  that doubles the scan. With a schema it is one streaming pass, splittable
-  per file (gzip shards parallelize per-file, uncompressed/zstd per-split).
-- PERMISSIVE + columnNameOfCorruptRecord keeps a multi-day ingest alive
-  when one shard has a truncated line; the quarantine stream is a separate
-  read so the happy path never pays for it.
+- ALWAYS an explicit schema: no inference pass (inference scans every byte
+  before the real read — at 100 TB that doubles the scan). One streaming
+  pass, splittable per file (gzip shards parallelize per-file,
+  uncompressed/zstd per-split).
+- The clean and quarantine streams are two filters over the same narrow
+  parse — no caching, no full-corpus materialization; every input line
+  lands in exactly one stream (blank/unparseable lines are quarantined).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
@@ -31,33 +42,32 @@ def write_jsonl(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+def _parsed(spark: SparkSession, path: str, schema: str) -> tuple[DataFrame, Column]:
+    df = spark.read.text(path).select(
+        F.from_json(
+            "value",
+            schema + ", _corrupt_record string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("j"),
+        "value",
+    )
+    bad = F.col("j._corrupt_record").isNotNull() | F.col("j").isNull()
+    return df, bad
+
+
 def read_jsonl_documents(
     spark: SparkSession, path: str, schema: str = DOC_SCHEMA
 ) -> DataFrame:
-    """Schema-enforced JSONL read; malformed lines are dropped here and
-    surfaced by `corrupt_lines` (separate quarantine pass)."""
-    df = (
-        spark.read.schema(schema + ", _corrupt_record string")
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .json(path)
-    )
-    return df.where(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    """Schema-enforced JSONL read: rows whose full declared schema parses.
+    Malformed lines are dropped here and surfaced by `corrupt_lines`."""
+    df, bad = _parsed(spark, path, schema)
+    field_names = [s.strip().split(" ", 1)[0] for s in schema.split(",")]
+    return df.where(~bad).select(*[F.col(f"j.{f}").alias(f) for f in field_names])
 
 
 def corrupt_lines(spark: SparkSession, path: str, schema: str = DOC_SCHEMA) -> DataFrame:
-    """The quarantine stream: raw text of every line that failed the schema.
-    Spark disallows queries referencing ONLY the internal corrupt-record
-    column on the raw read (SPARK-21610), so this pass caches the parsed
-    frame first — it is an audit path over (hopefully) few rows, run on
-    demand, never part of the ingest plan."""
-    df = (
-        spark.read.schema(schema + ", _corrupt_record string")
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .json(path)
-        .cache()
-    )
-    return df.where(F.col("_corrupt_record").isNotNull()).select(
-        F.col("_corrupt_record").alias("raw_line")
-    )
+    """The quarantine stream: raw text of every line that failed the schema
+    (invalid JSON, type mismatch in ANY declared field, or blank). A second
+    filter over the same parse — no cache, runs on demand."""
+    df, bad = _parsed(spark, path, schema)
+    return df.where(bad).select(F.col("value").alias("raw_line"))

@@ -985,14 +985,41 @@ def test_jsonl_roundtrip_and_corrupt_line_quarantine(spark, tmp_path):
     p.mkdir()
     good = '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "web", "n_chars": 11}'
     bad = '{"doc_id": 2, "text": "truncated'
-    (p / "part-0.jsonl").write_text(good + "\n" + bad + "\n")
+    # type-malformed: valid JSON whose n_chars fails the declared schema —
+    # must be quarantined even when the downstream plan prunes n_chars away
+    badtype = '{"doc_id": 3, "text": "x", "lang": "en", "source": "web", "n_chars": "NaN"}'
+    (p / "part-0.jsonl").write_text(good + "\n" + bad + "\n" + badtype + "\n")
 
-    clean = J.read_jsonl_documents(spark, str(p)).collect()
-    assert len(clean) == 1
-    r = clean[0]
+    df = J.read_jsonl_documents(spark, str(p))
+    assert df.count() == 1  # count() must not crash (SPARK-21610 class)
+    assert [r["doc_id"] for r in df.select("doc_id").collect()] == [1]  # no pruning leak
+    r = df.collect()[0]
     assert (r["doc_id"], r["text"], r["lang"], r["source"], r["n_chars"]) == (
         1, "hello world", "en", "web", 11,
     )
 
-    quarantined = J.corrupt_lines(spark, str(p)).collect()
-    assert [q["raw_line"] for q in quarantined] == [bad]
+    quarantined = sorted(q["raw_line"] for q in J.corrupt_lines(spark, str(p)).collect())
+    assert quarantined == sorted([bad, badtype])
+
+
+def test_jsonl_gzip_shards_read_transparently(spark, tmp_path):
+    """Corpus shards typically land as .jsonl.gz — the reader must handle
+    them without flags (Hadoop codec by extension). Gzip is not splittable,
+    so parallelism is per-shard: two shards -> both read, all rows."""
+    import gzip
+
+    p = tmp_path / "gz"
+    p.mkdir()
+    for shard, ids in (("a", (1, 2)), ("b", (3,))):
+        lines = "".join(
+            f'{{"doc_id": {i}, "text": "t{i}", "lang": "en", "source": "web", "n_chars": 2}}\n'
+            for i in ids
+        )
+        with gzip.open(p / f"part-{shard}.jsonl.gz", "wt") as f:
+            f.write(lines)
+
+    from binance_data_framework_spark.sources import jsonl_docs as J
+
+    rows = J.read_jsonl_documents(spark, str(p)).collect()
+    assert {r["doc_id"] for r in rows} == {1, 2, 3}
+    assert all(r["text"] == f"t{r['doc_id']}" for r in rows)

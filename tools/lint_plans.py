@@ -4,8 +4,11 @@ specific shapes for specific queries; this sweep catches a regression in
 ANY query the moment it appears — the whole-registry version of
 ".explain and iterate until it's the plan you'd want".
 
-Checked per query (plan build only, nothing executes except driver-side
-model fits that are part of plan construction):
+Checked per query. Building a plan is cheap but NOT always free of jobs:
+driver-side model fits (IVF centroids, OPQ) and the export/ingest
+round-trip queries (sink_export_csv/parquet, ingest_jsonl — their write
+step runs before the read-back plan exists) execute bounded work during
+construction; everything else is pure analysis. Flags:
 - CartesianProduct              -> never acceptable
 - BatchEvalPython               -> row-at-a-time Python UDF in the plan
 - BroadcastNestedLoopJoin       -> only on the allowlist (intentional
@@ -90,7 +93,15 @@ def lint(sf_dir: str) -> dict[str, list[str]]:
                 # ASC/DESC — so a spec whose FIRST element is an ordering
                 # has an empty partition list (a global single-task window).
                 head = spec.split(",", 1)[0]
-                if " ASC" in head or " DESC" in head:
+                # unkeyed forms: the spec opens with an ORDERING (empty
+                # partition list) or directly with the frame itself (no
+                # partition AND no order — e.g. a global running total,
+                # which Spark funnels into a single task)
+                if (
+                    " ASC" in head
+                    or " DESC" in head
+                    or head.lstrip().startswith("specifiedwindowframe(")
+                ):
                     probs.append(f"unkeyed window: {spec[:60]}")
                     break
         if probs:
