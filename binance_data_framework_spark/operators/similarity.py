@@ -750,41 +750,56 @@ def knn_self_lsh(
         n_planes = auto_planes(df.count(), target_bucket)
     planes_all = [_planes(dim, n_planes, seed=42 + 1000 * t) for t in range(n_tables)]
     buckets = _lsh_buckets_udf(planes_all)
-    base = (
-        with_norm(df, vec_col)
-        .withColumn("_tb", buckets(F.col("_v")))
-        .localCheckpoint(eager=False)
-    )
+    # no checkpoint: unlike the probe paths, this plan consumes the bucketed
+    # base exactly once (via `exploded`), so a checkpoint would only add a
+    # full corpus materialization
+    base = with_norm(df, vec_col).withColumn("_tb", buckets(F.col("_v")))
     exploded = base.select(id_col, "_v", "_norm", F.posexplode("_tb").alias("_t", "_b"))
-
-    kk = k
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def _bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        # per-(table, bucket) blocked scoring: ONE BLAS matmul for the whole
-        # bucket, per-source top-k with deterministic (cosine desc, id asc)
-        # tie-breaks via pre-sorting columns by id + a stable argsort
+        # Blocked per-bucket scoring: BLAS matmuls in row CHUNKS so peak
+        # memory is O(chunk x bucket) even for pathological buckets (a
+        # natural duplicate clique hashes identically under EVERY
+        # hyperplane, so no plane count can split it); argpartition keeps
+        # the per-row top-k in O(m) instead of a full m-wide sort. The
+        # selected set always contains every pair of the global candidate
+        # top-k (selection is by value); exact-tie pairs at the k boundary
+        # are chosen deterministically for a fixed numpy version.
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
         if len(pdf) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
-            )
-        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
-        ids = pdf[id_col].to_numpy()[order]
-        M = np.vstack(pdf["_v"].to_numpy())[order]
-        nr = pdf["_norm"].to_numpy()[order]
-        C = (M @ M.T) / (nr[:, None] * nr[None, :])
-        np.fill_diagonal(C, -np.inf)
-        take = min(kk, len(ids) - 1)
-        idx = np.argsort(-C, axis=1, kind="stable")[:, :take]
+            return empty
+        ids = pdf[id_col].to_numpy()
+        M = np.vstack(pdf["_v"].to_numpy())
+        nr = pdf["_norm"].to_numpy()
+        take = min(k, len(ids) - 1)
+        out_a, out_b, out_c = [], [], []
+        chunk = 256
+        for lo in range(0, len(ids), chunk):
+            hi = min(lo + chunk, len(ids))
+            Cb = (M[lo:hi] @ M.T) / (nr[lo:hi, None] * nr[None, :])
+            # mask self-similarity by ID (row-index diagonal masking would
+            # miss duplicate-id rows -> self-loops in the output graph)
+            Cb[ids[lo:hi, None] == ids[None, :]] = -np.inf
+            sel = np.argpartition(-Cb, take - 1, axis=1)[:, :take]
+            vals = np.take_along_axis(Cb, sel, axis=1)
+            ok = np.isfinite(vals)  # drops masked selfs and zero-norm NaNs
+            rows = np.repeat(ids[lo:hi], take).reshape(hi - lo, take)
+            out_a.append(rows[ok])
+            out_b.append(ids[sel][ok])
+            out_c.append(vals[ok])
+        if not out_a:
+            return empty
         return pd.DataFrame(
             {
-                "id_a": np.repeat(ids, take),
-                "id_b": ids[idx.ravel()],
-                "cosine": np.take_along_axis(C, idx, axis=1).ravel(),
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
             }
         )
 
     cands = exploded.groupBy("_t", "_b").applyInPandas(
-        _bucket_topk, "id_a long, id_b long, cosine double"
+        _bucket_topk, f"id_a {id_type}, id_b {id_type}, cosine double"
     )
     # a pair can surface from several tables: collapse to one row with a
     # deterministic value (max over the per-bucket BLAS results, which can

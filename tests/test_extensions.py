@@ -477,3 +477,48 @@ def test_auto_planes_tracks_corpus_size():
     # occupancy bound: n / 2^planes <= target for every mid-range n
     for n in (500, 5000, 50000, 500000):
         assert n / 2 ** S.auto_planes(n) <= 250
+
+
+def test_knn_self_blocked_invariants(spark, sf_dir):
+    """Blocked per-bucket k-NN output invariants: contiguous ranks 1..k per
+    source, monotone non-increasing cosine along ranks, no self pairs, no
+    duplicate (id_a, id_b), and every reported cosine equals the true
+    cosine of that pair (scoring is exact; only candidate selection is
+    approximate)."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(120)
+    out = S.knn_self_lsh(emb, k=4, n_tables=8).toPandas()
+    assert not (out["id_a"] == out["id_b"]).any()
+    assert not out.duplicated(["id_a", "id_b"]).any()
+    for _, g in out.groupby("id_a"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        assert (g["cosine"].diff().dropna() <= 1e-12).all()
+    # true-cosine check on a sample of reported pairs
+    vecs = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in emb.collect()
+    }
+    for _, row in out.head(40).iterrows():
+        a, b = vecs[row["id_a"]], vecs[row["id_b"]]
+        true_cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(true_cos - row["cosine"]) < 1e-9
+
+
+def test_knn_self_guards_duplicate_ids_and_generic_id_type(spark):
+    """Two regression guards on the blocked kernel: (a) rows sharing an id
+    (identical vectors) must never report themselves as neighbors — the
+    id-based mask, not row-index diagonal masking, handles this; (b) the
+    output id columns inherit the input id type (string ids work)."""
+    rows = [
+        (i, [float((i * j) % 5 + 1) for j in range(64)]) for i in range(20)
+    ] + [(7, [float((7 * j) % 5 + 1) for j in range(64)])]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = S.knn_self_lsh(df, k=3, n_tables=4).collect()
+    assert out and all(r["id_a"] != r["id_b"] for r in out)
+
+    sdf = df.selectExpr("concat('d', vec_id) AS vec_id", "embedding")
+    sout = S.knn_self_lsh(sdf, k=2, n_tables=4).collect()
+    assert sout and all(isinstance(r["id_a"], str) for r in sout)
+    assert all(r["id_a"] != r["id_b"] for r in sout)
