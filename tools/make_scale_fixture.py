@@ -39,7 +39,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-TABLES = ("documents", "embeddings", "events")
+TABLES = ("documents", "embeddings", "events", "customer", "orders", "lineitem")
+DIM_TABLES = ("part", "supplier", "nation", "region")
 
 
 def _docs_sql(src: str, factor: int) -> str:
@@ -118,6 +119,46 @@ def _scale_embeddings(src: str, dst: str, factor: int) -> None:
     pq.write_table(out, dst)
 
 
+def _tpch_sql(src_dir: str, table: str, factor: int) -> str:
+    """Replicate the TPC-H fact spine with per-replica key shifts that keep
+    the customer->orders->lineitem join structure intact inside each
+    replica: every key family shifts by k*(1+max(key)). Dimension keys
+    (part/supp/nation) are NOT shifted — dimensions stay fixture-sized, as
+    they would against a growing fact table, so join fan-out per dim row
+    grows linearly (the scaling under test). Dates are untouched: filter
+    selectivities stay constant per replica, volume scales linearly."""
+    c = f"{src_dir}/customer.parquet"
+    o = f"{src_dir}/orders.parquet"
+    l = f"{src_dir}/lineitem.parquet"
+    ck = f"(SELECT 1 + max(c_custkey) FROM read_parquet('{c}'))"
+    ok = f"(SELECT 1 + max(o_orderkey) FROM read_parquet('{o}'))"
+    parts = []
+    for k in range(factor):
+        if table == "customer":
+            parts.append(
+                f"""SELECT c_custkey + {k} * {ck} AS c_custkey, c_name,
+                           c_nationkey, c_acctbal, c_mktsegment
+                    FROM read_parquet('{c}')"""
+            )
+        elif table == "orders":
+            parts.append(
+                f"""SELECT o_orderkey + {k} * {ok} AS o_orderkey,
+                           o_custkey + {k} * {ck} AS o_custkey,
+                           o_orderstatus, o_totalprice, o_orderdate,
+                           o_orderpriority
+                    FROM read_parquet('{o}')"""
+            )
+        else:
+            parts.append(
+                f"""SELECT l_orderkey + {k} * {ok} AS l_orderkey, l_partkey,
+                           l_suppkey, l_linenumber, l_quantity,
+                           l_extendedprice, l_discount, l_tax, l_returnflag,
+                           l_linestatus, l_shipdate
+                    FROM read_parquet('{l}')"""
+            )
+    return " UNION ALL ".join(parts)
+
+
 def main() -> int:
     src_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst_dir = sys.argv[2] if len(sys.argv) > 2 else "_scratch/sf1"
@@ -135,6 +176,16 @@ def main() -> int:
     _scale_embeddings(
         f"{src_dir}/embeddings.parquet", f"{dst_dir}/embeddings.parquet", factor
     )
+    for t in ("customer", "orders", "lineitem"):
+        con.execute(
+            f"COPY ({_tpch_sql(src_dir, t, factor)}) "
+            f"TO '{dst_dir}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    for t in DIM_TABLES:  # dimensions copy through fixture-sized
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src_dir}/{t}.parquet')) "
+            f"TO '{dst_dir}/{t}.parquet' (FORMAT PARQUET)"
+        )
     for t in TABLES:
         src_schema = pq.read_schema(f"{src_dir}/{t}.parquet")
         dst_schema = pq.read_schema(f"{dst_dir}/{t}.parquet")
