@@ -34,13 +34,20 @@ def pagerank(
     edges: DataFrame,
     n_iter: int = 3,
     damping: float = 0.85,
+    validate: bool = True,
 ) -> DataFrame:
     """Fixed-iteration power-method PageRank over a directed edge list
     (columns src, dst). Returns (node, pagerank) for every node with an
     outgoing edge; rank is NOT rounded — callers round for display/oracle.
 
-    Every node is assumed to have out-degree >= 1 (true for symmetrized
-    near-dup graphs); dangling-mass redistribution is therefore not needed.
+    Every node must have out-degree >= 1 (true by construction for
+    symmetrized near-dup graphs); dangling-mass redistribution is therefore
+    not needed. ``validate`` (default on) enforces the precondition with one
+    edge-keyed anti-join count — a directed graph with sink nodes (in-edges
+    only) would otherwise silently leak rank mass each iteration and drop
+    those nodes from the output (ADVICE r5: misuse must surface as an
+    error, not quiet non-conservation). Pass validate=False only when the
+    caller guarantees symmetry (e.g. output of :func:`symmetrize`).
     r_{t+1}(v) = (1-d)/N + d * sum_{u->v} r_t(u) / outdeg(u).
     """
     if n_iter < 1:
@@ -51,6 +58,21 @@ def pagerank(
     # plan (observed: 8+ replayed candidate joins for 3 iterations).
     edges = edges.localCheckpoint(eager=False)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    if validate:
+        # one node-sized anti-join count; amortized trivially against the
+        # per-iteration edge joins below
+        n_sinks = (
+            edges.select("dst")
+            .distinct()
+            .join(deg.select("src"), F.col("dst") == F.col("src"), "left_anti")
+            .count()
+        )
+        if n_sinks:
+            raise ValueError(
+                f"pagerank precondition violated: {n_sinks} sink node(s) "
+                f"with in-edges but no out-edges — symmetrize the edge "
+                f"list or add dangling-mass handling"
+            )
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n"))
     # out-degree + node count carried on one node-sized frame; N rides along
     # as a broadcast scalar so the whole computation stays one lazy plan.

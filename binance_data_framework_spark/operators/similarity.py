@@ -764,11 +764,16 @@ def knn_self_lsh(
         # hyperplane, so no plane count can split it); argpartition keeps
         # the per-row top-k in O(m) instead of a full m-wide sort. The
         # selected set always contains every pair of the global candidate
-        # top-k (selection is by value); exact-tie pairs at the k boundary
-        # are chosen deterministically for a fixed numpy version.
+        # top-k (selection is by value); exact ties at the k boundary are
+        # broken (cosine desc, id asc) explicitly below, so the output is
+        # independent of group row order.
         empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
         if len(pdf) < 2:
             return empty
+        # id-ascending row order makes the stable tie-break sort below mean
+        # "lowest id wins" regardless of the (unspecified) order Spark hands
+        # the group rows in (ADVICE r5)
+        pdf = pdf.sort_values(id_col, kind="mergesort")
         ids = pdf[id_col].to_numpy()
         M = np.vstack(pdf["_v"].to_numpy())
         nr = pdf["_norm"].to_numpy()
@@ -783,6 +788,21 @@ def knn_self_lsh(
             Cb[ids[lo:hi, None] == ids[None, :]] = -np.inf
             sel = np.argpartition(-Cb, take - 1, axis=1)[:, :take]
             vals = np.take_along_axis(Cb, sel, axis=1)
+            # argpartition picks ARBITRARILY among exact ties at the k
+            # boundary (and duplicate-vector cliques — the primary dedup
+            # workload — are all exact ties), which would make the selected
+            # neighbor SET depend on group row order. Detect boundary-tied
+            # rows (more candidates >= the k-th value than fit) and re-select
+            # those rows with a stable value sort: columns are id-ascending,
+            # so stable = (cosine desc, id asc) — order-independent
+            # (ADVICE r5).
+            thresh = vals.min(axis=1)
+            with np.errstate(invalid="ignore"):  # NaN rows compare False
+                amb = (Cb >= thresh[:, None]).sum(axis=1) > take
+            if amb.any():
+                order = np.argsort(-Cb[amb], axis=1, kind="stable")[:, :take]
+                sel[amb] = order
+                vals[amb] = np.take_along_axis(Cb[amb], order, axis=1)
             ok = np.isfinite(vals)  # drops masked selfs and zero-norm NaNs
             rows = np.repeat(ids[lo:hi], take).reshape(hi - lo, take)
             out_a.append(rows[ok])

@@ -4306,7 +4306,10 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").alias("src"), F.col("vec_id").alias("dst")
     ).localCheckpoint(eager=False)
     edges = G.symmetrize(pairs)
-    ranks = G.pagerank(edges, n_iter=3, damping=0.85)
+    # validate=False: symmetrize() guarantees out-degree >= 1 by
+    # construction, and the validation count would otherwise execute the
+    # near-dup candidate join at plan-build time (plan-lint contract)
+    ranks = G.pagerank(edges, n_iter=3, damping=0.85, validate=False)
     return ranks.select("node", F.round("rank", 6).alias("pagerank"))
 
 

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
 
@@ -42,16 +43,31 @@ def write_jsonl(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+_CORRUPT_COL = "__jsonl_corrupt__"  # cannot clash with any sane caller schema
+
+
+def _field_names(schema: str) -> list[str]:
+    """Field names via the real DDL parser — naive comma-splitting silently
+    mis-parses nested types ('meta map<string,int>') into garbage column
+    references (ADVICE r5)."""
+    names = T.StructType.fromDDL(schema).fieldNames()
+    if _CORRUPT_COL in names:
+        raise ValueError(
+            f"schema must not declare the reserved column {_CORRUPT_COL!r}"
+        )
+    return names
+
+
 def _parsed(spark: SparkSession, path: str, schema: str) -> tuple[DataFrame, Column]:
     df = spark.read.text(path).select(
         F.from_json(
             "value",
-            schema + ", _corrupt_record string",
-            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+            schema + f", {_CORRUPT_COL} string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": _CORRUPT_COL},
         ).alias("j"),
         "value",
     )
-    bad = F.col("j._corrupt_record").isNotNull() | F.col("j").isNull()
+    bad = F.col(f"j.{_CORRUPT_COL}").isNotNull() | F.col("j").isNull()
     return df, bad
 
 
@@ -60,8 +76,8 @@ def read_jsonl_documents(
 ) -> DataFrame:
     """Schema-enforced JSONL read: rows whose full declared schema parses.
     Malformed lines are dropped here and surfaced by `corrupt_lines`."""
+    field_names = _field_names(schema)  # validates before any plan exists
     df, bad = _parsed(spark, path, schema)
-    field_names = [s.strip().split(" ", 1)[0] for s in schema.split(",")]
     return df.where(~bad).select(*[F.col(f"j.{f}").alias(f) for f in field_names])
 
 

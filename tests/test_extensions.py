@@ -439,6 +439,23 @@ def test_pagerank_rejects_zero_iterations(spark):
         G.pagerank(G.symmetrize(pairs), n_iter=0)
 
 
+def test_pagerank_rejects_sink_nodes(spark):
+    """The out-degree>=1 precondition is ENFORCED (ADVICE r5): a directed
+    edge list with a sink node (in-edges only) would silently leak rank
+    mass each iteration, so it must raise — and validate=False must keep
+    the old trusted-caller behavior."""
+    import pytest
+
+    from binance_data_framework_spark.operators import graph as G
+
+    edges = spark.createDataFrame([(0, 1), (0, 2)], "src bigint, dst bigint")
+    with pytest.raises(ValueError, match="sink node"):
+        G.pagerank(edges, n_iter=2)
+    # trusted caller opt-out still computes (nodes 1,2 dropped, documented)
+    ranks = G.pagerank(edges, n_iter=2, validate=False).collect()
+    assert {r["node"] for r in ranks} == {0}
+
+
 def test_fuzzy_edit_pairs_blocking_semantics(spark):
     df = spark.createDataFrame(
         [("cold bolt",), ("old bolt",), ("cold belt",), ("cold bolt",), (None,)],

@@ -1002,6 +1002,30 @@ def test_jsonl_roundtrip_and_corrupt_line_quarantine(spark, tmp_path):
     assert quarantined == sorted([bad, badtype])
 
 
+def test_jsonl_nested_schema_and_reserved_column_guard(spark, tmp_path):
+    """Schemas with comma-bearing nested types must parse via the real DDL
+    parser (the old comma-split produced garbage column references,
+    ADVICE r5), and a caller schema claiming the reserved corrupt-record
+    column is rejected up front."""
+    import pytest
+
+    from binance_data_framework_spark.sources import jsonl_docs as J
+
+    p = tmp_path / "nested"
+    p.mkdir()
+    (p / "part-0.jsonl").write_text(
+        '{"doc_id": 1, "meta": {"a": 2, "b": 3}, "tags": ["x", "y"]}\n'
+        '{"doc_id": 2, "meta": {"a": 4}, "tags": []}\n'
+    )
+    schema = "doc_id bigint, meta map<string,int>, tags array<string>"
+    rows = {r["doc_id"]: r for r in J.read_jsonl_documents(spark, str(p), schema).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["meta"] == {"a": 2, "b": 3} and list(rows[1]["tags"]) == ["x", "y"]
+
+    with pytest.raises(ValueError, match="reserved"):
+        J.read_jsonl_documents(spark, str(p), "doc_id bigint, __jsonl_corrupt__ string")
+
+
 def test_jsonl_gzip_shards_read_transparently(spark, tmp_path):
     """Corpus shards typically land as .jsonl.gz — the reader must handle
     them without flags (Hadoop codec by extension). Gzip is not splittable,

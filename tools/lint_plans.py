@@ -5,10 +5,12 @@ ANY query the moment it appears — the whole-registry version of
 ".explain and iterate until it's the plan you'd want".
 
 Checked per query. Building a plan is cheap but NOT always free of jobs:
-driver-side model fits (IVF centroids, OPQ) and the export/ingest
-round-trip queries (sink_export_csv/parquet, ingest_jsonl — their write
-step runs before the read-back plan exists) execute bounded work during
-construction; everything else is pure analysis. Flags:
+driver-side model fits (IVF centroids, OPQ), the export/ingest round-trip
+queries (sink_export_csv/parquet, ingest_jsonl — their write step runs
+before the read-back plan exists), and knn_join_lsh/knn_recall_self
+(knn_self_lsh's n_planes=None auto-derivation runs one df.count() to size
+the plane count) execute bounded work during construction; everything else
+is pure analysis. Flags:
 - CartesianProduct              -> never acceptable
 - BatchEvalPython               -> row-at-a-time Python UDF in the plan
 - BroadcastNestedLoopJoin       -> only on the allowlist (intentional
