@@ -1,0 +1,305 @@
+"""DocumentStore — snapshot-committed corpus tables (documents, curation
+survivors, packed sequences, any keyed parquet table), built on the same
+SnapshotStore commit protocol as OhlcvStore (store.py).
+
+Why it exists (VERDICT r5 #5): the OHLCV tier already had ACID snapshot
+commits, compaction, and time travel, while the LLM-pipeline tables read and
+wrote raw parquet — a 100 TB curation pipeline wants the SAME transactional
+guarantees for its document shards: an upsert that rewrites only the touched
+shards, readers that see whole snapshots (never a half-rewritten shard),
+time travel across curation runs, and O(changed-files) cleanup.
+
+Physical layout: ``root/shard=<k>/*.parquet`` where
+``shard = portable multiplicative hash(key) mod n_shards`` — the SAME
+deterministic assignment as the training-shard exporter
+(operators/curation.shard_assign), so a store shard IS a training shard and
+the layout decorrelates shard membership from key locality (range-loaded
+corpora still spread uniformly). The hash-sharded layout is the corpus
+analogue of OhlcvStore's day partitions: an upsert touches only the shards
+its incoming keys hash to, so rewrite amplification is bounded by
+|touched shards| * shard_size, never O(store). Choose ``n_shards`` so one
+shard fits an executor's write task at the target scale (the same knob as
+pack_sequences / export_shards).
+
+Semantics (mirrors OhlcvStore.save_data, SQLite INSERT-OR-REPLACE parity
+with the reference's upsert, database_handler.py:215-218): incoming rows
+win over stored rows on the key; the merge is precedence-ranked
+(source-rank + row_number), deterministic under shuffle. Schema is
+captured by the first commit; later upserts must carry the identical
+column set (a drifted pipeline fails loudly instead of silently writing a
+mixed-schema table).
+
+Concurrency is inherited: CAS manifest publish, read-rebase-commit for
+disjoint-shard writers, detected-and-raised conflicts for same-shard races,
+two-commit vacuum grace for concurrent readers.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from binance_data_framework_spark.operators.curation import shard_assign
+from binance_data_framework_spark.store import SnapshotStore
+
+
+class DocumentStore(SnapshotStore):
+    """Hash-sharded snapshot store for keyed corpus tables (module
+    docstring). ``key_col`` must be an integral id column (the portable
+    multiplicative hash is int64 arithmetic — string keys should be
+    pre-hashed to an id, e.g. xxhash64, upstream)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        key_col: str = "doc_id",
+        n_shards: int = 16,
+    ):
+        if n_shards <= 0:
+            raise ValueError("n_shards must be positive")
+        super().__init__(spark, root)
+        self.key_col = key_col
+        self.n_shards = n_shards
+
+    # -- helpers -----------------------------------------------------------
+    @staticmethod
+    def _shard_of(rel: str) -> int | None:
+        seg = rel.split("/", 1)[0]
+        if not seg.startswith("shard="):
+            return None
+        try:
+            return int(seg[6:])
+        except ValueError:
+            return None
+
+    def _shard_files(self, files: list[str], shards: set[int]) -> list[str]:
+        """Manifest-level shard pruning (the corpus analogue of
+        OhlcvStore._series_window_files): cut the listing driver-side so
+        the merge scan is O(touched shards), not O(store)."""
+        return [f for f in files if self._shard_of(f) in shards]
+
+    # -- write path --------------------------------------------------------
+    def save_docs(self, df: DataFrame) -> int:
+        """Keyed upsert: incoming rows win on ``key_col``; only the shards
+        the incoming keys hash to are read, merged, and rewritten. One
+        Spark job + one manifest commit regardless of how many shards are
+        touched. Returns the number of shards rewritten.
+
+        Null keys are a data error (they would be unfindable by any later
+        upsert) and raise; among duplicate incoming keys one row survives
+        (same contract as OhlcvStore: precedence is incoming-over-stored,
+        not defined within a source)."""
+        incoming = shard_assign(df, self.n_shards, self.key_col)
+        # one model-sized agg: touched shards + null-key guard (<= n_shards
+        # + 1 rows ever reach the driver)
+        stats = (
+            incoming.groupBy("shard")
+            .agg(F.sum(F.col(self.key_col).isNull().cast("long")).alias("n_null"))
+            .collect()
+        )
+        n_null = sum(r["n_null"] for r in stats)
+        if n_null:
+            raise ValueError(f"save_docs: {n_null} row(s) with null {self.key_col}")
+        touched = sorted(r["shard"] for r in stats)
+        if not touched:
+            return 0
+        man = self._snapshot()
+        live = man["files"] if man else []
+        if live:
+            # identical column sets required against the TABLE schema (one
+            # driver-side footer read), not just the overlapping shards — an
+            # upsert whose keys all hash to untouched shards would otherwise
+            # silently write a drifted-schema shard (allowMissingColumns
+            # would likewise null-fill instead of failing)
+            stored_cols = set(
+                self.spark.read.option("basePath", self.root)
+                .parquet(f"{self.root}/{live[0]}")
+                .columns
+            )
+            if set(incoming.columns) != stored_cols:
+                raise ValueError(
+                    f"save_docs: schema drift vs stored table "
+                    f"(stored {sorted(stored_cols)}, "
+                    f"incoming {sorted(incoming.columns)})"
+                )
+        superseded = self._shard_files(live, set(touched))
+        ranked = incoming.withColumn("_rank", F.lit(0))
+        if superseded:
+            stored = (
+                self.spark.read.option("basePath", self.root)
+                .parquet(*[f"{self.root}/{f}" for f in superseded])
+                .withColumn("_rank", F.lit(1))
+            )
+            ranked = ranked.unionByName(stored)
+        w = Window.partitionBy(self.key_col).orderBy("_rank")
+        merged = (
+            ranked.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rank", "_rn")
+        )
+        staging = f"_staging-{uuid.uuid4().hex}"
+        (
+            merged.repartition("shard")  # one file per touched shard
+            .sortWithinPartitions(self.key_col)  # row-group skipping on key
+            .write.partitionBy("shard")
+            .option("compression", "zstd")
+            .mode("overwrite")
+            .save(f"{self.root}/{staging}")
+        )
+        new_files = self._publish_staged(staging)
+        sup = set(superseded)
+
+        def _delta(latest: dict | None):
+            live_now = set(latest["files"]) if latest else set()
+            gone = sup - live_now
+            if gone:
+                raise RuntimeError(
+                    f"concurrent same-shard write detected: merged against "
+                    f"{len(gone)} file(s) no longer live; e.g. {sorted(gone)[:2]}"
+                )
+            return new_files, superseded
+
+        self._commit_or_reclaim(new_files, _delta)
+        return len(touched)
+
+    def delete_docs(self, keys: DataFrame) -> int:
+        """Keyed delete: rewrite the touched shards WITHOUT the given keys
+        (``keys`` must carry ``key_col``). Anti-join inside the touched
+        shards only; commit semantics identical to save_docs. Returns the
+        number of shards rewritten."""
+        keyed = shard_assign(keys.select(self.key_col), self.n_shards, self.key_col)
+        touched = {
+            r["shard"]
+            for r in keyed.select("shard").distinct().collect()
+        }
+        man = self._snapshot()
+        if not man or not touched:
+            return 0
+        superseded = self._shard_files(man["files"], touched)
+        if not superseded:
+            return 0
+        stored = self.spark.read.option("basePath", self.root).parquet(
+            *[f"{self.root}/{f}" for f in superseded]
+        )
+        survivors = stored.join(
+            keyed.select(self.key_col), on=self.key_col, how="left_anti"
+        )
+        staging = f"_staging-{uuid.uuid4().hex}"
+        (
+            survivors.repartition("shard")
+            .sortWithinPartitions(self.key_col)
+            .write.partitionBy("shard")
+            .option("compression", "zstd")
+            .mode("overwrite")
+            .save(f"{self.root}/{staging}")
+        )
+        new_files = self._publish_staged(staging)
+        sup = set(superseded)
+
+        def _delta(latest: dict | None):
+            live_now = set(latest["files"]) if latest else set()
+            gone = sup - live_now
+            if gone:
+                raise RuntimeError(
+                    f"concurrent same-shard write detected during delete; "
+                    f"e.g. {sorted(gone)[:2]}"
+                )
+            return new_files, superseded
+
+        self._commit_or_reclaim(new_files, _delta)
+        return len({self._shard_of(f) for f in superseded})
+
+    # -- read path ---------------------------------------------------------
+    def read(self) -> DataFrame:
+        """Latest committed snapshot (all shards). Raises on an empty store
+        — there is no schema to fabricate an empty frame from."""
+        man = self._snapshot()
+        if not man or not man["files"]:
+            raise ValueError(f"DocumentStore at {self.root} is empty")
+        paths = [f"{self.root}/{f}" for f in man["files"]]
+        return self.spark.read.option("basePath", self.root).parquet(*paths)
+
+    def read_keys(self, keys: DataFrame) -> DataFrame:
+        """Point-lookup scan: prune to the shards the requested keys hash
+        to (manifest-level, driver-side), then semi-join — O(touched
+        shards) IO for a key-list lookup against a 100 TB table."""
+        keyed = shard_assign(keys.select(self.key_col), self.n_shards, self.key_col)
+        touched = {r["shard"] for r in keyed.select("shard").distinct().collect()}
+        man = self._snapshot()
+        if not man:
+            raise ValueError(f"DocumentStore at {self.root} is empty")
+        files = self._shard_files(man["files"], touched)
+        if not files:
+            return self.read().limit(0)  # store schema, zero rows
+        df = self.spark.read.option("basePath", self.root).parquet(
+            *[f"{self.root}/{f}" for f in files]
+        )
+        return df.join(keyed.select(self.key_col), on=self.key_col, how="left_semi")
+
+    def read_version(self, version: int) -> DataFrame:
+        """Time-travel read (inherited retention rules: the trailing
+        two-commit window)."""
+        if version not in self.snapshot_versions():
+            raise ValueError(
+                f"snapshot v{version} is not retained "
+                f"(available: {self.snapshot_versions()})"
+            )
+        man = self._resolve(version)
+        if not man["files"]:
+            raise ValueError(f"snapshot v{version} is empty")
+        return self.spark.read.option("basePath", self.root).parquet(
+            *[f"{self.root}/{f}" for f in man["files"]]
+        )
+
+    # -- maintenance -------------------------------------------------------
+    def optimize(self, max_records_per_file: int = 0) -> int:
+        """Shard compaction (Delta OPTIMIZE parity, mirroring
+        OhlcvStore.optimize): bin-pack every shard holding more than one
+        file back to one file (or size-bounded files). Planning is
+        metadata-only over the manifest listing; the rewrite touches ONLY
+        multi-file shards; returns how many shards were compacted."""
+        man = self._snapshot()
+        if not man:
+            return 0
+        groups: dict[int, list[str]] = {}
+        for rel in man["files"]:
+            s = self._shard_of(rel)
+            if s is not None:
+                groups.setdefault(s, []).append(rel)
+        todo = {s: fl for s, fl in groups.items() if len(fl) > 1}
+        if not todo:
+            return 0
+        originals = sorted(f for fl in todo.values() for f in fl)
+        df = self.spark.read.option("basePath", self.root).parquet(
+            *[f"{self.root}/{f}" for f in originals]
+        )
+        staging = f"_staging-{uuid.uuid4().hex}"
+        writer = (
+            df.repartition("shard")
+            .sortWithinPartitions(self.key_col)
+            .write.partitionBy("shard")
+            .option("compression", "zstd")
+            .mode("overwrite")
+        )
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", max_records_per_file)
+        writer.save(f"{self.root}/{staging}")
+        new_files = self._publish_staged(staging)
+        sup = set(originals)
+
+        def _delta(latest: dict | None):
+            live = set(latest["files"]) if latest else set()
+            gone = sup - live
+            if gone:
+                raise RuntimeError(
+                    f"concurrent write during optimize: {len(gone)} "
+                    f"compacted file(s) no longer live"
+                )
+            return new_files, originals
+
+        self._commit_or_reclaim(new_files, _delta)
+        return len(todo)

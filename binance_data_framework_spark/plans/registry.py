@@ -1499,6 +1499,55 @@ def q_ingest_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "docstore_snapshot",
+    """
+    WITH merged AS (
+      SELECT doc_id, lang,
+             CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000 ELSE n_chars END
+               AS n_chars
+      FROM documents)
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(CASE WHEN n_chars > 1000 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_upserted
+    FROM merged GROUP BY lang
+    """,
+)
+def q_docstore_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transactional corpus-table round-trip (docstore.DocumentStore —
+    VERDICT r5 #5): a full-refresh upsert of the documents table into a
+    hash-sharded snapshot store, then a DELTA upsert touching only the
+    doc_id%7 shards (incoming wins on the key; only those shards'
+    files rewrite), then an aggregate over the COMMITTED snapshot read.
+    The oracle replays the merge semantics relationally, so a precedence
+    or lost-update bug in the store's commit path hash-mismatches.
+    Repeated runs are deterministic: the full refresh covers every key,
+    erasing any previous run's delta before it is re-applied. n_chars at
+    the fixtures is bounded well under 1000, so n_upserted counts exactly
+    the delta rows."""
+    import os
+
+    from binance_data_framework_spark.docstore import DocumentStore
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    root = _export_dir(spark, f"docstore_{os.path.basename(sf_dir.rstrip('/'))}")
+    st = DocumentStore(spark, root, key_col="doc_id", n_shards=8)
+    st.save_docs(docs)
+    st.save_docs(
+        docs.where(F.col("doc_id") % 7 == 0).withColumn(
+            "n_chars", F.col("n_chars") + 1000
+        )
+    )
+    return st.read().groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum((F.col("n_chars") > 1000).cast("long")).alias("n_upserted"),
+    )
+
+
+@register(
     "fmt_export_name",
     """
     WITH cov AS (

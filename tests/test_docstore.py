@@ -1,0 +1,155 @@
+"""DocumentStore: snapshot-committed corpus tables on the shared
+SnapshotStore protocol (docstore.py). The commit/CAS/vacuum machinery
+itself is exercised in depth by test_store.py; these tests pin the
+corpus-specific semantics — keyed upsert precedence, shard-bounded
+rewrites, keyed delete, schema-drift and null-key guards, point lookups,
+time travel, and compaction."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from binance_data_framework_spark.docstore import DocumentStore
+from binance_data_framework_spark.operators.curation import shard_assign
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id bigint, text string, quality double"
+    )
+
+
+def test_docstore_upsert_precedence_and_roundtrip(spark, tmp_path):
+    st = DocumentStore(spark, str(tmp_path / "ds"), n_shards=4)
+    st.save_docs(_docs(spark, [(1, "a", 0.1), (2, "b", 0.2), (3, "c", 0.3)]))
+    # incoming wins on the key; untouched keys survive
+    st.save_docs(_docs(spark, [(2, "B2", 0.9), (4, "d", 0.4)]))
+    got = {r["doc_id"]: (r["text"], r["quality"]) for r in st.read().collect()}
+    assert got == {1: ("a", 0.1), 2: ("B2", 0.9), 3: ("c", 0.3), 4: ("d", 0.4)}
+    # shard column round-trips as the partition column and matches the
+    # deterministic assignment the training-shard exporter uses
+    exp = {
+        r["doc_id"]: r["shard"]
+        for r in shard_assign(
+            _docs(spark, [(i, "", 0.0) for i in (1, 2, 3, 4)]), 4
+        ).collect()
+    }
+    assert {r["doc_id"]: r["shard"] for r in st.read().collect()} == exp
+
+
+def test_docstore_upsert_rewrites_only_touched_shards(spark, tmp_path):
+    root = tmp_path / "ds"
+    st = DocumentStore(spark, str(root), n_shards=8)
+    st.save_docs(_docs(spark, [(i, f"t{i}", 0.0) for i in range(40)]))
+    before = set(st._snapshot()["files"])
+    # one incoming key -> exactly one shard's files may change
+    st.save_docs(_docs(spark, [(7, "NEW", 1.0)]))
+    after = set(st._snapshot()["files"])
+    touched_shard = shard_assign(
+        _docs(spark, [(7, "", 0.0)]), 8
+    ).collect()[0]["shard"]
+    changed = {st._shard_of(f) for f in before ^ after}
+    assert changed == {touched_shard}
+    assert {r["text"] for r in st.read().where("doc_id = 7").collect()} == {"NEW"}
+    assert st.read().count() == 40
+
+
+def test_docstore_null_key_and_schema_drift_raise(spark, tmp_path):
+    st = DocumentStore(spark, str(tmp_path / "ds"), n_shards=4)
+    with pytest.raises(ValueError, match="null doc_id"):
+        st.save_docs(_docs(spark, [(None, "x", 0.0)]))
+    st.save_docs(_docs(spark, [(1, "a", 0.1)]))
+    drifted = spark.createDataFrame([(2, "b")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="schema drift"):
+        st.save_docs(drifted)
+
+
+def test_docstore_delete_and_point_lookup(spark, tmp_path):
+    st = DocumentStore(spark, str(tmp_path / "ds"), n_shards=4)
+    st.save_docs(_docs(spark, [(i, f"t{i}", 0.0) for i in range(10)]))
+    st.delete_docs(spark.createDataFrame([(3,), (4,)], "doc_id bigint"))
+    assert {r["doc_id"] for r in st.read().collect()} == set(range(10)) - {3, 4}
+    hits = st.read_keys(spark.createDataFrame([(5,), (3,), (99,)], "doc_id bigint"))
+    assert {r["doc_id"] for r in hits.collect()} == {5}
+
+
+def test_docstore_time_travel_across_curation_runs(spark, tmp_path):
+    st = DocumentStore(spark, str(tmp_path / "ds"), n_shards=2)
+    st.save_docs(_docs(spark, [(1, "v1", 0.1), (2, "v1", 0.1)]))
+    v1 = st.snapshot_versions()[-1]
+    st.save_docs(_docs(spark, [(1, "v2", 0.9)]))
+    v2 = st.snapshot_versions()[-1]
+    assert {r["text"] for r in st.read_version(v1).where("doc_id = 1").collect()} == {"v1"}
+    assert {r["text"] for r in st.read_version(v2).where("doc_id = 1").collect()} == {"v2"}
+    assert st.history().count() >= 2
+
+
+def test_docstore_optimize_compacts_multifile_shards(spark, tmp_path):
+    """Legacy adoption inherits whatever fragmentation the external writer
+    left (the _snapshot bootstrap); optimize() must bin-pack each
+    multi-file shard to one file without changing the table's contents."""
+    root = tmp_path / "ds"
+    import shutil
+
+    # externally-written fragmented layout: two files in one shard dir
+    sh0 = root / "shard=0"
+    _docs(spark, [(0, "a", 0.0)]).coalesce(1).write.mode("overwrite").parquet(
+        str(root / "_tmp_a")
+    )
+    _docs(spark, [(2, "b", 0.0)]).coalesce(1).write.mode("overwrite").parquet(
+        str(root / "_tmp_b")
+    )
+    sh0.mkdir(parents=True)
+    for tmp in ("_tmp_a", "_tmp_b"):
+        for f in (root / tmp).iterdir():
+            if f.name.endswith(".parquet"):
+                f.rename(sh0 / f"{tmp.lstrip('_')}-{f.name}")
+        shutil.rmtree(root / tmp)
+
+    st = DocumentStore(spark, str(root), n_shards=1)
+    assert st.read().count() == 2  # bootstrap adopted both files
+    n = st.optimize()
+    assert n == 1
+    man = st._snapshot()
+    assert len(man["files"]) == 1
+    got = {r["doc_id"]: r["text"] for r in st.read().collect()}
+    assert got == {0: "a", 2: "b"}
+
+
+def test_docstore_concurrent_same_shard_write_detected(spark, tmp_path):
+    """Two writers merging against the same shard snapshot: the second
+    commit must detect its merge base is gone and raise, never silently
+    lose the first writer's rows (same contract as OhlcvStore)."""
+    root = str(tmp_path / "ds")
+    a = DocumentStore(spark, root, n_shards=1)
+    a.save_docs(_docs(spark, [(1, "base", 0.0)]))
+
+    # simulate: writer B resolves the snapshot, then writer A commits first
+    orig_snapshot = DocumentStore._snapshot
+    state = {"raced": False}
+
+    def racing_snapshot(self):
+        snap = orig_snapshot(self)
+        if not state["raced"] and snap and self is b:
+            state["raced"] = True
+            a.save_docs(_docs(spark, [(2, "a-wins", 0.0)]))
+        return snap
+
+    b = DocumentStore(spark, root, n_shards=1)
+    DocumentStore._snapshot = racing_snapshot
+    try:
+        with pytest.raises(RuntimeError, match="concurrent same-shard"):
+            b.save_docs(_docs(spark, [(3, "b-loses", 0.0)]))
+    finally:
+        DocumentStore._snapshot = orig_snapshot
+    got = {r["doc_id"] for r in a.read().collect()}
+    assert got == {1, 2}  # A's commit survived; B's aborted cleanly
+    # B's reclaimed staging files must not linger in the layout
+    stray = [
+        f
+        for f in os.listdir(root)
+        if f.startswith("_staging")
+    ]
+    assert not stray
