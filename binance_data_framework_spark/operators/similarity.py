@@ -595,6 +595,9 @@ def topk_cosine_ivfpq(
     opq: bool = False,
     opq_sweeps: int = 2,
     centroids: list[list[float]] | None = None,
+    books: list[list[list[float]]] | None = None,
+    rotation: list[list[float]] | None = None,
+    coded: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ with exact re-rank: the coarse IVF quantizer prunes to nprobe
     cells, an ADC scan over PRODUCT-QUANTIZED codes shortlists k*refine
@@ -619,27 +622,49 @@ def topk_cosine_ivfpq(
     nothing per candidate).
 
     ``centroids`` injects a pre-trained coarse quantizer (see
-    topk_cosine_ivf — train once, search many)."""
+    topk_cosine_ivf — train once, search many). ``books``/``rotation``/
+    ``coded`` inject the FULL persisted index (ann_index.AnnIndexStore):
+    with ``coded`` given — (id, _c, _code), typically the store's
+    cell-partitioned code layout pruned to the probed cells — the search
+    runs NO training and NO corpus encode pass at all; the corpus is
+    touched only by the probe-filtered scan and the shortlist re-rank
+    join. That is the train-once/search-many split at 100 TB: per-query
+    work is O(probes x probed-cell codes) + O(k*refine) vector fetches."""
     if centroids is None:
         centroids = kmeans_fit(df, n_centroids, 3, id_col, vec_col, dim)
     sub_dim = dim // m_sub
 
-    base = with_norm(df, vec_col).withColumn("_c", _assign_udf(centroids)(F.col("_v")))
-    base = base.localCheckpoint(eager=False)
-    resid = base.select(
-        id_col, "_c", _residual_udf(centroids)(F.col("_v"), F.col("_c")).alias("_r")
-    )
-    if opq:
-        rotation, books = opq_train(resid, m_sub, ksub, opq_sweeps, 2, dim, id_col)
-        resid = resid.select(
-            id_col, "_c", _rotate_udf(np.asarray(rotation))(F.col("_r")).alias("_r")
+    if coded is None:
+        base = with_norm(df, vec_col).withColumn(
+            "_c", _assign_udf(centroids)(F.col("_v"))
         )
+        base = base.localCheckpoint(eager=False)
+        resid = base.select(
+            id_col, "_c", _residual_udf(centroids)(F.col("_v"), F.col("_c")).alias("_r")
+        )
+        if books is None:
+            if opq:
+                rotation, books = opq_train(
+                    resid, m_sub, ksub, opq_sweeps, 2, dim, id_col
+                )
+            else:
+                rotation = None
+                books = pq_train(resid, m_sub, ksub, 2, dim, id_col)
+        if rotation is not None:
+            resid = resid.select(
+                id_col, "_c", _rotate_udf(np.asarray(rotation))(F.col("_r")).alias("_r")
+            )
+        coded = resid.select(
+            id_col, "_c", _pq_codes_udf(books, sub_dim)(F.col("_r")).alias("_code")
+        ).localCheckpoint(eager=False)
     else:
-        rotation = None
-        books = pq_train(resid, m_sub, ksub, 2, dim, id_col)
-    coded = resid.select(
-        id_col, "_c", _pq_codes_udf(books, sub_dim)(F.col("_r")).alias("_code")
-    ).localCheckpoint(eager=False)
+        if books is None:
+            raise ValueError("coded requires the matching books")
+        # persisted-index path: NO checkpoint — materializing (_v, _norm)
+        # for the whole corpus is exactly the per-query cost the persisted
+        # codes exist to avoid; the probe side is a pushed-down filter scan
+        # and the re-rank touches only the shortlist
+        base = with_norm(df, vec_col)
 
     probe_rows = base.where(probe_filter).select(
         F.col(id_col).alias("probe_id"),

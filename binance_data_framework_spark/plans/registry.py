@@ -2728,11 +2728,13 @@ def q_topk_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate IVF (k-means inverted-file) top-k; recall-vs-exact
     invariant tested in pytest. Data-adaptive counterpart of the sign-LSH
-    path — each probe searches nprobe coarse cells only."""
+    path — each probe searches nprobe coarse cells only. Search-side of
+    the index split: reads the PERSISTED coarse quantizer (ann_index)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.topk_cosine_ivf(emb, F.col("vec_id") < 5, k=10).withColumn(
-        "cosine", F.round("cosine", 6)
-    )
+    _, idx = _ann_index(spark, sf_dir)
+    return S.topk_cosine_ivf(
+        emb, F.col("vec_id") < 5, k=10, centroids=idx.centroids
+    ).withColumn("cosine", F.round("cosine", 6))
 
 
 @register("topk_similarity_pq")
@@ -2742,11 +2744,20 @@ def q_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     the probed cells — the 100 TB ANN memory path) + exact cosine re-rank of
     k*refine candidates. Rows-only by design (approximate candidate
     selection); recall-vs-exact, exactness-of-reported-scores, and
-    determinism invariants are pytest-verified (tests/test_extensions.py)."""
+    determinism invariants are pytest-verified (tests/test_extensions.py).
+    Search-side of the index split: reads the persisted centroids, PQ
+    codebooks, and probed-cell code partitions — zero training, zero
+    corpus encode pass per query."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.topk_cosine_ivfpq(emb, F.col("vec_id") < 5, k=10).withColumn(
-        "cosine", F.round("cosine", 6)
-    )
+    st, idx = _ann_index(spark, sf_dir)
+    return S.topk_cosine_ivfpq(
+        emb,
+        F.col("vec_id") < 5,
+        k=10,
+        centroids=idx.centroids,
+        books=idx.pq_books,
+        coded=st.codes("pq", cells=_ann_probed_cells(spark, sf_dir)),
+    ).withColumn("cosine", F.round("cosine", 6))
 
 
 @register(
@@ -3448,16 +3459,17 @@ def q_window_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver-visible.
 
 
-# Per-(session, sf_dir) memo of the certificate tier's SHARED inputs: the
-# exact top-k baseline (a lazy localCheckpoint — computed on the first
-# certificate's action, reused by the other three) and the trained IVF
-# coarse quantizer (shared by the ivf/pq/opq certificates — kmeans_fit is
-# deterministic, so sharing the model is semantics-preserving: it is the
-# index-build/search split, trained once, searched many). Before this memo
-# each certificate recomputed both in-plan — ~4x the exact scan and 3x the
-# k-means training per sweep (VERDICT r4 #2). Keyed by applicationId so a
-# fresh session never sees another session's checkpointed RDDs; entries are
-# model-sized (50-row checkpoint + 16x64 floats).
+# Per-(session, sf_dir) memo of the ANN tier's SHARED inputs: the exact
+# top-k baseline (cached — computed on the first certificate's action,
+# reused by the others) and the PERSISTED index handle (ann_index.
+# AnnIndexStore under _scratch/ann_index_<sf>/: IVF centroids, PQ/OPQ
+# codebooks, OPQ rotation, and the cell-partitioned code layout — VERDICT
+# r5 #1). The model is trained AT MOST ONCE EVER per corpus now, not once
+# per session: the memo only avoids re-reading/fingerprint-checking the
+# committed artifact within a session; across sessions the store's
+# fingerprint check decides reuse vs rebuild. Keyed by applicationId so a
+# fresh session never sees another session's cached DataFrames; entries
+# are model-sized.
 _ANN_SHARED: dict[tuple, object] = {}
 
 
@@ -3489,11 +3501,49 @@ def _ann_exact_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ANN_SHARED[key]
 
 
-def _ann_centroids(spark: SparkSession, sf_dir: str) -> list[list[float]]:
-    key = (spark.sparkContext.applicationId, sf_dir, "centroids")
+def _ann_index(spark: SparkSession, sf_dir: str):
+    """(AnnIndexStore, AnnIndex) for this corpus — loaded from the
+    committed artifact, built only if missing or fingerprint-stale. The
+    searches and certificates below all READ this persisted index; none of
+    them trains anything in-plan anymore."""
+    import os
+
+    from binance_data_framework_spark.ann_index import ensure_index
+
+    key = (spark.sparkContext.applicationId, sf_dir, "index")
     _ann_evict_stale(key[0])
     if key not in _ANN_SHARED:
-        _ANN_SHARED[key] = S.kmeans_fit(load_table(spark, sf_dir, "embeddings"))
+        emb = load_table(spark, sf_dir, "embeddings")
+        root = _export_dir(
+            spark, f"ann_index_{os.path.basename(sf_dir.rstrip('/'))}"
+        )
+        _ANN_SHARED[key] = ensure_index(spark, emb, root)
+    return _ANN_SHARED[key]
+
+
+def _ann_probed_cells(spark: SparkSession, sf_dir: str, nprobe: int = 4) -> list[int]:
+    """IVF cells the standard probe set (_ann_probe) hits, computed
+    driver-side from the persisted centroids (probe-count x nprobe —
+    model-sized, memoized per session). Lets the PQ searches hand
+    AnnIndexStore.codes() an explicit cell list, so the committed file
+    listing is pruned to the probed cells before any scan exists."""
+    key = (spark.sparkContext.applicationId, sf_dir, "probed_cells")
+    _ann_evict_stale(key[0])
+    if key not in _ANN_SHARED:
+        import numpy as np
+
+        _, idx = _ann_index(spark, sf_dir)
+        rows = (
+            load_table(spark, sf_dir, "embeddings")
+            .where(_ann_probe())
+            .select("embedding")
+            .collect()
+        )
+        m = np.array([list(r[0]) for r in rows], dtype=np.float64)
+        cm = np.asarray(idx.centroids, dtype=np.float64)
+        d = (cm * cm).sum(axis=1)[None, :] - 2.0 * (m @ cm.T)
+        order = np.argsort(d, axis=1)[:, :nprobe]
+        _ANN_SHARED[key] = sorted({int(c) for c in order.ravel()})
     return _ANN_SHARED[key]
 
 
@@ -3609,13 +3659,13 @@ def q_topk_recall_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("topk_recall_ivf", _RECALL_ORACLE.format(floor=0.2))
 def q_topk_recall_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible recall certificate for the IVF top-k (nprobe=4 of 16
-    cells; floor mirrors test_ivf_topk_invariants)."""
+    cells; floor mirrors test_ivf_topk_invariants). Reads the PERSISTED
+    coarse quantizer (ann_index) — no k-means training in this query."""
     emb = load_table(spark, sf_dir, "embeddings")
+    _, idx = _ann_index(spark, sf_dir)
     return _recall_invariant(
         _ann_exact_topk(spark, sf_dir),
-        S.topk_cosine_ivf(
-            emb, _ann_probe(), k=10, centroids=_ann_centroids(spark, sf_dir)
-        ),
+        S.topk_cosine_ivf(emb, _ann_probe(), k=10, centroids=idx.centroids),
         0.2,
     )
 
@@ -3625,12 +3675,20 @@ def q_topk_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-visible recall certificate for IVF-PQ: ADC shortlist + exact
     re-rank must keep recall above the IVF cell bound AND report exact cosines
     (scores_match covers the re-rank exactness from
-    test_ivfpq_topk_invariants)."""
+    test_ivfpq_topk_invariants). The search reads the PERSISTED index —
+    centroids + PQ codebooks + the cell-partitioned code layout pruned to
+    the probed cells; no training, no corpus encode pass."""
     emb = load_table(spark, sf_dir, "embeddings")
+    st, idx = _ann_index(spark, sf_dir)
     return _recall_invariant(
         _ann_exact_topk(spark, sf_dir),
         S.topk_cosine_ivfpq(
-            emb, _ann_probe(), k=10, centroids=_ann_centroids(spark, sf_dir)
+            emb,
+            _ann_probe(),
+            k=10,
+            centroids=idx.centroids,
+            books=idx.pq_books,
+            coded=st.codes("pq", cells=_ann_probed_cells(spark, sf_dir)),
         ),
         0.2,
     )
@@ -3641,19 +3699,53 @@ def q_topk_recall_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall certificate for IVF-PQ with the learned OPQ rotation
     (operators/similarity.opq_train): same floors as the plain-PQ path;
     the rotation's own invariant (lower quantization error at equal code
-    budget) is pytest-verified (test_opq_rotation_improves_quantization)."""
+    budget) is pytest-verified (test_opq_rotation_improves_quantization).
+    Reads the persisted OPQ codebooks + rotation + opq-variant codes."""
     emb = load_table(spark, sf_dir, "embeddings")
+    st, idx = _ann_index(spark, sf_dir)
     return _recall_invariant(
         _ann_exact_topk(spark, sf_dir),
         S.topk_cosine_ivfpq(
             emb,
             _ann_probe(),
             k=10,
-            opq=True,
-            centroids=_ann_centroids(spark, sf_dir),
+            centroids=idx.centroids,
+            books=idx.opq_books,
+            rotation=idx.opq_rotation,
+            coded=st.codes("opq", cells=_ann_probed_cells(spark, sf_dir)),
         ),
         0.2,
     )
+
+
+@register(
+    "ann_index_build",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors, 16 AS n_centroids,
+           8 AS m_sub, 16 AS ksub, 64 AS dim,
+           CAST(count(*) AS BIGINT) AS n_codes_pq,
+           CAST(count(*) AS BIGINT) AS n_codes_opq
+    FROM embeddings
+    """,
+)
+def q_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-build/search split, build side (ann_index.AnnIndexStore —
+    VERDICT r5 #1): ensure the persisted ANN index exists for this corpus
+    (training only on first contact or after a fingerprint change —
+    idempotent ensure-built semantics), then AUDIT the committed artifact:
+    the code layout must hold exactly one PQ and one OPQ code per corpus
+    vector. The counts are computed FROM the persisted cell-partitioned
+    parquet, so a lost cell partition or double-encode hash-mismatches
+    against the corpus count."""
+    st, idx = _ann_index(spark, sf_dir)
+    params = spark.sql(
+        f"""SELECT CAST({idx.n_vectors} AS BIGINT) AS n_vectors,
+                   {idx.n_centroids} AS n_centroids, {idx.m_sub} AS m_sub,
+                   {idx.ksub} AS ksub, {idx.dim} AS dim"""
+    )
+    npq = st.codes("pq").agg(F.count(F.lit(1)).alias("n_codes_pq"))
+    nopq = st.codes("opq").agg(F.count(F.lit(1)).alias("n_codes_opq"))
+    return params.crossJoin(npq).crossJoin(nopq)
 
 
 @register(

@@ -1,0 +1,143 @@
+"""AnnIndexStore (ann_index.py): the persisted train-once/search-many
+split. Pins build/load model round-trip identity, ensure-built idempotence,
+fingerprint staleness, physical cell pruning of the code layout, and —
+the core guarantee — that a search reading the persisted index returns
+EXACTLY what the in-plan-trained search returns (training is
+deterministic, so the persisted artifact is the same model)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from binance_data_framework_spark.ann_index import AnnIndexStore, ensure_index
+from binance_data_framework_spark.operators import similarity as S
+
+DIM = 8
+BUILD = dict(dim=DIM, n_centroids=4, m_sub=4, ksub=4)
+
+
+def _emb(spark, n=60, offset=0):
+    rows = [
+        (
+            i,
+            [float(((i + offset) * 7 + j * 3) % 11) - 5.0 + 0.1 * j for j in range(DIM)],
+        )
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+
+
+def test_build_load_roundtrip_and_idempotence(spark, tmp_path):
+    df = _emb(spark)
+    st = AnnIndexStore(spark, str(tmp_path / "idx"))
+    idx = st.build(df, **BUILD)
+    assert idx.version == 1
+    assert idx.n_vectors == 60 and idx.fingerprint == [60, sum(range(60))]
+    assert len(idx.centroids) == 4 and len(idx.centroids[0]) == DIM
+    assert len(idx.pq_books) == 4 and len(idx.pq_books[0]) == 4
+    assert len(idx.opq_rotation) == DIM
+
+    # ensure-built: same corpus, same params -> NO new commit, same model
+    again = st.build(df, **BUILD)
+    assert again.version == 1
+    assert again.centroids == idx.centroids and again.pq_books == idx.pq_books
+
+    # force rebuild: new version, IDENTICAL model (deterministic training)
+    forced = st.build(df, force=True, **BUILD)
+    assert forced.version == 2
+    assert forced.centroids == idx.centroids
+    assert forced.opq_books == idx.opq_books
+    assert forced.opq_rotation == idx.opq_rotation
+
+
+def test_fingerprint_staleness_triggers_rebuild(spark, tmp_path):
+    root = str(tmp_path / "idx")
+    df = _emb(spark)
+    st, idx = ensure_index(spark, df, root, **BUILD)
+    assert idx.version == 1
+    # same corpus: load validates and reuses
+    _, idx2 = ensure_index(spark, df, root, **BUILD)
+    assert idx2.version == 1
+    # grown corpus: fingerprint mismatch -> stale -> rebuild commits v2
+    grown = _emb(spark, n=70)
+    assert st.load(validate_against=grown) is None
+    _, idx3 = ensure_index(spark, grown, root, **BUILD)
+    assert idx3.version == 2 and idx3.n_vectors == 70
+
+
+def test_codes_layout_and_physical_cell_pruning(spark, tmp_path):
+    df = _emb(spark)
+    st = AnnIndexStore(spark, str(tmp_path / "idx"))
+    idx = st.build(df, **BUILD)
+    for variant in ("pq", "opq"):
+        codes = st.codes(variant)
+        assert codes.count() == 60  # exactly one code per corpus vector
+        assert {len(r["_code"]) for r in codes.select("_code").collect()} == {4}
+    # pruned read: only the requested cell's FILES are even listed
+    cells = sorted({r["_c"] for r in st.codes("pq").select("_c").distinct().collect()})
+    one = st.codes("pq", cells=[cells[0]])
+    assert {r["_c"] for r in one.select("_c").distinct().collect()} == {cells[0]}
+    assert all(f"cell={cells[0]}" in f for f in one.inputFiles())
+    with pytest.raises(ValueError, match="variant"):
+        st.codes("nope")
+
+
+def test_persisted_search_equals_inplan_trained_search(spark, tmp_path):
+    """The whole point of persistence: a search over the committed
+    artifact is the SAME computation as the train-in-plan path — equal
+    rows, not merely similar recall."""
+    df = _emb(spark)
+    st = AnnIndexStore(spark, str(tmp_path / "idx"))
+    idx = st.build(df, **BUILD)
+    probe = F.col("vec_id") < 4
+
+    inplan = S.topk_cosine_ivfpq(
+        df, probe, k=5, dim=DIM, n_centroids=4, m_sub=4, ksub=4
+    )
+    persisted = S.topk_cosine_ivfpq(
+        df,
+        probe,
+        k=5,
+        dim=DIM,
+        n_centroids=4,
+        m_sub=4,
+        ksub=4,
+        centroids=idx.centroids,
+        books=idx.pq_books,
+        coded=st.codes("pq"),
+    )
+    a = {(r["probe_id"], r["vec_id"], round(r["cosine"], 9), r["rank"]) for r in inplan.collect()}
+    b = {(r["probe_id"], r["vec_id"], round(r["cosine"], 9), r["rank"]) for r in persisted.collect()}
+    assert a == b and len(a) > 0
+
+    # OPQ variant likewise
+    inplan_o = S.topk_cosine_ivfpq(
+        df, probe, k=5, dim=DIM, n_centroids=4, m_sub=4, ksub=4, opq=True
+    )
+    persisted_o = S.topk_cosine_ivfpq(
+        df,
+        probe,
+        k=5,
+        dim=DIM,
+        n_centroids=4,
+        m_sub=4,
+        ksub=4,
+        centroids=idx.centroids,
+        books=idx.opq_books,
+        rotation=idx.opq_rotation,
+        coded=st.codes("opq"),
+    )
+    ao = {(r["probe_id"], r["vec_id"], round(r["cosine"], 9), r["rank"]) for r in inplan_o.collect()}
+    bo = {(r["probe_id"], r["vec_id"], round(r["cosine"], 9), r["rank"]) for r in persisted_o.collect()}
+    assert ao == bo and len(ao) > 0
+
+
+def test_coded_without_books_rejected(spark, tmp_path):
+    df = _emb(spark)
+    st = AnnIndexStore(spark, str(tmp_path / "idx"))
+    st.build(df, **BUILD)
+    with pytest.raises(ValueError, match="books"):
+        S.topk_cosine_ivfpq(
+            df, F.col("vec_id") < 2, k=3, dim=DIM, coded=st.codes("pq")
+        )

@@ -5,12 +5,14 @@ ANY query the moment it appears — the whole-registry version of
 ".explain and iterate until it's the plan you'd want".
 
 Checked per query. Building a plan is cheap but NOT always free of jobs:
-driver-side model fits (IVF centroids, OPQ), the export/ingest round-trip
-queries (sink_export_csv/parquet, ingest_jsonl — their write step runs
-before the read-back plan exists), and knn_join_lsh/knn_recall_self
-(knn_self_lsh's n_planes=None auto-derivation runs one df.count() to size
-the plane count) execute bounded work during construction; everything else
-is pure analysis. Flags:
+the export/ingest/store round-trip queries (sink_export_csv/parquet,
+ingest_jsonl, docstore_snapshot — their write step runs before the
+read-back plan exists), the persisted-ANN-index queries (ann_index_build,
+topk_similarity_ivf/pq, topk_recall_ivf/pq/opq — first contact per corpus
+trains and commits the index, later contacts pay one fingerprint agg),
+and knn_join_lsh/knn_recall_self (knn_self_lsh's n_planes=None
+auto-derivation runs one df.count() to size the plane count) execute
+bounded work during construction; everything else is pure analysis. Flags:
 - CartesianProduct              -> never acceptable
 - BatchEvalPython               -> row-at-a-time Python UDF in the plan
 - BroadcastNestedLoopJoin       -> only on the allowlist (intentional
@@ -55,6 +57,8 @@ BNLJ_OK = {
     "bm25_search",
     "tfidf_top_terms",
     "text_unigram_logprob",
+    # 1-row params x 1-row code-count aggregates (index audit)
+    "ann_index_build",
 }
 
 # Unkeyed windows allowed only over provably tiny/aggregated frames.
