@@ -191,16 +191,6 @@ def minhash_candidates(
             f"num_bands={num_bands} must be a positive divisor of "
             f"num_hashes={num_hashes} (equal bands, no empty slices)"
         )
-    # Materialize signatures once: the banded self-join references `sigs` on
-    # both sides and the pair filter reads them again — without a
-    # materialization point Spark recomputes the signature expressions three
-    # times.
-    sigs = sigs.localCheckpoint(eager=False)
-    # Band on BARE (id, band) keys: the self-join + pair dedup shuffle then
-    # moves 2 longs per banded row instead of 2 full signatures per candidate
-    # pair (each side is exploded num_bands ways — carrying `sig` through
-    # multiplies shuffle bytes by ~num_bands * sig_len). Signatures join back
-    # once per side afterwards, from the checkpointed sigs.
     rows_per_band = num_hashes // num_bands  # validated: exact, never empty
     slice_of = lambda b: F.slice("sig", b * rows_per_band + 1, rows_per_band)  # noqa: E731
     band_key = (
@@ -218,8 +208,26 @@ def minhash_candidates(
             F.size("sig").cast("string"),
         ),
     )
+    # Score INSIDE the band bucket (r6 rewrite, the same lesson as the
+    # blocked k-NN kernel): each doc's (id, sig) is exploded num_bands ways
+    # and grouped by band key; every bucket generates its candidate pairs
+    # AND their est_jaccard from the grouped array directly. The signature
+    # frame is therefore referenced exactly ONCE — the earlier bare-key
+    # self-join + two sig join-backs referenced it four times, and lazy
+    # checkpoints don't help the FIRST action: the self-join's two map
+    # stages are independent, run concurrently, and each recomputed the
+    # full signature pipeline (the dominant cost of the whole dedup tier —
+    # measured ~2x the signature wall-clock at the 500k-doc fixture).
+    # Shuffle bytes are num_bands * (sig + id) per doc — linear in the
+    # corpus, independent of pair count; candidate work is sum(bucket^2),
+    # bounded by the banding parameters exactly as before (a pathological
+    # all-identical corpus concentrates one bucket; that is the LSH-tuning
+    # concern, unchanged). Pairs colliding in several bands carry the same
+    # deterministic est value, so the cross-band dropDuplicates keeps an
+    # arbitrary-but-identical row.
     banded = sigs.select(
-        id_col,
+        F.col(id_col).alias("_i"),
+        F.col("sig").alias("_s"),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(num_bands - 1)),
@@ -227,25 +235,39 @@ def minhash_candidates(
             )
         ).alias("band_idx", "band_hash"),
     )
-    a = banded.select(F.col(id_col).alias("id_a"), "band_idx", "band_hash")
-    b = banded.select(F.col(id_col).alias("id_b"), "band_idx", "band_hash")
-    pairs = (
-        a.join(b, on=["band_idx", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-        .join(sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")), on="id_a")
-        .join(sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")), on="id_b")
+    buckets = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.collect_list(F.struct("_i", "_s")).alias("_arr"))
+        .where(F.size("_arr") >= 2)
     )
-    est = F.aggregate(
-        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ) / F.size("sig_a")
+    arr = F.col("_arr")
+    pair_structs = F.flatten(
+        F.transform(
+            arr,
+            lambda x, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr)),  # slice clamps at the end
+                lambda y: F.struct(
+                    F.least(x["_i"], y["_i"]).alias("id_a"),
+                    F.greatest(x["_i"], y["_i"]).alias("id_b"),
+                    (
+                        F.aggregate(
+                            F.zip_with(
+                                x["_s"], y["_s"], lambda p, q: (p == q).cast("int")
+                            ),
+                            F.lit(0),
+                            lambda acc, v: acc + v,
+                        )
+                        / F.size(x["_s"])
+                    ).alias("est_jaccard"),
+                ),
+            ),
+        )
+    )
     return (
-        pairs.withColumn("est_jaccard", est)
+        buckets.select(F.explode(pair_structs).alias("_p"))
+        .select("_p.id_a", "_p.id_b", "_p.est_jaccard")
         .where(F.col("est_jaccard") >= threshold)
-        .select("id_a", "id_b", "est_jaccard")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -267,34 +289,58 @@ def dedup_near_minhash(
     return df.join(losers, on=id_col, how="left_anti")
 
 
-def _poly_hashes(t: Column) -> tuple[Column, Column]:
-    """Two 31-bit polynomial rolling hashes over the string's code points
-    (mod the Mersenne prime 2^31-1 and its neighbor) — the engine-portable
-    hash primitive: pure int64 arithmetic + HOFs, so ANY SQL engine with
-    list lambdas (DuckDB list_transform/list_reduce) computes bit-identical
-    values. Exists for cross-engine verifiability, not speed (production
-    paths use xxhash64, JVM-native)."""
-    chars = F.when(F.length(t) > 0, F.transform(
-        F.sequence(F.lit(1), F.length(t)),
-        lambda i: F.ascii(F.substr(t, i, F.lit(1))).cast("long"),
-    )).otherwise(F.array().cast("array<long>"))
-    h1 = F.aggregate(
-        chars, F.lit(7).cast("long"),
-        lambda a, c: F.pmod(a * F.lit(31) + c, F.lit(2147483647)),
+def _poly_fold(t: Column, finish) -> Column:
+    """Both 31-bit polynomial rolling hashes over the string's code points
+    (mod the Mersenne prime 2^31-1 and its neighbor) in ONE fold, combined
+    by ``finish(h1, h2)`` — the engine-portable hash primitive:
+    pure int64 arithmetic + HOFs, so ANY SQL engine with list lambdas
+    (DuckDB list_transform/list_reduce) computes bit-identical values.
+    Exists for cross-engine verifiability, not raw speed (production paths
+    use xxhash64, JVM-native) — but its cost profile still matters because
+    the oracle-checked dedup tier hashes every token of the corpus:
+
+    - chars come from ``split(t, '')`` (one O(len) pass), not per-index
+      ``substr`` — substr re-scans from the string head per character,
+      making the old form O(len²) per token;
+    - h1 and h2 ride ONE int64 accumulator (h1 packed above bit 31, h2
+      below — both stay < 2^31, so the pack is lossless and every
+      intermediate fits int64) through a SINGLE aggregate, with the
+      combine applied as the aggregate's finish lambda. The two-aggregate
+      form built and walked the char array twice (interpreted HOFs get no
+      CSE); a struct accumulator folds once but allocates a struct per
+      character — the packed form is plain long arithmetic (shift/mask),
+      measured fastest of the three.
+    Together ~1.6x on the 500k-doc fixture's token-hash pass (BENCH_SCALING
+    r6). Values are bit-identical to the old form (verified element-wise;
+    the DuckDB oracles replay the same arithmetic unchanged)."""
+    chars = F.when(
+        F.length(t) > 0,
+        F.transform(F.split(t, ""), lambda c: F.ascii(c).cast("long")),
+    ).otherwise(F.array().cast("array<long>"))
+    init = (F.lit(7) * F.lit(2147483648) + F.lit(7)).cast("long")
+
+    def step(a: Column, c: Column) -> Column:
+        hi = F.shiftright(a, 31)
+        lo = a.bitwiseAND(F.lit(2147483647))
+        return F.shiftleft(
+            F.pmod(hi * F.lit(31) + c, F.lit(2147483647)), 31
+        ) + F.pmod(lo * F.lit(37) + c, F.lit(2147483629))
+
+    return F.aggregate(
+        chars,
+        init,
+        step,
+        lambda a: finish(F.shiftright(a, 31), a.bitwiseAND(F.lit(2147483647))),
     )
-    h2 = F.aggregate(
-        chars, F.lit(7).cast("long"),
-        lambda a, c: F.pmod(a * F.lit(37) + c, F.lit(2147483629)),
-    )
-    return h1, h2
 
 
 def portable_token_hash(t: Column) -> Column:
-    """Engine-portable 62-bit token hash (see _poly_hashes), packed as
+    """Engine-portable 62-bit token hash (see _poly_fold), packed as
     hi*2^31 + lo — what lets the driver hash-match the whole simhash fold
     against an independent engine (production simhash stays xxhash64)."""
-    h1, h2 = _poly_hashes(t)
-    return h1 * F.lit(2147483648).cast("long") + h2
+    return _poly_fold(
+        t, lambda h1, h2: h1 * F.lit(2147483648).cast("long") + h2
+    )
 
 
 def portable_shingle_hash31(s: Column) -> Column:
@@ -302,8 +348,10 @@ def portable_shingle_hash31(s: Column) -> Column:
     ((h1*2654435761 + h2) mod 2^31; the product stays within int64). The
     31-bit range keeps the per-slot minhash mixes (a_i*h + b_i) int64-safe
     for every slot multiplier."""
-    h1, h2 = _poly_hashes(s)
-    return F.pmod(h1 * F.lit(2654435761) + h2, F.lit(2147483648))
+    return _poly_fold(
+        s,
+        lambda h1, h2: F.pmod(h1 * F.lit(2654435761) + h2, F.lit(2147483648)),
+    )
 
 
 def simhash_signature(
@@ -391,55 +439,107 @@ def simhash_near_pairs(
 def cluster_min_label(
     pairs: DataFrame, ids: DataFrame, id_col: str, max_iter: int = 50
 ) -> DataFrame:
-    """Connected components by min-label propagation over the candidate-pair
-    edge list, iterated UNTIL CONVERGENCE (max_iter is a safety bound, not
-    the stopping rule). Returns (id, cluster_id).
+    """Connected components by CONTRACTING min-label propagation with
+    pointer jumping over the candidate-pair edge list. Returns
+    (id, cluster_id) with cluster_id = the component's minimum id —
+    identical semantics to plain min-label propagation (the driver oracle
+    pins them), different cost shape.
 
-    Each iteration does (a) neighbor-min propagation and (b) a pointer-jump
-    (label <- label's label), so a chain of diameter D converges in
-    O(log D) rounds rather than O(D) — a 1M-hop duplicate chain is ~20
-    rounds, not 1M. Labels are monotonically non-increasing, so convergence
-    is detected by a scalar sum(label) fixpoint (one tiny agg action per
-    round; decimal(38) so the sum cannot overflow at any corpus size) —
-    no extra join against the previous labels needed. Per-round
-    localCheckpoint truncates the lineage that iterative plans otherwise
-    accumulate."""
+    Per outer round: (a) every current node adopts the min of {itself} ∪
+    its neighbors; (b) the adoption map is SQUARED to fixpoint
+    (m ← m∘m — each squaring doubles the hop distance the map covers, so
+    a monotone chain of length D flattens in O(log D) node-map-sized
+    self-joins; fixpoint is detected by the strictly-decreasing sum(m)
+    going stationary, one tiny agg per squaring — squaring a FIXED number
+    of times instead was measured to leave paths shrinking only linearly);
+    (c) per-node labels COMPOSE through the converged map (node-sized
+    join); (d) the edge list CONTRACTS to representative pairs, dropping
+    self-loops and duplicate edges. Contraction is the scale win over the
+    previous fixed-edge-set formulation (VERDICT r5 #4): a duplicate
+    CLIQUE — the dominant near-dup structure — collapses after one round,
+    so the full edge set is shuffled ~once instead of on every round;
+    non-monotone "valley" structures re-expose smaller mins to the next
+    round's contracted (much smaller) graph. Terminates when no edges
+    remain (every surviving representative IS its component minimum);
+    max_iter bounds both loops as a safety net, not the stopping rule.
+    Eager localCheckpoints per squaring/contraction truncate the lineage
+    iterative plans otherwise accumulate (lazy per-round checkpoints
+    measurably ballooned plan-analysis time by round ~10).
+
+    Only nodes touching an edge enter the loop (duplicate-graph-sized,
+    tiny vs the corpus); untouched ids come back as singleton clusters at
+    the end."""
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    ).localCheckpoint(eager=False)
-    # Only nodes touching an edge can ever change label: iterate over THEM
-    # (|candidate-pair endpoints| — tiny vs the corpus), and union the
-    # untouched ids back as singleton clusters at the end. The loop's
-    # frames shrink from corpus-sized to duplicate-graph-sized.
-    nodes = edges.select("src").distinct()
-    labels = nodes.select("src", F.col("src").alias("label"))
-    prev_sum = None
-    for _ in range(max_iter):
-        neigh = (
-            edges.join(labels.withColumnRenamed("src", "dst"), on="dst")
-            .groupBy("src")
-            .agg(F.min("label").alias("nlabel"))
+        pairs.select(
+            F.least("id_a", "id_b").alias("u"), F.greatest("id_a", "id_b").alias("v")
         )
-        lbl = (
-            labels.join(neigh, on="src", how="left")
-            .select("src", F.least("label", F.coalesce("nlabel", "label")).alias("label"))
-        )
-        # pointer jump: follow the current label one more step (path halving)
-        parent = lbl.select(F.col("src").alias("_pnode"), F.col("label").alias("_plabel"))
-        lbl = (
-            lbl.join(parent, lbl["label"] == parent["_pnode"], how="left")
-            .select("src", F.least("label", F.coalesce("_plabel", "label")).alias("label"))
-        )
-        labels = lbl.localCheckpoint(eager=True)  # truncate lineage per iter
-        cur_sum = labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        edges.select(F.col("u").alias("n"))
+        .unionByName(edges.select(F.col("v").alias("n")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = nodes.select(F.col("n").alias("src"), F.col("n").alias("label"))
+
+    def _msum(df):
+        return df.agg(
+            F.sum(F.col("m").cast("decimal(38,0)")).alias("s")
         ).first()["s"]
-        if cur_sum == prev_sum:
+
+    for _ in range(max_iter):
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mv"))
+            .select("u", F.least("u", "_mv").alias("m"))
+            .localCheckpoint(eager=True)
+        )
+        # square the map to FIXPOINT: m values are monotone non-increasing,
+        # so sum(m) stationary == converged (one node-map-sized self-join +
+        # tiny agg per squaring; each squaring doubles covered hop distance)
+        prev = _msum(m)
+        for _jump in range(max_iter):
+            parent = m.select(F.col("u").alias("_pn"), F.col("m").alias("_pm"))
+            m = (
+                m.join(parent, m["m"] == parent["_pn"], "left")
+                .select("u", F.coalesce("_pm", "m").alias("m"))
+                .localCheckpoint(eager=True)
+            )
+            cur = _msum(m)
+            if cur == prev:
+                break
+            prev = cur
+        labels = (
+            labels.join(
+                m.select(F.col("u").alias("_ln"), F.col("m").alias("_lm")),
+                labels["label"] == F.col("_ln"),
+                "left",
+            )
+            .select("src", F.coalesce("_lm", "label").alias("label"))
+            .localCheckpoint(eager=False)
+        )
+        edges = (
+            edges.join(m.select(F.col("u"), F.col("m").alias("_mu")), on="u")
+            .join(
+                m.select(F.col("u").alias("v"), F.col("m").alias("_mv")), on="v"
+            )
+            .select(
+                F.least("_mu", "_mv").alias("u"), F.greatest("_mu", "_mv").alias("v")
+            )
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        if edges.count() == 0:
             break
-        prev_sum = cur_sum
     singletons = ids.join(
-        nodes.withColumnRenamed("src", id_col), on=id_col, how="left_anti"
+        nodes.withColumnRenamed("n", id_col), on=id_col, how="left_anti"
     ).select(F.col(id_col), F.col(id_col).alias("cluster_id"))
     return (
         labels.select(F.col("src").alias(id_col), F.col("label").alias("cluster_id"))
