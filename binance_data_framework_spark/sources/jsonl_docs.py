@@ -58,8 +58,11 @@ def _field_names(schema: str) -> list[str]:
     return names
 
 
-def _parsed(spark: SparkSession, path: str, schema: str) -> tuple[DataFrame, Column]:
-    df = spark.read.text(path).select(
+def parse_lines(lines: DataFrame, schema: str) -> tuple[DataFrame, Column]:
+    """Shared parse kernel over a raw-text frame (column ``value``) —
+    works identically for a batch ``spark.read.text`` and a streaming
+    ``spark.readStream.text`` source (streaming/corpus_ingest.py)."""
+    df = lines.select(
         F.from_json(
             "value",
             schema + f", {_CORRUPT_COL} string",
@@ -69,6 +72,10 @@ def _parsed(spark: SparkSession, path: str, schema: str) -> tuple[DataFrame, Col
     )
     bad = F.col(f"j.{_CORRUPT_COL}").isNotNull() | F.col("j").isNull()
     return df, bad
+
+
+def _parsed(spark: SparkSession, path: str, schema: str) -> tuple[DataFrame, Column]:
+    return parse_lines(spark.read.text(path), schema)
 
 
 def read_jsonl_documents(

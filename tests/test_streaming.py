@@ -286,3 +286,90 @@ def test_streaming_asof_latest_prior_quote(spark, tmp_path):
     # outer, matching the batch asof_join), instead of silently vanishing
     assert got[("T", datetime(2024, 1, 1, 2, 0))] == (None, None)
     assert ("S", datetime(2024, 1, 1, 9, 0)) not in got  # still open
+
+
+def test_streaming_corpus_ingest_to_docstore(spark, tmp_path):
+    """The document tier's end-to-end streaming story (corpus_ingest.py):
+    a JSONL landing-directory tail upserts into the transactional
+    DocumentStore with exactly-once semantics — new shards land as keyed
+    upserts (incoming wins), malformed lines are quarantined not dropped,
+    a replayed run with no new shards commits nothing, and a restart
+    after checkpoint continues from the unprocessed backlog only."""
+    from binance_data_framework_spark.docstore import DocumentStore
+    from binance_data_framework_spark.streaming.corpus_ingest import (
+        stream_jsonl_documents,
+        stream_jsonl_to_docstore,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    quar = str(tmp_path / "quarantine")
+    store = DocumentStore(spark, str(tmp_path / "store"), n_shards=4)
+
+    def run():
+        clean, bad = stream_jsonl_documents(spark, str(land))
+        for q in stream_jsonl_to_docstore(
+            clean, store, ckpt, quarantine=bad, quarantine_dir=quar
+        ):
+            q.awaitTermination(120)
+
+    def doc(i, text):
+        return (
+            f'{{"doc_id": {i}, "text": "{text}", "lang": "en", '
+            f'"source": "web", "n_chars": {len(text)}}}'
+        )
+
+    # shard 1: two clean docs + one malformed line
+    (land / "shard-000.jsonl").write_text(
+        doc(1, "alpha") + "\n" + doc(2, "beta") + "\nnot json at all\n"
+    )
+    run()
+    assert {r["doc_id"]: r["text"] for r in store.read().collect()} == {
+        1: "alpha",
+        2: "beta",
+    }
+    v1 = store.snapshot_versions()[-1]
+    quarantined = spark.read.text(f"{quar}/data").collect()
+    assert [r["value"] for r in quarantined] == ["not json at all"]
+
+    # replay with no new shards: no commit, no duplicate quarantine rows
+    run()
+    assert store.snapshot_versions()[-1] == v1
+    assert spark.read.text(f"{quar}/data").count() == 1
+
+    # shard 2: a redelivered doc with NEW content (upsert wins) + a new doc
+    (land / "shard-001.jsonl").write_text(doc(2, "beta-v2") + "\n" + doc(3, "gamma") + "\n")
+    run()
+    got = {r["doc_id"]: r["text"] for r in store.read().collect()}
+    assert got == {1: "alpha", 2: "beta-v2", 3: "gamma"}
+    assert store.snapshot_versions()[-1] > v1
+
+
+def test_streaming_corpus_ingest_watermark_dedup(spark, tmp_path):
+    """With an event-time column, redelivered keys within the watermark are
+    dropped IN-STREAM (bounded dedup state) before the store ever sees
+    them: one shard holding the same doc twice upserts a single row."""
+    from binance_data_framework_spark.docstore import DocumentStore
+    from binance_data_framework_spark.streaming.corpus_ingest import (
+        stream_jsonl_documents,
+        stream_jsonl_to_docstore,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    schema = "doc_id bigint, text string, fetched_at timestamp"
+    (land / "s.jsonl").write_text(
+        '{"doc_id": 1, "text": "first", "fetched_at": "2024-01-01T00:00:00"}\n'
+        '{"doc_id": 1, "text": "dup", "fetched_at": "2024-01-01T00:05:00"}\n'
+        '{"doc_id": 2, "text": "two", "fetched_at": "2024-01-01T00:06:00"}\n'
+    )
+    store = DocumentStore(spark, str(tmp_path / "store"), n_shards=2)
+    clean, _ = stream_jsonl_documents(
+        spark, str(land), schema=schema, dedup_ts_col="fetched_at"
+    )
+    for q in stream_jsonl_to_docstore(clean, store, str(tmp_path / "ckpt")):
+        q.awaitTermination(120)
+    rows = store.read().collect()
+    assert {r["doc_id"] for r in rows} == {1, 2}
+    assert sum(1 for r in rows if r["doc_id"] == 1) == 1
