@@ -53,31 +53,60 @@ HEAVY = [
 ]
 
 
+TPCH = [
+    "tpch_q1", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q10",
+    "tpch_q13", "tpch_q14", "tpch_q17", "tpch_q18", "tpch_q19", "tpch_q22",
+]
+
+TIERS = {"heavy": HEAVY, "tpch": TPCH, "all": HEAVY + TPCH}
+
+
 def main() -> int:
     small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     big = sys.argv[2] if len(sys.argv) > 2 else "_scratch/sf1"
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     runs = int(sys.argv[4]) if len(sys.argv) > 4 else 2
+    tier = sys.argv[5] if len(sys.argv) > 5 else "heavy"
+    names = TIERS[tier]
     spark = get_spark("bench-scaling")
-    out: dict = {
-        "factor": factor,
-        "small_dir": small,
-        "big_dir": big,
-        "runs_per_point": runs,
-        "methodology": (
-            "Big fixture = replicate-with-disjoint-shifts (tools/"
-            "make_scale_fixture.py): per-replica word tagging / vector "
-            "perturbation / id+time shifts keep pair density LINEAR in the "
-            "factor, so ratio measures the engine, not planted duplicate "
-            "cliques. One shared warm session; sec_* is best-of-N count() "
-            "time (distributed compute, excluding driver row "
-            "serialization); cold_* includes first-run plan compile. "
-            "Ratios well under the factor mean the query is still "
-            "fixed-overhead-bound at this absolute scale."
-        ),
-        "queries": {},
-    }
-    for name in HEAVY:
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_SCALING.json",
+    )
+    doc: dict = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            doc = json.load(f)
+    # factor 10 lives at the top level (original layout); other factors in
+    # a "factor{N}" section — existing per-query records for OTHER queries
+    # are preserved, re-run queries are overwritten with fresh numbers
+    if factor == 10:
+        section = doc
+    else:
+        section = doc.setdefault(f"factor{factor}", {})
+    section.update(
+        {
+            "factor": factor,
+            "small_dir": small,
+            "big_dir": big,
+            "runs_per_point": runs,
+        }
+    )
+    doc.setdefault(
+        "methodology",
+        "Big fixture = replicate-with-disjoint-shifts (tools/"
+        "make_scale_fixture.py): per-replica word tagging / vector "
+        "perturbation / id+key+time shifts keep pair density and join "
+        "structure LINEAR in the factor, so ratio measures the engine, "
+        "not planted duplicate cliques. One shared warm session; sec_* is "
+        "best-of-N count() time (distributed compute, excluding driver "
+        "row serialization); cold_* includes first-run plan compile. "
+        "Ratios well under the factor mean the query is still "
+        "fixed-overhead-bound at this absolute scale.",
+    )
+    qsec = section.setdefault("queries", {})
+    for name in names:
         fn = QUERIES[name]
         rec: dict = {}
         for tag, sf_dir in (("small", small), ("big", big)):
@@ -94,16 +123,15 @@ def main() -> int:
             rec[f"rows_{tag}"] = rows
         rec["ratio"] = round(rec["sec_big"] / rec["sec_small"], 2)
         rec["rows_ratio"] = round(rec["rows_big"] / max(rec["rows_small"], 1), 2)
-        out["queries"][name] = rec
+        qsec[name] = rec
         print(
             f"{name}: small={rec['sec_small']}s big={rec['sec_big']}s "
             f"ratio={rec['ratio']}x rows {rec['rows_small']}->{rec['rows_big']}",
             flush=True,
         )
-    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_SCALING.json")
-    with open(path, "w") as f:
-        json.dump(out, f, indent=2)
-        f.write("\n")
+        with open(path, "w") as f:  # checkpoint after every query
+            json.dump(doc, f, indent=2)
+            f.write("\n")
     print(f"wrote {path}")
     return 0
 
