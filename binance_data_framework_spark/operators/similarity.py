@@ -716,6 +716,86 @@ def topk_cosine_ivfpq(
     )
 
 
+def cosine_pairs_exact(
+    df: DataFrame,
+    probe_filter: Column,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    screen_margin: float = 1e-6,
+) -> DataFrame:
+    """EXACT threshold cosine pairs (probe x corpus, id_b > id_a) with a
+    BLAS screen: returns (id_a, id_b, cosine) where cosine is the
+    bit-reproducible sequential `_dot` value and cosine >= threshold —
+    output-identical to the pure-HOF broadcast-join formulation (and to a
+    DuckDB list-lambda oracle), at a fraction of its cost.
+
+    Phase 1 (screen): the probe matrix (probe-sized — same class as the
+    broadcast the HOF form ships) rides into a mapInPandas over the
+    candidate side; each Arrow batch is ONE BLAS matmul and emits only
+    the (id_a, id_b) pairs whose BLAS cosine clears
+    ``threshold - screen_margin``. The margin dominates the worst-case
+    difference between BLAS and sequential float64 summation at these
+    dims (~1e-13), so the screen is a strict superset of the true result;
+    near-threshold pairs are the only extras and they are output-sized.
+    Phase 2 (certify): the surviving pairs — output-sized, not
+    probes x corpus — join their vectors back and the final cosine is
+    recomputed with the sequential left-to-right `_dot`, so reported
+    values and the threshold decision are exactly the HOF form's.
+
+    Why not pure HOF: the interpreted aggregate-lambda dot evaluates
+    probes x corpus x dim lambda steps (measured 237 s for 200 x 200k x 64
+    at the 100x fixture); the screen does the identical flops in BLAS
+    (~2.6 GFLOP, sub-second) and leaves Python/HOF work proportional to
+    the OUTPUT. Scale shape: one narrow candidate scan, no shuffle until
+    the output-sized certify join."""
+    base = with_norm(df, vec_col)
+    probe_rows = (
+        base.where(probe_filter).select(id_col, "_v", "_norm").collect()
+    )
+    pid = np.array([r[id_col] for r in probe_rows])
+    P = np.array([list(r["_v"]) for r in probe_rows], dtype=np.float64)
+    pn = np.array([r["_norm"] for r in probe_rows], dtype=np.float64)
+    floor = threshold - screen_margin
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def screen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            M = np.vstack(pdf["_v"].to_numpy())
+            nr = pdf["_norm"].to_numpy()
+            with np.errstate(divide="ignore", invalid="ignore"):
+                C = (M @ P.T) / (nr[:, None] * pn[None, :])
+            keep = (C >= floor) & (ids[:, None] > pid[None, :])
+            bi, pi = np.nonzero(keep)
+            if len(bi):
+                yield pd.DataFrame({"id_a": pid[pi], "id_b": ids[bi]})
+
+    cand_pairs = base.select(id_col, "_v", "_norm").mapInPandas(
+        screen, f"id_a {id_type}, id_b {id_type}"
+    )
+    probes = base.where(probe_filter).select(
+        F.col(id_col).alias("id_a"),
+        F.col("_v").alias("_pv"),
+        F.col("_norm").alias("_pn"),
+    )
+    cand = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_v").alias("_cv"),
+        F.col("_norm").alias("_cn"),
+    )
+    exact_cos = _dot(F.col("_pv"), F.col("_cv")) / (F.col("_pn") * F.col("_cn"))
+    return (
+        cand_pairs.join(cand, on="id_b")
+        .join(broadcast(probes), on="id_a")
+        .withColumn("cosine", exact_cos)
+        .where(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 # ---------------------------------------------------------------------------
 # all-pairs k-NN self-join (the corpus-vs-itself companion to topk_cosine_*)
 # ---------------------------------------------------------------------------

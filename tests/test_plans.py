@@ -211,8 +211,41 @@ def test_dedup_substring_broadcasts_dup_gram_dictionary(spark, sf_dir):
 def test_pagerank_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "graph_pagerank")
     assert "CartesianProduct" not in plan
-    # the only nested-loop is the broadcast probe-pair generation
-    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    # r6: the probe-pair generation is the BLAS-screen kernel
+    # (cosine_pairs_exact) — no nested-loop join remains anywhere
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cosine_pairs_blas_screen_matches_hof_form(spark, sf_dir):
+    """The BLAS-screened exact pair kernel must be OUTPUT-IDENTICAL to the
+    interpreted-HOF broadcast-join formulation it replaced (same pairs,
+    same bit-reproducible cosines) — the screen is a superset and the
+    certify pass re-decides the threshold with the sequential dot."""
+    from binance_data_framework_spark.operators import similarity as S
+    from binance_data_framework_spark.sources.fixtures import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = S.with_norm(emb)
+    probes = base.where(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("_v").alias("_pv"),
+        F.col("_norm").alias("_pn"),
+    )
+    from pyspark.sql.functions import broadcast
+
+    hof = (
+        base.join(broadcast(probes), F.col("vec_id") > F.col("id_a"))
+        .withColumn(
+            "cosine",
+            S._dot(F.col("_pv"), F.col("_v")) / (F.col("_pn") * F.col("_norm")),
+        )
+        .where(F.col("cosine") >= 0.35)
+        .select("id_a", F.col("vec_id").alias("id_b"), "cosine")
+    )
+    fast = S.cosine_pairs_exact(emb, F.col("vec_id") < 50, 0.35)
+    a = {(r["id_a"], r["id_b"], r["cosine"]) for r in hof.collect()}
+    b = {(r["id_a"], r["id_b"], r["cosine"]) for r in fast.collect()}
+    assert a == b and len(a) > 0
 
 
 def test_tpch_q4_semi_join_no_dedup_shuffle(spark, sf_dir):

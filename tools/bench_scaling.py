@@ -67,7 +67,8 @@ def main() -> int:
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     runs = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     tier = sys.argv[5] if len(sys.argv) > 5 else "heavy"
-    names = TIERS[tier]
+    # a tier name, or an explicit comma-separated query list
+    names = TIERS.get(tier) or tier.split(",")
     spark = get_spark("bench-scaling")
 
     path = os.path.join(

@@ -42,8 +42,9 @@ from binance_data_framework_spark.session import get_spark
 # alternative IS the LSH/IVF tier) and for tiny literal-dim cross joins.
 BNLJ_OK = {
     "topk_similarity",
-    "embed_near_dup",
-    "graph_pagerank",
+    # embed_near_dup / graph_pagerank moved OFF the nested-loop form in r6
+    # (BLAS-screen + certify kernel) — deliberately not allowlisted so a
+    # regression back to BNLJ is caught
     "topk_recall_lsh",
     "topk_recall_ivf",
     "topk_recall_pq",
