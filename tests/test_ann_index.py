@@ -28,6 +28,17 @@ def _emb(spark, n=60, offset=0):
     return spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
 
 
+@pytest.fixture(scope="module")
+def built(spark, tmp_path_factory):
+    """One shared committed index for the read-only tests (builds are the
+    dominant cost of this module; tests that COMMIT — force rebuilds,
+    staleness — use their own stores)."""
+    df = _emb(spark)
+    st = AnnIndexStore(spark, str(tmp_path_factory.mktemp("ann") / "idx"))
+    idx = st.build(df, **BUILD)
+    return st, idx, df
+
+
 def test_build_load_roundtrip_and_idempotence(spark, tmp_path):
     df = _emb(spark)
     st = AnnIndexStore(spark, str(tmp_path / "idx"))
@@ -66,10 +77,8 @@ def test_fingerprint_staleness_triggers_rebuild(spark, tmp_path):
     assert idx3.version == 2 and idx3.n_vectors == 70
 
 
-def test_codes_layout_and_physical_cell_pruning(spark, tmp_path):
-    df = _emb(spark)
-    st = AnnIndexStore(spark, str(tmp_path / "idx"))
-    idx = st.build(df, **BUILD)
+def test_codes_layout_and_physical_cell_pruning(built):
+    st, idx, df = built
     for variant in ("pq", "opq"):
         codes = st.codes(variant)
         assert codes.count() == 60  # exactly one code per corpus vector
@@ -83,13 +92,11 @@ def test_codes_layout_and_physical_cell_pruning(spark, tmp_path):
         st.codes("nope")
 
 
-def test_persisted_search_equals_inplan_trained_search(spark, tmp_path):
+def test_persisted_search_equals_inplan_trained_search(built):
     """The whole point of persistence: a search over the committed
     artifact is the SAME computation as the train-in-plan path — equal
     rows, not merely similar recall."""
-    df = _emb(spark)
-    st = AnnIndexStore(spark, str(tmp_path / "idx"))
-    idx = st.build(df, **BUILD)
+    st, idx, df = built
     probe = F.col("vec_id") < 4
 
     inplan = S.topk_cosine_ivfpq(
@@ -133,10 +140,8 @@ def test_persisted_search_equals_inplan_trained_search(spark, tmp_path):
     assert ao == bo and len(ao) > 0
 
 
-def test_coded_without_books_rejected(spark, tmp_path):
-    df = _emb(spark)
-    st = AnnIndexStore(spark, str(tmp_path / "idx"))
-    st.build(df, **BUILD)
+def test_coded_without_books_rejected(built):
+    st, _idx, df = built
     with pytest.raises(ValueError, match="books"):
         S.topk_cosine_ivfpq(
             df, F.col("vec_id") < 2, k=3, dim=DIM, coded=st.codes("pq")
