@@ -74,10 +74,22 @@ class AnnIndexStore(SnapshotStore):
 
     # -- fingerprint -------------------------------------------------------
     def _fingerprint(self, df: DataFrame) -> list[int]:
+        """[count, id_sum, content_sum] — content_sum folds xxhash64 of
+        every VECTOR (order-independent sum of 31-bit chunks, decimal so it
+        cannot overflow at any corpus size), so a regenerated corpus with
+        the same ids but different vectors is detected as stale
+        (code-review r6: a count+id fingerprint was content-blind and would
+        silently serve a quantizer trained on the previous vectors)."""
         r = df.agg(
-            F.count(F.lit(1)).alias("n"), F.sum(self.id_col).alias("s")
+            F.count(F.lit(1)).alias("n"),
+            F.sum(self.id_col).alias("s"),
+            F.sum(
+                F.pmod(F.xxhash64(self.vec_col), F.lit(2147483648)).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("c"),
         ).first()
-        return [int(r["n"]), int(r["s"] or 0)]
+        return [int(r["n"]), int(r["s"] or 0), int(r["c"] or 0)]
 
     # -- build -------------------------------------------------------------
     def build(

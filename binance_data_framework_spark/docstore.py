@@ -64,6 +64,39 @@ class DocumentStore(SnapshotStore):
         super().__init__(spark, root)
         self.key_col = key_col
         self.n_shards = n_shards
+        self._layout_checked = False
+
+    def _check_layout(self) -> None:
+        """Pin (n_shards, key_col) in a _layout.json sidecar on first
+        write and VALIDATE on every later open (code-review r6): reopening
+        a 16-shard store with n_shards=32 would hash keys to different
+        shards, so upserts would miss the stored copy (duplicate keys) and
+        deletes would miss rows entirely — silently. Layout drift is a
+        config error and must raise, exactly like schema drift."""
+        if self._layout_checked:
+            return
+        import json as _json
+
+        fs, p = self._fs_path("_layout.json")
+        if fs.exists(p):
+            stored = _json.loads(self._read_bytes("_layout.json"))
+            if (
+                stored.get("n_shards") != self.n_shards
+                or stored.get("key_col") != self.key_col
+            ):
+                raise ValueError(
+                    f"DocumentStore layout mismatch at {self.root}: stored "
+                    f"{stored}, requested n_shards={self.n_shards} "
+                    f"key_col={self.key_col!r}"
+                )
+        else:
+            self._write_bytes(
+                "_layout.json",
+                _json.dumps(
+                    {"n_shards": self.n_shards, "key_col": self.key_col}
+                ).encode(),
+            )
+        self._layout_checked = True
 
     # -- helpers -----------------------------------------------------------
     @staticmethod
@@ -83,16 +116,23 @@ class DocumentStore(SnapshotStore):
         return [f for f in files if self._shard_of(f) in shards]
 
     # -- write path --------------------------------------------------------
-    def save_docs(self, df: DataFrame) -> int:
+    def save_docs(self, df: DataFrame, full_refresh: bool = False) -> int:
         """Keyed upsert: incoming rows win on ``key_col``; only the shards
         the incoming keys hash to are read, merged, and rewritten. One
         Spark job + one manifest commit regardless of how many shards are
         touched. Returns the number of shards rewritten.
 
+        ``full_refresh=True`` publishes the incoming frame as the ENTIRE
+        new table state in one commit (corpus republish): every live file
+        is superseded and no stored rows are merged — stored keys absent
+        from the incoming frame are dropped, transactionally (concurrent
+        readers keep the old snapshot; history/time travel retain it).
+
         Null keys are a data error (they would be unfindable by any later
         upsert) and raise; among duplicate incoming keys one row survives
         (same contract as OhlcvStore: precedence is incoming-over-stored,
         not defined within a source)."""
+        self._check_layout()
         incoming = shard_assign(df, self.n_shards, self.key_col)
         # one model-sized agg: touched shards + null-key guard (<= n_shards
         # + 1 rows ever reach the driver)
@@ -126,15 +166,19 @@ class DocumentStore(SnapshotStore):
                     f"(stored {sorted(stored_cols)}, "
                     f"incoming {sorted(incoming.columns)})"
                 )
-        superseded = self._shard_files(live, set(touched))
-        ranked = incoming.withColumn("_rank", F.lit(0))
-        if superseded:
-            stored = (
-                self.spark.read.option("basePath", self.root)
-                .parquet(*[f"{self.root}/{f}" for f in superseded])
-                .withColumn("_rank", F.lit(1))
-            )
-            ranked = ranked.unionByName(stored)
+        if full_refresh:
+            superseded = list(live)
+            ranked = incoming.withColumn("_rank", F.lit(0))
+        else:
+            superseded = self._shard_files(live, set(touched))
+            ranked = incoming.withColumn("_rank", F.lit(0))
+            if superseded:
+                stored = (
+                    self.spark.read.option("basePath", self.root)
+                    .parquet(*[f"{self.root}/{f}" for f in superseded])
+                    .withColumn("_rank", F.lit(1))
+                )
+                ranked = ranked.unionByName(stored)
         w = Window.partitionBy(self.key_col).orderBy("_rank")
         merged = (
             ranked.withColumn("_rn", F.row_number().over(w))
@@ -152,14 +196,25 @@ class DocumentStore(SnapshotStore):
         )
         new_files = self._publish_staged(staging)
         sup = set(superseded)
+        touched_set = set(touched)
 
         def _delta(latest: dict | None):
-            live_now = set(latest["files"]) if latest else set()
-            gone = sup - live_now
-            if gone:
+            live_now = latest["files"] if latest else []
+            if full_refresh:
+                # replace whatever is live NOW (a concurrent commit's files
+                # are superseded too — last full refresh wins, atomically)
+                return new_files, list(live_now)
+            # same-shard conflict = the touched shards' file set changed in
+            # ANY direction since our merge snapshot. Removals mean our
+            # merge base is gone; ADDITIONS matter too (code-review r6): two
+            # writers upserting the same EMPTY shard would both see
+            # superseded=[] and silently commit duplicate keys.
+            now_in_touched = set(self._shard_files(live_now, touched_set))
+            if now_in_touched != sup:
+                drift = sorted((now_in_touched - sup) | (sup - now_in_touched))
                 raise RuntimeError(
-                    f"concurrent same-shard write detected: merged against "
-                    f"{len(gone)} file(s) no longer live; e.g. {sorted(gone)[:2]}"
+                    f"concurrent same-shard write detected: touched shards' "
+                    f"files changed since the merge snapshot; e.g. {drift[:2]}"
                 )
             return new_files, superseded
 
@@ -171,6 +226,7 @@ class DocumentStore(SnapshotStore):
         (``keys`` must carry ``key_col``). Anti-join inside the touched
         shards only; commit semantics identical to save_docs. Returns the
         number of shards rewritten."""
+        self._check_layout()
         keyed = shard_assign(keys.select(self.key_col), self.n_shards, self.key_col)
         touched = {
             r["shard"]
@@ -201,12 +257,13 @@ class DocumentStore(SnapshotStore):
         sup = set(superseded)
 
         def _delta(latest: dict | None):
-            live_now = set(latest["files"]) if latest else set()
-            gone = sup - live_now
-            if gone:
+            live_now = latest["files"] if latest else []
+            now_in_touched = set(self._shard_files(live_now, touched))
+            if now_in_touched != sup:
+                drift = sorted((now_in_touched - sup) | (sup - now_in_touched))
                 raise RuntimeError(
                     f"concurrent same-shard write detected during delete; "
-                    f"e.g. {sorted(gone)[:2]}"
+                    f"e.g. {drift[:2]}"
                 )
             return new_files, superseded
 
@@ -227,6 +284,7 @@ class DocumentStore(SnapshotStore):
         """Point-lookup scan: prune to the shards the requested keys hash
         to (manifest-level, driver-side), then semi-join — O(touched
         shards) IO for a key-list lookup against a 100 TB table."""
+        self._check_layout()
         keyed = shard_assign(keys.select(self.key_col), self.n_shards, self.key_col)
         touched = {r["shard"] for r in keyed.select("shard").distinct().collect()}
         man = self._snapshot()

@@ -167,6 +167,9 @@ def minhash_signature_portable(
     return _sig_from_h31(thdf, base, id_col, num_hashes)
 
 
+_BUCKET_HOF_CAP = 512  # docs per bucket above which the chunked numpy kernel runs
+
+
 def minhash_candidates(
     sigs: DataFrame,
     id_col: str = "doc_id",
@@ -219,12 +222,27 @@ def minhash_candidates(
     # full signature pipeline (the dominant cost of the whole dedup tier —
     # measured ~2x the signature wall-clock at the 500k-doc fixture).
     # Shuffle bytes are num_bands * (sig + id) per doc — linear in the
-    # corpus, independent of pair count; candidate work is sum(bucket^2),
-    # bounded by the banding parameters exactly as before (a pathological
-    # all-identical corpus concentrates one bucket; that is the LSH-tuning
-    # concern, unchanged). Pairs colliding in several bands carry the same
-    # deterministic est value, so the cross-band dropDuplicates keeps an
-    # arbitrary-but-identical row.
+    # corpus, independent of pair count.
+    #
+    # TWO scoring paths by bucket size (both measured, code-review r6):
+    # - small buckets (the overwhelming majority under sane banding) score
+    #   with a nested-array HOF entirely in the JVM — a per-bucket Python
+    #   kernel (applyInPandas) was measured 10x slower at sf0.1 purely on
+    #   per-tiny-group invocation overhead, and the HOF pair array is
+    #   bounded by CAP^2/2 elements per row;
+    # - LARGE buckets (> _BUCKET_HOF_CAP docs — boilerplate-identical
+    #   cliques, hot band slices) go through a CHUNKED numpy mapInPandas:
+    #   the HOF form would materialize the bucket's full O(B^2) pair array
+    #   as ONE row value before exploding (an executor-OOM at B~100k),
+    #   while the chunked kernel keeps peak memory O(chunk x B) int32 and
+    #   only ever materializes threshold-PASSING pairs — output-sized,
+    #   like the old join form's spillable output.
+    # Pair ids are strictly ordered (id_a < id_b by VALUE), so duplicate
+    # input ids can never emit a self-pair on either path. Pairs colliding
+    # in several bands carry the same deterministic est value, so the
+    # cross-band dropDuplicates keeps an arbitrary-but-identical row; est
+    # is computed as eq_slots/num_hashes on both paths (bit-identical to
+    # the SQL oracle's arithmetic).
     banded = sigs.select(
         F.col(id_col).alias("_i"),
         F.col("sig").alias("_s"),
@@ -239,7 +257,12 @@ def minhash_candidates(
         banded.groupBy("band_idx", "band_hash")
         .agg(F.collect_list(F.struct("_i", "_s")).alias("_arr"))
         .where(F.size("_arr") >= 2)
+        .localCheckpoint(eager=False)  # referenced by both size paths
     )
+    id_type = sigs.schema[id_col].dataType.simpleString()
+    nh = float(num_hashes)
+    out_schema = f"id_a {id_type}, id_b {id_type}, est_jaccard double"
+
     arr = F.col("_arr")
     pair_structs = F.flatten(
         F.transform(
@@ -263,12 +286,47 @@ def minhash_candidates(
             ),
         )
     )
-    return (
-        buckets.select(F.explode(pair_structs).alias("_p"))
+    small_pairs = (
+        buckets.where(F.size(arr) <= _BUCKET_HOF_CAP)
+        .select(F.explode(pair_structs).alias("_p"))
         .select("_p.id_a", "_p.id_b", "_p.est_jaccard")
-        .where(F.col("est_jaccard") >= threshold)
-        .dropDuplicates(["id_a", "id_b"])
+        .where(
+            (F.col("est_jaccard") >= threshold)
+            & (F.col("id_a") != F.col("id_b"))
+        )
     )
+
+    def _big_bucket_pairs(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            for arr_rows in pdf["_arr"]:
+                ids = np.array([r["_i"] for r in arr_rows])
+                S = np.array([list(r["_s"]) for r in arr_rows])
+                n = len(ids)
+                chunk = 512
+                for lo in range(0, n, chunk):
+                    hi = min(lo + chunk, n)
+                    eq = np.zeros((hi - lo, n), dtype=np.int32)
+                    for s in range(S.shape[1]):  # slot loop keeps temps 2-D
+                        eq += S[lo:hi, s, None] == S[None, :, s]
+                    est = eq / nh  # same arithmetic as the SQL oracle
+                    keep = (est >= threshold) & (ids[None, :] > ids[lo:hi, None])
+                    ai, bi = np.nonzero(keep)
+                    if len(ai):
+                        yield pd.DataFrame(
+                            {
+                                "id_a": ids[lo:hi][ai],
+                                "id_b": ids[bi],
+                                "est_jaccard": est[ai, bi],
+                            }
+                        )
+
+    large_pairs = buckets.where(F.size(arr) > _BUCKET_HOF_CAP).mapInPandas(
+        _big_bucket_pairs, out_schema
+    )
+    return small_pairs.unionByName(large_pairs).dropDuplicates(["id_a", "id_b"])
 
 
 def dedup_near_minhash(

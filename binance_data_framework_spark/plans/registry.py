@@ -1769,10 +1769,12 @@ def q_docstore_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     files rewrite), then an aggregate over the COMMITTED snapshot read.
     The oracle replays the merge semantics relationally, so a precedence
     or lost-update bug in the store's commit path hash-mismatches.
-    Repeated runs are deterministic: the full refresh covers every key,
-    erasing any previous run's delta before it is re-applied. n_chars at
-    the fixtures is bounded well under 1000, so n_upserted counts exactly
-    the delta rows."""
+    Repeated runs are deterministic regardless of prior store state: the
+    full refresh REPLACES the table (one commit; stored keys absent from
+    the corpus are dropped — code-review r6: a merge-only refresh left
+    phantom rows behind if the corpus ever shrank), then the delta
+    upserts on top. n_chars at the fixtures is bounded well under 1000,
+    so n_upserted counts exactly the delta rows."""
     import os
 
     from binance_data_framework_spark.docstore import DocumentStore
@@ -1782,7 +1784,7 @@ def q_docstore_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     root = _export_dir(spark, f"docstore_{os.path.basename(sf_dir.rstrip('/'))}")
     st = DocumentStore(spark, root, key_col="doc_id", n_shards=8)
-    st.save_docs(docs)
+    st.save_docs(docs, full_refresh=True)
     st.save_docs(
         docs.where(F.col("doc_id") % 7 == 0).withColumn(
             "n_chars", F.col("n_chars") + 1000

@@ -44,7 +44,8 @@ def test_build_load_roundtrip_and_idempotence(spark, tmp_path):
     st = AnnIndexStore(spark, str(tmp_path / "idx"))
     idx = st.build(df, **BUILD)
     assert idx.version == 1
-    assert idx.n_vectors == 60 and idx.fingerprint == [60, sum(range(60))]
+    assert idx.n_vectors == 60 and idx.fingerprint[:2] == [60, sum(range(60))]
+    assert idx.fingerprint[2] > 0  # content checksum present
     assert len(idx.centroids) == 4 and len(idx.centroids[0]) == DIM
     assert len(idx.pq_books) == 4 and len(idx.pq_books[0]) == 4
     assert len(idx.opq_rotation) == DIM
@@ -75,6 +76,12 @@ def test_fingerprint_staleness_triggers_rebuild(spark, tmp_path):
     assert st.load(validate_against=grown) is None
     _, idx3 = ensure_index(spark, grown, root, **BUILD)
     assert idx3.version == 2 and idx3.n_vectors == 70
+    # regenerated corpus: SAME ids and count, different vector CONTENT —
+    # the content checksum must flag it stale (code-review r6)
+    regen = _emb(spark, n=70, offset=3)
+    assert st.load(validate_against=regen) is None
+    _, idx4 = ensure_index(spark, regen, root, **BUILD)
+    assert idx4.version == 3 and idx4.fingerprint != idx3.fingerprint
 
 
 def test_codes_layout_and_physical_cell_pruning(built):

@@ -153,3 +153,62 @@ def test_docstore_concurrent_same_shard_write_detected(spark, tmp_path):
         if f.startswith("_staging")
     ]
     assert not stray
+
+
+def test_docstore_layout_mismatch_raises(spark, tmp_path):
+    """Reopening a store with a different n_shards or key_col must raise
+    (code-review r6): a drifted shard count hashes keys to different
+    shards, silently duplicating upserted keys and missing deletes."""
+    root = str(tmp_path / "ds")
+    DocumentStore(spark, root, n_shards=4).save_docs(_docs(spark, [(1, "a", 0.0)]))
+    with pytest.raises(ValueError, match="layout mismatch"):
+        DocumentStore(spark, root, n_shards=8).save_docs(
+            _docs(spark, [(2, "b", 0.0)])
+        )
+    with pytest.raises(ValueError, match="layout mismatch"):
+        DocumentStore(spark, root, key_col="other_id", n_shards=4).read_keys(
+            spark.createDataFrame([(1,)], "other_id bigint")
+        )
+    # matching layout still works
+    DocumentStore(spark, root, n_shards=4).save_docs(_docs(spark, [(2, "b", 0.0)]))
+
+
+def test_docstore_full_refresh_drops_absent_keys(spark, tmp_path):
+    """full_refresh replaces the table state in one commit: stored keys
+    absent from the incoming frame are gone, history retains the old
+    snapshot (code-review r6: merge-only refreshes left phantom rows when
+    the corpus shrank)."""
+    st = DocumentStore(spark, str(tmp_path / "ds"), n_shards=4)
+    st.save_docs(_docs(spark, [(1, "a", 0.0), (2, "b", 0.0), (3, "c", 0.0)]))
+    v1 = st.snapshot_versions()[-1]
+    st.save_docs(_docs(spark, [(1, "a2", 0.5)]), full_refresh=True)
+    assert {r["doc_id"]: r["text"] for r in st.read().collect()} == {1: "a2"}
+    assert {r["doc_id"] for r in st.read_version(v1).collect()} == {1, 2, 3}
+
+
+def test_docstore_empty_shard_concurrent_upsert_detected(spark, tmp_path):
+    """Two writers upserting the same EMPTY shard both compute
+    superseded=[] — the conflict check must still fire on the ADDED files
+    (code-review r6), or both commits land and the key duplicates."""
+    root = str(tmp_path / "ds")
+    a = DocumentStore(spark, root, n_shards=1)
+    b = DocumentStore(spark, root, n_shards=1)
+
+    orig_snapshot = DocumentStore._snapshot
+    state = {"raced": False}
+
+    def racing_snapshot(self):
+        snap = orig_snapshot(self)
+        if not state["raced"] and self is b:
+            state["raced"] = True
+            a.save_docs(_docs(spark, [(7, "a-wins", 0.0)]))
+        return snap
+
+    DocumentStore._snapshot = racing_snapshot
+    try:
+        with pytest.raises(RuntimeError, match="concurrent same-shard"):
+            b.save_docs(_docs(spark, [(7, "b-loses", 0.0)]))
+    finally:
+        DocumentStore._snapshot = orig_snapshot
+    rows = a.read().collect()
+    assert [(r["doc_id"], r["text"]) for r in rows] == [(7, "a-wins")]

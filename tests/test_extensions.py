@@ -539,3 +539,50 @@ def test_knn_self_guards_duplicate_ids_and_generic_id_type(spark):
     sout = S.knn_self_lsh(sdf, k=2, n_tables=4).collect()
     assert sout and all(isinstance(r["id_a"], str) for r in sout)
     assert all(r["id_a"] != r["id_b"] for r in sout)
+
+
+def test_minhash_large_bucket_path_matches_hof_path(spark, monkeypatch):
+    """The hybrid bucket scorer's two paths must be interchangeable: with
+    the HOF cap forced to 0, every bucket routes through the chunked
+    numpy kernel and the pair set (ids AND est values) is identical to
+    the default JVM-HOF path (code-review r6: the large path otherwise
+    only runs on pathological corpora and would rot untested)."""
+    from binance_data_framework_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i % 7} common tail tokens here") for i in range(80)]
+        + [(100 + i, "alpha beta gamma delta identical clique text") for i in range(6)],
+        "doc_id bigint, text string",
+    )
+    sigs = D.minhash_signature_portable(docs).localCheckpoint(eager=True)
+    default = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in D.minhash_candidates(sigs, threshold=0.3, band_on_slice=True).collect()
+    }
+    monkeypatch.setattr(D, "_BUCKET_HOF_CAP", 0)
+    forced = {
+        (r["id_a"], r["id_b"], r["est_jaccard"])
+        for r in D.minhash_candidates(sigs, threshold=0.3, band_on_slice=True).collect()
+    }
+    assert default == forced and len(default) > 0
+    # the identical-clique docs must all pair up with est 1.0
+    clique = {(a, b) for a, b, e in default if a >= 100 and e == 1.0}
+    assert len(clique) == 15  # C(6,2)
+
+
+def test_minhash_duplicate_ids_never_self_pair(spark):
+    """Duplicate input ids (upstream bug / union of sources) land in the
+    same bucket with identical signatures — the pair generator must not
+    emit (x, x), which dedup_near_minhash would read as 'doc x duplicates
+    itself' and drop the doc entirely (code-review r6)."""
+    from binance_data_framework_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [(42, "some repeated document text body here"),
+         (42, "some repeated document text body here"),
+         (7, "entirely different content in this one")],
+        "doc_id bigint, text string",
+    )
+    sigs = D.minhash_signature_portable(docs)
+    pairs = D.minhash_candidates(sigs, threshold=0.3, band_on_slice=True).collect()
+    assert all(r["id_a"] != r["id_b"] for r in pairs)
