@@ -21,8 +21,11 @@ DataFrame plans (no driver-side loops, no O(n^2) self-joins):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def content_hash(col: Column | str) -> Column:
@@ -117,6 +120,65 @@ def _sig_from_h31(
     return h31.select(F.col(id_col), sig.alias("sig"))
 
 
+def _token_hashes31_batch():
+    """Vectorized, bit-identical implementation of
+    ``transform(split(text, ' '), portable_shingle_hash31)``: one Arrow
+    batch at a time, the WHOLE batch's code points are folded with a
+    segmented Horner scan in numpy int64 (loop over max token length, not
+    over tokens or characters — ~36 vector steps for the whole batch).
+
+    Why: the interpreted-HOF per-character fold is the dedup tier's cost
+    floor (measured 14 s for ~25M tokens at the 500k-doc fixture; the HOF
+    interpreter pays per-lambda-step dispatch). This kernel does the SAME
+    integer arithmetic — (h*31+c) mod (2^31-1) and (h*37+c) mod
+    2147483629 per code point, combined as (h1*2654435761 + h2) mod 2^31
+    — entirely in numpy C loops, bit-for-bit equal (pytest pins equality
+    against the HOF form; the DuckDB oracles are unchanged).
+
+    Exact split semantics replicated: str.split(' ') keeps empty tokens
+    for doubled/leading/trailing spaces (as Spark's split-on-literal
+    does), '' yields one empty token, and empty tokens keep the (7,7)
+    init state. Code points come from utf-32-le (= ord(c), what ascii()
+    returns per character)."""
+    M1, M2 = 2147483647, 2147483629
+
+    @pandas_udf("array<long>")
+    def kernel(texts: pd.Series) -> pd.Series:
+        isnull = texts.isna().to_numpy()
+        joined = " ".join(texts.fillna(""))
+        codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.int64
+        )
+        # token boundaries: split on EVERY space of the joined stream —
+        # the inter-doc joiner is itself a space, so doc boundaries align
+        # with token boundaries by construction
+        spaces = np.flatnonzero(codes == 32)
+        starts = np.concatenate(([0], spaces + 1))
+        ends = np.concatenate((spaces, [len(codes)]))
+        lens = ends - starts
+        h1 = np.full(len(starts), 7, dtype=np.int64)
+        h2 = np.full(len(starts), 7, dtype=np.int64)
+        if len(lens) and lens.max() > 0:
+            for k in range(int(lens.max())):
+                m = lens > k
+                c = codes[starts[m] + k]
+                h1[m] = (h1[m] * 31 + c) % M1
+                h2[m] = (h2[m] * 37 + c) % M2
+        th = (h1 * 2654435761 + h2) % 2147483648
+        # slice back per doc: doc i owns (tokens-in-doc-i) consecutive
+        # entries; its token count is spaces-in-doc + 1
+        n_toks = np.array(
+            [t.count(" ") + 1 for t in texts.fillna("")], dtype=np.int64
+        )
+        offsets = np.concatenate(([0], np.cumsum(n_toks)))
+        out = [th[offsets[i]: offsets[i + 1]] for i in range(len(texts))]
+        for i in np.flatnonzero(isnull):  # null text -> null array (HOF parity)
+            out[i] = None
+        return pd.Series(out, dtype=object)
+
+    return kernel
+
+
 def minhash_signature_portable(
     df: DataFrame,
     text_col: str = "text",
@@ -146,10 +208,9 @@ def minhash_signature_portable(
     Catalyst's interpreted HOFs do no common-subexpression elimination —
     folding over the raw transform expression re-ran the per-character
     polynomial per reference and gave the 3x back (measured)."""
-    toks = F.split(F.col(text_col), " ")
     thdf = df.select(
         F.col(id_col),
-        F.transform(toks, lambda t: portable_shingle_hash31(t)).alias("_th"),
+        _token_hashes31_batch()(F.col(text_col)).alias("_th"),
     ).localCheckpoint(eager=False)
     th = F.col("_th")
     sz = F.size(th)

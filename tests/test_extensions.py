@@ -586,3 +586,29 @@ def test_minhash_duplicate_ids_never_self_pair(spark):
     sigs = D.minhash_signature_portable(docs)
     pairs = D.minhash_candidates(sigs, threshold=0.3, band_on_slice=True).collect()
     assert all(r["id_a"] != r["id_b"] for r in pairs)
+
+
+def test_vectorized_token_hash_matches_hof(spark):
+    """The numpy segmented-Horner token-hash kernel must be bit-identical
+    to the interpreted-HOF portable_shingle_hash31 fold across the edge
+    cases the split-on-space semantics create (empty text, doubled/
+    leading/trailing spaces, non-ASCII, nulls, long docs)."""
+    rows = [(1, "hello world foo"), (2, ""), (3, "a  b"), (4, " lead"),
+            (5, "trail "), (6, "héllo wörld"), (7, None), (8, "single"),
+            (9, "x " * 200)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    toks = F.split(F.col("text"), " ")
+    hof = {
+        r["doc_id"]: r["th"]
+        for r in df.select(
+            "doc_id",
+            F.transform(toks, lambda t: D.portable_shingle_hash31(t)).alias("th"),
+        ).collect()
+    }
+    fast = {
+        r["doc_id"]: r["th"]
+        for r in df.select(
+            "doc_id", D._token_hashes31_batch()(F.col("text")).alias("th")
+        ).collect()
+    }
+    assert hof == fast
