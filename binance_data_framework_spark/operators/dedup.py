@@ -144,36 +144,73 @@ def _token_hashes31_batch():
 
     @pandas_udf("array<long>")
     def kernel(texts: pd.Series) -> pd.Series:
-        isnull = texts.isna().to_numpy()
-        joined = " ".join(texts.fillna(""))
-        codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(
-            np.int64
-        )
-        # token boundaries: split on EVERY space of the joined stream —
-        # the inter-doc joiner is itself a space, so doc boundaries align
-        # with token boundaries by construction
-        spaces = np.flatnonzero(codes == 32)
-        starts = np.concatenate(([0], spaces + 1))
-        ends = np.concatenate((spaces, [len(codes)]))
-        lens = ends - starts
-        h1 = np.full(len(starts), 7, dtype=np.int64)
-        h2 = np.full(len(starts), 7, dtype=np.int64)
-        if len(lens) and lens.max() > 0:
-            for k in range(int(lens.max())):
-                m = lens > k
-                c = codes[starts[m] + k]
-                h1[m] = (h1[m] * 31 + c) % M1
-                h2[m] = (h2[m] * 37 + c) % M2
+        h1, h2, offsets, isnull = _batch_token_h1h2(texts)
         th = (h1 * 2654435761 + h2) % 2147483648
-        # slice back per doc: doc i owns (tokens-in-doc-i) consecutive
-        # entries; its token count is spaces-in-doc + 1
-        n_toks = np.array(
-            [t.count(" ") + 1 for t in texts.fillna("")], dtype=np.int64
-        )
-        offsets = np.concatenate(([0], np.cumsum(n_toks)))
+        # slice back per doc: doc i owns (tokens-in-doc-i) consecutive entries
         out = [th[offsets[i]: offsets[i + 1]] for i in range(len(texts))]
         for i in np.flatnonzero(isnull):  # null text -> null array (HOF parity)
             out[i] = None
+        return pd.Series(out, dtype=object)
+
+    return kernel
+
+
+def _batch_token_h1h2(texts: pd.Series):
+    """Shared segmented-Horner core: (h1, h2) polynomial hashes of EVERY
+    token of the batch (in doc order), per-doc offsets, and the null mask.
+    Token boundaries come from splitting the space-joined batch stream —
+    the inter-doc joiner is itself a space, so doc boundaries align with
+    token boundaries by construction; empty tokens (doubled/leading/
+    trailing spaces, empty text) are zero-length segments that keep the
+    (7, 7) init state, exactly as the HOF fold."""
+    M1, M2 = 2147483647, 2147483629
+    isnull = texts.isna().to_numpy()
+    joined = " ".join(texts.fillna(""))
+    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.int64
+    )
+    spaces = np.flatnonzero(codes == 32)
+    starts = np.concatenate(([0], spaces + 1))
+    ends = np.concatenate((spaces, [len(codes)]))
+    lens = ends - starts
+    h1 = np.full(len(starts), 7, dtype=np.int64)
+    h2 = np.full(len(starts), 7, dtype=np.int64)
+    if len(lens) and lens.max() > 0:
+        for k in range(int(lens.max())):
+            m = lens > k
+            c = codes[starts[m] + k]
+            h1[m] = (h1[m] * 31 + c) % M1
+            h2[m] = (h2[m] * 37 + c) % M2
+    n_toks = np.array([t.count(" ") + 1 for t in texts.fillna("")], dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(n_toks)))
+    return h1, h2, offsets, isnull
+
+
+def simhash_portable_batch(bits: int = 62):
+    """Vectorized, bit-identical implementation of
+    ``simhash_signature(df, bits=62, token_hash=portable_token_hash)``:
+    token hashes via the shared segmented-Horner core (62-bit pack
+    h1*2^31 + h2), then the per-bit majority popcount for the WHOLE batch
+    at once — bit extraction is one shift/mask broadcast, per-doc bit
+    sums are one ``np.add.reduceat`` over the doc offsets, and the
+    majority bits pack back with one shift-sum. Replaces ~bits x tokens
+    interpreted lambda steps per doc (the honest noop-write measurement
+    put the HOF form at 66 s for 500k docs — see BENCH_SCALING r6);
+    parity with the HOF form is pytest-pinned and the DuckDB oracle is
+    unchanged."""
+
+    @pandas_udf("long")
+    def kernel(texts: pd.Series) -> pd.Series:
+        if not len(texts):
+            return pd.Series([], dtype=object)
+        h1, h2, offsets, isnull = _batch_token_h1h2(texts)
+        th = h1 * 2147483648 + h2  # 62-bit pack, always >= 0
+        B = np.arange(bits, dtype=np.int64)
+        bit_m = ((th[:, None] >> B[None, :]) & 1)
+        counts = np.add.reduceat(bit_m, offsets[:-1], axis=0)
+        n = np.diff(offsets)[:, None]
+        sim = ((counts * 2 > n).astype(np.int64) << B[None, :]).sum(axis=1)
+        out = [None if isnull[i] else int(sim[i]) for i in range(len(texts))]
         return pd.Series(out, dtype=object)
 
     return kernel

@@ -2802,10 +2802,14 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     lambdas and the ENTIRE signature fold (per-bit popcount accumulator ->
     majority -> packed bits) is hash-match verified cross-engine.
     Production default stays xxhash64 (same fold, JVM-native hash);
-    near-pair detection on the xxhash64 path is pytest-verified."""
+    near-pair detection on the xxhash64 path is pytest-verified. r6: the
+    portable variant computes through the vectorized batch kernel
+    (D.simhash_portable_batch — bit-identical to the HOF fold, pinned by
+    pytest; the honest noop-write measurement put the HOF form at 66 s
+    for 500k docs, the kernel at a fraction — BENCH_SCALING)."""
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash_signature(
-        docs, bits=62, token_hash=D.portable_token_hash
+    return docs.select(
+        "doc_id", D.simhash_portable_batch(62)(F.col("text")).alias("simhash")
     )
 
 
@@ -4584,21 +4588,51 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-repetition-sized, not corpus-sized."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 7),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 8)),
+    # Gram keys are DOUBLE 64-bit chained hashes of the token-hash window,
+    # not materialized "tok tok ... tok" strings (r6, from the honest
+    # noop-write measurement: string-gram building + a ~50-byte-key
+    # shuffle put this query at 90 s on the 500k-doc fixture). Each token
+    # hashes once (JVM xxhash64); a gram's key is the 7-step xxhash64
+    # chain over its 8 consecutive token hashes, built with shifted
+    # zip_with passes (O(8 x tokens) total). Two INDEPENDENT chains (the
+    # second seeds the token hash differently) make the effective key 128
+    # bits: a cross-doc collision — the only way the hashed formulation
+    # could diverge from the string-gram oracle — needs ~2^64 grams.
+    # Shuffle bytes drop to 16/gram; the oracle keeps comparing the
+    # RESULTING per-doc fractions, which are hash-independent.
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("_sz"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("_h1"),
+        F.transform(toks, lambda t: F.xxhash64(t, F.lit(1))).alias("_h2"),
     )
-    spans = docs.select(
+    sz = F.col("_sz")
+    g1, g2 = F.col("_h1"), F.col("_h2")
+    for k in range(1, 8):
+        g1 = F.zip_with(
+            g1, F.slice(F.col("_h1"), k + 1, sz), lambda a, b: F.xxhash64(a, b)
+        )
+        g2 = F.zip_with(
+            g2, F.slice(F.col("_h2"), k + 1, sz), lambda a, b: F.xxhash64(a, b)
+        )
+    gram_structs = F.slice(
+        F.zip_with(g1, g2, lambda a, b: F.struct(a.alias("g1"), b.alias("g2"))),
+        1,
+        F.greatest(sz - 7, F.lit(0)),
+    )
+    spans = base.select(
         "doc_id",
         F.explode(
-            F.when(F.size(toks) >= 8, grams).otherwise(F.array().cast("array<string>"))
-        ).alias("gram"),
-    )
+            F.when(sz >= 8, gram_structs).otherwise(
+                F.array().cast("array<struct<g1:bigint,g2:bigint>>")
+            )
+        ).alias("_g"),
+    ).select("doc_id", "_g.g1", "_g.g2")
     dupg = (
-        spans.groupBy("gram")
+        spans.groupBy("g1", "g2")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .where(F.col("nd") >= 2)
-        .select("gram")
+        .select("g1", "g2")
     )
     # per-doc span totals need NO explode/shuffle: n_spans is just
     # size(toks)-7 — a narrow projection. The groupBy-doc_id formulation
@@ -4609,7 +4643,7 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(toks) - 7).cast("bigint").alias("n_spans"),
     ).where(F.col("n_spans") > 0)
     dup = (
-        spans.join(broadcast(dupg), "gram")
+        spans.join(broadcast(dupg), ["g1", "g2"])
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_dup_spans"))
     )
@@ -4718,7 +4752,11 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by design; the hash-matched topk_recall_ivf/pq certificates in-window
 # run the SAME searches against the same persisted index), ingest_jsonl
 # (r6 change is an output-identical parse refactor — DDL-parsed field
-# names — green in the local two-SF oracle runs), graph_pagerank (its r6
+# names — green in the local two-SF oracle runs), dedup_substring (its r6
+# change swaps string gram keys for double-64-bit chained xxhash64 keys —
+# output-identical short of a ~2^64 cross-doc collision, and the oracle
+# compares the hash-independent per-doc fractions; green in the local
+# two-SF oracle runs, newest driver row r5), graph_pagerank (its r6
 # change is an opt-in validation guard; the registry call site passes
 # validate=False, plan unchanged), flagship_ohlcv_sma (re-run by the
 # driver's entry() smoke every round), topk_similarity_lsh (certified by

@@ -612,3 +612,26 @@ def test_vectorized_token_hash_matches_hof(spark):
         ).collect()
     }
     assert hof == fast
+
+
+def test_vectorized_simhash_matches_hof(spark):
+    """The batch simhash kernel must be bit-identical to
+    simhash_signature(bits=62, token_hash=portable_token_hash) across the
+    same split-semantics edge cases as the token-hash kernel."""
+    rows = [(1, "hello world foo"), (2, ""), (3, "a  b"), (4, " lead"),
+            (5, "trail "), (6, "héllo wörld"), (7, None), (8, "single"),
+            (9, "repeat token " * 60)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    hof = {
+        r["doc_id"]: r["simhash"]
+        for r in D.simhash_signature(
+            df, bits=62, token_hash=D.portable_token_hash
+        ).collect()
+    }
+    fast = {
+        r["doc_id"]: r["simhash"]
+        for r in df.select(
+            "doc_id", D.simhash_portable_batch(62)(F.col("text")).alias("simhash")
+        ).collect()
+    }
+    assert hof == fast

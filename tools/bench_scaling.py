@@ -94,17 +94,18 @@ def main() -> int:
             "runs_per_point": runs,
         }
     )
-    doc.setdefault(
-        "methodology",
+    doc["methodology"] = (
         "Big fixture = replicate-with-disjoint-shifts (tools/"
         "make_scale_fixture.py): per-replica word tagging / vector "
         "perturbation / id+key+time shifts keep pair density and join "
         "structure LINEAR in the factor, so ratio measures the engine, "
         "not planted duplicate cliques. One shared warm session; sec_* is "
-        "best-of-N count() time (distributed compute, excluding driver "
-        "row serialization); cold_* includes first-run plan compile. "
+        "best-of-N noop-format WRITE time (forces every output value to "
+        "materialize — count() would let Catalyst prune a pure "
+        "projection's computed columns; r6 audit); cold_* includes "
+        "first-run plan compile. "
         "Ratios well under the factor mean the query is still "
-        "fixed-overhead-bound at this absolute scale.",
+        "fixed-overhead-bound at this absolute scale."
     )
     qsec = section.setdefault("queries", {})
     for name in names:
@@ -114,11 +115,18 @@ def main() -> int:
             best, cold, rows = float("inf"), None, None
             for i in range(runs):
                 t0 = time.time()
-                rows = fn(spark, sf_dir).count()
+                # noop WRITE, not count(): count() lets Catalyst prune the
+                # computed columns of pure-projection queries, so their
+                # "ratio" would measure parquet row counting (r6 audit);
+                # the write forces every output value to materialize —
+                # same convention as bench.py
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
                 dt = time.time() - t0
                 if i == 0:
                     cold = dt
                 best = min(best, dt)
+            rows = df.count()
             rec[f"sec_{tag}"] = round(best, 3)
             rec[f"cold_{tag}"] = round(cold, 3)
             rec[f"rows_{tag}"] = rows
