@@ -1259,6 +1259,279 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q12",
+    """
+    SELECT l_linestatus,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+    GROUP BY l_linestatus
+    """,
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shipping modes / order priority (adapted: the fixture's
+    lineitem has no l_shipmode/l_commitdate/l_receiptdate, so the grouping
+    dimension is l_linestatus and the year filter is on l_shipdate; the
+    topology — fact-fact join, conditional priority counting per group —
+    is Q12's). The date window is pushed to the lineitem scan, so only
+    one year's lines join; the priority CASE runs post-join in codegen
+    and the final shuffle is group-count-sized (2 rows)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q21",
+    """
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders
+    WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    """,
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 suppliers-who-kept-orders-waiting (adapted: "late" is
+    l_returnflag = 'R' — the fixture has no commit/receipt dates; the
+    topology — EXISTS plus NOT EXISTS over the same fact with
+    inequality-correlated aliases, counted per supplier — is Q21's).
+    The correlated pair de-correlates into ONE per-order aggregate:
+    EXISTS(other supplier) ⇔ the order has ≥2 distinct suppliers, and
+    NOT EXISTS(other supplier late) ⇔ the order has exactly 1 distinct
+    LATE supplier (l1 itself is late, so sole-late ⇒ every other
+    supplier is clean). One grouped pass over lineitem replaces two
+    correlated probes — the per-order profile joins the late rows on the
+    order key, and the 100-row supplier dim broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("_n_supp"),
+        F.count_distinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("_n_late_supp"),
+    )
+    late = li.where(F.col("l_returnflag") == "R")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        late.join(orders, late["l_orderkey"] == orders["o_orderkey"])
+        .join(per_order, "l_orderkey")
+        .where((F.col("_n_supp") >= 2) & (F.col("_n_late_supp") == 1))
+        .join(broadcast(supp), late["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
+    "tpch_q2",
+    """
+    WITH supply AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             round(min(l_extendedprice / l_quantity), 4) AS unit_cost
+      FROM lineitem GROUP BY 1, 2)
+    SELECT s_acctbal, s_name, n_name, p_partkey, unit_cost
+    FROM part, supply, supplier, nation, region
+    WHERE p_partkey = partkey AND s_suppkey = suppkey
+      AND p_size = 25 AND p_type = 'LARGE'
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'EUROPE'
+      AND unit_cost = (
+        SELECT min(s2.unit_cost)
+        FROM supply s2, supplier sp2, nation n2, region r2
+        WHERE s2.partkey = p_partkey AND sp2.s_suppkey = s2.suppkey
+          AND sp2.s_nationkey = n2.n_nationkey
+          AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+    """,
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier (adapted: the fixture has no
+    partsupp, so the part-supplier cost fact is derived from lineitem —
+    unit_cost = min observed l_extendedprice/l_quantity per (part,
+    supplier), rounded so the cross-engine equality against the
+    correlated min compares identical doubles; the topology — correlated
+    MIN subquery over the region-filtered supply side — is Q2's).
+    Execution: the part dim filters to a handful of rows and BROADCASTS
+    into the supply aggregate's input, so only qualifying parts'
+    lineitems aggregate; the European supplier set is dim-sized and
+    broadcasts; the correlated min de-correlates into a per-part min
+    join-back (the q17 pattern) that is output-sized."""
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_size") == 25) & (F.col("p_type") == "LARGE")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == "EUROPE"
+    )
+    euro_supp = supp.join(
+        broadcast(nation.join(broadcast(region),
+                              nation["n_regionkey"] == region["r_regionkey"])),
+        supp["s_nationkey"] == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    supply = (
+        li.join(broadcast(part.select("p_partkey")),
+                li["l_partkey"] == F.col("p_partkey"))
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.round(
+                F.min(F.col("l_extendedprice") / F.col("l_quantity")), 4
+            ).alias("unit_cost")
+        )
+    )
+    euro_supply = supply.join(
+        broadcast(euro_supp), F.col("suppkey") == F.col("s_suppkey")
+    )
+    per_part_min = euro_supply.groupBy("partkey").agg(
+        F.min("unit_cost").alias("_min_cost")
+    )
+    return (
+        euro_supply.join(broadcast(per_part_min), "partkey")
+        .where(F.col("unit_cost") == F.col("_min_cost"))
+        .select(
+            "s_acctbal", "s_name", "n_name",
+            F.col("partkey").alias("p_partkey"), "unit_cost",
+        )
+    )
+
+
+@register(
+    "tpch_q11",
+    """
+    WITH supply AS (
+      SELECT l_partkey AS partkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS value
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_19'
+      GROUP BY 1)
+    SELECT partkey, value FROM supply
+    WHERE value > (SELECT 0.001 * sum(value) FROM supply)
+    """,
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 important stock identification (adapted: supply value
+    per part within one nation comes from lineitem revenue instead of
+    partsupp cost×qty; the topology — grouped value, HAVING against a
+    scalar fraction-of-total subquery — is Q11's). The nation-filtered
+    supplier set broadcasts as a semi-filter BEFORE the part-keyed
+    aggregate, the per-part aggregate is computed ONCE (checkpointed —
+    referenced by both the output and the total), and the scalar total
+    is a 1-row broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name") == "NATION_19"
+    )
+    nat_supp = supp.join(
+        broadcast(nation), supp["s_nationkey"] == nation["n_nationkey"]
+    ).select("s_suppkey")
+    supply = (
+        li.join(broadcast(nat_supp), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("value")
+        )
+        .localCheckpoint(eager=False)
+    )
+    total = supply.agg((0.001 * F.sum("value")).alias("_threshold"))
+    return (
+        supply.crossJoin(broadcast(total))
+        .where(F.col("value") > F.col("_threshold"))
+        .select("partkey", "value")
+    )
+
+
+@register(
+    "tpch_q20",
+    """
+    WITH qty AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             sum(l_quantity) AS sq
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      GROUP BY 1, 2)
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT suppkey FROM qty
+      JOIN part ON p_partkey = partkey
+      WHERE p_name LIKE '%gear%'
+        AND sq > (SELECT 0.5 * sum(q2.sq) FROM qty q2
+                  WHERE q2.partkey = qty.partkey))
+    """,
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 potential part promotion (adapted: partsupp availability
+    is replaced by a dominance test — a supplier qualifies if its 1996
+    shipped quantity of some '%gear%' part exceeds half that part's total
+    1996 quantity; the topology — semi-join chain into the supplier dim
+    gated by a correlated per-part aggregate — is Q20's). The date
+    window pushes to the scan; the part-name filter prunes via broadcast
+    BEFORE the (part, supplier) aggregate; the correlated half-total
+    de-correlates into a per-part sum join-back; the final IN is a
+    LEFT SEMI join onto the 100-row supplier dim."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    )
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("%gear%")
+    )
+    qty = (
+        li.join(broadcast(part.select("p_partkey")),
+                li["l_partkey"] == F.col("p_partkey"))
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(F.sum("l_quantity").alias("sq"))
+    )
+    per_part = qty.groupBy("partkey").agg(
+        (0.5 * F.sum("sq")).alias("_half_total")
+    )
+    dominant = (
+        qty.join(broadcast(per_part), "partkey")
+        .where(F.col("sq") > F.col("_half_total"))
+        .select("suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return supp.join(
+        dominant, supp["s_suppkey"] == dominant["suppkey"], "left_semi"
+    ).select("s_name", "s_acctbal")
+
+
 # ===========================================================================
 # scans / filters / sorts / limits (SURVEY §2a)
 # ===========================================================================

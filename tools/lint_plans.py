@@ -52,6 +52,10 @@ BNLJ_OK = {
     "knn_recall_self",
     "sketch_error_bounds",  # 5-row certificate joins
     "tpch_q22",  # 1-row scalar-subquery mean broadcast into the filter
+    # 1-row fraction-of-total threshold broadcast into the HAVING filter
+    # (inequality — unlike tpch_q15's max-equality, Catalyst cannot
+    # rewrite it into an equi-join):
+    "tpch_q11",
     "pair_correlation",  # 2-series spine, bar-count-sized cross
     # 1-row corpus-stats scalar cross (N docs / avg doclen broadcast into
     # the per-(doc,term) scoring expression):
