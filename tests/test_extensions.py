@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from binance_data_framework_spark.operators import dedup as D
 from binance_data_framework_spark.operators import similarity as S
+from binance_data_framework_spark.operators import text as TX
 from binance_data_framework_spark.operators.asof import asof_join
 from binance_data_framework_spark.sources.fixtures import load_table
 
@@ -634,4 +635,19 @@ def test_vectorized_simhash_matches_hof(spark):
             "doc_id", D.simhash_portable_batch(62)(F.col("text")).alias("simhash")
         ).collect()
     }
+    assert hof == fast
+
+
+def test_vectorized_repetition_matches_hof(spark):
+    """The batch repetition kernel must produce exactly the HOF form's
+    rows (integer counts AND rounded fractions) across the split-semantics
+    edge cases: empty/null text, single token, doubled/leading/trailing
+    spaces, runs at the array tail, and a long uniform run."""
+    rows = [(1, "a b a b a b c"), (2, ""), (3, None), (4, "x"),
+            (5, "a  b  a  b"), (6, "t1 t2 t1 t2 t1 t3"),
+            (7, " lead lead lead"), (8, "q " * 50),
+            (9, "solo pair solo pair")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    hof = {r["doc_id"]: r[1:] for r in TX.repetition_stats(df).collect()}
+    fast = {r["doc_id"]: r[1:] for r in TX.repetition_stats_fast(df).collect()}
     assert hof == fast
