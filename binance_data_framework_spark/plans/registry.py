@@ -23,7 +23,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from datetime import datetime, timezone
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -4871,18 +4871,24 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-repetition-sized, not corpus-sized."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    # Gram keys are DOUBLE 64-bit chained hashes of the token-hash window,
-    # not materialized "tok tok ... tok" strings (r6, from the honest
+    # Gram keys are DOUBLE 64-bit hashes of the token-hash window, not
+    # materialized "tok tok ... tok" strings (r6, from the honest
     # noop-write measurement: string-gram building + a ~50-byte-key
     # shuffle put this query at 90 s on the 500k-doc fixture). Each token
-    # hashes once (JVM xxhash64); a gram's key is the 7-step xxhash64
-    # chain over its 8 consecutive token hashes, built with shifted
-    # zip_with passes (O(8 x tokens) total). Two INDEPENDENT chains (the
-    # second seeds the token hash differently) make the effective key 128
-    # bits: a cross-doc collision — the only way the hashed formulation
-    # could diverge from the string-gram oracle — needs ~2^64 grams.
-    # Shuffle bytes drop to 16/gram; the oracle keeps comparing the
-    # RESULTING per-doc fractions, which are hash-independent.
+    # hashes once (JVM xxhash64); a gram's key is a 3-level BINARY
+    # DOUBLING tree over its 8 consecutive token hashes — H2[i] =
+    # xxhash64(h[i], h[i+1]), H4[i] = xxhash64(H2[i], H2[i+2]), H8[i] =
+    # xxhash64(H4[i], H4[i+4]) — built with shifted zip_with passes:
+    # 3 passes per chain instead of the 7-step linear chain (the HOF
+    # interpreter pays per-pass dispatch over the whole token stream;
+    # measured 14 s -> 8 s construction at the 500k-doc fixture). Equal
+    # 8-token windows still map to equal keys by construction, and two
+    # INDEPENDENT trees (the second seeds the token hash differently)
+    # make the effective key 128 bits: a cross-doc collision — the only
+    # way the hashed formulation could diverge from the string-gram
+    # oracle — needs ~2^64 grams. Shuffle bytes drop to 16/gram; the
+    # oracle keeps comparing the RESULTING per-doc fractions, which are
+    # hash-independent.
     base = docs.select(
         "doc_id",
         F.size(toks).alias("_sz"),
@@ -4890,27 +4896,39 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(toks, lambda t: F.xxhash64(t, F.lit(1))).alias("_h2"),
     )
     sz = F.col("_sz")
-    g1, g2 = F.col("_h1"), F.col("_h2")
-    for k in range(1, 8):
-        g1 = F.zip_with(
-            g1, F.slice(F.col("_h1"), k + 1, sz), lambda a, b: F.xxhash64(a, b)
-        )
-        g2 = F.zip_with(
-            g2, F.slice(F.col("_h2"), k + 1, sz), lambda a, b: F.xxhash64(a, b)
-        )
+
+    def _gram8(col: Column) -> Column:
+        mix = lambda a, b: F.xxhash64(a, b)  # noqa: E731
+        h2 = F.zip_with(col, F.slice(col, 2, sz), mix)
+        h4 = F.zip_with(h2, F.slice(h2, 3, sz), mix)
+        return F.zip_with(h4, F.slice(h4, 5, sz), mix)
+
     gram_structs = F.slice(
-        F.zip_with(g1, g2, lambda a, b: F.struct(a.alias("g1"), b.alias("g2"))),
+        F.zip_with(
+            _gram8(F.col("_h1")),
+            _gram8(F.col("_h2")),
+            lambda a, b: F.struct(a.alias("g1"), b.alias("g2")),
+        ),
         1,
         F.greatest(sz - 7, F.lit(0)),
     )
-    spans = base.select(
-        "doc_id",
-        F.explode(
-            F.when(sz >= 8, gram_structs).otherwise(
-                F.array().cast("array<struct<g1:bigint,g2:bigint>>")
-            )
-        ).alias("_g"),
-    ).select("doc_id", "_g.g1", "_g.g2")
+    # The span stream feeds TWO consumers (the dup-gram aggregate and the
+    # per-doc join back); without a materialization point each consumer
+    # re-runs the whole tokenize+hash+explode pipeline (the
+    # first-action-no-dedup trap, PLANS.md r6) — the EAGER checkpoint
+    # builds it once (measured: 42.8 s -> ~25 s full query at 500k docs).
+    spans = (
+        base.select(
+            "doc_id",
+            F.explode(
+                F.when(sz >= 8, gram_structs).otherwise(
+                    F.array().cast("array<struct<g1:bigint,g2:bigint>>")
+                )
+            ).alias("_g"),
+        )
+        .select("doc_id", "_g.g1", "_g.g2")
+        .localCheckpoint(eager=True)
+    )
     dupg = (
         spans.groupBy("g1", "g2")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -5039,7 +5057,11 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # change swaps string gram keys for double-64-bit chained xxhash64 keys —
 # output-identical short of a ~2^64 cross-doc collision, and the oracle
 # compares the hash-independent per-doc fractions; green in the local
-# two-SF oracle runs, newest driver row r5), graph_pagerank (its r6
+# two-SF oracle runs, newest driver row r5), text_repetition (its r6
+# change is pinned output-identical: per-doc counts move to an exact
+# vectorized kernel whose integer outputs are pytest-pinned equal to the
+# HOF fold, and the fraction projection is literally shared; green in
+# the local THREE-SF oracle runs, newest driver row r5), graph_pagerank (its r6
 # change is an opt-in validation guard; the registry call site passes
 # validate=False, plan unchanged), flagship_ohlcv_sma (re-run by the
 # driver's entry() smoke every round), topk_similarity_lsh (certified by
