@@ -46,6 +46,139 @@ from binance_data_framework_spark.operators.curation import shard_assign
 from binance_data_framework_spark.store import SnapshotStore
 
 
+class BandIndexStore(SnapshotStore):
+    """Append-only LSH band index on the snapshot-commit protocol: rows
+    ``(id_col, band_idx int, band_hash long)`` laid out as
+    ``bucket=<pmod(band_hash, n_buckets)>/*.parquet``, so a lookup for a
+    batch of band keys reads ONLY the buckets those keys hash to
+    (manifest-level pruning, the same physical idea as DocumentStore's
+    shard pruning and AnnIndexStore's cell pruning) — O(touched buckets)
+    IO against a corpus-sized index.
+
+    This is the persisted state behind the streaming near-dup gate
+    (streaming/neardup_ingest): each ingest batch looks up its band keys
+    against the committed corpus, then appends the surviving docs' bands.
+    Appends are ADD-ONLY commits: no files are superseded, so concurrent
+    appenders rebase cleanly and never conflict (the read-rebase-commit
+    path's trivial case). Redelivered batches may append duplicate band
+    rows — candidate generation distinct-s pairs, so duplicates cost
+    bytes, not correctness; ``optimize()``-style compaction can fold them
+    later if redelivery is heavy."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        id_col: str = "doc_id",
+        n_buckets: int = 64,
+    ):
+        if n_buckets <= 0:
+            raise ValueError("n_buckets must be positive")
+        super().__init__(spark, root)
+        self.id_col = id_col
+        self.n_buckets = n_buckets
+        self._layout_checked = False
+
+    def _check_layout(self) -> None:
+        """Pin (n_buckets, id_col) like DocumentStore._check_layout —
+        reopening with a different bucket count would route the same band
+        key to a different bucket and silently miss stored candidates."""
+        if self._layout_checked:
+            return
+        import json as _json
+
+        fs, p = self._fs_path("_layout.json")
+        if fs.exists(p):
+            stored = _json.loads(self._read_bytes("_layout.json"))
+            if (
+                stored.get("n_buckets") != self.n_buckets
+                or stored.get("id_col") != self.id_col
+            ):
+                raise ValueError(
+                    f"BandIndexStore layout mismatch at {self.root}: stored "
+                    f"{stored}, requested n_buckets={self.n_buckets} "
+                    f"id_col={self.id_col!r}"
+                )
+        else:
+            self._write_bytes(
+                "_layout.json",
+                _json.dumps(
+                    {"n_buckets": self.n_buckets, "id_col": self.id_col}
+                ).encode(),
+            )
+        self._layout_checked = True
+
+    @staticmethod
+    def _bucket_of(rel: str) -> int | None:
+        seg = rel.split("/", 1)[0]
+        if not seg.startswith("bucket="):
+            return None
+        try:
+            return int(seg[7:])
+        except ValueError:
+            return None
+
+    def append(self, bands: DataFrame) -> int:
+        """Add-only commit of (id_col, band_idx, band_hash) rows into their
+        buckets. Returns the number of rows appended (0 skips the commit)."""
+        self._check_layout()
+        with_bucket = bands.select(
+            self.id_col, "band_idx", "band_hash"
+        ).withColumn("bucket", F.pmod("band_hash", F.lit(self.n_buckets)))
+        staging = f"_staging-{uuid.uuid4().hex}"
+        (
+            with_bucket.repartition("bucket")
+            .write.partitionBy("bucket")
+            .option("compression", "zstd")
+            .mode("overwrite")
+            .save(f"{self.root}/{staging}")
+        )
+        new_files = self._publish_staged(staging)
+        if not new_files:
+            return 0
+        self._commit_or_reclaim(new_files, lambda latest: (new_files, []))
+        n = bands.count()
+        return n
+
+    def candidates(self, bands: DataFrame) -> DataFrame:
+        """(id_new, id_stored) distinct pairs whose (band_idx, band_hash)
+        matches a committed row. Bucket set comes from ONE model-sized
+        distinct-collect over the incoming bands (bounded by
+        num_bands x batch size); only those buckets' committed files are
+        scanned. Empty store -> empty result."""
+        self._check_layout()
+        incoming = bands.select(
+            F.col(self.id_col).alias("id_new"), "band_idx", "band_hash"
+        ).withColumn("bucket", F.pmod("band_hash", F.lit(self.n_buckets)))
+        man = self._snapshot()
+        empty = incoming.select("id_new").limit(0).withColumn(
+            "id_stored", F.col("id_new")
+        )
+        if not man or not man["files"]:
+            return empty
+        touched = {
+            r["bucket"] for r in incoming.select("bucket").distinct().collect()
+        }
+        files = [f for f in man["files"] if self._bucket_of(f) in touched]
+        if not files:
+            return empty
+        stored = self.spark.read.option("basePath", self.root).parquet(
+            *[f"{self.root}/{f}" for f in files]
+        )
+        return (
+            incoming.join(
+                stored.select(
+                    F.col(self.id_col).alias("id_stored"),
+                    "band_idx",
+                    "band_hash",
+                ),
+                on=["band_idx", "band_hash"],
+            )
+            .select("id_new", "id_stored")
+            .distinct()
+        )
+
+
 class DocumentStore(SnapshotStore):
     """Hash-sharded snapshot store for keyed corpus tables (module
     docstring). ``key_col`` must be an integral id column (the portable

@@ -427,6 +427,46 @@ def minhash_candidates(
     return small_pairs.unionByName(large_pairs).dropDuplicates(["id_a", "id_b"])
 
 
+def minhash_bands(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 4,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """(id, band_idx, band_hash) — one row per (doc, band), with the SAME
+    banding arithmetic as ``minhash_candidates``'s production path
+    (xxhash64 over the band's slot slice), exposed standalone so an
+    INCREMENTAL consumer (the streaming near-dup gate's persisted band
+    index) keys new documents identically across batches and sessions.
+    Validation mirrors minhash_candidates: divisibility at plan time plus
+    the unprunable runtime signature-width assert."""
+    if num_bands <= 0 or num_hashes % num_bands != 0:
+        raise ValueError(
+            f"num_bands={num_bands} must be a positive divisor of "
+            f"num_hashes={num_hashes} (equal bands, no empty slices)"
+        )
+    rows_per_band = num_hashes // num_bands
+    sig_len_ok = F.assert_true(
+        F.size("sig") == num_hashes,
+        F.concat(
+            F.lit(f"minhash_bands: signature width != num_hashes={num_hashes}: "),
+            F.size("sig").cast("string"),
+        ),
+    )
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.when(
+                    sig_len_ok.isNull(),
+                    F.xxhash64(F.slice("sig", b * rows_per_band + 1, rows_per_band)),
+                ),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+
+
 def dedup_near_minhash(
     df: DataFrame,
     text_col: str = "text",

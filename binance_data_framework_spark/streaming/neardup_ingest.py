@@ -1,0 +1,178 @@
+"""Streaming near-duplicate-gated corpus ingest: continuous curation.
+
+The batch dedup tier answers "which docs in THIS corpus near-duplicate
+each other"; a 100 TB pipeline also needs the INCREMENTAL form — every
+arriving batch must be checked against everything already accepted,
+without rescanning the corpus. This module composes three existing
+pieces into that gate:
+
+- MinHash signatures + LSH bands (operators/dedup.minhash_signature /
+  minhash_bands — the same arithmetic as the batch candidate
+  generator, so batch and streaming agree on what "near-duplicate"
+  means);
+- a persisted, bucket-partitioned band index
+  (docstore.BandIndexStore): per batch, candidate lookup reads ONLY
+  the buckets the batch's band keys hash to, and accepted docs'
+  bands append in one add-only commit — the index grows with the
+  corpus, the lookup cost with the batch;
+- the transactional DocumentStore: accepted docs (carrying their
+  signature column) upsert idempotently, so checkpoint-replayed
+  batches converge instead of duplicating.
+
+Gate semantics per micro-batch, in order:
+1. in-batch self-dedup (lowest id of each near-pair survives —
+   dedup_near_minhash's deterministic rule);
+2. corpus check: batch bands -> BandIndexStore.candidates ->
+   same-id pairs are checkpoint REDELIVERIES, not duplicates (the
+   doc is already stored; the keyed upsert makes re-saving it a
+   no-op) -> remaining candidates verify est_jaccard against the
+   stored signatures (point-read via DocumentStore.read_keys — shard
+   -pruned, no corpus scan) and drop at >= threshold;
+3. survivors: save_docs (one commit) then band append (one add-only
+   commit). A crash between the two commits leaves docs stored but
+   unindexed for one batch; the checkpoint replays the batch, the
+   redelivery rule keeps the docs, and the band append completes —
+   convergent, at the cost of possibly-duplicate band rows (candidates
+   are distinct-ed, so duplicates cost bytes, not correctness).
+
+Scale shape: per batch the work is O(batch) signatures (narrow),
+O(batch x num_bands) band rows, O(touched buckets + touched shards) IO
+— nothing scans the corpus. The est verification is exact on the
+stored signatures, so the gate's false-drop rate equals the batch
+dedup tier's (banding recall x signature estimate), not a new
+approximation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from binance_data_framework_spark.operators.dedup import (
+    dedup_near_minhash,
+    minhash_bands,
+    minhash_signature,
+)
+
+
+def neardup_gate_batch(
+    batch_df: DataFrame,
+    docstore,
+    band_store,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> dict:
+    """Run one batch through the near-dup gate (module docstring).
+    Returns {"arrived", "kept", "dropped_in_batch", "dropped_vs_corpus"}
+    counts for observability; mutates the two stores."""
+    batch_df = batch_df.localCheckpoint(eager=True)  # micro-batch sized
+    n_arrived = batch_df.count()
+    if not n_arrived:
+        return {
+            "arrived": 0,
+            "kept": 0,
+            "dropped_in_batch": 0,
+            "dropped_vs_corpus": 0,
+        }
+    # 1. in-batch self-dedup (deterministic: lowest id survives)
+    selfed = dedup_near_minhash(
+        batch_df,
+        text_col,
+        id_col,
+        num_hashes=num_hashes,
+        num_bands=num_bands,
+        shingle_n=shingle_n,
+        threshold=threshold,
+    ).localCheckpoint(eager=True)
+    n_self = selfed.count()
+    # 2. corpus check via the persisted band index
+    sigs = minhash_signature(
+        selfed, text_col, id_col, num_hashes, shingle_n
+    ).localCheckpoint(eager=True)
+    bands = minhash_bands(sigs, id_col, num_bands, num_hashes)
+    cand = band_store.candidates(bands).where(
+        F.col("id_new") != F.col("id_stored")  # same id = redelivery
+    )
+    dropped = cand.limit(0).select("id_new")
+    if cand.limit(1).count():
+        stored_sigs = docstore.read_keys(
+            cand.select(F.col("id_stored").alias(docstore.key_col)).distinct()
+        ).select(
+            F.col(docstore.key_col).alias("id_stored"),
+            F.col("sig").alias("_sig_stored"),
+        )
+        # exact est on the stored signatures — same eq/num_hashes
+        # arithmetic as minhash_candidates
+        est = (
+            F.aggregate(
+                F.zip_with(
+                    F.col("sig"),
+                    F.col("_sig_stored"),
+                    lambda p, q: (p == q).cast("int"),
+                ),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            )
+            / F.lit(float(num_hashes))
+        )
+        dropped = (
+            cand.join(sigs.withColumnRenamed(id_col, "id_new"), "id_new")
+            .join(stored_sigs, "id_stored")
+            .where(est >= threshold)
+            .select("id_new")
+            .distinct()
+        )
+    survivors = (
+        sigs.join(
+            dropped.withColumnRenamed("id_new", id_col), id_col, "left_anti"
+        )
+        .select(id_col, "sig")
+        .join(selfed, id_col)
+        .localCheckpoint(eager=True)
+    )
+    n_kept = survivors.count()
+    # 3. commit: docs first, then bands (replay-convergent either way —
+    # see module docstring crash note)
+    if n_kept:
+        docstore.save_docs(survivors)
+        band_store.append(
+            minhash_bands(
+                survivors.select(id_col, "sig"), id_col, num_bands, num_hashes
+            )
+        )
+    return {
+        "arrived": n_arrived,
+        "kept": n_kept,
+        "dropped_in_batch": n_arrived - n_self,
+        "dropped_vs_corpus": n_self - n_kept,
+    }
+
+
+def stream_neardup_ingest(
+    clean: DataFrame,
+    docstore,
+    band_store,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+    **gate_kwargs,
+):
+    """Attach the near-dup gate as a foreachBatch sink on a clean document
+    stream (e.g. stream_jsonl_documents' clean side). Returns the started
+    StreamingQuery. Exactly-once end to end: the checkpoint bounds replay
+    to unprocessed source shards, the keyed upsert absorbs redelivered
+    survivors, and redelivered already-stored docs are recognized via the
+    same-id rule instead of being dropped as duplicates of themselves."""
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        neardup_gate_batch(batch_df, docstore, band_store, **gate_kwargs)
+
+    writer = clean.writeStream.foreachBatch(gate).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -6,6 +6,7 @@ from __future__ import annotations
 from datetime import datetime
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from binance_data_framework_spark.streaming.incremental import (
     streaming_dedup,
@@ -373,3 +374,122 @@ def test_streaming_corpus_ingest_watermark_dedup(spark, tmp_path):
     rows = store.read().collect()
     assert {r["doc_id"] for r in rows} == {1, 2}
     assert sum(1 for r in rows if r["doc_id"] == 1) == 1
+
+
+def test_streaming_neardup_gated_ingest(spark, tmp_path):
+    """Continuous curation: each batch is near-dup-checked against the
+    committed corpus via the persisted band index (no corpus scan), and
+    in-batch duplicates resolve deterministically (lowest id wins).
+    Covers: accept-all first batch, corpus-duplicate drop, in-batch
+    duplicate drop, same-id redelivery kept (idempotent upsert), and a
+    checkpointed replay committing nothing new."""
+    from binance_data_framework_spark.docstore import BandIndexStore, DocumentStore
+    from binance_data_framework_spark.streaming.corpus_ingest import (
+        stream_jsonl_documents,
+    )
+    from binance_data_framework_spark.streaming.neardup_ingest import (
+        stream_neardup_ingest,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    store = DocumentStore(spark, str(tmp_path / "store"), n_shards=4)
+    bands = BandIndexStore(spark, str(tmp_path / "bands"), n_buckets=8)
+
+    def run():
+        clean, _ = stream_jsonl_documents(spark, str(land))
+        q = stream_neardup_ingest(clean, store, bands, ckpt, threshold=0.9)
+        q.awaitTermination(180)
+
+    t1 = "the quick brown fox jumps over the lazy dog again and again"
+    t2 = "completely different words about spark engines and parquet files"
+    t4 = "a third topic entirely concerning minhash bands and bucket joins"
+
+    def doc(i, text):
+        return (
+            f'{{"doc_id": {i}, "text": "{text}", "lang": "en", '
+            f'"source": "web", "n_chars": {len(text)}}}'
+        )
+
+    (land / "shard-000.jsonl").write_text(doc(1, t1) + "\n" + doc(2, t2) + "\n")
+    run()
+    assert {r["doc_id"] for r in store.read().collect()} == {1, 2}
+    # signatures ride with the docs; the band index holds both docs' bands
+    assert "sig" in store.read().columns
+    from binance_data_framework_spark.operators.dedup import minhash_bands
+
+    stored_bands = minhash_bands(store.read().select("doc_id", "sig"))
+    assert {
+        r["id_stored"] for r in bands.candidates(stored_bands).collect()
+    } == {1, 2}
+
+    # batch 2: 3 = exact copy of doc 1 (corpus dup -> dropped), 4 = new,
+    # 5 = exact copy of 4 (in-batch dup -> 4 survives, lowest id),
+    # 2 redelivered identically (same id -> kept, idempotent upsert)
+    (land / "shard-001.jsonl").write_text(
+        doc(3, t1) + "\n" + doc(4, t4) + "\n" + doc(5, t4) + "\n" + doc(2, t2) + "\n"
+    )
+    run()
+    assert {r["doc_id"] for r in store.read().collect()} == {1, 2, 4}
+
+    # checkpointed replay with no new shards: nothing changes
+    v = store.snapshot_versions()[-1]
+    run()
+    assert store.snapshot_versions()[-1] == v
+    assert {r["doc_id"] for r in store.read().collect()} == {1, 2, 4}
+
+
+def test_neardup_gate_batch_stats_and_band_layout(spark, tmp_path):
+    """Direct batch-level checks: the gate's observability counts add up,
+    and BandIndexStore pins its layout (a different n_buckets on reopen
+    must raise, like DocumentStore's shard layout)."""
+    import pytest as _pytest
+
+    from binance_data_framework_spark.docstore import BandIndexStore, DocumentStore
+    from binance_data_framework_spark.streaming.neardup_ingest import (
+        neardup_gate_batch,
+    )
+
+    store = DocumentStore(spark, str(tmp_path / "store"), n_shards=2)
+    bands = BandIndexStore(spark, str(tmp_path / "bands"), n_buckets=4)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id bigint, text string"
+    )
+    t = "one common long text body repeated across the duplicate documents"
+    s1 = neardup_gate_batch(
+        mk([(10, t), (11, "something else entirely on another subject")]),
+        store,
+        bands,
+        threshold=0.9,
+    )
+    assert s1 == {
+        "arrived": 2,
+        "kept": 2,
+        "dropped_in_batch": 0,
+        "dropped_vs_corpus": 0,
+    }
+    s2 = neardup_gate_batch(
+        mk([(12, t), (13, t), (14, "fresh and unrelated closing words here")]),
+        store,
+        bands,
+        threshold=0.9,
+    )
+    assert s2 == {
+        "arrived": 3,
+        "kept": 1,
+        "dropped_in_batch": 1,  # 13 loses to 12 in-batch
+        "dropped_vs_corpus": 1,  # 12 near-dups stored 10
+    }
+    assert {r["doc_id"] for r in store.read().collect()} == {10, 11, 14}
+    # empty batch short-circuits
+    s3 = neardup_gate_batch(mk([]), store, bands)
+    assert s3["arrived"] == 0 and s3["kept"] == 0
+    with _pytest.raises(ValueError, match="layout mismatch"):
+        BandIndexStore(spark, str(tmp_path / "bands"), n_buckets=8).candidates(
+            mk([]).select(
+                "doc_id",
+                F.lit(0).alias("band_idx"),
+                F.lit(0).cast("long").alias("band_hash"),
+            )
+        )
