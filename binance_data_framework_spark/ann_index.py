@@ -210,6 +210,145 @@ class AnnIndexStore(SnapshotStore):
         self._commit_or_reclaim(new_files, _delta)
         return self.load(validate_against=None)
 
+    # -- incremental append ------------------------------------------------
+    def append(self, delta: DataFrame, check_duplicates: bool = True) -> AnnIndex:
+        """Append NEW vectors to the committed index WITHOUT retraining:
+        encode the delta with the committed quantizer (cell assignment,
+        residual, PQ + OPQ codes), add the new code files to the existing
+        cell partitions, and replace only the model sidecar (fingerprint
+        and n_vectors roll forward). This is the third leg of the
+        train-once story — build once / search many / APPEND often: a
+        growing 100 TB corpus encodes only its delta per ingest cycle.
+
+        The fingerprint is a vector of SUMS (count, id-sum, content-sum),
+        so the rolled-forward value is by construction EQUAL to
+        ``_fingerprint(full corpus)`` — ``load(validate_against=corpus)``
+        still certifies freshness after any number of appends, with no
+        special casing. Delta ids must be disjoint from the indexed ids
+        (``check_duplicates`` verifies with a column-pruned id scan of the
+        committed codes; an id collision would leave two codes for one
+        vector AND break the fingerprint roll-forward). Quantizer drift is
+        the caller's tradeoff, as in any IVF/PQ deployment: appends reuse
+        centroids/codebooks trained on the original distribution; rebuild
+        when recall certificates degrade.
+
+        Concurrent appends: the commit's delta_fn re-checks that the model
+        files it read are still the live ones — a racing append/rebuild
+        raises (retry re-reads the rolled-forward model) instead of
+        silently losing the other writer's fingerprint contribution."""
+        idx = self.load()
+        if idx is None:
+            raise ValueError(
+                f"AnnIndexStore at {self.root} is empty — build() before append()"
+            )
+        man = self._snapshot()
+        orig_model = sorted(f for f in man["files"] if f.startswith("model/"))
+        dfp = self._fingerprint(delta)
+        if dfp[0] == 0:
+            return idx
+        if check_duplicates:
+            n_dup = (
+                delta.select(self.id_col)
+                .join(self.codes("pq").select(self.id_col), self.id_col, "left_semi")
+                .count()
+            )
+            if n_dup:
+                raise ValueError(
+                    f"append: {n_dup} delta id(s) already indexed — appends "
+                    f"must be disjoint (upsert = delete + rebuild, or rebuild)"
+                )
+        sub_dim = idx.dim // idx.m_sub
+        centroids = idx.centroids
+        base = S.with_norm(delta, self.vec_col).withColumn(
+            "_c", S._assign_udf(centroids)(F.col("_v"))
+        )
+        base = base.localCheckpoint(eager=False)
+        resid = base.select(
+            self.id_col,
+            "_c",
+            "_norm",
+            S._residual_udf(centroids)(F.col("_v"), F.col("_c")).alias("_r"),
+        )
+
+        import numpy as np
+
+        coded_pq = resid.select(
+            self.id_col,
+            "_c",
+            "_norm",
+            S._pq_codes_udf(idx.pq_books, sub_dim)(F.col("_r")).alias("_code"),
+        ).withColumn("variant", F.lit("pq"))
+        rotated = resid.select(
+            self.id_col,
+            "_c",
+            "_norm",
+            S._rotate_udf(np.asarray(idx.opq_rotation))(F.col("_r")).alias("_rr"),
+        )
+        coded_opq = rotated.select(
+            self.id_col,
+            "_c",
+            "_norm",
+            S._pq_codes_udf(idx.opq_books, sub_dim)(F.col("_rr")).alias("_code"),
+        ).withColumn("variant", F.lit("opq"))
+
+        import uuid as _uuid
+
+        staging = f"_staging-{_uuid.uuid4().hex}"
+        (
+            coded_pq.unionByName(coded_opq)
+            .withColumnRenamed("_c", "cell")
+            .withColumnRenamed("_code", "code")
+            .withColumnRenamed("_norm", "norm")
+            .repartition("variant", "cell")
+            .sortWithinPartitions(self.id_col)
+            .write.partitionBy("variant", "cell")
+            .option("compression", "zstd")
+            .mode("overwrite")
+            .save(f"{self.root}/{staging}/codes")
+        )
+        new_fp = [a + b for a, b in zip(idx.fingerprint, dfp)]
+        params = dict(
+            dim=idx.dim,
+            n_centroids=idx.n_centroids,
+            m_sub=idx.m_sub,
+            ksub=idx.ksub,
+        )
+        model_rows = [
+            (
+                "meta",
+                json.dumps(
+                    {**params, "fingerprint": new_fp, "n_vectors": new_fp[0]}
+                ),
+            ),
+            ("centroids", json.dumps(idx.centroids)),
+            ("pq_books", json.dumps(idx.pq_books)),
+            ("opq_rotation", json.dumps(idx.opq_rotation)),
+            ("opq_books", json.dumps(idx.opq_books)),
+            ("lsh", json.dumps(idx.lsh)),
+        ]
+        (
+            self.spark.createDataFrame(model_rows, "component string, payload string")
+            .coalesce(1)
+            .write.option("compression", "zstd")
+            .mode("overwrite")
+            .parquet(f"{self.root}/{staging}/model")
+        )
+        new_files = self._publish_staged(staging)
+
+        def _delta(latest: dict | None):
+            live = latest["files"] if latest else []
+            live_model = sorted(f for f in live if f.startswith("model/"))
+            if live_model != orig_model:
+                raise RuntimeError(
+                    "concurrent index write during append: the model files "
+                    "changed since this append read them — retry on the "
+                    "rolled-forward model"
+                )
+            return new_files, list(orig_model)
+
+        self._commit_or_reclaim(new_files, _delta)
+        return self.load()
+
     # -- load / read -------------------------------------------------------
     def load(self, validate_against: DataFrame | None = None) -> AnnIndex | None:
         """Latest committed index, or None if the store is empty.

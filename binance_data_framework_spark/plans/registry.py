@@ -4277,6 +4277,51 @@ def q_ann_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_index_append",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(count(*) AS BIGINT) AS n_codes_pq,
+           CAST(count(*) AS BIGINT) AS n_codes_opq,
+           true AS fingerprint_fresh
+    FROM embeddings
+    """,
+)
+def q_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-build/search split, APPEND side (ann_index.AnnIndexStore.
+    append — the train-once story's third leg: build once / search many /
+    append often): build the index on the even-id HALF of the corpus,
+    append the odd-id half encoded with the committed quantizer (zero
+    retraining), then AUDIT the result — the code layout must hold
+    exactly one PQ and one OPQ code per FULL-corpus vector, and the
+    rolled-forward sum-decomposable fingerprint must certify the full
+    corpus (load(validate_against=corpus) non-stale). Idempotent
+    ensure-semantics: a later call sees the fresh fingerprint and runs
+    zero build/append work. Counts come FROM the persisted parquet, so a
+    lost cell partition, double-encode, or fingerprint drift
+    hash-mismatches."""
+    import os
+
+    from binance_data_framework_spark.ann_index import AnnIndexStore
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = _export_dir(
+        spark, f"ann_index_append_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    st = AnnIndexStore(spark, root)
+    if st.load(validate_against=emb) is None:
+        st.build(emb.where(F.pmod("vec_id", F.lit(2)) == 0), force=True)
+        st.append(emb.where(F.pmod("vec_id", F.lit(2)) == 1))
+    idx = st.load(validate_against=emb)
+    meta = spark.sql(
+        f"""SELECT CAST({idx.n_vectors if idx else -1} AS BIGINT) AS n_vectors,
+                   {str(idx is not None).lower()} AS fingerprint_fresh"""
+    )
+    npq = st.codes("pq").agg(F.count(F.lit(1)).alias("n_codes_pq"))
+    nopq = st.codes("opq").agg(F.count(F.lit(1)).alias("n_codes_opq"))
+    return meta.crossJoin(npq).crossJoin(nopq)
+
+
+@register(
     "sketch_merge_bounds",
     """
     SELECT event_type AS symbol, true AS merge_ok
@@ -5051,7 +5096,10 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (rows-only by design; its hash-matched certificate knn_recall_self IS
 # in-window and re-runs the operator), topk_similarity_ivf/pq (rows-only
 # by design; the hash-matched topk_recall_ivf/pq certificates in-window
-# run the SAME searches against the same persisted index), ingest_jsonl
+# run the SAME searches against the same persisted index),
+# ann_index_append (new late-r6; hash-matched in the local two-SF oracle
+# runs and pytest-pinned encode-identity — r7's window head with the
+# r6 TPC-H tail), ingest_jsonl
 # (r6 change is an output-identical parse refactor — DDL-parsed field
 # names — green in the local two-SF oracle runs), dedup_substring (its r6
 # change swaps string gram keys for double-64-bit chained xxhash64 keys —

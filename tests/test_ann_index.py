@@ -153,3 +153,56 @@ def test_coded_without_books_rejected(built):
         S.topk_cosine_ivfpq(
             df, F.col("vec_id") < 2, k=3, dim=DIM, coded=st.codes("pq")
         )
+
+
+def test_append_rolls_fingerprint_and_encodes_identically(spark, tmp_path):
+    """The third leg of train-once: append() must (a) reuse the committed
+    model untouched, (b) roll the sum-decomposable fingerprint forward so
+    load(validate_against=full_corpus) still certifies freshness, and (c)
+    write delta codes BIT-IDENTICAL to a fresh in-plan encode under the
+    same injected model — proven by exact search-row equality."""
+    root = str(tmp_path / "idx")
+    base = _emb(spark, n=40)
+    full = _emb(spark, n=60)
+    delta = full.where(F.col("vec_id") >= 40)
+    st = AnnIndexStore(spark, root)
+    idx = st.build(base, **BUILD)
+    idx2 = st.append(delta)
+
+    assert idx2.n_vectors == 60 and idx2.version == idx.version + 1
+    assert idx2.centroids == idx.centroids          # no retraining
+    assert idx2.pq_books == idx.pq_books
+    assert idx2.opq_rotation == idx.opq_rotation
+    # rolled-forward fingerprint == fresh full-corpus fingerprint
+    assert st.load(validate_against=full) is not None
+    assert st.load(validate_against=base) is None   # base alone is stale now
+    for variant in ("pq", "opq"):
+        assert st.codes(variant).count() == 60
+
+    # (c): persisted appended codes == in-plan encode under the same model
+    probe = F.col("vec_id") < 4
+    kw = dict(k=5, dim=DIM, n_centroids=4, m_sub=4, ksub=4)
+    inplan = S.topk_cosine_ivfpq(
+        full, probe, centroids=idx.centroids, books=idx.pq_books, **kw
+    )
+    persisted = S.topk_cosine_ivfpq(
+        full,
+        probe,
+        centroids=idx2.centroids,
+        books=idx2.pq_books,
+        coded=st.codes("pq"),
+        **kw,
+    )
+    a = {(r["probe_id"], r["vec_id"], round(r["cosine"], 9), r["rank"]) for r in inplan.collect()}
+    b = {(r["probe_id"], r["vec_id"], round(r["cosine"], 9), r["rank"]) for r in persisted.collect()}
+    assert a == b and len(a) > 0
+
+    # duplicate delta ids are a hard error (they would double-encode AND
+    # break the fingerprint roll-forward)
+    with pytest.raises(ValueError, match="already indexed"):
+        st.append(_emb(spark, n=5))
+    # empty delta is a no-op (no commit)
+    assert st.append(delta.where(F.col("vec_id") < 0)).version == idx2.version
+    # append before any build is a usage error
+    with pytest.raises(ValueError, match="build"):
+        AnnIndexStore(spark, str(tmp_path / "empty")).append(delta)

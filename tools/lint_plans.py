@@ -7,9 +7,10 @@ ANY query the moment it appears — the whole-registry version of
 Checked per query. Building a plan is cheap but NOT always free of jobs:
 the export/ingest/store round-trip queries (sink_export_csv/parquet,
 ingest_jsonl, docstore_snapshot — their write step runs before the
-read-back plan exists), the persisted-ANN-index queries (ann_index_build,
+read-back plan exists), the persisted-ANN-index queries (ann_index_build, ann_index_append,
 topk_similarity_ivf/pq, topk_recall_ivf/pq/opq — first contact per corpus
-trains and commits the index, later contacts pay one fingerprint agg),
+trains and commits the index (append: half-build + delta-encode), later
+contacts pay one fingerprint agg),
 and knn_join_lsh/knn_recall_self (knn_self_lsh's n_planes=None
 auto-derivation runs one df.count() to size the plane count) execute
 bounded work during construction; everything else is pure analysis. Flags:
@@ -64,6 +65,7 @@ BNLJ_OK = {
     "text_unigram_logprob",
     # 1-row params x 1-row code-count aggregates (index audit)
     "ann_index_build",
+    "ann_index_append",
 }
 
 # Unkeyed windows allowed only over provably tiny/aggregated frames.
