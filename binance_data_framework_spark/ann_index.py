@@ -241,12 +241,33 @@ class AnnIndexStore(SnapshotStore):
             raise ValueError(
                 f"AnnIndexStore at {self.root} is empty — build() before append()"
             )
-        man = self._snapshot()
-        orig_model = sorted(f for f in man["files"] if f.startswith("model/"))
+        # orig_model MUST come from the manifest idx was parsed from (its
+        # version), not from a fresh _snapshot(): a rebuild landing between
+        # load() and a later snapshot read would make the concurrency check
+        # below compare against the NEW model while the encode below uses
+        # the OLD one — committing stale-quantizer codes that the check
+        # can't see (review r6b #1, TOCTOU).
+        orig_man = self._resolve(idx.version)
+        orig_model = sorted(
+            f for f in orig_man["files"] if f.startswith("model/")
+        )
         dfp = self._fingerprint(delta)
         if dfp[0] == 0:
             return idx
         if check_duplicates:
+            # one agg catches duplicates WITHIN the delta (they would
+            # double-encode and inflate the rolled fingerprint — review
+            # r6b #2), then a column-pruned semi-join catches collisions
+            # with the committed ids
+            d = delta.agg(
+                F.count(self.id_col).alias("n"),
+                F.count_distinct(self.id_col).alias("nd"),
+            ).first()
+            if d["n"] != d["nd"]:
+                raise ValueError(
+                    f"append: {d['n'] - d['nd']} duplicate id(s) WITHIN the "
+                    f"delta — each vector must appear once"
+                )
             n_dup = (
                 delta.select(self.id_col)
                 .join(self.codes("pq").select(self.id_col), self.id_col, "left_semi")
@@ -262,7 +283,12 @@ class AnnIndexStore(SnapshotStore):
         base = S.with_norm(delta, self.vec_col).withColumn(
             "_c", S._assign_udf(centroids)(F.col("_v"))
         )
-        base = base.localCheckpoint(eager=False)
+        # EAGER: unlike build(), append has no training collects to
+        # materialize a lazy checkpoint before the code write, whose
+        # pq/opq subtrees would otherwise each recompute the norm+assign
+        # UDF pass over the whole delta (first-action-no-dedup trap;
+        # review r6b #7)
+        base = base.localCheckpoint(eager=True)
         resid = base.select(
             self.id_col,
             "_c",

@@ -120,7 +120,10 @@ class BandIndexStore(SnapshotStore):
 
     def append(self, bands: DataFrame) -> int:
         """Add-only commit of (id_col, band_idx, band_hash) rows into their
-        buckets. Returns the number of rows appended (0 skips the commit)."""
+        buckets. Returns the number of bucket FILES appended (0 = empty
+        input, no commit) — a row count would re-execute the caller's
+        bands pipeline post-commit just for the return value (review
+        r6b #6)."""
         self._check_layout()
         with_bucket = bands.select(
             self.id_col, "band_idx", "band_hash"
@@ -137,8 +140,7 @@ class BandIndexStore(SnapshotStore):
         if not new_files:
             return 0
         self._commit_or_reclaim(new_files, lambda latest: (new_files, []))
-        n = bands.count()
-        return n
+        return len(new_files)
 
     def candidates(self, bands: DataFrame) -> DataFrame:
         """(id_new, id_stored) distinct pairs whose (band_idx, band_hash)

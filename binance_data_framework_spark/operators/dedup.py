@@ -205,11 +205,14 @@ def simhash_portable_batch(bits: int = 62):
             return pd.Series([], dtype=object)
         h1, h2, offsets, isnull = _batch_token_h1h2(texts)
         th = h1 * 2147483648 + h2  # 62-bit pack, always >= 0
-        B = np.arange(bits, dtype=np.int64)
-        bit_m = ((th[:, None] >> B[None, :]) & 1)
-        counts = np.add.reduceat(bit_m, offsets[:-1], axis=0)
-        n = np.diff(offsets)[:, None]
-        sim = ((counts * 2 > n).astype(np.int64) << B[None, :]).sum(axis=1)
+        n = np.diff(offsets)
+        sim = np.zeros(len(texts), dtype=np.int64)
+        # per-bit pass with an O(tokens) transient — a (tokens x bits)
+        # broadcast matrix is ~500 B/token and OOMs a Python worker on
+        # long-document batches (10M tokens -> ~5 GB; review r6b #4)
+        for b in range(bits):
+            counts = np.add.reduceat((th >> b) & 1, offsets[:-1])
+            sim |= (counts * 2 > n).astype(np.int64) << b
         out = [None if isnull[i] else int(sim[i]) for i in range(len(texts))]
         return pd.Series(out, dtype=object)
 

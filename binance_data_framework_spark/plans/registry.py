@@ -4915,65 +4915,18 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle is the token stream once, and the dup-gram dictionary is
     corpus-repetition-sized, not corpus-sized."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    # Gram keys are DOUBLE 64-bit hashes of the token-hash window, not
-    # materialized "tok tok ... tok" strings (r6, from the honest
-    # noop-write measurement: string-gram building + a ~50-byte-key
-    # shuffle put this query at 90 s on the 500k-doc fixture). Each token
-    # hashes once (JVM xxhash64); a gram's key is a 3-level BINARY
-    # DOUBLING tree over its 8 consecutive token hashes — H2[i] =
-    # xxhash64(h[i], h[i+1]), H4[i] = xxhash64(H2[i], H2[i+2]), H8[i] =
-    # xxhash64(H4[i], H4[i+4]) — built with shifted zip_with passes:
-    # 3 passes per chain instead of the 7-step linear chain (the HOF
-    # interpreter pays per-pass dispatch over the whole token stream;
-    # measured 14 s -> 8 s construction at the 500k-doc fixture). Equal
-    # 8-token windows still map to equal keys by construction, and two
-    # INDEPENDENT trees (the second seeds the token hash differently)
-    # make the effective key 128 bits: a cross-doc collision — the only
-    # way the hashed formulation could diverge from the string-gram
-    # oracle — needs ~2^64 grams. Shuffle bytes drop to 16/gram; the
-    # oracle keeps comparing the RESULTING per-doc fractions, which are
-    # hash-independent.
-    base = docs.select(
-        "doc_id",
-        F.size(toks).alias("_sz"),
-        F.transform(toks, lambda t: F.xxhash64(t)).alias("_h1"),
-        F.transform(toks, lambda t: F.xxhash64(t, F.lit(1))).alias("_h2"),
-    )
-    sz = F.col("_sz")
-
-    def _gram8(col: Column) -> Column:
-        mix = lambda a, b: F.xxhash64(a, b)  # noqa: E731
-        h2 = F.zip_with(col, F.slice(col, 2, sz), mix)
-        h4 = F.zip_with(h2, F.slice(h2, 3, sz), mix)
-        return F.zip_with(h4, F.slice(h4, 5, sz), mix)
-
-    gram_structs = F.slice(
-        F.zip_with(
-            _gram8(F.col("_h1")),
-            _gram8(F.col("_h2")),
-            lambda a, b: F.struct(a.alias("g1"), b.alias("g2")),
-        ),
-        1,
-        F.greatest(sz - 7, F.lit(0)),
-    )
     # The span stream feeds TWO consumers (the dup-gram aggregate and the
     # per-doc join back); without a materialization point each consumer
     # re-runs the whole tokenize+hash+explode pipeline (the
     # first-action-no-dedup trap, PLANS.md r6) — the EAGER checkpoint
-    # builds it once (measured: 42.8 s -> ~25 s full query at 500k docs).
-    spans = (
-        base.select(
-            "doc_id",
-            F.explode(
-                F.when(sz >= 8, gram_structs).otherwise(
-                    F.array().cast("array<struct<g1:bigint,g2:bigint>>")
-                )
-            ).alias("_g"),
-        )
-        .select("doc_id", "_g.g1", "_g.g2")
-        .localCheckpoint(eager=True)
-    )
+    # builds it once (measured: 42.8 s -> ~30 s full query at 500k docs).
+    # The checkpoint truncates lineage, so the committed plan shows a
+    # Scan ExistingRDD where the gram pipeline was — the pipeline is
+    # therefore linted separately via _substring_spans
+    # (tests/test_plans.py), and the construction-time job is listed in
+    # tools/lint_plans.py's docstring (review r6b #3).
+    spans = _substring_spans(docs).localCheckpoint(eager=True)
+    toks = F.split(F.col("text"), " ")
     dupg = (
         spans.groupBy("g1", "g2")
         .agg(F.countDistinct("doc_id").alias("nd"))
@@ -5006,6 +4959,66 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+def _substring_spans(docs: DataFrame) -> DataFrame:
+    """q_dedup_substring's exploded (doc_id, g1, g2) gram stream, WITHOUT
+    the materialization checkpoint — the query checkpoints it (two
+    consumers); this un-truncated form exists so the plan test can lint
+    the full gram lineage that the checkpoint hides from the registry
+    sweep (pure narrow: token hash -> doubling tree -> explode, no
+    Exchange, no Python).
+
+    Gram keys are DOUBLE 64-bit hashes of the token-hash window, not
+    materialized "tok tok ... tok" strings (r6, from the honest
+    noop-write measurement: string-gram building + a ~50-byte-key
+    shuffle put this query at 90 s on the 500k-doc fixture). Each token
+    hashes once (JVM xxhash64); a gram's key is a 3-level BINARY
+    DOUBLING tree over its 8 consecutive token hashes — H2[i] =
+    xxhash64(h[i], h[i+1]), H4[i] = xxhash64(H2[i], H2[i+2]), H8[i] =
+    xxhash64(H4[i], H4[i+4]) — built with shifted zip_with passes:
+    3 passes per chain instead of the 7-step linear chain (the HOF
+    interpreter pays per-pass dispatch over the whole token stream;
+    measured 14 s -> 8 s construction at the 500k-doc fixture). Equal
+    8-token windows still map to equal keys by construction, and two
+    INDEPENDENT trees (the second seeds the token hash differently)
+    make the effective key 128 bits: a cross-doc collision — the only
+    way the hashed formulation could diverge from the string-gram
+    oracle — needs ~2^64 grams. Shuffle bytes drop to 16/gram; the
+    oracle keeps comparing the RESULTING per-doc fractions, which are
+    hash-independent."""
+    toks = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("_sz"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("_h1"),
+        F.transform(toks, lambda t: F.xxhash64(t, F.lit(1))).alias("_h2"),
+    )
+    sz = F.col("_sz")
+
+    def _gram8(col: Column) -> Column:
+        mix = lambda a, b: F.xxhash64(a, b)  # noqa: E731
+        h2 = F.zip_with(col, F.slice(col, 2, sz), mix)
+        h4 = F.zip_with(h2, F.slice(h2, 3, sz), mix)
+        return F.zip_with(h4, F.slice(h4, 5, sz), mix)
+
+    gram_structs = F.slice(
+        F.zip_with(
+            _gram8(F.col("_h1")),
+            _gram8(F.col("_h2")),
+            lambda a, b: F.struct(a.alias("g1"), b.alias("g2")),
+        ),
+        1,
+        F.greatest(sz - 7, F.lit(0)),
+    )
+    return base.select(
+        "doc_id",
+        F.explode(
+            F.when(sz >= 8, gram_structs).otherwise(
+                F.array().cast("array<struct<g1:bigint,g2:bigint>>")
+            )
+        ).alias("_g"),
+    ).select("doc_id", "_g.g1", "_g.g2")
 
 
 _PAGERANK_PAIRS_SQL = """

@@ -49,8 +49,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from binance_data_framework_spark.operators.dedup import (
-    dedup_near_minhash,
     minhash_bands,
+    minhash_candidates,
     minhash_signature,
 )
 
@@ -78,21 +78,27 @@ def neardup_gate_batch(
             "dropped_in_batch": 0,
             "dropped_vs_corpus": 0,
         }
-    # 1. in-batch self-dedup (deterministic: lowest id survives)
-    selfed = dedup_near_minhash(
-        batch_df,
-        text_col,
-        id_col,
-        num_hashes=num_hashes,
-        num_bands=num_bands,
-        shingle_n=shingle_n,
-        threshold=threshold,
+    # signatures computed ONCE and shared by both stages — the earlier
+    # form ran the shingle+hash pipeline (the dedup tier's dominant cost)
+    # inside dedup_near_minhash and then AGAIN for the corpus check
+    # (review r6b #8)
+    sigs_all = minhash_signature(
+        batch_df, text_col, id_col, num_hashes, shingle_n
     ).localCheckpoint(eager=True)
-    n_self = selfed.count()
+    # 1. in-batch self-dedup (deterministic: lowest id of each near-pair
+    #    survives — dedup_near_minhash's rule, over the shared signatures)
+    losers = (
+        minhash_candidates(
+            sigs_all, id_col, num_bands, threshold, num_hashes=num_hashes
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    sigs = sigs_all.join(losers, id_col, "left_anti").localCheckpoint(
+        eager=True
+    )
+    n_self = sigs.count()
     # 2. corpus check via the persisted band index
-    sigs = minhash_signature(
-        selfed, text_col, id_col, num_hashes, shingle_n
-    ).localCheckpoint(eager=True)
     bands = minhash_bands(sigs, id_col, num_bands, num_hashes)
     cand = band_store.candidates(bands).where(
         F.col("id_new") != F.col("id_stored")  # same id = redelivery
@@ -131,7 +137,7 @@ def neardup_gate_batch(
             dropped.withColumnRenamed("id_new", id_col), id_col, "left_anti"
         )
         .select(id_col, "sig")
-        .join(selfed, id_col)
+        .join(batch_df, id_col)
         .localCheckpoint(eager=True)
     )
     n_kept = survivors.count()

@@ -273,3 +273,28 @@ def test_whole_registry_plan_lint(spark, sf_dir):
 
     bad = lint(sf_dir)
     assert not bad, f"plan lint violations: {bad}"
+
+
+def test_substring_span_pipeline_lineage_is_clean(spark, sf_dir):
+    """q_dedup_substring eager-checkpoints its span stream (two
+    consumers), which truncates the committed plan to a Scan ExistingRDD
+    — so the whole-registry lint cannot see the gram pipeline. This test
+    lints the UN-checkpointed form (registry._substring_spans): pure
+    narrow lineage — no Exchange, no Python eval, no join — straight
+    from the parquet scan to the exploded (doc_id, g1, g2) stream."""
+    from binance_data_framework_spark.plans.registry import _substring_spans
+    from binance_data_framework_spark.sources.fixtures import load_table
+
+    plan = (
+        _substring_spans(load_table(spark, sf_dir, "documents"))
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython",
+                "CartesianProduct", "Join"):
+        assert bad not in plan, f"{bad} in span pipeline plan"
+    assert "Scan parquet" in plan and "Generate" in plan  # explode present

@@ -11,8 +11,11 @@ read-back plan exists), the persisted-ANN-index queries (ann_index_build, ann_in
 topk_similarity_ivf/pq, topk_recall_ivf/pq/opq — first contact per corpus
 trains and commits the index (append: half-build + delta-encode), later
 contacts pay one fingerprint agg),
-and knn_join_lsh/knn_recall_self (knn_self_lsh's n_planes=None
-auto-derivation runs one df.count() to size the plane count) execute
+knn_join_lsh/knn_recall_self (knn_self_lsh's n_planes=None
+auto-derivation runs one df.count() to size the plane count), and
+dedup_substring (its span stream eager-checkpoints at build — two
+consumers; the hidden-by-checkpoint gram lineage is linted separately via
+registry._substring_spans in tests/test_plans.py) execute
 bounded work during construction; everything else is pure analysis. Flags:
 - CartesianProduct              -> never acceptable
 - BatchEvalPython               -> row-at-a-time Python UDF in the plan
