@@ -63,7 +63,15 @@ class BandIndexStore(SnapshotStore):
     path's trivial case). Redelivered batches may append duplicate band
     rows — candidate generation distinct-s pairs, so duplicates cost
     bytes, not correctness; ``optimize()``-style compaction can fold them
-    later if redelivery is heavy."""
+    later if redelivery is heavy.
+
+    Sizing ``n_buckets`` (measured, PLANS.md r6 gate bench): a batch's
+    lookup IO is touched_buckets x rows_per_bucket ≈ batch_keys x
+    (num_bands x corpus / n_buckets) once batch_keys ≥ n_buckets — FLAT
+    in corpus size only if n_buckets scales with the corpus target
+    (pick n_buckets ≈ corpus x num_bands / desired_bucket_rows at
+    creation; the layout is pinned, so re-bucketing means a rebuild).
+    The same constant-vs-corpus-function lesson as auto_planes."""
 
     def __init__(
         self,
