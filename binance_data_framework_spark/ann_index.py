@@ -120,6 +120,11 @@ class AnnIndexStore(SnapshotStore):
                 and existing.fingerprint == fp
                 and [existing.dim, existing.n_centroids, existing.m_sub, existing.ksub]
                 == [dim, n_centroids, m_sub, ksub]
+                # LSH params are part of the committed model too — a build()
+                # requesting different planes/tables must retrain, not
+                # silently return the old pinned values (ADVICE r6)
+                and [existing.lsh.get("n_planes"), existing.lsh.get("n_tables")]
+                == [lsh_planes, lsh_tables]
             ):
                 return existing
 

@@ -79,18 +79,30 @@ class BandIndexStore(SnapshotStore):
         root: str,
         id_col: str = "doc_id",
         n_buckets: int = 64,
+        params: dict | None = None,
     ):
         if n_buckets <= 0:
             raise ValueError("n_buckets must be positive")
         super().__init__(spark, root)
         self.id_col = id_col
         self.n_buckets = n_buckets
+        # band-GENERATION parameters (minhash num_hashes/num_bands/
+        # shingle_n for the near-dup gate): band hashes are a pure function
+        # of these, so they are part of the layout — reopening with
+        # different values produces keys that never match committed rows
+        # and silently admits near-duplicates (ADVICE r6). Optional because
+        # the store itself is generator-agnostic; callers that derive band
+        # keys (the gate) MUST pass them.
+        self.params = dict(params) if params else None
         self._layout_checked = False
 
     def _check_layout(self) -> None:
-        """Pin (n_buckets, id_col) like DocumentStore._check_layout —
-        reopening with a different bucket count would route the same band
-        key to a different bucket and silently miss stored candidates."""
+        """Pin (n_buckets, id_col, band-generation params) like
+        DocumentStore._check_layout — reopening with a different bucket
+        count would route the same band key to a different bucket, and
+        different generator params (minhash widths) produce band hashes
+        that never match committed rows; both must raise, not silently
+        miss candidates (ADVICE r6)."""
         if self._layout_checked:
             return
         import json as _json
@@ -107,14 +119,45 @@ class BandIndexStore(SnapshotStore):
                     f"{stored}, requested n_buckets={self.n_buckets} "
                     f"id_col={self.id_col!r}"
                 )
+            stored_params = stored.get("params")
+            if self.params is not None and stored_params is None:
+                # older store created before params were pinned: adopt them
+                stored["params"] = self.params
+                self._write_bytes("_layout.json", _json.dumps(stored).encode())
+            elif self.params is not None and stored_params != self.params:
+                raise ValueError(
+                    f"BandIndexStore band-param mismatch at {self.root}: "
+                    f"stored {stored_params}, requested {self.params} — "
+                    f"band hashes from different generator params never "
+                    f"match committed rows (rebuild the index to change them)"
+                )
         else:
             self._write_bytes(
                 "_layout.json",
                 _json.dumps(
-                    {"n_buckets": self.n_buckets, "id_col": self.id_col}
+                    {
+                        "n_buckets": self.n_buckets,
+                        "id_col": self.id_col,
+                        "params": self.params,
+                    }
                 ).encode(),
             )
         self._layout_checked = True
+
+    def pin_params(self, params: dict) -> None:
+        """Declare the band-generation params this session derives keys
+        with; the next layout check pins them in the sidecar (first write)
+        or validates them against the committed values (every later open).
+        Conflicting params within one session raise immediately."""
+        if self.params == params:
+            return
+        if self.params is not None:
+            raise ValueError(
+                f"BandIndexStore band-param conflict in-session: "
+                f"{self.params} vs {params}"
+            )
+        self.params = dict(params)
+        self._layout_checked = False  # force re-validation vs the sidecar
 
     @staticmethod
     def _bucket_of(rel: str) -> int | None:
@@ -293,21 +336,35 @@ class DocumentStore(SnapshotStore):
         man = self._snapshot()
         live = man["files"] if man else []
         if live:
-            # identical column sets required against the TABLE schema (one
-            # driver-side footer read), not just the overlapping shards — an
-            # upsert whose keys all hash to untouched shards would otherwise
-            # silently write a drifted-schema shard (allowMissingColumns
-            # would likewise null-fill instead of failing)
-            stored_cols = set(
+            # identical (name, dataType) pairs required against the TABLE
+            # schema (one driver-side footer read), not just the overlapping
+            # shards — an upsert whose keys all hash to untouched shards
+            # would otherwise silently write a drifted-schema shard, and a
+            # NAME-only check (ADVICE r6) would let same-name/drifted-type
+            # rows (int vs bigint n_chars) commit mixed-type parquet that
+            # only explodes at read time, after publish. "shard" is
+            # recomputed by shard_assign (always int), so names suffice
+            # for it.
+            stored_schema = (
                 self.spark.read.option("basePath", self.root)
                 .parquet(f"{self.root}/{live[0]}")
-                .columns
+                .schema
             )
-            if set(incoming.columns) != stored_cols:
+            stored_fields = {
+                (f.name, f.dataType.simpleString())
+                for f in stored_schema.fields
+                if f.name != "shard"
+            }
+            incoming_fields = {
+                (f.name, f.dataType.simpleString())
+                for f in incoming.schema.fields
+                if f.name != "shard"
+            }
+            if incoming_fields != stored_fields:
                 raise ValueError(
                     f"save_docs: schema drift vs stored table "
-                    f"(stored {sorted(stored_cols)}, "
-                    f"incoming {sorted(incoming.columns)})"
+                    f"(stored {sorted(stored_fields)}, "
+                    f"incoming {sorted(incoming_fields)})"
                 )
         if full_refresh:
             superseded = list(live)

@@ -271,25 +271,18 @@ def minhash_signature_portable(
 _BUCKET_HOF_CAP = 512  # docs per bucket above which the chunked numpy kernel runs
 
 
-def minhash_candidates(
+def _minhash_bucket_plan(
     sigs: DataFrame,
     id_col: str = "doc_id",
     num_bands: int = 4,
-    threshold: float = 0.5,
     band_on_slice: bool = False,
     num_hashes: int = 16,
 ) -> DataFrame:
-    """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold) via LSH
-    banding over MinHash signatures. ``band_on_slice`` keys the band join
-    on the raw slot slice (array equality — collision-free and
-    engine-portable for the oracle-checked variant) instead of its xxhash64
-    (bare-long band keys, the slimmest shuffle — production default).
-
-    ``num_hashes`` must match the signature generator's slot count and be
-    divisible by ``num_bands``: unequal bands would silently drop trailing
-    slots (recall loss), and num_bands > num_hashes would give EVERY doc a
-    zero-length band slice — one constant band key, turning the band
-    self-join into the full O(n²) cross product banding exists to avoid."""
+    """The UN-checkpointed bucket pipeline behind minhash_candidates:
+    validate banding params, explode each (id, sig) into its band keys,
+    group by band key into candidate buckets (>= 2 members). Split out so
+    the lineage stays lintable after minhash_candidates eager-checkpoints
+    it (tests/test_plans.py)."""
     if num_bands <= 0 or num_hashes % num_bands != 0:
         raise ValueError(
             f"num_bands={num_bands} must be a positive divisor of "
@@ -312,6 +305,42 @@ def minhash_candidates(
             F.size("sig").cast("string"),
         ),
     )
+    banded = sigs.select(
+        F.col(id_col).alias("_i"),
+        F.col("sig").alias("_s"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(num_bands - 1)),
+                lambda b: F.when(sig_len_ok.isNull(), band_key(b)),
+            )
+        ).alias("band_idx", "band_hash"),
+    )
+    return (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.collect_list(F.struct("_i", "_s")).alias("_arr"))
+        .where(F.size("_arr") >= 2)
+    )
+
+
+def minhash_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 4,
+    threshold: float = 0.5,
+    band_on_slice: bool = False,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, est_jaccard >= threshold) via LSH
+    banding over MinHash signatures. ``band_on_slice`` keys the band join
+    on the raw slot slice (array equality — collision-free and
+    engine-portable for the oracle-checked variant) instead of its xxhash64
+    (bare-long band keys, the slimmest shuffle — production default).
+
+    ``num_hashes`` must match the signature generator's slot count and be
+    divisible by ``num_bands``: unequal bands would silently drop trailing
+    slots (recall loss), and num_bands > num_hashes would give EVERY doc a
+    zero-length band slice — one constant band key, turning the band
+    self-join into the full O(n²) cross product banding exists to avoid."""
     # Score INSIDE the band bucket (r6 rewrite, the same lesson as the
     # blocked k-NN kernel): each doc's (id, sig) is exploded num_bands ways
     # and grouped by band key; every bucket generates its candidate pairs
@@ -344,22 +373,18 @@ def minhash_candidates(
     # cross-band dropDuplicates keeps an arbitrary-but-identical row; est
     # is computed as eq_slots/num_hashes on both paths (bit-identical to
     # the SQL oracle's arithmetic).
-    banded = sigs.select(
-        F.col(id_col).alias("_i"),
-        F.col("sig").alias("_s"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(num_bands - 1)),
-                lambda b: F.when(sig_len_ok.isNull(), band_key(b)),
-            )
-        ).alias("band_idx", "band_hash"),
+    lazy_buckets = _minhash_bucket_plan(
+        sigs, id_col, num_bands, band_on_slice, num_hashes
     )
-    buckets = (
-        banded.groupBy("band_idx", "band_hash")
-        .agg(F.collect_list(F.struct("_i", "_s")).alias("_arr"))
-        .where(F.size("_arr") >= 2)
-        .localCheckpoint(eager=False)  # referenced by both size paths
-    )
+    # EAGER: both size paths reference the buckets under ONE unioned
+    # action, and a lazy checkpoint does not dedupe references within the
+    # first action (the module's own first-action lesson; ADVICE r6) — the
+    # collect_list agg would run twice (exchange reuse covers the shuffle,
+    # not the agg). The checkpoint truncates the committed plan, so the
+    # UN-checkpointed bucket lineage is linted separately
+    # (tests/test_plans.py::test_minhash_bucket_pipeline_lineage_is_clean
+    # via _minhash_bucket_plan).
+    buckets = lazy_buckets.localCheckpoint(eager=True)
     id_type = sigs.schema[id_col].dataType.simpleString()
     nh = float(num_hashes)
     out_schema = f"id_a {id_type}, id_b {id_type}, est_jaccard double"

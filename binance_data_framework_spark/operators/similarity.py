@@ -753,6 +753,15 @@ def cosine_pairs_exact(
     probe_rows = (
         base.where(probe_filter).select(id_col, "_v", "_norm").collect()
     )
+    if not probe_rows:
+        # np.array([]) would be shape (0,), not (0, dim), and every screen
+        # task would crash on M @ P.T (ADVICE r6) — zero probes is simply
+        # an empty result
+        return df.select(
+            F.col(id_col).alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            F.lit(0.0).alias("cosine"),
+        ).limit(0)
     pid = np.array([r[id_col] for r in probe_rows])
     P = np.array([list(r["_v"]) for r in probe_rows], dtype=np.float64)
     pn = np.array([r["_norm"] for r in probe_rows], dtype=np.float64)

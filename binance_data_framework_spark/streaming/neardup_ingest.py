@@ -69,6 +69,12 @@ def neardup_gate_batch(
     """Run one batch through the near-dup gate (module docstring).
     Returns {"arrived", "kept", "dropped_in_batch", "dropped_vs_corpus"}
     counts for observability; mutates the two stores."""
+    # band hashes are a pure function of these — pin them in the band
+    # store's layout sidecar so a gate reopened with different values
+    # raises instead of silently admitting near-duplicates (ADVICE r6)
+    band_store.pin_params(
+        {"num_hashes": num_hashes, "num_bands": num_bands, "shingle_n": shingle_n}
+    )
     batch_df = batch_df.localCheckpoint(eager=True)  # micro-batch sized
     n_arrived = batch_df.count()
     if not n_arrived:

@@ -206,3 +206,20 @@ def test_append_rolls_fingerprint_and_encodes_identically(spark, tmp_path):
     # append before any build is a usage error
     with pytest.raises(ValueError, match="build"):
         AnnIndexStore(spark, str(tmp_path / "empty")).append(delta)
+
+
+def test_build_lsh_param_change_retrains(spark, tmp_path):
+    """ensure-built idempotence must include the pinned LSH params
+    (ADVICE r6): a build() requesting different planes/tables is a new
+    model, not a cache hit on the old one."""
+    df = _emb(spark)
+    st = AnnIndexStore(spark, str(tmp_path / "idx"))
+    idx = st.build(df, lsh_planes=4, lsh_tables=6, **BUILD)
+    assert idx.version == 1 and idx.lsh["n_planes"] == 4
+
+    # same params -> cache hit, no new commit
+    assert st.build(df, lsh_planes=4, lsh_tables=6, **BUILD).version == 1
+    # different LSH params -> retrain + new commit with the NEW pins
+    idx2 = st.build(df, lsh_planes=6, lsh_tables=4, **BUILD)
+    assert idx2.version == 2
+    assert idx2.lsh["n_planes"] == 6 and idx2.lsh["n_tables"] == 4

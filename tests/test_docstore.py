@@ -212,3 +212,20 @@ def test_docstore_empty_shard_concurrent_upsert_detected(spark, tmp_path):
         DocumentStore._snapshot = orig_snapshot
     rows = a.read().collect()
     assert [(r["doc_id"], r["text"]) for r in rows] == [(7, "a-wins")]
+
+
+def test_docstore_type_drift_same_names_raises(spark, tmp_path):
+    """Schema guard compares (name, dataType), not names alone (ADVICE
+    r6): an upsert with the same column names but a drifted type must
+    raise BEFORE the staging write, not surface as a parquet merge error
+    after the bad commit is published."""
+    st = DocumentStore(spark, str(tmp_path / "ds"), n_shards=4)
+    st.save_docs(_docs(spark, [(1, "a", 0.1)]))
+    drifted = spark.createDataFrame(
+        [(2, "b", 1)], "doc_id bigint, text string, quality int"
+    )
+    with pytest.raises(ValueError, match="schema drift"):
+        st.save_docs(drifted)
+    # and the good-typed upsert still works after the rejected one
+    st.save_docs(_docs(spark, [(2, "b", 0.2)]))
+    assert st.read().count() == 2

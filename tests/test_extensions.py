@@ -651,3 +651,12 @@ def test_vectorized_repetition_matches_hof(spark):
     hof = {r["doc_id"]: r[1:] for r in TX.repetition_stats(df).collect()}
     fast = {r["doc_id"]: r[1:] for r in TX.repetition_stats_fast(df).collect()}
     assert hof == fast
+
+
+def test_cosine_pairs_exact_empty_probe_set(spark, sf_dir):
+    """A probe_filter matching zero rows returns an empty frame instead of
+    crashing every screen task on a (0,)-shaped matmul (ADVICE r6)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.cosine_pairs_exact(emb, F.col("vec_id") < -1, 0.5)
+    assert out.columns == ["id_a", "id_b", "cosine"]
+    assert out.count() == 0

@@ -298,3 +298,36 @@ def test_substring_span_pipeline_lineage_is_clean(spark, sf_dir):
                 "CartesianProduct", "Join"):
         assert bad not in plan, f"{bad} in span pipeline plan"
     assert "Scan parquet" in plan and "Generate" in plan  # explode present
+
+
+def test_minhash_bucket_pipeline_lineage_is_clean(spark, sf_dir):
+    """minhash_candidates eager-checkpoints its bucket stream (two size
+    paths reference it under one unioned action — ADVICE r6), which
+    truncates the committed plan to a Scan ExistingRDD, so the
+    whole-registry lint cannot see the band/bucket pipeline. Lint the
+    UN-checkpointed form (dedup._minhash_bucket_plan): explode + exactly
+    ONE exchange (the band-key groupBy) — no Python eval, no join, no
+    cartesian."""
+    import re as _re
+
+    from binance_data_framework_spark.operators import dedup as D
+    from binance_data_framework_spark.sources.fixtures import load_table
+
+    sigs = D.minhash_signature(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    plan = (
+        D._minhash_bucket_plan(sigs)
+        ._jdf.queryExecution()
+        .explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    )
+    for bad in ("BatchEvalPython", "CartesianProduct", "Join"):
+        assert bad not in plan, f"{bad} in minhash bucket pipeline plan"
+    # one shuffle: the band-key groupBy (partial_collect_list on the map
+    # side). The signature pipeline upstream is narrow.
+    assert len(_re.findall(r"\n\(\d+\) Exchange\b", plan)) == 1
+    assert "Generate" in plan  # the band posexplode

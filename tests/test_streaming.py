@@ -493,3 +493,37 @@ def test_neardup_gate_batch_stats_and_band_layout(spark, tmp_path):
                 F.lit(0).cast("long").alias("band_hash"),
             )
         )
+
+
+def test_neardup_gate_band_param_drift_raises(spark, tmp_path):
+    """Band hashes are a pure function of the minhash params, so the gate
+    pins them in the band store's layout sidecar (ADVICE r6): reopening
+    the gate with different num_hashes/num_bands/shingle_n must raise
+    instead of silently admitting near-duplicates whose band keys can
+    never match the committed rows."""
+    import pytest as _pytest
+
+    from binance_data_framework_spark.docstore import BandIndexStore, DocumentStore
+    from binance_data_framework_spark.streaming.neardup_ingest import (
+        neardup_gate_batch,
+    )
+
+    store = DocumentStore(spark, str(tmp_path / "store"), n_shards=2)
+    bands = BandIndexStore(spark, str(tmp_path / "bands"), n_buckets=4)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id bigint, text string"
+    )
+    t = "one common long text body repeated across the duplicate documents"
+    neardup_gate_batch(mk([(1, t)]), store, bands, num_hashes=16, num_bands=4)
+    # fresh store handle (a reopened gate), drifted minhash params -> raise
+    bands2 = BandIndexStore(spark, str(tmp_path / "bands"), n_buckets=4)
+    with _pytest.raises(ValueError, match="band-param mismatch"):
+        neardup_gate_batch(
+            mk([(2, t)]), store, bands2, num_hashes=32, num_bands=8
+        )
+    # same params on a reopened handle validate cleanly
+    bands3 = BandIndexStore(spark, str(tmp_path / "bands"), n_buckets=4)
+    stats = neardup_gate_batch(
+        mk([(2, t)]), store, bands3, num_hashes=16, num_bands=4
+    )
+    assert stats["dropped_vs_corpus"] == 1  # the committed bands DO match
