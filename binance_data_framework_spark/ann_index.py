@@ -83,13 +83,16 @@ class AnnIndexStore(SnapshotStore):
         r = df.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(self.id_col).alias("s"),
-            F.sum(
-                F.pmod(F.xxhash64(self.vec_col), F.lit(2147483648)).cast(
-                    "decimal(38,0)"
-                )
-            ).alias("c"),
+            F.sum(self._content_hash().cast("decimal(38,0)")).alias("c"),
         ).first()
         return [int(r["n"]), int(r["s"] or 0), int(r["c"] or 0)]
+
+    def _content_hash(self):
+        """One vector's contribution to the fingerprint's content_sum —
+        also persisted per code row (``chash``) so delete() can subtract
+        deleted vectors' contributions from the committed fingerprint
+        without touching the corpus."""
+        return F.pmod(F.xxhash64(self.vec_col), F.lit(2147483648))
 
     # -- build -------------------------------------------------------------
     def build(
@@ -132,8 +135,13 @@ class AnnIndexStore(SnapshotStore):
         centroids = S.kmeans_fit(
             df, n_centroids, 3, self.id_col, self.vec_col, dim
         )
-        base = S.with_norm(df, self.vec_col).withColumn(
-            "_c", S._assign_udf(centroids)(F.col("_v"))
+        # _chash = this vector's contribution to the fingerprint's
+        # content_sum, stored PER CODE ROW so delete() can subtract exactly
+        # the deleted vectors' contributions without re-reading the corpus
+        base = (
+            S.with_norm(df, self.vec_col)
+            .withColumn("_c", S._assign_udf(centroids)(F.col("_v")))
+            .withColumn("_chash", self._content_hash())
         )
         # referenced by the residual/encode passes for BOTH variants and by
         # both trainings: one corpus materialization instead of ~5
@@ -142,6 +150,7 @@ class AnnIndexStore(SnapshotStore):
             self.id_col,
             "_c",
             "_norm",
+            "_chash",
             S._residual_udf(centroids)(F.col("_v"), F.col("_c")).alias("_r"),
         )
         pq_books = S.pq_train(resid, m_sub, ksub, 2, dim, self.id_col)
@@ -153,18 +162,21 @@ class AnnIndexStore(SnapshotStore):
             self.id_col,
             "_c",
             "_norm",
+            "_chash",
             S._pq_codes_udf(pq_books, sub_dim)(F.col("_r")).alias("_code"),
         ).withColumn("variant", F.lit("pq"))
         rotated = resid.select(
             self.id_col,
             "_c",
             "_norm",
+            "_chash",
             S._rotate_udf(np.asarray(rotation))(F.col("_r")).alias("_rr"),
         )
         coded_opq = rotated.select(
             self.id_col,
             "_c",
             "_norm",
+            "_chash",
             S._pq_codes_udf(opq_books, sub_dim)(F.col("_rr")).alias("_code"),
         ).withColumn("variant", F.lit("opq"))
 
@@ -176,6 +188,7 @@ class AnnIndexStore(SnapshotStore):
             .withColumnRenamed("_c", "cell")
             .withColumnRenamed("_code", "code")
             .withColumnRenamed("_norm", "norm")
+            .withColumnRenamed("_chash", "chash")
             .repartition("variant", "cell")  # one file per (variant, cell)
             .sortWithinPartitions(self.id_col)
             .write.partitionBy("variant", "cell")
@@ -240,7 +253,19 @@ class AnnIndexStore(SnapshotStore):
         Concurrent appends: the commit's delta_fn re-checks that the model
         files it read are still the live ones — a racing append/rebuild
         raises (retry re-reads the rolled-forward model) instead of
-        silently losing the other writer's fingerprint contribution."""
+        silently losing the other writer's fingerprint contribution.
+
+        Tombstones are PURGED first (the promised "physical forget at the
+        next append/rebuild commit"). This also makes re-adding a
+        previously deleted id safe: without the purge, the old physical
+        code row would shadow the new one behind the id-keyed tombstone
+        mask, and the duplicate check (which reads MASKED codes) couldn't
+        see the collision."""
+        if any(
+            f.startswith("tombstones/")
+            for f in (self._snapshot() or {}).get("files", [])
+        ):
+            self.purge_tombstones()
         idx = self.load()
         if idx is None:
             raise ValueError(
@@ -285,8 +310,10 @@ class AnnIndexStore(SnapshotStore):
                 )
         sub_dim = idx.dim // idx.m_sub
         centroids = idx.centroids
-        base = S.with_norm(delta, self.vec_col).withColumn(
-            "_c", S._assign_udf(centroids)(F.col("_v"))
+        base = (
+            S.with_norm(delta, self.vec_col)
+            .withColumn("_c", S._assign_udf(centroids)(F.col("_v")))
+            .withColumn("_chash", self._content_hash())
         )
         # EAGER: unlike build(), append has no training collects to
         # materialize a lazy checkpoint before the code write, whose
@@ -298,6 +325,7 @@ class AnnIndexStore(SnapshotStore):
             self.id_col,
             "_c",
             "_norm",
+            "_chash",
             S._residual_udf(centroids)(F.col("_v"), F.col("_c")).alias("_r"),
         )
 
@@ -307,20 +335,37 @@ class AnnIndexStore(SnapshotStore):
             self.id_col,
             "_c",
             "_norm",
+            "_chash",
             S._pq_codes_udf(idx.pq_books, sub_dim)(F.col("_r")).alias("_code"),
         ).withColumn("variant", F.lit("pq"))
         rotated = resid.select(
             self.id_col,
             "_c",
             "_norm",
+            "_chash",
             S._rotate_udf(np.asarray(idx.opq_rotation))(F.col("_r")).alias("_rr"),
         )
         coded_opq = rotated.select(
             self.id_col,
             "_c",
             "_norm",
+            "_chash",
             S._pq_codes_udf(idx.opq_books, sub_dim)(F.col("_rr")).alias("_code"),
         ).withColumn("variant", F.lit("opq"))
+
+        # stores committed before delete support lack the chash column;
+        # keep their code schema uniform (delete stays unsupported there
+        # until a rebuild) instead of writing mixed-schema cell files
+        first_code = next(
+            (f for f in orig_man["files"] if f.startswith("codes/")), None
+        )
+        if first_code is not None and "chash" not in (
+            self.spark.read.option("basePath", f"{self.root}/codes")
+            .parquet(f"{self.root}/{first_code}")
+            .columns
+        ):
+            coded_pq = coded_pq.drop("_chash")
+            coded_opq = coded_opq.drop("_chash")
 
         import uuid as _uuid
 
@@ -330,6 +375,7 @@ class AnnIndexStore(SnapshotStore):
             .withColumnRenamed("_c", "cell")
             .withColumnRenamed("_code", "code")
             .withColumnRenamed("_norm", "norm")
+            .withColumnRenamed("_chash", "chash")
             .repartition("variant", "cell")
             .sortWithinPartitions(self.id_col)
             .write.partitionBy("variant", "cell")
@@ -418,12 +464,42 @@ class AnnIndexStore(SnapshotStore):
                 return None
         return idx
 
-    def codes(self, variant: str = "opq", cells: list[int] | None = None) -> DataFrame:
+    def _tombstones_from(self, man: dict | None) -> DataFrame | None:
+        """Committed tombstone set (deleted-but-not-yet-purged ids) of the
+        given manifest, or None when there are no tombstones. Tiny by
+        contract (takedown/opt-out-sized) — broadcastable."""
+        if not man:
+            return None
+        tf = [f for f in man["files"] if f.startswith("tombstones/")]
+        if not tf:
+            return None
+        return (
+            self.spark.read.parquet(*[f"{self.root}/{f}" for f in tf])
+            .select(self.id_col)
+            .distinct()
+        )
+
+    def tombstones(self) -> DataFrame | None:
+        return self._tombstones_from(self._snapshot())
+
+    def codes(
+        self,
+        variant: str = "opq",
+        cells: list[int] | None = None,
+        masked: bool = True,
+    ) -> DataFrame:
         """The persisted code layout of the latest snapshot, optionally
         pruned to the given IVF cells. The prune is PHYSICAL: the committed
         file listing is cut driver-side to ``cell=<c>`` directories (the
         manifest-level analogue of partition pruning — the scan never even
-        indexes the other cells' files). Returns (id, _c, _norm, _code)."""
+        indexes the other cells' files). Returns (id, _c, _norm, _code
+        [, _chash]).
+
+        ``masked`` (default) anti-joins the broadcast tombstone set, so
+        every search path automatically stops returning deleted vectors
+        the moment a delete() commits — purge is a cost optimization, not
+        a correctness requirement. ``masked=False`` is the maintenance
+        view (purge, audits of the physical layout)."""
         if variant not in ("pq", "opq"):
             raise ValueError(f"unknown codes variant {variant!r}")
         man = self._snapshot()
@@ -441,12 +517,208 @@ class AnnIndexStore(SnapshotStore):
         df = self.spark.read.option("basePath", f"{self.root}/codes").parquet(
             *[f"{self.root}/{f}" for f in files]
         )
-        return df.select(
-            self.id_col,
+        sel = [
+            F.col(self.id_col),
             F.col("cell").alias("_c"),
             F.col("norm").alias("_norm"),
             F.col("code").alias("_code"),
+        ]
+        if "chash" in df.columns:  # pre-delete-support stores lack it
+            sel.append(F.col("chash").alias("_chash"))
+        out = df.select(*sel)
+        if masked:
+            tomb = self._tombstones_from(man)
+            if tomb is not None:
+                out = out.join(F.broadcast(tomb), self.id_col, "left_anti")
+        return out
+
+    # -- delete (the fourth leg: build / search / append / FORGET) ---------
+    def delete(self, keys: DataFrame) -> AnnIndex:
+        """Tombstone the given ids (VERDICT r6 #2 — takedown/opt-out/
+        decontamination removal as a first-class index op): one commit that
+        (a) adds the matched ids to the committed tombstone set and (b)
+        rolls the sum-decomposable fingerprint DOWN by exactly the deleted
+        vectors' contributions, read from their persisted ``chash`` code
+        rows — no corpus access, O(tombstone) new bytes, zero code-file
+        rewrites. Searches exclude tombstoned ids immediately (codes() is
+        masked by default); the physical code rows are reclaimed by
+        purge_tombstones(), which append() runs automatically — at 100 TB
+        you forget a document by writing kilobytes now and letting the next
+        maintenance commit reclaim the bytes, never by rebuilding.
+
+        Idempotent: ids already tombstoned or never indexed are skipped
+        (their fingerprint contribution must not be subtracted twice).
+        Returns the rolled-down index handle (unchanged if nothing
+        matched). Reference analogue: delete_data
+        (database_handler.py:243-255) — the reference deletes rows; the
+        index tier follows suit."""
+        idx = self.load()
+        if idx is None:
+            raise ValueError(
+                f"AnnIndexStore at {self.root} is empty — nothing to delete"
+            )
+        orig_man = self._resolve(idx.version)
+        orig_model = sorted(
+            f for f in orig_man["files"] if f.startswith("model/")
         )
+        pq = self.codes("pq", masked=False)
+        if "_chash" not in pq.columns:
+            raise ValueError(
+                "this index predates delete support (no per-vector chash in "
+                "the code layout) — rebuild with force=True to enable delete"
+            )
+        k = keys.select(self.id_col).distinct()
+        tomb = self._tombstones_from(orig_man)
+        if tomb is not None:
+            k = k.join(tomb, self.id_col, "left_anti")
+        matched = (
+            pq.join(k, self.id_col, "left_semi")
+            .select(self.id_col, "_chash")
+            .localCheckpoint(eager=True)  # tombstone-sized; read once
+        )
+        agg = matched.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(self.id_col).alias("s"),
+            F.sum(F.col("_chash").cast("decimal(38,0)")).alias("c"),
+        ).first()
+        n_del = int(agg["n"])
+        if n_del == 0:
+            return idx
+        new_fp = [
+            idx.fingerprint[0] - n_del,
+            idx.fingerprint[1] - int(agg["s"]),
+            idx.fingerprint[2] - int(agg["c"]),
+        ]
+        import uuid as _uuid
+
+        staging = f"_staging-{_uuid.uuid4().hex}"
+        (
+            matched.select(self.id_col)
+            .coalesce(1)
+            .write.option("compression", "zstd")
+            .mode("overwrite")
+            .parquet(f"{self.root}/{staging}/tombstones")
+        )
+        params = dict(
+            dim=idx.dim,
+            n_centroids=idx.n_centroids,
+            m_sub=idx.m_sub,
+            ksub=idx.ksub,
+        )
+        model_rows = [
+            (
+                "meta",
+                json.dumps(
+                    {**params, "fingerprint": new_fp, "n_vectors": new_fp[0]}
+                ),
+            ),
+            ("centroids", json.dumps(idx.centroids)),
+            ("pq_books", json.dumps(idx.pq_books)),
+            ("opq_rotation", json.dumps(idx.opq_rotation)),
+            ("opq_books", json.dumps(idx.opq_books)),
+            ("lsh", json.dumps(idx.lsh)),
+        ]
+        (
+            self.spark.createDataFrame(model_rows, "component string, payload string")
+            .coalesce(1)
+            .write.option("compression", "zstd")
+            .mode("overwrite")
+            .parquet(f"{self.root}/{staging}/model")
+        )
+        new_files = self._publish_staged(staging)
+
+        def _delta(latest: dict | None):
+            live = latest["files"] if latest else []
+            live_model = sorted(f for f in live if f.startswith("model/"))
+            if live_model != orig_model:
+                raise RuntimeError(
+                    "concurrent index write during delete: the model files "
+                    "changed since this delete read them — retry"
+                )
+            # prior tombstone files stay live (they accumulate until purge)
+            return new_files, list(orig_model)
+
+        self._commit_or_reclaim(new_files, _delta)
+        return self.load()
+
+    def purge_tombstones(self) -> int:
+        """Physically reclaim tombstoned vectors: rewrite ONLY the
+        (variant, cell) code partitions that actually hold tombstoned rows
+        — found by one tombstone-sized semi-join — without those rows, and
+        retire the tombstone files, in one commit. The model sidecar is
+        untouched (the fingerprint already rolled at delete time), so a
+        purge commutes with concurrent searches and is idempotent: a
+        second call sees no tombstones and returns 0. Returns the number
+        of ids purged."""
+        man = self._snapshot()
+        if not man:
+            return 0
+        tomb_files = [f for f in man["files"] if f.startswith("tombstones/")]
+        if not tomb_files:
+            return 0
+        tomb = (
+            self.spark.read.parquet(*[f"{self.root}/{f}" for f in tomb_files])
+            .select(self.id_col)
+            .distinct()
+            .localCheckpoint(eager=True)  # read BEFORE its files retire
+        )
+        code_files = [f for f in man["files"] if f.startswith("codes/")]
+        all_codes = self.spark.read.option(
+            "basePath", f"{self.root}/codes"
+        ).parquet(*[f"{self.root}/{f}" for f in code_files])
+        hit = {
+            (r["variant"], r["cell"])
+            for r in all_codes.join(
+                F.broadcast(tomb), self.id_col, "left_semi"
+            )
+            .select("variant", "cell")
+            .distinct()
+            .collect()  # tombstone-bounded: <= 2 * |tombstones| pairs
+        }
+
+        def _vc(rel: str) -> tuple[str, int] | None:
+            parts = rel.split("/")
+            if len(parts) < 3:
+                return None
+            return (
+                parts[1].split("=", 1)[1],
+                int(parts[2].split("=", 1)[1]),
+            )
+
+        affected = [f for f in code_files if _vc(f) in hit]
+        new_files: list[str] = []
+        if affected:
+            survivors = (
+                self.spark.read.option("basePath", f"{self.root}/codes")
+                .parquet(*[f"{self.root}/{f}" for f in affected])
+                .join(F.broadcast(tomb), self.id_col, "left_anti")
+            )
+            import uuid as _uuid
+
+            staging = f"_staging-{_uuid.uuid4().hex}"
+            (
+                survivors.repartition("variant", "cell")
+                .sortWithinPartitions(self.id_col)
+                .write.partitionBy("variant", "cell")
+                .option("compression", "zstd")
+                .mode("overwrite")
+                .save(f"{self.root}/{staging}/codes")
+            )
+            new_files = self._publish_staged(staging)
+        superseded = affected + tomb_files
+        sup = set(superseded)
+
+        def _delta(latest: dict | None):
+            live = set(latest["files"]) if latest else set()
+            if not sup <= live:
+                raise RuntimeError(
+                    "concurrent index write during purge: an affected code "
+                    "or tombstone file is no longer live — retry"
+                )
+            return new_files, superseded
+
+        self._commit_or_reclaim(new_files, _delta)
+        return tomb.count()
 
 
 def ensure_index(

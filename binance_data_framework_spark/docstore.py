@@ -231,6 +231,97 @@ class BandIndexStore(SnapshotStore):
             .distinct()
         )
 
+    def compact(
+        self,
+        drop_bands: DataFrame | None = None,
+        drop_keys: DataFrame | None = None,
+        fold_duplicates: bool = True,
+    ) -> int:
+        """Maintenance rewrite of the add-only index (VERDICT r6 #2: a
+        deleted doc's bands must not sit in the index forever): drop the
+        given docs' band rows and fold redelivery-duplicated rows, in one
+        commit. Two removal forms, by what the caller still has:
+
+        - ``drop_bands`` = (id_col, band_idx, band_hash) rows — e.g.
+          recomputed from the DocumentStore's stored ``sig`` column BEFORE
+          the doc row is deleted. Bucket-pruned: only the buckets those
+          band hashes route to are read and rewritten — O(dropped docs x
+          num_bands buckets), never O(index).
+        - ``drop_keys`` = bare ids (the signatures are already gone).
+          Bands of one doc spread across buckets unpredictably, so this is
+          a FULL index rewrite — correct, but O(index); prefer drop_bands.
+
+        With neither, compacts multi-file buckets and (by default) folds
+        duplicate band rows — the OPTIMIZE analogue. Returns the number of
+        buckets rewritten (0 = nothing to do)."""
+        if drop_bands is not None and drop_keys is not None:
+            raise ValueError("pass drop_bands OR drop_keys, not both")
+        self._check_layout()
+        man = self._snapshot()
+        if not man or not man["files"]:
+            return 0
+        if drop_bands is not None:
+            keyed = drop_bands.select(
+                self.id_col, "band_idx", "band_hash"
+            ).withColumn("bucket", F.pmod("band_hash", F.lit(self.n_buckets)))
+            touched = {
+                r["bucket"]
+                for r in keyed.select("bucket").distinct().collect()
+            }
+            files = [f for f in man["files"] if self._bucket_of(f) in touched]
+        elif drop_keys is not None:
+            files = list(man["files"])
+        else:
+            # plain compaction: only multi-file buckets need a rewrite
+            per_bucket: dict[int, int] = {}
+            for f in man["files"]:
+                b = self._bucket_of(f)
+                if b is not None:
+                    per_bucket[b] = per_bucket.get(b, 0) + 1
+            multi = {b for b, n in per_bucket.items() if n > 1}
+            files = [f for f in man["files"] if self._bucket_of(f) in multi]
+        if not files:
+            return 0
+        stored = self.spark.read.option("basePath", self.root).parquet(
+            *[f"{self.root}/{f}" for f in files]
+        )
+        if drop_bands is not None:
+            survivors = stored.join(
+                keyed.select(self.id_col, "band_idx", "band_hash"),
+                on=[self.id_col, "band_idx", "band_hash"],
+                how="left_anti",
+            )
+        elif drop_keys is not None:
+            survivors = stored.join(
+                drop_keys.select(self.id_col), on=self.id_col, how="left_anti"
+            )
+        else:
+            survivors = stored
+        if fold_duplicates:
+            survivors = survivors.distinct()
+        staging = f"_staging-{uuid.uuid4().hex}"
+        (
+            survivors.repartition("bucket")
+            .write.partitionBy("bucket")
+            .option("compression", "zstd")
+            .mode("overwrite")
+            .save(f"{self.root}/{staging}")
+        )
+        new_files = self._publish_staged(staging)
+        sup = set(files)
+
+        def _delta(latest: dict | None):
+            live = set(latest["files"]) if latest else set()
+            if not sup <= live:
+                raise RuntimeError(
+                    "concurrent band-index write during compact: a rewritten "
+                    "bucket file is no longer live — retry"
+                )
+            return new_files, files
+
+        self._commit_or_reclaim(new_files, _delta)
+        return len({self._bucket_of(f) for f in files})
+
 
 class DocumentStore(SnapshotStore):
     """Hash-sharded snapshot store for keyed corpus tables (module

@@ -4322,6 +4322,104 @@ def q_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_index_delete",
+    f"""
+    WITH {_TOPK_EXACT_CTE},
+    d1 AS (SELECT DISTINCT vec_id FROM ranked WHERE rank = 1),
+    d2 AS (SELECT DISTINCT vec_id FROM ranked WHERE rank = 2
+             AND vec_id NOT IN (SELECT vec_id FROM d1))
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM d1) AS n_deleted_purged,
+           (SELECT CAST(count(*) AS BIGINT) FROM d2) AS n_tombstones,
+           (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
+             - (SELECT CAST(count(*) AS BIGINT) FROM d1)
+             AS n_codes_physical_pq,
+           (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
+             - (SELECT CAST(count(*) AS BIGINT) FROM d1)
+             - (SELECT CAST(count(*) AS BIGINT) FROM d2) AS n_live_pq,
+           true AS fingerprint_fresh,
+           true AS deleted_absent_in_search
+    """,
+)
+def q_ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-build/search split, DELETE side (ann_index.AnnIndexStore.
+    delete / purge_tombstones — VERDICT r6 #2, the fourth leg: build /
+    search / append / FORGET). The deleted ids are the probes' exact
+    rank-1 and rank-2 neighbors (computed from the shared exact top-k, so
+    they are GUARANTEED to be in the pre-delete search results — deleting
+    them is the sharpest observable change). The rank-1 set is deleted
+    then physically PURGED (code-layout rows reclaimed from only the hit
+    cells); the rank-2 set is deleted and left TOMBSTONED (the masked
+    state every search must honor). The certificate audits the final
+    persisted state: physical PQ row count shrank by |purged|, the
+    tombstone-masked live count by |purged|+|tombstoned|, the
+    sum-decomposable fingerprint rolled DOWN to certify exactly the
+    remaining corpus, and a live IVF-PQ search over the masked codes
+    returns none of the deleted ids. Idempotent ensure-semantics: later
+    calls see the rolled-down fingerprint and run zero delete work.
+    Reference analogue: delete_data (database_handler.py:243-255)."""
+    import os
+
+    from binance_data_framework_spark.ann_index import AnnIndexStore
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = _ann_exact_topk(spark, sf_dir)
+    # probe-count-sized collects (<= 5 ids each) — the deletion REQUEST is
+    # driver-side by nature (a takedown list), never corpus-sized
+    d1 = sorted({r["vec_id"] for r in exact.where(F.col("rank") == 1).collect()})
+    d2 = sorted(
+        {r["vec_id"] for r in exact.where(F.col("rank") == 2).collect()}
+        - set(d1)
+    )
+    root = _export_dir(
+        spark, f"ann_index_delete_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    st = AnnIndexStore(spark, root)
+    remaining = emb.where(~F.col("vec_id").isin(*(d1 + d2)))
+    if st.load(validate_against=remaining) is None:
+        st.build(emb, force=True)
+        st.delete(spark.createDataFrame([(i,) for i in d1], "vec_id bigint"))
+        st.purge_tombstones()
+        st.delete(spark.createDataFrame([(i,) for i in d2], "vec_id bigint"))
+    idx = st.load(validate_against=remaining)
+    fresh = idx is not None
+    if idx is None:  # keep the audit running even if freshness broke
+        idx = st.load()
+    head = spark.sql(
+        f"""SELECT CAST({len(d1)} AS BIGINT) AS n_deleted_purged,
+                   {str(fresh).lower()} AS fingerprint_fresh"""
+    )
+    tomb = st.tombstones()
+    n_tomb = (
+        tomb.agg(F.count(F.lit(1)).alias("n_tombstones"))
+        if tomb is not None
+        else spark.sql("SELECT CAST(0 AS BIGINT) AS n_tombstones")
+    )
+    phys = st.codes("pq", masked=False).agg(
+        F.count(F.lit(1)).alias("n_codes_physical_pq")
+    )
+    live = st.codes("pq").agg(F.count(F.lit(1)).alias("n_live_pq"))
+    search = S.topk_cosine_ivfpq(
+        emb,
+        _ann_probe(),
+        k=10,
+        centroids=idx.centroids,
+        books=idx.pq_books,
+        coded=st.codes("pq"),
+    )
+    absent = search.agg(
+        (
+            F.coalesce(
+                F.sum(F.col("vec_id").isin(*(d1 + d2)).cast("long")), F.lit(0)
+            )
+            == 0
+        ).alias("deleted_absent_in_search")
+    )
+    return (
+        head.crossJoin(n_tomb).crossJoin(phys).crossJoin(live).crossJoin(absent)
+    )
+
+
+@register(
     "sketch_merge_bounds",
     """
     SELECT event_type AS symbol, true AS merge_ok

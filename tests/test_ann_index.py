@@ -223,3 +223,100 @@ def test_build_lsh_param_change_retrains(spark, tmp_path):
     idx2 = st.build(df, lsh_planes=6, lsh_tables=4, **BUILD)
     assert idx2.version == 2
     assert idx2.lsh["n_planes"] == 6 and idx2.lsh["n_tables"] == 4
+
+
+def test_delete_tombstones_masked_search_then_purge(spark, tmp_path):
+    """The fourth leg (VERDICT r6 #2): delete() tombstones ids in one
+    model-sized commit — searches exclude them IMMEDIATELY (masked codes),
+    the fingerprint rolls down to exactly the remaining corpus, repeat
+    deletes are no-ops — and purge_tombstones() physically reclaims the
+    rows from only the hit cells, idempotently."""
+    df = _emb(spark)
+    st = AnnIndexStore(spark, str(tmp_path / "idx"))
+    idx = st.build(df, **BUILD)
+    probe = F.col("vec_id") < 3
+    # _emb's pattern has period 11 in the id, so vec 11 == vec 0: probe 0's
+    # nearest non-self neighbor is id 11 at cosine 1.0 — deleting it is
+    # observable in the search output
+    gone = {11, 7}
+    keys = spark.createDataFrame([(i,) for i in gone], "vec_id bigint")
+
+    def search():
+        return {
+            r["vec_id"]
+            for r in S.topk_cosine_ivfpq(
+                df, probe, k=5, dim=DIM, n_centroids=4, m_sub=4, ksub=4,
+                centroids=idx.centroids, books=idx.pq_books,
+                coded=st.codes("pq"),
+            ).collect()
+        }
+
+    # pre-delete: probe 0 finds its exact duplicate 11 (cosine 1.0)
+    assert 11 in search()
+
+    idx2 = st.delete(keys)
+    assert idx2.n_vectors == 58
+    assert idx2.fingerprint[0] == 58
+    assert idx2.fingerprint[1] == sum(range(60)) - 11 - 7
+    # masked view shrinks immediately; physical rows still present
+    assert st.codes("pq").count() == 58
+    assert st.codes("opq").count() == 58
+    assert st.codes("pq", masked=False).count() == 60
+    # tombstone-masked search: the deleted ids never appear
+    hits = search()
+    assert hits and not (hits & gone)
+    # fingerprint certifies exactly the REMAINING corpus
+    remaining = df.where(~F.col("vec_id").isin(*gone))
+    assert st.load(validate_against=remaining) is not None
+    assert st.load(validate_against=df) is None  # full corpus = stale
+
+    # idempotence: re-delete and unknown ids are no-ops (no commit)
+    v = st._snapshot()["version"]
+    assert st.delete(keys).fingerprint == idx2.fingerprint
+    assert st.delete(
+        spark.createDataFrame([(12345,)], "vec_id bigint")
+    ).fingerprint == idx2.fingerprint
+    assert st._snapshot()["version"] == v
+
+    # physical purge: rows reclaimed, tombstones retired, searches intact
+    assert st.purge_tombstones() == 2
+    assert st.tombstones() is None
+    assert st.codes("pq", masked=False).count() == 58
+    assert st.codes("opq", masked=False).count() == 58
+    assert st.load(validate_against=remaining) is not None
+    hits2 = search()
+    assert hits2 == hits
+    assert st.purge_tombstones() == 0  # idempotent
+
+
+def test_append_purges_tombstones_and_readd_after_delete(spark, tmp_path):
+    """append() runs the physical purge first (the promised 'forget at the
+    next append/rebuild commit'), which also makes re-adding a previously
+    deleted id safe: the old physical code row is gone before the
+    duplicate check runs."""
+    df = _emb(spark)
+    st = AnnIndexStore(spark, str(tmp_path / "idx"))
+    st.build(df, **BUILD)
+    st.delete(spark.createDataFrame([(5,)], "vec_id bigint"))
+    assert st.tombstones() is not None
+
+    idx = st.append(_emb(spark, n=10, offset=100).withColumn(
+        "vec_id", F.col("vec_id") + 1000
+    ))
+    # purge happened inside append: no tombstones, physical row for 5 gone
+    assert st.tombstones() is None
+    assert st.codes("pq", masked=False).where(F.col("vec_id") == 5).count() == 0
+    assert idx.n_vectors == 69
+    expected = df.where(F.col("vec_id") != 5).unionByName(
+        _emb(spark, n=10, offset=100).withColumn("vec_id", F.col("vec_id") + 1000)
+    )
+    assert st.load(validate_against=expected) is not None
+
+    # re-add the deleted vector: clean append, fingerprint covers it again
+    st.delete(spark.createDataFrame([(3,)], "vec_id bigint"))
+    back = df.where(F.col("vec_id") == 3)
+    idx3 = st.append(back)
+    assert idx3.n_vectors == 69
+    full = expected  # 3 deleted then re-added: same set
+    assert st.load(validate_against=full) is not None
+    assert st.codes("pq", masked=False).where(F.col("vec_id") == 3).count() == 1

@@ -69,6 +69,7 @@ BNLJ_OK = {
     # 1-row params x 1-row code-count aggregates (index audit)
     "ann_index_build",
     "ann_index_append",
+    "ann_index_delete",
 }
 
 # Unkeyed windows allowed only over provably tiny/aggregated frames.
