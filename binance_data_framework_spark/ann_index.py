@@ -229,7 +229,12 @@ class AnnIndexStore(SnapshotStore):
         return self.load(validate_against=None)
 
     # -- incremental append ------------------------------------------------
-    def append(self, delta: DataFrame, check_duplicates: bool = True) -> AnnIndex:
+    def append(
+        self,
+        delta: DataFrame,
+        check_duplicates: bool = True,
+        skip_existing: bool = False,
+    ) -> AnnIndex:
         """Append NEW vectors to the committed index WITHOUT retraining:
         encode the delta with the committed quantizer (cell assignment,
         residual, PQ + OPQ codes), add the new code files to the existing
@@ -270,6 +275,17 @@ class AnnIndexStore(SnapshotStore):
         if idx is None:
             raise ValueError(
                 f"AnnIndexStore at {self.root} is empty — build() before append()"
+            )
+        if skip_existing:
+            # replay-idempotent form for streaming compositions: already-
+            # indexed ids are FILTERED, not an error — the same column-
+            # pruned committed-id scan check_duplicates pays, spent on an
+            # anti-join instead of a count. A redelivered micro-batch
+            # (checkpoint replay) converges to a no-op.
+            delta = delta.join(
+                self.codes("pq", masked=False).select(self.id_col),
+                self.id_col,
+                "left_anti",
             )
         # orig_model MUST come from the manifest idx was parsed from (its
         # version), not from a fresh _snapshot(): a rebuild landing between

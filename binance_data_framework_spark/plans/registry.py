@@ -4420,6 +4420,147 @@ def q_ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "curated_index_pipeline",
+    """
+    SELECT true AS corpus_nonempty,
+           true AS one_pq_code_per_doc,
+           true AS one_opq_code_per_doc,
+           true AS fingerprint_fresh,
+           true AS bands_cover_corpus,
+           true AS search_serves_stored_only
+    """,
+)
+def q_curated_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED continuous-ingest pipeline (VERDICT r6 #3): documents
+    (with their embeddings) flow through the near-dup gate in two batches
+    — streaming/neardup_ingest.neardup_gate_batch, the exact function the
+    foreachBatch sink calls — landing accepted docs in a DocumentStore,
+    their bands in the BandIndexStore, AND their vectors in the committed
+    ANN index in the same cadence (first batch trains, second appends with
+    the committed quantizer). The certificate audits that the three tiers
+    advanced TOGETHER, from the persisted state only:
+    exactly one PQ and one OPQ code per stored doc (count + distinct-id
+    equality — a missed append or double-encode flips it), the rolled
+    fingerprint certifies exactly the stored corpus, the band index covers
+    exactly the stored ids, and a live IVF-PQ search over the curated
+    index returns stored docs only. Ensure-semantics: later calls see the
+    fresh fingerprint and re-run only the audit."""
+    import os
+
+    from binance_data_framework_spark.ann_index import AnnIndexStore
+    from binance_data_framework_spark.docstore import BandIndexStore, DocumentStore
+    from binance_data_framework_spark.streaming.neardup_ingest import (
+        neardup_gate_batch,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    root = _export_dir(spark, f"curated_index_{tag}")
+    ds = DocumentStore(spark, f"{root}/docs", n_shards=8)
+    bands = BandIndexStore(spark, f"{root}/bands", n_buckets=64)
+    ann = AnnIndexStore(spark, f"{root}/ann", id_col="doc_id", vec_col="embedding")
+    build_kwargs = dict(dim=64, n_centroids=16, m_sub=8, ksub=16)
+
+    stored = None
+    try:
+        stored = ds.read()
+        done = (
+            ann.load(validate_against=stored.select("doc_id", "embedding"))
+            is not None
+        )
+    except ValueError:
+        done = False
+    if not done:
+        src = load_table(spark, sf_dir, "documents").join(
+            load_table(spark, sf_dir, "embeddings").select(
+                F.col("vec_id").alias("doc_id"),
+                F.col("embedding").cast("array<double>").alias("embedding"),
+            ),
+            "doc_id",
+        )
+        for m in (0, 1):  # two micro-batches, as the availableNow tail would
+            neardup_gate_batch(
+                src.where(F.pmod("doc_id", F.lit(2)) == m),
+                ds,
+                bands,
+                ann_store=ann,
+                ann_build_kwargs=build_kwargs,
+            )
+        stored = ds.read()
+    idx = ann.load(validate_against=stored.select("doc_id", "embedding"))
+    fresh = idx is not None
+    if idx is None:
+        idx = ann.load()
+    stored_ids = stored.select("doc_id")
+    n_docs = stored_ids.agg(F.count(F.lit(1)).alias("_nd"))
+    pq_ids = ann.codes("pq").select("doc_id")
+    opq_ids = ann.codes("opq").select("doc_id")
+    band_ids = (
+        spark.read.option("basePath", bands.root)
+        .parquet(*[f"{bands.root}/{f}" for f in bands._snapshot()["files"]])
+        .select("doc_id")
+    )
+
+    def _same_ids(ids: DataFrame, n_col: str, d_col: str) -> DataFrame:
+        """(count, distinct-ids-missing-from-store) — equality with the
+        stored id set needs both directions; counts + one anti-join give
+        them in two tiny aggs."""
+        return ids.agg(F.count(F.lit(1)).alias(n_col)).crossJoin(
+            ids.distinct()
+            .join(stored_ids, "doc_id", "left_anti")
+            .agg(F.count(F.lit(1)).alias(d_col))
+        )
+
+    pq_stat = _same_ids(pq_ids, "_npq", "_xpq")
+    opq_stat = _same_ids(opq_ids, "_nopq", "_xopq")
+    band_stat = band_ids.distinct().agg(
+        F.count(F.lit(1)).alias("_nb")
+    ).crossJoin(
+        band_ids.distinct()
+        .join(stored_ids, "doc_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("_xb"))
+    )
+    search = S.topk_cosine_ivfpq(
+        stored.select("doc_id", "embedding"),
+        F.col("doc_id") < 5,
+        k=10,
+        id_col="doc_id",
+        vec_col="embedding",
+        dim=64,
+        centroids=idx.centroids,
+        books=idx.pq_books,
+        coded=ann.codes("pq"),
+    )
+    hits = search.select(F.col("doc_id")).distinct()
+    search_stat = hits.agg(F.count(F.lit(1)).alias("_nh")).crossJoin(
+        hits.join(stored_ids, "doc_id", "left_anti").agg(
+            F.count(F.lit(1)).alias("_xh")
+        )
+    )
+    return (
+        n_docs.crossJoin(pq_stat)
+        .crossJoin(opq_stat)
+        .crossJoin(band_stat)
+        .crossJoin(search_stat)
+        .select(
+            (F.col("_nd") > 0).alias("corpus_nonempty"),
+            ((F.col("_npq") == F.col("_nd")) & (F.col("_xpq") == 0)).alias(
+                "one_pq_code_per_doc"
+            ),
+            ((F.col("_nopq") == F.col("_nd")) & (F.col("_xopq") == 0)).alias(
+                "one_opq_code_per_doc"
+            ),
+            F.lit(fresh).alias("fingerprint_fresh"),
+            ((F.col("_nb") == F.col("_nd")) & (F.col("_xb") == 0)).alias(
+                "bands_cover_corpus"
+            ),
+            ((F.col("_nh") > 0) & (F.col("_xh") == 0)).alias(
+                "search_serves_stored_only"
+            ),
+        )
+    )
+
+
+@register(
     "sketch_merge_bounds",
     """
     SELECT event_type AS symbol, true AS merge_ok

@@ -65,10 +65,24 @@ def neardup_gate_batch(
     num_bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    ann_store=None,
+    ann_build_kwargs: dict | None = None,
 ) -> dict:
     """Run one batch through the near-dup gate (module docstring).
     Returns {"arrived", "kept", "dropped_in_batch", "dropped_vs_corpus"}
-    counts for observability; mutates the two stores."""
+    counts for observability; mutates the two stores.
+
+    ``ann_store`` (VERDICT r6 #3 — the composed continuous pipeline):
+    an AnnIndexStore whose (id_col, vec_col) name columns of the batch
+    frame. When given, each accepted batch's vectors flow into the
+    committed ANN index in the SAME cadence as the doc/band commits —
+    first accepted batch trains the index (``ann_build_kwargs`` →
+    build()), later batches append with the committed quantizer,
+    ``skip_existing`` making checkpoint-replayed batches converge to a
+    no-op. The corpus is then continuously curated AND continuously
+    searchable: DocumentStore rows, band index, and ANN codes advance
+    together, and the rolled fingerprint keeps certifying exactly the
+    stored corpus."""
     # band hashes are a pure function of these — pin them in the band
     # store's layout sidecar so a gate reopened with different values
     # raises instead of silently admitting near-duplicates (ADVICE r6)
@@ -148,7 +162,8 @@ def neardup_gate_batch(
     )
     n_kept = survivors.count()
     # 3. commit: docs first, then bands (replay-convergent either way —
-    # see module docstring crash note)
+    # see module docstring crash note), then the ANN leg (also convergent:
+    # skip_existing makes a replayed append a no-op)
     if n_kept:
         docstore.save_docs(survivors)
         band_store.append(
@@ -156,6 +171,12 @@ def neardup_gate_batch(
                 survivors.select(id_col, "sig"), id_col, num_bands, num_hashes
             )
         )
+        if ann_store is not None:
+            vecs = survivors.select(ann_store.id_col, ann_store.vec_col)
+            if ann_store.load() is None:
+                ann_store.build(vecs, **(ann_build_kwargs or {}))
+            else:
+                ann_store.append(vecs, skip_existing=True)
     return {
         "arrived": n_arrived,
         "kept": n_kept,

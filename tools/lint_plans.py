@@ -70,6 +70,7 @@ BNLJ_OK = {
     "ann_index_build",
     "ann_index_append",
     "ann_index_delete",
+    "curated_index_pipeline",  # 1-row certificate aggregates x each other
 }
 
 # Unkeyed windows allowed only over provably tiny/aggregated frames.
