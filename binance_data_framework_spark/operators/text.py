@@ -380,15 +380,77 @@ def _doc_term_tf(
     tokens) rides the key — it is functionally dependent on the doc id,
     so it adds no groups. One definition keeps the three ops' tokenization
     and null handling in lockstep with each other and their oracles."""
-    toks = tokens_col(text_col)
-    hits = df.select(
+    # dl is computed in the PRE-explode projection (on the materialized
+    # token array), never alongside the exploded rows: projecting
+    # size(split(text)) after a Generate re-splits the text once PER
+    # TOKEN — measured 28 s vs 5 s for 27M occurrences at the 100x
+    # fixture (r7; Catalyst does not CSE the split across the Generate
+    # boundary)
+    base = df.select(
         F.col(id_col),
-        F.size(toks).cast("long").alias("dl"),
-        F.explode(toks).alias("term"),
+        F.size(tokens_col(text_col)).cast("long").alias("dl"),
+        tokens_col(text_col).alias("_toks"),
     )
+    hits = base.select(id_col, "dl", F.explode("_toks").alias("term"))
     if terms is not None:
         hits = hits.where(F.col("term").isin(*terms))
     return hits.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+
+
+def doc_term_tf_arrow(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc, dl, term, tf) via a vectorized Arrow kernel — ROW-IDENTICAL
+    to _doc_term_tf (pytest-pinned, tests/test_text_retrieval.py) at a
+    fraction of its cost: the exploded-groupBy form pays a JVM hash
+    aggregate over every token occurrence producing per-doc-vocab groups
+    (measured 33 s for 27M occurrences / 11.6M groups at the 100x
+    fixture; keying by xxhash64 instead of the string saved nothing —
+    the aggregate itself is the cost), while this kernel counts each
+    doc's terms inside one Arrow batch with factorize + np.unique
+    (measured 5.8 s, same 11.6M output rows) and needs NO shuffle at all
+    — the r6 token-hash playbook applied to term counting.
+
+    Tokenization parity: str.split(" ") == Spark split(col, " ") ==
+    DuckDB string_split (single-space literal split, empty strings kept,
+    empty text -> [""]); null text emits no rows on both paths (Spark
+    explode(null) drops the row)."""
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            pdf = pdf[pdf[text_col].notna()]
+            if not len(pdf):
+                continue
+            toks_list = [t.split(" ") for t in pdf[text_col]]
+            lens = np.fromiter(
+                (len(t) for t in toks_list), dtype=np.int64, count=len(toks_list)
+            )
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks_list]
+            )
+            doc_idx = np.repeat(np.arange(len(toks_list)), lens)
+            codes, uniques = pd.factorize(pd.Series(flat), sort=False)
+            vocab = np.asarray(uniques, dtype=object)
+            key = doc_idx * len(vocab) + codes
+            uk, counts = np.unique(key, return_counts=True)
+            di = uk // len(vocab)
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    id_col: ids[di],
+                    "dl": lens[di],
+                    "term": vocab[uk % len(vocab)],
+                    "tf": counts.astype("int64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, f"{id_col} {id_type}, dl bigint, term string, tf bigint"
+    )
 
 
 def tfidf_top_terms(
@@ -401,16 +463,19 @@ def tfidf_top_terms(
     rank ties broken by term. The classic relevance/keyword-extraction
     primitive over a corpus.
 
-    Scale shape: one explode + (doc, term) groupBy for tf; df and N derive
-    from tf by vocab-keyed / scalar aggregates. The df join is a plain
-    term-keyed equi-join — NOT a forced broadcast: a web-scale corpus's
-    term dictionary (typo tail included) can be executor-sized, so AQE
-    picks broadcast only when the dictionary really is small. N is a
-    1-row broadcast cross join. Ranking windows are keyed by doc. Rank on
-    the ROUNDED score so the ordering is reproducible across engines."""
+    Scale shape (r7 rewrite — VERDICT r6 #4): tf comes from the Arrow
+    term-counting kernel (doc_term_tf_arrow — shuffle-free, ~6x the
+    exploded-groupBy form at the 100x fixture) and is EAGER-checkpointed
+    because both the df dictionary and the scoring join consume it under
+    separate actions. The df join is a plain term-keyed equi-join — NOT a
+    forced broadcast: a web-scale corpus's term dictionary (typo tail
+    included) can be executor-sized, so AQE picks broadcast only when the
+    dictionary really is small. N is a 1-row broadcast cross join.
+    Ranking windows are keyed by doc. Rank on the ROUNDED score so the
+    ordering is reproducible across engines."""
     from pyspark.sql import Window
 
-    tf = _doc_term_tf(df, text_col, id_col)
+    tf = doc_term_tf_arrow(df, text_col, id_col).localCheckpoint(eager=True)
     df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
@@ -487,25 +552,41 @@ def unigram_logprob(
     boilerplate scores high). No OOV smoothing needed: every token's
     corpus frequency is ≥ 1 by construction.
 
-    Scale shape: one (doc, term) shuffle for tf; the unigram model (term →
-    corpus freq) joins back on the term key — not a forced broadcast, since
-    a web-scale dictionary can be executor-sized (AQE broadcasts when it
-    is small) — and the total-token count is a 1-row broadcast cross join;
-    the corpus is scanned, never collected."""
+    Scale shape (r7 rewrite — VERDICT r6 #4): the per-doc (doc, term) tf
+    decomposition is UNNECESSARY here — sum over distinct terms of
+    tf * log(p) equals sum over raw occurrences of log(p) — so the
+    expensive per-doc-vocab hash aggregate (measured 33 s of the 100x
+    wall-time on its own) is gone entirely. What remains is two narrow
+    passes over the exploded occurrences feeding TINY aggregates (the
+    vocab-sized unigram model and the 500k-group per-doc sum, both
+    map-side partial-aggregated, so only vocab/doc-count rows shuffle)
+    and a term-keyed equi-join of occurrences to the model. The model
+    side is an EXPLICIT broadcast (the bm25 precedent): a unigram LM is
+    vocab-bounded by construction — and Catalyst's size estimate for an
+    explode output is unusable (measured: left unforced, it chose
+    BuildLeft and broadcast the 27M-row OCCURRENCES side, 33 s -> 58 s).
+    The total-token count is a 1-row broadcast cross join; the corpus is
+    scanned, never collected. Rounded at 6 dp, where the occurrence-order
+    float sum agrees with the tf-weighted oracle form."""
     toks = tokens_col(text_col)
-    tf = _doc_term_tf(df, text_col, id_col)
-    freqs = tf.groupBy("term").agg(F.sum("tf").alias("freq"))
+    # dl pre-computed before the explode — see _doc_term_tf's note (a
+    # post-Generate size(split()) re-splits the text once per token)
+    occ = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("dl"),
+        toks.alias("_toks"),
+    ).select(id_col, "dl", F.explode("_toks").alias("term"))
+    freqs = occ.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("freq")
+    )
     total = df.agg(F.sum(F.size(toks)).cast("double").alias("total_tokens"))
     return (
-        tf.join(freqs, "term")
+        occ.join(F.broadcast(freqs), "term")
         .crossJoin(F.broadcast(total))
         .groupBy(id_col, "dl")
         .agg(
             F.round(
-                F.sum(
-                    F.col("tf").cast("double")
-                    * F.log(F.col("freq").cast("double") / F.col("total_tokens"))
-                )
+                F.sum(F.log(F.col("freq").cast("double") / F.col("total_tokens")))
                 / F.col("dl"),
                 6,
             ).alias("avg_logprob")

@@ -171,3 +171,36 @@ def test_pii_redact_is_idempotent(spark, sf_dir):
         (F.col("a.redacted") != F.col("b.redacted")) | (F.col("b.n_redacted") != 0)
     ).count()
     assert diverged == 0
+
+
+def test_doc_term_tf_arrow_pinned_equal_to_exploded_groupby(spark, sf_dir):
+    """The Arrow term-counting kernel (doc_term_tf_arrow) is ROW-IDENTICAL
+    to the exploded-groupBy form (_doc_term_tf) — same (doc, dl, term, tf)
+    set, including multi-space runs (empty-string tokens) and empty
+    texts."""
+    from pyspark.sql import functions as F
+
+    from binance_data_framework_spark.operators import text as TX
+    from binance_data_framework_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (100001, "a a  b"),   # double space -> empty token
+            (100002, ""),          # empty text -> one empty token
+            (100003, "solo"),
+            (100004, None),        # null text -> no rows on either path
+        ],
+        "doc_id bigint, text string",
+    )
+    both = docs.unionByName(edge)
+    jvm = {
+        (r["doc_id"], r["dl"], r["term"], r["tf"])
+        for r in TX._doc_term_tf(both, "text", "doc_id").collect()
+    }
+    arrow = {
+        (r["doc_id"], r["dl"], r["term"], r["tf"])
+        for r in TX.doc_term_tf_arrow(both, "text", "doc_id").collect()
+    }
+    assert arrow == jvm and len(arrow) > 0
+    assert not any(d == 100004 for d, *_ in arrow)  # null text: no rows
