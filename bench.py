@@ -5,12 +5,21 @@ on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
 
 `queries` is the stable 19-query headline set, best-of-3 (round-over-round
 comparable). `sweep` times EVERY registered query once — the off-headline
-heavies (IVF-PQ index build, portable-hash oracle variants, curation
-pipelines) become a per-round artifact diffable against SWEEP_BASELINE.json
-instead of being invisible to bench comparison (VERDICT r3 item 7).
-Single-run: coverage and trend, not steady-state precision — compare
-against the committed baseline with a noise band, and set
-SPARK_GRAFT_SKIP_SWEEP=1 for quick headline-only iteration.
+heavies (portable-hash oracle variants, curation pipelines) become a
+per-round artifact diffable against SWEEP_BASELINE.json instead of being
+invisible to bench comparison (VERDICT r3 item 7). Single-run: coverage
+and trend, not steady-state precision — compare against the committed
+baseline with a noise band, and set SPARK_GRAFT_SKIP_SWEEP=1 for quick
+headline-only iteration.
+
+BUILD-TIER queries (VERDICT r6 #5) report under `sweep_build`, NOT
+`sweep`: their ensure-semantics make the first contact per corpus/root a
+TRAINING run (IVF/PQ/OPQ fit + commit, tens of seconds) and later
+contacts a fingerprint check — a cold `_scratch/` would otherwise poison
+round-over-round sweep totals with one-off training cost (r6: one query
+was 15% of the sweep). `sweep_total_sec` therefore stays comparable
+across rounds regardless of `_scratch` state; `sweep_build_total_sec`
+carries the index/model tier separately.
 
 Each query is forced to full materialization with a noop write (count() would
 let Catalyst skip computing projected values).
@@ -49,6 +58,17 @@ HEADLINE = [
     "tpch_q3",
     "tpch_q5",
 ]
+
+# Queries whose ensure-semantics TRAIN and COMMIT persisted index/model
+# artifacts on first contact per corpus/root (and only fingerprint-check
+# afterwards) — timed under `sweep_build`, keeping `sweep_total_sec`
+# comparable across rounds whatever the `_scratch/` state.
+BUILD_TIER = {
+    "ann_index_build",
+    "ann_index_append",
+    "ann_index_delete",
+    "curated_index_pipeline",
+}
 
 
 def main() -> None:
@@ -104,6 +124,7 @@ def main() -> None:
         import gc
 
         sweep: dict[str, float] = {}
+        sweep_build: dict[str, float] = {}
         for name, fn in QUERIES.items():
             # drop the previous query's localCheckpoint blocks before timing
             # (their lazy unpersist otherwise bleeds GC pressure into the
@@ -111,9 +132,12 @@ def main() -> None:
             gc.collect()
             start = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            sweep[name] = round(time.perf_counter() - start, 3)
+            tier = sweep_build if name in BUILD_TIER else sweep
+            tier[name] = round(time.perf_counter() - start, 3)
         payload["sweep"] = sweep
         payload["sweep_total_sec"] = round(sum(sweep.values()), 3)
+        payload["sweep_build"] = sweep_build
+        payload["sweep_build_total_sec"] = round(sum(sweep_build.values()), 3)
     print(json.dumps(payload))
 
 

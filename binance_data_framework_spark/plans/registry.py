@@ -4308,10 +4308,11 @@ def q_ann_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, f"ann_index_append_{os.path.basename(sf_dir.rstrip('/'))}"
     )
     st = AnnIndexStore(spark, root)
-    if st.load(validate_against=emb) is None:
+    idx = st.load(validate_against=emb)  # ONE validate: a fingerprint agg
+    if idx is None:
         st.build(emb.where(F.pmod("vec_id", F.lit(2)) == 0), force=True)
         st.append(emb.where(F.pmod("vec_id", F.lit(2)) == 1))
-    idx = st.load(validate_against=emb)
+        idx = st.load(validate_against=emb)
     meta = spark.sql(
         f"""SELECT CAST({idx.n_vectors if idx else -1} AS BIGINT) AS n_vectors,
                    {str(idx is not None).lower()} AS fingerprint_fresh"""
@@ -4375,12 +4376,13 @@ def q_ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     st = AnnIndexStore(spark, root)
     remaining = emb.where(~F.col("vec_id").isin(*(d1 + d2)))
-    if st.load(validate_against=remaining) is None:
+    idx = st.load(validate_against=remaining)  # ONE validate per warm call
+    if idx is None:
         st.build(emb, force=True)
         st.delete(spark.createDataFrame([(i,) for i in d1], "vec_id bigint"))
         st.purge_tombstones()
         st.delete(spark.createDataFrame([(i,) for i in d2], "vec_id bigint"))
-    idx = st.load(validate_against=remaining)
+        idx = st.load(validate_against=remaining)
     fresh = idx is not None
     if idx is None:  # keep the audit running even if freshness broke
         idx = st.load()
@@ -4460,16 +4462,13 @@ def q_curated_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann = AnnIndexStore(spark, f"{root}/ann", id_col="doc_id", vec_col="embedding")
     build_kwargs = dict(dim=64, n_centroids=16, m_sub=8, ksub=16)
 
-    stored = None
+    stored = idx = None
     try:
         stored = ds.read()
-        done = (
-            ann.load(validate_against=stored.select("doc_id", "embedding"))
-            is not None
-        )
+        idx = ann.load(validate_against=stored.select("doc_id", "embedding"))
     except ValueError:
-        done = False
-    if not done:
+        pass
+    if idx is None:
         src = load_table(spark, sf_dir, "documents").join(
             load_table(spark, sf_dir, "embeddings").select(
                 F.col("vec_id").alias("doc_id"),
@@ -4486,7 +4485,7 @@ def q_curated_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ann_build_kwargs=build_kwargs,
             )
         stored = ds.read()
-    idx = ann.load(validate_against=stored.select("doc_id", "embedding"))
+        idx = ann.load(validate_against=stored.select("doc_id", "embedding"))
     fresh = idx is not None
     if idx is None:
         idx = ann.load()
