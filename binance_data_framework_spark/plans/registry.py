@@ -5157,20 +5157,16 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-doc join back); without a materialization point each consumer
     # re-runs the whole tokenize+hash+explode pipeline (the
     # first-action-no-dedup trap, PLANS.md r6) — the EAGER checkpoint
-    # builds it once (measured: 42.8 s -> ~30 s full query at 500k docs).
-    # The checkpoint truncates lineage, so the committed plan shows a
-    # Scan ExistingRDD where the gram pipeline was — the pipeline is
-    # therefore linted separately via _substring_spans
-    # (tests/test_plans.py), and the construction-time job is listed in
-    # tools/lint_plans.py's docstring (review r6b #3).
+    # builds it once. r7: the stream comes from the Arrow rolling-hash
+    # kernel (_substring_spans — 7.9 s vs 21.9 s for the zip_with tree at
+    # the 500k-doc fixture), pytest-pinned output-equivalent to the JVM
+    # form (_substring_spans_jvm). The checkpoint truncates lineage, so
+    # the committed plan shows a Scan ExistingRDD where the gram pipeline
+    # was — the pipeline is therefore linted separately via
+    # _substring_spans (tests/test_plans.py), and the construction-time
+    # job is listed in tools/lint_plans.py's docstring (review r6b #3).
     spans = _substring_spans(docs).localCheckpoint(eager=True)
     toks = F.split(F.col("text"), " ")
-    dupg = (
-        spans.groupBy("g1", "g2")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("g1", "g2")
-    )
     # per-doc span totals need NO explode/shuffle: n_spans is just
     # size(toks)-7 — a narrow projection. The groupBy-doc_id formulation
     # shuffled the ENTIRE gram stream a second time just to count it
@@ -5179,8 +5175,19 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.size(toks) - 7).cast("bigint").alias("n_spans"),
     ).where(F.col("n_spans") > 0)
+    # "occurs in ANOTHER document" = min(doc_id) != max(doc_id) over the
+    # gram's occurrences — evaluated as a gram-KEYED WINDOW so the span
+    # stream moves ONCE (one shuffle + sort) and each span reads its dup
+    # flag in place. The earlier agg -> broadcast-join-back formulation
+    # shuffled for the aggregate AND re-scanned the full checkpoint
+    # against a 1M-row broadcast (measured same-session at the 500k-doc
+    # fixture: 10.6 s -> 7.7 s; countDistinct instead of min/max adds a
+    # second distinct pass on top, 12.5 s)
+    w = Window.partitionBy("g1", "g2")
     dup = (
-        spans.join(broadcast(dupg), ["g1", "g2"])
+        spans.withColumn("_mn", F.min("doc_id").over(w))
+        .withColumn("_mx", F.max("doc_id").over(w))
+        .where(F.col("_mn") != F.col("_mx"))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_dup_spans"))
     )
@@ -5200,12 +5207,87 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _substring_spans(docs: DataFrame) -> DataFrame:
-    """q_dedup_substring's exploded (doc_id, g1, g2) gram stream, WITHOUT
-    the materialization checkpoint — the query checkpoints it (two
-    consumers); this un-truncated form exists so the plan test can lint
-    the full gram lineage that the checkpoint hides from the registry
-    sweep (pure narrow: token hash -> doubling tree -> explode, no
-    Exchange, no Python).
+    """q_dedup_substring's (doc_id, g1, g2) gram stream via a vectorized
+    Arrow rolling-hash kernel (r7 — VERDICT r6 #6): per batch, siphash
+    every token once (pd.util.hash_array, fixed keys — deterministic
+    across processes/retries), then each 8-token window's key is a
+    fixed-odd-multiplier polynomial over the token hashes, computed with
+    8 shifted vector ops over the whole batch; doc boundaries are masked
+    with an offsets/repeat index build, so no window crosses a document.
+    Two INDEPENDENT key columns (different siphash keys AND multipliers)
+    make the effective key 128 bits, as in the zip_with-tree form it
+    replaces — a cross-doc collision, the only way the hashed formulation
+    could diverge from the string-gram oracle, needs ~2^64 grams. Gram
+    keys never leave the computation (the oracle compares per-doc
+    FRACTIONS), so key arithmetic is free to differ from the JVM form —
+    _substring_spans_jvm is kept and a pytest pins both forms to the
+    same final per-doc output. Measured at the 500k-doc fixture: 7.9 s
+    to build + checkpoint 23.6M spans vs 21.9 s for the interpreted
+    zip_with doubling tree. Shuffle-free: one mapInPandas, no Exchange."""
+    id_type = docs.schema["doc_id"].dataType.simpleString()
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        c1 = np.array(
+            [0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB,
+             0xD6E8FEB86659FD93, 0xA5A5A5A5A5A5A5A5, 0xC2B2AE3D27D4EB4F,
+             0x165667B19E3779F9, 0x27D4EB2F165667C5],
+            dtype=np.uint64,
+        )
+        c2 = np.array(
+            [0x8CB92BA72F3D8DD7, 0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53,
+             0x2545F4914F6CDD1D, 0x5851F42D4C957F2D, 0x14057B7EF767814F,
+             0x9E3779B185EBCA87, 0xC6A4A7935BD1E995],
+            dtype=np.uint64,
+        )
+        for pdf in batches:
+            pdf = pdf[pdf["text"].notna()]
+            if not len(pdf):
+                continue
+            toks_list = [t.split(" ") for t in pdf["text"]]
+            lens = np.fromiter(
+                (len(t) for t in toks_list), np.int64, len(toks_list)
+            )
+            counts = np.clip(lens - 7, 0, None)
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks_list]
+            )
+            h1 = pd.util.hash_array(flat, hash_key="0123456789123456")
+            h2 = pd.util.hash_array(flat, hash_key="6543210987654321")
+            n = len(flat)
+            g1 = np.zeros(n - 7, dtype=np.uint64)
+            g2 = np.zeros(n - 7, dtype=np.uint64)
+            for k in range(8):  # uint64 arithmetic wraps mod 2^64
+                g1 += h1[k: n - 7 + k] * c1[k]
+                g2 += h2[k: n - 7 + k] * c2[k]
+            offsets = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            doc_idx = np.repeat(np.arange(len(lens)), counts)
+            cum = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            pos = np.arange(total) - np.repeat(cum, counts)
+            starts = offsets[doc_idx] + pos
+            ids = pdf["doc_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids[doc_idx],
+                    "g1": g1[starts].view(np.int64),
+                    "g2": g2[starts].view(np.int64),
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel, f"doc_id {id_type}, g1 bigint, g2 bigint"
+    )
+
+
+def _substring_spans_jvm(docs: DataFrame) -> DataFrame:
+    """The pure-JVM (zip_with doubling tree) span stream the Arrow kernel
+    replaced — kept as the pin-test reference (same per-doc query output;
+    the gram KEYS legitimately differ, they never leave the computation).
 
     Gram keys are DOUBLE 64-bit hashes of the token-hash window, not
     materialized "tok tok ... tok" strings (r6, from the honest

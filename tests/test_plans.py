@@ -279,9 +279,9 @@ def test_substring_span_pipeline_lineage_is_clean(spark, sf_dir):
     """q_dedup_substring eager-checkpoints its span stream (two
     consumers), which truncates the committed plan to a Scan ExistingRDD
     — so the whole-registry lint cannot see the gram pipeline. This test
-    lints the UN-checkpointed form (registry._substring_spans): pure
-    narrow lineage — no Exchange, no Python eval, no join — straight
-    from the parquet scan to the exploded (doc_id, g1, g2) stream."""
+    lints the UN-checkpointed form (registry._substring_spans): one
+    Arrow-batched kernel straight off the parquet scan — no Exchange, no
+    row-at-a-time Python, no join."""
     from binance_data_framework_spark.plans.registry import _substring_spans
     from binance_data_framework_spark.sources.fixtures import load_table
 
@@ -294,10 +294,65 @@ def test_substring_span_pipeline_lineage_is_clean(spark, sf_dir):
             )
         )
     )
-    for bad in ("Exchange", "BatchEvalPython", "ArrowEvalPython",
-                "CartesianProduct", "Join"):
+    for bad in ("Exchange", "BatchEvalPython", "CartesianProduct", "Join"):
         assert bad not in plan, f"{bad} in span pipeline plan"
-    assert "Scan parquet" in plan and "Generate" in plan  # explode present
+    assert "Scan parquet" in plan
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan  # the kernel
+
+
+def test_substring_arrow_kernel_pinned_to_jvm_form(spark, sf_dir):
+    """The Arrow rolling-hash span kernel and the JVM zip_with-tree form
+    produce the SAME final per-doc dedup_substring output (gram keys
+    differ by design — they never leave the computation)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    from binance_data_framework_spark.plans.registry import (
+        _substring_spans,
+        _substring_spans_jvm,
+    )
+    from binance_data_framework_spark.sources.fixtures import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (200001, "exactly seven tokens long not enough here"),  # 7 -> none
+            (200002, "now eight tokens appear in this short doc ok"),
+            (200003, None),
+        ],
+        "doc_id bigint, text string",
+    )
+    both = docs.unionByName(edge)
+
+    def frac(spans):
+        dupg = (
+            spans.groupBy("g1", "g2")
+            .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+            .where(F.col("_mn") != F.col("_mx"))
+            .select("g1", "g2")
+        )
+        return {
+            (r["doc_id"], r["n"])
+            for r in spans.join(broadcast(dupg), ["g1", "g2"])
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    spans_a = _substring_spans(both)
+    spans_j = _substring_spans_jvm(both)
+    # identical span multiplicity per doc...
+    a_counts = {
+        (r["doc_id"], r["n"])
+        for r in spans_a.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    j_counts = {
+        (r["doc_id"], r["n"])
+        for r in spans_j.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert a_counts == j_counts and len(a_counts) > 0
+    # ...and identical per-doc duplicated-span counts (the query's output)
+    assert frac(spans_a) == frac(spans_j)
 
 
 def test_minhash_bucket_pipeline_lineage_is_clean(spark, sf_dir):
