@@ -94,6 +94,44 @@ class AnnIndexStore(SnapshotStore):
         without touching the corpus."""
         return F.pmod(F.xxhash64(self.vec_col), F.lit(2147483648))
 
+    def _write_model(
+        self,
+        staging: str,
+        params: dict,
+        fp: list[int],
+        centroids,
+        pq_books,
+        opq_rotation,
+        opq_books,
+        lsh: dict,
+    ) -> None:
+        """The ONE model-sidecar writer shared by every committing path
+        (build / append / delete) — a single definition of the component
+        set, so a layout change cannot desynchronize the three commit
+        paths (review r7 #6)."""
+        model_rows = [
+            (
+                "meta",
+                json.dumps(
+                    {**params, "fingerprint": fp, "n_vectors": fp[0]}
+                ),
+            ),
+            ("centroids", json.dumps(centroids)),
+            ("pq_books", json.dumps(pq_books)),
+            ("opq_rotation", json.dumps(opq_rotation)),
+            ("opq_books", json.dumps(opq_books)),
+            ("lsh", json.dumps(lsh)),
+        ]
+        (
+            self.spark.createDataFrame(
+                model_rows, "component string, payload string"
+            )
+            .coalesce(1)
+            .write.option("compression", "zstd")
+            .mode("overwrite")
+            .parquet(f"{self.root}/{staging}/model")
+        )
+
     # -- build -------------------------------------------------------------
     def build(
         self,
@@ -196,28 +234,15 @@ class AnnIndexStore(SnapshotStore):
             .mode("overwrite")
             .save(f"{self.root}/{staging}/codes")
         )
-        model_rows = [
-            (
-                "meta",
-                json.dumps(
-                    {**params, "fingerprint": fp, "n_vectors": fp[0]}
-                ),
-            ),
-            ("centroids", json.dumps(centroids)),
-            ("pq_books", json.dumps(pq_books)),
-            ("opq_rotation", json.dumps(rotation)),
-            ("opq_books", json.dumps(opq_books)),
-            (
-                "lsh",
-                json.dumps({"n_planes": lsh_planes, "n_tables": lsh_tables, "seed": 42}),
-            ),
-        ]
-        (
-            self.spark.createDataFrame(model_rows, "component string, payload string")
-            .coalesce(1)
-            .write.option("compression", "zstd")
-            .mode("overwrite")
-            .parquet(f"{self.root}/{staging}/model")
+        self._write_model(
+            staging,
+            params,
+            fp,
+            centroids,
+            pq_books,
+            rotation,
+            opq_books,
+            {"n_planes": lsh_planes, "n_tables": lsh_tables, "seed": 42},
         )
         new_files = self._publish_staged(staging)
 
@@ -281,12 +306,16 @@ class AnnIndexStore(SnapshotStore):
             # indexed ids are FILTERED, not an error — the same column-
             # pruned committed-id scan check_duplicates pays, spent on an
             # anti-join instead of a count. A redelivered micro-batch
-            # (checkpoint replay) converges to a no-op.
+            # (checkpoint replay) converges to a no-op. EAGER checkpoint:
+            # the filtered delta (batch-sized) feeds the fingerprint agg,
+            # the in-delta dup agg, and the encode passes — without the
+            # materialization each action re-runs the committed-id
+            # anti-join scan (review r7 #2).
             delta = delta.join(
                 self.codes("pq", masked=False).select(self.id_col),
                 self.id_col,
                 "left_anti",
-            )
+            ).localCheckpoint(eager=True)
         # orig_model MUST come from the manifest idx was parsed from (its
         # version), not from a fresh _snapshot(): a rebuild landing between
         # load() and a later snapshot read would make the concurrency check
@@ -303,8 +332,7 @@ class AnnIndexStore(SnapshotStore):
         if check_duplicates:
             # one agg catches duplicates WITHIN the delta (they would
             # double-encode and inflate the rolled fingerprint — review
-            # r6b #2), then a column-pruned semi-join catches collisions
-            # with the committed ids
+            # r6b #2)
             d = delta.agg(
                 F.count(self.id_col).alias("n"),
                 F.count_distinct(self.id_col).alias("nd"),
@@ -314,16 +342,25 @@ class AnnIndexStore(SnapshotStore):
                     f"append: {d['n'] - d['nd']} duplicate id(s) WITHIN the "
                     f"delta — each vector must appear once"
                 )
-            n_dup = (
-                delta.select(self.id_col)
-                .join(self.codes("pq").select(self.id_col), self.id_col, "left_semi")
-                .count()
-            )
-            if n_dup:
-                raise ValueError(
-                    f"append: {n_dup} delta id(s) already indexed — appends "
-                    f"must be disjoint (upsert = delete + rebuild, or rebuild)"
+            # the committed-id collision check is a column-pruned semi-join
+            # — redundant (and skipped) when skip_existing already
+            # anti-joined the same committed ids away (review r7 #2)
+            if not skip_existing:
+                n_dup = (
+                    delta.select(self.id_col)
+                    .join(
+                        self.codes("pq").select(self.id_col),
+                        self.id_col,
+                        "left_semi",
+                    )
+                    .count()
                 )
+                if n_dup:
+                    raise ValueError(
+                        f"append: {n_dup} delta id(s) already indexed — "
+                        f"appends must be disjoint (upsert = delete + "
+                        f"rebuild, or rebuild)"
+                    )
         sub_dim = idx.dim // idx.m_sub
         centroids = idx.centroids
         base = (
@@ -406,25 +443,15 @@ class AnnIndexStore(SnapshotStore):
             m_sub=idx.m_sub,
             ksub=idx.ksub,
         )
-        model_rows = [
-            (
-                "meta",
-                json.dumps(
-                    {**params, "fingerprint": new_fp, "n_vectors": new_fp[0]}
-                ),
-            ),
-            ("centroids", json.dumps(idx.centroids)),
-            ("pq_books", json.dumps(idx.pq_books)),
-            ("opq_rotation", json.dumps(idx.opq_rotation)),
-            ("opq_books", json.dumps(idx.opq_books)),
-            ("lsh", json.dumps(idx.lsh)),
-        ]
-        (
-            self.spark.createDataFrame(model_rows, "component string, payload string")
-            .coalesce(1)
-            .write.option("compression", "zstd")
-            .mode("overwrite")
-            .parquet(f"{self.root}/{staging}/model")
+        self._write_model(
+            staging,
+            params,
+            new_fp,
+            idx.centroids,
+            idx.pq_books,
+            idx.opq_rotation,
+            idx.opq_books,
+            idx.lsh,
         )
         new_files = self._publish_staged(staging)
 
@@ -621,25 +648,15 @@ class AnnIndexStore(SnapshotStore):
             m_sub=idx.m_sub,
             ksub=idx.ksub,
         )
-        model_rows = [
-            (
-                "meta",
-                json.dumps(
-                    {**params, "fingerprint": new_fp, "n_vectors": new_fp[0]}
-                ),
-            ),
-            ("centroids", json.dumps(idx.centroids)),
-            ("pq_books", json.dumps(idx.pq_books)),
-            ("opq_rotation", json.dumps(idx.opq_rotation)),
-            ("opq_books", json.dumps(idx.opq_books)),
-            ("lsh", json.dumps(idx.lsh)),
-        ]
-        (
-            self.spark.createDataFrame(model_rows, "component string, payload string")
-            .coalesce(1)
-            .write.option("compression", "zstd")
-            .mode("overwrite")
-            .parquet(f"{self.root}/{staging}/model")
+        self._write_model(
+            staging,
+            params,
+            new_fp,
+            idx.centroids,
+            idx.pq_books,
+            idx.opq_rotation,
+            idx.opq_books,
+            idx.lsh,
         )
         new_files = self._publish_staged(staging)
 

@@ -121,7 +121,20 @@ class BandIndexStore(SnapshotStore):
                 )
             stored_params = stored.get("params")
             if self.params is not None and stored_params is None:
-                # older store created before params were pinned: adopt them
+                # a pre-pinning layout sidecar: adopting the caller's
+                # params is only safe while NO bands are committed — on a
+                # populated store the committed band hashes were derived
+                # with UNKNOWN params, and adopting whatever the first
+                # post-upgrade caller passes would legitimize exactly the
+                # drift the pin exists to catch (review r7 #3)
+                man = self._snapshot()
+                if man and man["files"]:
+                    raise ValueError(
+                        f"BandIndexStore at {self.root} holds committed bands "
+                        f"but its layout predates band-param pinning — the "
+                        f"generator params of the stored rows are unknowable; "
+                        f"rebuild the index to pin {self.params}"
+                    )
                 stored["params"] = self.params
                 self._write_bytes("_layout.json", _json.dumps(stored).encode())
             elif self.params is not None and stored_params != self.params:

@@ -397,6 +397,26 @@ def _doc_term_tf(
     return hits.groupBy(id_col, "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
 
 
+def _split_batch(pdf, text_col: str):
+    """Shared Arrow-kernel tokenization prelude: drop null-text rows (the
+    JVM explode path emits no rows for them), split every text on the
+    literal single space (str.split(" ") == Spark split(col, " ") ==
+    DuckDB string_split — empty strings kept, empty text -> [""]), and
+    return (pdf_nonnull, flat_token_array, per_doc_lens). Parity with the
+    JVM tokenization is LOAD-BEARING (pytest-pinned in two kernels) —
+    one definition keeps every Arrow kernel in lockstep (review r7 #7).
+    flat/lens are None when the batch has no non-null rows."""
+    import numpy as np
+
+    pdf = pdf[pdf[text_col].notna()]
+    if not len(pdf):
+        return pdf, None, None
+    toks_list = [t.split(" ") for t in pdf[text_col]]
+    lens = np.fromiter((len(t) for t in toks_list), np.int64, len(toks_list))
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in toks_list])
+    return pdf, flat, lens
+
+
 def doc_term_tf_arrow(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -422,17 +442,10 @@ def doc_term_tf_arrow(
         import pandas as pd
 
         for pdf in batches:
-            pdf = pdf[pdf[text_col].notna()]
-            if not len(pdf):
+            pdf, flat, lens = _split_batch(pdf, text_col)
+            if flat is None:
                 continue
-            toks_list = [t.split(" ") for t in pdf[text_col]]
-            lens = np.fromiter(
-                (len(t) for t in toks_list), dtype=np.int64, count=len(toks_list)
-            )
-            flat = np.concatenate(
-                [np.asarray(t, dtype=object) for t in toks_list]
-            )
-            doc_idx = np.repeat(np.arange(len(toks_list)), lens)
+            doc_idx = np.repeat(np.arange(len(lens)), lens)
             codes, uniques = pd.factorize(pd.Series(flat), sort=False)
             vocab = np.asarray(uniques, dtype=object)
             key = doc_idx * len(vocab) + codes

@@ -4493,10 +4493,15 @@ def q_curated_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = stored_ids.agg(F.count(F.lit(1)).alias("_nd"))
     pq_ids = ann.codes("pq").select("doc_id")
     opq_ids = ann.codes("opq").select("doc_id")
+    band_man = bands._snapshot()
     band_ids = (
         spark.read.option("basePath", bands.root)
-        .parquet(*[f"{bands.root}/{f}" for f in bands._snapshot()["files"]])
+        .parquet(*[f"{bands.root}/{f}" for f in band_man["files"]])
         .select("doc_id")
+        if band_man and band_man["files"]
+        # an empty/wiped band store is a RED certificate (bands_cover_
+        # corpus=false via zero distinct ids), not a TypeError (review r7)
+        else stored_ids.limit(0)
     )
 
     def _same_ids(ids: DataFrame, n_col: str, d_col: str) -> DataFrame:
@@ -5243,20 +5248,13 @@ def _substring_spans(docs: DataFrame) -> DataFrame:
             dtype=np.uint64,
         )
         for pdf in batches:
-            pdf = pdf[pdf["text"].notna()]
-            if not len(pdf):
+            pdf, flat, lens = TX._split_batch(pdf, "text")
+            if flat is None:
                 continue
-            toks_list = [t.split(" ") for t in pdf["text"]]
-            lens = np.fromiter(
-                (len(t) for t in toks_list), np.int64, len(toks_list)
-            )
             counts = np.clip(lens - 7, 0, None)
             total = int(counts.sum())
             if total == 0:
                 continue
-            flat = np.concatenate(
-                [np.asarray(t, dtype=object) for t in toks_list]
-            )
             h1 = pd.util.hash_array(flat, hash_key="0123456789123456")
             h2 = pd.util.hash_array(flat, hash_key="6543210987654321")
             n = len(flat)

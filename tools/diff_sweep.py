@@ -3,9 +3,12 @@
 Usage: python tools/diff_sweep.py [bench_json] [--band 0.35]
 
 Reads the one-line bench JSON (default: run `python bench.py` and pipe in a
-file path), compares its `sweep` block per-query against SWEEP_BASELINE.json,
-and reports queries outside the noise band (relative, on max(time, 0.2s) so
-sub-100ms queries don't trip on scheduler jitter). Exit 1 if any regression
+file path), compares its `sweep` (and, when present on both sides,
+`sweep_build`) blocks per-query against SWEEP_BASELINE.json, and reports
+queries outside the noise band (relative, on max(time, 0.2s) so sub-100ms
+queries don't trip on scheduler jitter). The two tiers are merged for the
+comparison so a query MOVING between tiers (bench.py r7: the index/model
+build tier split) is neither "missing" nor "new". Exit 1 if any regression
 exceeds the band — the sweep-tier analogue of the headline comparison.
 """
 
@@ -40,11 +43,14 @@ def main() -> int:
         print("usage: python tools/diff_sweep.py <bench_json> [--band 0.35]")
         return 2
     cur = json.load(open(bench_path))
-    sweep = cur.get("sweep")
-    if not sweep:
+    if not cur.get("sweep"):
         print("bench JSON has no `sweep` block (SPARK_GRAFT_SKIP_SWEEP set?)")
         return 2
-    base = json.load(open(os.path.join(ROOT, "SWEEP_BASELINE.json")))["sweep"]
+    # merge the query tier and the build tier on both sides: tier
+    # membership is a reporting split, not an identity change
+    sweep = {**cur.get("sweep", {}), **cur.get("sweep_build", {})}
+    base_doc = json.load(open(os.path.join(ROOT, "SWEEP_BASELINE.json")))
+    base = {**base_doc.get("sweep", {}), **base_doc.get("sweep_build", {})}
 
     regressions, improvements, new = [], [], []
     for name, t in sweep.items():

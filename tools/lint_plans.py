@@ -7,16 +7,21 @@ ANY query the moment it appears — the whole-registry version of
 Checked per query. Building a plan is cheap but NOT always free of jobs:
 the export/ingest/store round-trip queries (sink_export_csv/parquet,
 ingest_jsonl, docstore_snapshot — their write step runs before the
-read-back plan exists), the persisted-ANN-index queries (ann_index_build, ann_index_append,
+read-back plan exists), the persisted-ANN-index queries (ann_index_build,
+ann_index_append, ann_index_delete, curated_index_pipeline,
 topk_similarity_ivf/pq, topk_recall_ivf/pq/opq — first contact per corpus
-trains and commits the index (append: half-build + delta-encode), later
-contacts pay one fingerprint agg),
-knn_join_lsh/knn_recall_self (knn_self_lsh's n_planes=None
-auto-derivation runs one df.count() to size the plane count), and
-dedup_substring (its span stream eager-checkpoints at build — two
-consumers; the hidden-by-checkpoint gram lineage is linted separately via
-registry._substring_spans in tests/test_plans.py) execute
-bounded work during construction; everything else is pure analysis. Flags:
+trains and commits the index (append: half-build + delta-encode; delete:
+build + tombstone + purge; pipeline: the two-batch gate + train), later
+contacts pay one fingerprint agg), knn_join_lsh/knn_recall_self
+(knn_self_lsh's n_planes=None auto-derivation runs one df.count() to
+size the plane count), dedup_substring (its span stream
+eager-checkpoints at build — two consumers; the hidden-by-checkpoint
+gram lineage is linted separately via registry._substring_spans in
+tests/test_plans.py), tfidf_top_terms (eager Arrow tf checkpoint — two
+consumers), and every minhash_candidates consumer (dedup_near_minhash,
+dedup_clusters, dedup_keep_representative — eager bucket checkpoint,
+ADVICE r6) execute bounded work during construction; everything else is
+pure analysis. Flags:
 - CartesianProduct              -> never acceptable
 - BatchEvalPython               -> row-at-a-time Python UDF in the plan
 - BroadcastNestedLoopJoin       -> only on the allowlist (intentional
