@@ -4429,7 +4429,8 @@ def q_ann_index_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
            true AS one_opq_code_per_doc,
            true AS fingerprint_fresh,
            true AS bands_cover_corpus,
-           true AS search_serves_stored_only
+           true AS search_serves_stored_only,
+           true AS deleted_everywhere
     """,
 )
 def q_curated_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4445,8 +4446,14 @@ def q_curated_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality — a missed append or double-encode flips it), the rolled
     fingerprint certifies exactly the stored corpus, the band index covers
     exactly the stored ids, and a live IVF-PQ search over the curated
-    index returns stored docs only. Ensure-semantics: later calls see the
-    fresh fingerprint and re-run only the audit."""
+    index returns stored docs only. The REMOVAL leg composes the delete
+    tier across all three stores (streaming/neardup_ingest.
+    delete_documents): the max source doc_id is dropped from doc rows,
+    band index (bucket-pruned via its stored signature), and ANN codes
+    (tombstone-masked) in one call, and the certificate proves it absent
+    from every tier including the live search. Ensure-semantics: later
+    calls see the fresh fingerprint and the already-absent doomed id and
+    re-run only the audit."""
     import os
 
     from binance_data_framework_spark.ann_index import AnnIndexStore
@@ -4484,6 +4491,23 @@ def q_curated_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ann_store=ann,
                 ann_build_kwargs=build_kwargs,
             )
+        stored = ds.read()
+        idx = ann.load(validate_against=stored.select("doc_id", "embedding"))
+    # removal leg (composes VERDICT r6 #2 across all three tiers): the
+    # max SOURCE doc_id is deleted from store + bands + index in one
+    # delete_documents call. Deterministic and re-run-stable: if the gate
+    # dropped it, deletion is a no-op and the absence audit below holds
+    # identically; once deleted, later calls see it already absent.
+    doomed = (
+        load_table(spark, sf_dir, "documents").agg(F.max("doc_id")).first()[0]
+    )
+    doomed_df = spark.createDataFrame([(doomed,)], "doc_id bigint")
+    if stored.where(F.col("doc_id") == doomed).limit(1).count():
+        from binance_data_framework_spark.streaming.neardup_ingest import (
+            delete_documents,
+        )
+
+        delete_documents(doomed_df, ds, bands, ann_store=ann)
         stored = ds.read()
         idx = ann.load(validate_against=stored.select("doc_id", "embedding"))
     fresh = idx is not None
@@ -4540,11 +4564,33 @@ def q_curated_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("_xh")
         )
     )
+    # the doomed id must be absent from EVERY tier: doc rows, band index,
+    # masked codes, and the live search output
+    gone_stat = (
+        stored_ids.where(F.col("doc_id") == doomed)
+        .agg(F.count(F.lit(1)).alias("_gd"))
+        .crossJoin(
+            band_ids.where(F.col("doc_id") == doomed).agg(
+                F.count(F.lit(1)).alias("_gb")
+            )
+        )
+        .crossJoin(
+            pq_ids.where(F.col("doc_id") == doomed).agg(
+                F.count(F.lit(1)).alias("_gc")
+            )
+        )
+        .crossJoin(
+            hits.where(F.col("doc_id") == doomed).agg(
+                F.count(F.lit(1)).alias("_gh")
+            )
+        )
+    )
     return (
         n_docs.crossJoin(pq_stat)
         .crossJoin(opq_stat)
         .crossJoin(band_stat)
         .crossJoin(search_stat)
+        .crossJoin(gone_stat)
         .select(
             (F.col("_nd") > 0).alias("corpus_nonempty"),
             ((F.col("_npq") == F.col("_nd")) & (F.col("_xpq") == 0)).alias(
@@ -4560,6 +4606,9 @@ def q_curated_index_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("_nh") > 0) & (F.col("_xh") == 0)).alias(
                 "search_serves_stored_only"
             ),
+            (
+                F.col("_gd") + F.col("_gb") + F.col("_gc") + F.col("_gh") == 0
+            ).alias("deleted_everywhere"),
         )
     )
 

@@ -185,6 +185,58 @@ def neardup_gate_batch(
     }
 
 
+def delete_documents(
+    keys: DataFrame,
+    docstore,
+    band_store,
+    ann_store=None,
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    shingle_n: int = 3,
+) -> dict:
+    """First-class removal across EVERY tier of the curated corpus
+    (takedown / opt-out / decontamination): drop the doomed docs' LSH
+    bands bucket-pruned (recomputed from their STORED signatures — a
+    shard-pruned point read, no corpus scan), tombstone their vectors in
+    the committed ANN index (searches exclude them immediately; physical
+    purge rides the next append/rebuild), then delete the doc rows.
+
+    Order is crash-consistent and every step idempotent: the doc row —
+    the source of truth holding the signature the band drop needs — goes
+    LAST, so a crash anywhere leaves the deletion re-runnable (bands
+    re-drop to a no-op, the ANN tombstone set already has the ids, the
+    doc delete completes). Ids never stored are no-ops throughout. The
+    minhash params are validated against the band store's pinned layout
+    (a delete with drifted params would recompute band keys that miss
+    the stored rows — silently leaving them behind)."""
+    band_store.pin_params(
+        {"num_hashes": num_hashes, "num_bands": num_bands, "shingle_n": shingle_n}
+    )
+    keyed = (
+        keys.select(docstore.key_col).distinct().localCheckpoint(eager=True)
+    )
+    doomed = docstore.read_keys(keyed).localCheckpoint(eager=True)
+    n = doomed.count()
+    if n:
+        band_store.compact(
+            drop_bands=minhash_bands(
+                doomed.select(docstore.key_col, "sig"),
+                docstore.key_col,
+                num_bands,
+                num_hashes,
+            )
+        )
+    if ann_store is not None and ann_store.load() is not None:
+        ann_store.delete(
+            keyed.withColumnRenamed(docstore.key_col, ann_store.id_col)
+            if docstore.key_col != ann_store.id_col
+            else keyed
+        )
+    if n:
+        docstore.delete_docs(keyed)
+    return {"requested": keyed.count(), "deleted": n}
+
+
 def stream_neardup_ingest(
     clean: DataFrame,
     docstore,

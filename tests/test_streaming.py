@@ -693,3 +693,64 @@ def test_streaming_gated_ingest_feeds_ann_index(spark, tmp_path):
     run()
     assert ann._snapshot()["version"] == v_ann  # filtered to empty: no commit
     assert ann.codes("pq").count() == 4
+
+
+def test_delete_documents_composes_all_three_tiers(spark, tmp_path):
+    """delete_documents (the removal leg of the curated corpus): one call
+    drops a doc from the DocumentStore, its bands from the band index
+    (bucket-pruned via the stored signature), and its vector from the
+    committed ANN index (tombstone-masked search) — idempotently, with
+    never-stored ids as no-ops."""
+    from binance_data_framework_spark.ann_index import AnnIndexStore
+    from binance_data_framework_spark.docstore import BandIndexStore, DocumentStore
+    from binance_data_framework_spark.streaming.neardup_ingest import (
+        delete_documents,
+        neardup_gate_batch,
+    )
+
+    store = DocumentStore(spark, str(tmp_path / "store"), n_shards=2)
+    bands = BandIndexStore(spark, str(tmp_path / "bands"), n_buckets=4)
+    ann = AnnIndexStore(
+        spark, str(tmp_path / "ann"), id_col="doc_id", vec_col="embedding"
+    )
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "completely different words about spark engines and parquet files"),
+        (3, "a third topic entirely concerning minhash bands and bucket joins"),
+    ]
+    batch = spark.createDataFrame(
+        [
+            (i, t, [float((i * 7 + j * 3) % 11) - 5 + 0.1 * j for j in range(8)])
+            for i, t in texts
+        ],
+        "doc_id bigint, text string, embedding array<double>",
+    )
+    neardup_gate_batch(
+        batch, store, bands,
+        ann_store=ann,
+        ann_build_kwargs=dict(dim=8, n_centroids=2, m_sub=4, ksub=4),
+    )
+    assert {r["doc_id"] for r in store.read().collect()} == {1, 2, 3}
+
+    out = delete_documents(
+        spark.createDataFrame([(2,), (99,)], "doc_id bigint"), store, bands, ann
+    )
+    assert out == {"requested": 2, "deleted": 1}  # 99 was never stored
+    assert {r["doc_id"] for r in store.read().collect()} == {1, 3}
+    # bands gone: doc 2's own bands no longer produce a stored candidate
+    from binance_data_framework_spark.operators.dedup import (
+        minhash_bands,
+        minhash_signature,
+    )
+
+    probe = minhash_bands(minhash_signature(batch.where("doc_id = 2")))
+    assert bands.candidates(probe).where("id_stored = 2").count() == 0
+    # ANN: tombstoned out of the masked code view
+    assert ann.codes("pq").where("doc_id = 2").count() == 0
+    assert ann.codes("pq", masked=False).where("doc_id = 2").count() == 1
+    # idempotent re-run: no further change, no error
+    out2 = delete_documents(
+        spark.createDataFrame([(2,)], "doc_id bigint"), store, bands, ann
+    )
+    assert out2["deleted"] == 0
+    assert {r["doc_id"] for r in store.read().collect()} == {1, 3}
