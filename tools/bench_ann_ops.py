@@ -1,0 +1,161 @@
+"""Measured cost of every ANN index lifecycle op vs corpus size.
+
+The scaling claim the delete tier (VERDICT r6 #2) rests on: at 100 TB
+you cannot rebuild an index to forget a document, so append / delete /
+purge / search must cost O(delta | tombstones | probed cells), never
+O(corpus). This bench runs the full lifecycle against a FRESH root at
+two corpus decades (sf0.1 = 2k vectors, _scratch/sf10 = 200k) with
+FIXED-SIZE op inputs (2000-vector append delta, 100-id delete set,
+5-probe search), and records per-op seconds into BENCH_SCALING.json
+under ``ann_ops``. Build is the one op that is supposed to scale with
+the corpus (training + full encode); everything after it should be
+~flat across the two decades — the measured analogue of the
+neardup_gate flat-batch-cost point, for the index tier.
+
+Known corpus-sized terms at fixture scale (documented, not hidden):
+append's duplicate-id guard and delete's chash lookup are column-pruned
+scans of the committed id column — bytes proportional to the index's id
+column, not its vectors; purge reads only the (variant, cell)
+partitions holding tombstoned rows.
+
+Usage: python tools/bench_ann_ops.py [small_dir] [big_dir] [runs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from binance_data_framework_spark.ann_index import AnnIndexStore
+from binance_data_framework_spark.operators import similarity as S
+from binance_data_framework_spark.session import get_spark
+from binance_data_framework_spark.sources.fixtures import load_table
+
+DELTA_ROWS = 2000
+DELETE_IDS = 100
+NPROBE = 4
+
+
+def run_point(spark, sf_dir: str, root: str) -> dict:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n = emb.count()
+    if os.path.exists(root):
+        shutil.rmtree(root)
+    st = AnnIndexStore(spark, root)
+    times: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    idx = st.build(emb)
+    times["build_sec"] = time.perf_counter() - t0
+
+    # fixed-size delta: the DELTA_ROWS lowest ids re-enter under new ids
+    # (same vectors — the op cost does not depend on the values)
+    delta = (
+        emb.orderBy("vec_id")
+        .limit(DELTA_ROWS)
+        .select(
+            (F.col("vec_id") + F.lit(1_000_000_000)).alias("vec_id"),
+            "embedding",
+        )
+    )
+    t0 = time.perf_counter()
+    idx = st.append(delta)
+    times["append_sec"] = time.perf_counter() - t0
+
+    doomed = emb.orderBy("vec_id").limit(DELETE_IDS).select("vec_id")
+    t0 = time.perf_counter()
+    idx = st.delete(doomed)
+    times["delete_sec"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_purged = st.purge_tombstones()
+    times["purge_sec"] = time.perf_counter() - t0
+    assert n_purged == DELETE_IDS, (n_purged, DELETE_IDS)
+
+    # committed-index search: probe cells resolved driver-side from the
+    # persisted centroids (model-sized math), codes read cell-pruned
+    probes = emb.where(F.col("vec_id").isin([100, 101, 102, 103, 104]))
+    pv = np.array(
+        [r["embedding"] for r in probes.collect()]
+    )  # 5 x dim — probe-sized by construction
+    cent = np.array(idx.centroids)
+    d2 = ((pv[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    cells = sorted({int(c) for row in d2 for c in np.argsort(row)[:NPROBE]})
+    t0 = time.perf_counter()
+    S.topk_cosine_ivfpq(
+        emb,
+        F.col("vec_id").isin([100, 101, 102, 103, 104]),
+        k=10,
+        centroids=idx.centroids,
+        books=idx.pq_books,
+        coded=st.codes("pq", cells=cells),
+    ).write.format("noop").mode("overwrite").save()
+    times["search_sec"] = time.perf_counter() - t0
+
+    return {
+        "n_vectors": n,
+        "n_probed_cells": len(cells),
+        **{k: round(v, 3) for k, v in times.items()},
+    }
+
+
+def main() -> int:
+    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    big = sys.argv[2] if len(sys.argv) > 2 else "_scratch/sf10"
+    runs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    spark = get_spark("bench-ann-ops")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    points: dict[str, dict] = {}
+    for tag, sf_dir in (("small", small), ("big", big)):
+        root = os.path.join("_scratch", f"bench_ann_ops_{tag}")
+        best: dict | None = None
+        for _ in range(runs):  # fresh root per run: ops mutate state
+            rec = run_point(spark, sf_dir, root)
+            if best is None:
+                best = rec
+            else:
+                for k, v in rec.items():
+                    if k.endswith("_sec"):
+                        best[k] = min(best[k], v)
+        points[tag] = {"dir": sf_dir, **best}
+        print(f"{tag}: {json.dumps(points[tag])}", flush=True)
+        shutil.rmtree(root, ignore_errors=True)
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_SCALING.json",
+    )
+    doc = json.load(open(path)) if os.path.exists(path) else {}
+    doc["ann_ops"] = {
+        "method": (
+            "full index lifecycle against a FRESH root per run, best-of-"
+            f"{runs} per op; fixed-size op inputs ({DELTA_ROWS}-vector "
+            f"append delta, {DELETE_IDS}-id delete, 5-probe/{NPROBE}-cell "
+            "search) against corpora two decades apart. build is the one "
+            "corpus-sized op (training + full encode); append/delete/"
+            "purge/search flat-ness across the decades is the index-tier "
+            "analogue of the neardup_gate point."
+        ),
+        "points": points,
+    }
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=2)
+        f.write("\n")
+    print(f"wrote {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
