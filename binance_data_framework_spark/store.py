@@ -69,6 +69,7 @@ layouts a 100 TB deployment actually lives on.
 from __future__ import annotations
 
 import json
+import os
 import threading
 import time
 import uuid
@@ -137,6 +138,16 @@ class SnapshotStore:
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
+        # a RELATIVE local root would resolve per-filesystem-call against
+        # the process cwd, and the store-relative manifest paths are
+        # computed by URI-prefix comparison against `root` — a relative
+        # prefix never matches the absolute listing paths, mangling every
+        # published path. Raise up front instead of failing mid-commit.
+        if "://" not in root and not os.path.isabs(root):
+            raise ValueError(
+                f"store root must be an absolute path or a scheme:// URI, "
+                f"got relative {root!r}"
+            )
         self.root = root.rstrip("/")
         # serializes the read-rebase-commit critical section so concurrent
         # DIFFERENT-series writers on this root (e.g. load_many's per-symbol

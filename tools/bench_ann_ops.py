@@ -119,7 +119,13 @@ def main() -> int:
 
     points: dict[str, dict] = {}
     for tag, sf_dir in (("small", small), ("big", big)):
-        root = os.path.join("_scratch", f"bench_ann_ops_{tag}")
+        # absolute: SnapshotStore roots must be absolute paths (relative
+        # ones break the store-relative path arithmetic)
+        root = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "_scratch",
+            f"bench_ann_ops_{tag}",
+        )
         best: dict | None = None
         for _ in range(runs):  # fresh root per run: ops mutate state
             rec = run_point(spark, sf_dir, root)
