@@ -226,12 +226,89 @@ def minhash_signature_portable(
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Engine-portable MinHash signatures: identical slot mixes to
-    minhash_signature (_sig_from_h31) over an engine-portable 31-bit
-    shingle hash instead of xxhash64 — DuckDB reproduces it with list
-    lambdas, which is what lets the driver hash-match the full MinHash+LSH
-    pipeline. Production uses minhash_signature (same structure, JVM-native
-    base hash).
+    """Engine-portable MinHash signatures via ONE vectorized Arrow kernel
+    (r7): token hashes from the shared segmented-Horner core
+    (_batch_token_h1h2), the shingle fold as shingle_n-1 shifted vector
+    Horner steps over the whole batch's flat token stream (doc boundaries
+    masked by index selection, exactly as _substring_spans), short-doc
+    (< shingle_n tokens) folds seeded with 7 over all tokens, then every
+    slot min as one (a_i*g + b_i) % M broadcast + np.minimum.reduceat
+    over the per-doc gram offsets. Bit-identical to the interpreted-HOF
+    form it replaces — minhash_signature_portable_hof below is kept as
+    the pinned reference (pytest asserts row-identical signatures,
+    including null/empty/short-doc edges) and the DuckDB oracles replay
+    the same arithmetic unchanged. Measured at the 500k-doc fixture the
+    HOF shingle fold + 16 interpreted slot passes were the dedup tier's
+    remaining cost floor after the r6 token-hash kernel.
+
+    Why portable at all: DuckDB reproduces the 31-bit arithmetic with
+    list lambdas, which is what lets the driver hash-match the full
+    MinHash+LSH pipeline. Production uses minhash_signature (same
+    structure, JVM-native xxhash64 base)."""
+    M1, P = 2147483647, 1000003
+
+    @pandas_udf("array<long>")
+    def kernel(texts: pd.Series) -> pd.Series:
+        if not len(texts):
+            return pd.Series([], dtype=object)
+        h1, h2, offsets, isnull = _batch_token_h1h2(texts)
+        th = (h1 * 2654435761 + h2) % 2147483648
+        lens = np.diff(offsets)
+        n_tok = len(th)
+        # windowed shingle fold across the flat stream (cross-doc windows
+        # computed but never selected)
+        if n_tok >= shingle_n:
+            w = th[: n_tok - shingle_n + 1].copy()
+            for k in range(1, shingle_n):
+                w = (w * P + th[k : n_tok - shingle_n + 1 + k]) % M1
+        else:
+            w = np.empty(0, dtype=np.int64)
+        is_short = lens < shingle_n
+        counts = np.where(is_short, 1, np.clip(lens - shingle_n + 1, 1, None))
+        # short docs: ONE shingle = Horner fold of all token hashes, init 7
+        short_idx = np.flatnonzero(is_short)
+        sh = np.full(len(lens), 7, dtype=np.int64)
+        max_short = int(lens[short_idx].max()) if len(short_idx) else 0
+        doc_starts = offsets[:-1]
+        for k in range(max_short):
+            m = short_idx[lens[short_idx] > k]
+            sh[m] = (sh[m] * P + th[doc_starts[m] + k]) % M1
+        goff = np.concatenate(([0], np.cumsum(counts)))
+        grams = np.empty(int(goff[-1]), dtype=np.int64)
+        full_idx = np.flatnonzero(~is_short)
+        if len(full_idx):
+            cnts = counts[full_idx]
+            rep = np.repeat(np.arange(len(full_idx)), cnts)
+            cum = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+            pos = np.arange(int(cnts.sum())) - np.repeat(cum, cnts)
+            grams[goff[full_idx][rep] + pos] = w[
+                doc_starts[full_idx][rep] + pos
+            ]
+        grams[goff[short_idx]] = sh[short_idx]
+        sig = np.empty((len(lens), num_hashes), dtype=np.int64)
+        for i in range(num_hashes):
+            v = (grams * (2654435761 + 2 * i) + (40503 * i + 1)) % M1
+            sig[:, i] = np.minimum.reduceat(v, goff[:-1])
+        out = [sig[i].tolist() for i in range(len(texts))]
+        for i in np.flatnonzero(isnull):
+            # HOF parity: null text -> an array of num_hashes NULL slots
+            out[i] = [None] * num_hashes
+        return pd.Series(out, dtype=object)
+
+    return df.select(
+        F.col(id_col), kernel(F.col(text_col)).alias("sig")
+    )
+
+
+def minhash_signature_portable_hof(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The interpreted-HOF portable-signature form the Arrow kernel
+    replaced — kept as the pin-test reference (exact arithmetic spec).
 
     The shingle hash is TOKEN-level: each token is polynomial-hashed once
     (portable_shingle_hash31) and a shingle's hash is the Horner fold of

@@ -311,6 +311,50 @@ def test_minhash_slots_are_independent(spark, sf_dir):
         assert frac > 0, sig_fn.__name__
 
 
+def test_minhash_portable_kernel_matches_hof(spark, sf_dir):
+    """The vectorized Arrow portable-signature kernel (r7) is pinned
+    BIT-IDENTICAL to the interpreted-HOF reference form it replaced
+    (minhash_signature_portable_hof — the exact arithmetic the DuckDB
+    oracles replay), across the corpus AND the split-semantics edges:
+    null text (null-slot array), empty text (one empty token), pure/
+    doubled/leading/trailing spaces (empty tokens keep the init state),
+    sub-shingle docs (single init-7 fold), unicode code points, and
+    non-default (num_hashes, shingle_n)."""
+    edge = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, " "),
+            (4, "  "),
+            (5, "a"),
+            (6, "a b"),
+            (7, "a b c"),
+            (8, "a b c d"),
+            (9, "héllo wörld ünïcode test"),
+            (10, "x y z x y z x y z"),
+            (11, "trailing space "),
+            (12, " leading"),
+        ],
+        "doc_id bigint, text string",
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    for nh, sn in ((16, 3), (8, 2)):
+        for frame in (edge, docs):
+            got = {
+                r["doc_id"]: r["sig"]
+                for r in D.minhash_signature_portable(
+                    frame, num_hashes=nh, shingle_n=sn
+                ).collect()
+            }
+            want = {
+                r["doc_id"]: r["sig"]
+                for r in D.minhash_signature_portable_hof(
+                    frame, num_hashes=nh, shingle_n=sn
+                ).collect()
+            }
+            assert got == want, (nh, sn)
+
+
 def test_minhash_candidates_rejects_degenerate_bands(spark, sf_dir):
     """Band counts that don't divide the signature (dropped trailing
     slots) or exceed it (zero-length slices -> one constant band key ->
