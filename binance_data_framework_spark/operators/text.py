@@ -565,41 +565,49 @@ def unigram_logprob(
     boilerplate scores high). No OOV smoothing needed: every token's
     corpus frequency is ≥ 1 by construction.
 
-    Scale shape (r7 rewrite — VERDICT r6 #4): the per-doc (doc, term) tf
-    decomposition is UNNECESSARY here — sum over distinct terms of
-    tf * log(p) equals sum over raw occurrences of log(p) — so the
-    expensive per-doc-vocab hash aggregate (measured 33 s of the 100x
-    wall-time on its own) is gone entirely. What remains is two narrow
-    passes over the exploded occurrences feeding TINY aggregates (the
-    vocab-sized unigram model and the 500k-group per-doc sum, both
-    map-side partial-aggregated, so only vocab/doc-count rows shuffle)
-    and a term-keyed equi-join of occurrences to the model. The model
-    side is an EXPLICIT broadcast (the bm25 precedent): a unigram LM is
-    vocab-bounded by construction — and Catalyst's size estimate for an
-    explode output is unusable (measured: left unforced, it chose
-    BuildLeft and broadcast the 27M-row OCCURRENCES side, 33 s -> 58 s).
-    The total-token count is a 1-row broadcast cross join; the corpus is
-    scanned, never collected. Rounded at 6 dp, where the occurrence-order
-    float sum agrees with the tf-weighted oracle form."""
+    Scale shape (r7, second pass): tf comes from the Arrow term-counting
+    kernel (doc_term_tf_arrow — shuffle-free; the exploded-groupBy form's
+    per-doc-vocab JVM hash aggregate measured 33 s on its own at the 100x
+    fixture) and is eager-checkpointed because the LM aggregate and the
+    scoring join both consume it (a lazy checkpoint recomputes upstream
+    per consumer within the first action — r6 lesson). The LM join is a
+    SIZE-GATED term-keyed equi-join (the dedup hybrid-scorer precedent):
+    the LM dictionary is eager-checkpointed, its row count (a model-sized
+    action on the already-materialized 2-column dictionary) picks the
+    join strategy. An unconditionally forced broadcast is wrong at crawl
+    scale — vocab grows with the corpus (Heaps' law; with the typo tail a
+    web-scale LM can be executor-sized) — but leaving the choice to AQE
+    is not free either: AQE only converts the SortMergeJoin AFTER the tf
+    side's shuffle map write has already run, and that wasted write
+    measured 90 s of 182 s at the 5M-doc fixture (the explicit-broadcast
+    plan ran 116 s against the same data). The explicit runtime gate
+    takes the broadcast whenever the dictionary is genuinely bounded and
+    falls back to the shuffle join when it is not — adaptive like AQE,
+    without paying the left side's map write to find out. Joining at tf
+    grain instead of occurrence grain also shrinks the join input from
+    one row per token to one per distinct (doc, term). The total-token
+    count stays a 1-row broadcast cross join; the corpus is scanned,
+    never collected. Rounded at 6 dp; the tf-weighted sum is the
+    oracle's own form."""
     toks = tokens_col(text_col)
-    # dl pre-computed before the explode — see _doc_term_tf's note (a
-    # post-Generate size(split()) re-splits the text once per token)
-    occ = df.select(
-        F.col(id_col),
-        F.size(toks).cast("long").alias("dl"),
-        toks.alias("_toks"),
-    ).select(id_col, "dl", F.explode("_toks").alias("term"))
-    freqs = occ.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("freq")
+    tf = doc_term_tf_arrow(df, text_col, id_col).localCheckpoint(eager=True)
+    freqs = tf.groupBy("term").agg(F.sum("tf").alias("freq")).localCheckpoint(
+        eager=True
     )
+    # ~1M rows x ~25 B of (term, freq) ~ 25 MB hashed relation — inside
+    # the comfortable executor-broadcast envelope; beyond it, shuffle
+    model = F.broadcast(freqs) if freqs.count() <= 1_000_000 else freqs
     total = df.agg(F.sum(F.size(toks)).cast("double").alias("total_tokens"))
     return (
-        occ.join(F.broadcast(freqs), "term")
+        tf.join(model, "term")
         .crossJoin(F.broadcast(total))
         .groupBy(id_col, "dl")
         .agg(
             F.round(
-                F.sum(F.log(F.col("freq").cast("double") / F.col("total_tokens")))
+                F.sum(
+                    F.col("tf").cast("double")
+                    * F.log(F.col("freq").cast("double") / F.col("total_tokens"))
+                )
                 / F.col("dl"),
                 6,
             ).alias("avg_logprob")

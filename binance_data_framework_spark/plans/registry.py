@@ -4822,9 +4822,11 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style quality proxy: per-doc mean log-probability under the
-    corpus unigram LM (rare-token docs rank low, boilerplate high). One
-    (doc, term) shuffle; the unigram model joins back on the term key
-    (AQE broadcasts when it is small) — see TX.unigram_logprob."""
+    corpus unigram LM (rare-token docs rank low, boilerplate high).
+    Arrow term-count kernel at tf grain; the unigram model joins back on
+    the term key through a size-gated strategy (broadcast iff the
+    dictionary is measured bounded — vocab grows with a crawl corpus,
+    so it is never assumed) — see TX.unigram_logprob."""
     docs = load_table(spark, sf_dir, "documents")
     return TX.unigram_logprob(docs)
 

@@ -18,7 +18,9 @@ size the plane count), dedup_substring (its span stream
 eager-checkpoints at build — two consumers; the hidden-by-checkpoint
 gram lineage is linted separately via registry._substring_spans in
 tests/test_plans.py), tfidf_top_terms (eager Arrow tf checkpoint — two
-consumers), and every minhash_candidates consumer (dedup_near_minhash,
+consumers), text_unigram_logprob (eager tf + LM-dictionary checkpoints;
+one dictionary count() sizes the join gate), and every
+minhash_candidates consumer (dedup_near_minhash,
 dedup_clusters, dedup_keep_representative — eager bucket checkpoint,
 ADVICE r6) execute bounded work during construction; everything else is
 pure analysis. Flags:
