@@ -25,7 +25,14 @@ def get_spark(
     """
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if shuffle_partitions is None:
-        shuffle_partitions = cpus
+        # default: one shuffle partition per core. At larger SFs set
+        # SPARK_GRAFT_SHUFFLE_PARTITIONS so each partition still fits in
+        # executor memory (AQE coalesces small ones back; it does NOT
+        # split an oversized hash-aggregate partition mid-stage) — the
+        # factor-1000 local fixture runs with 128.
+        shuffle_partitions = int(
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.session.timeZone", "UTC")

@@ -26,8 +26,13 @@ Deterministic end to end (DuckDB SQL + seeded numpy). Output schema is
 asserted identical to the source dir's, so load_table's dtype handling is
 exercised unchanged.
 
-Usage: python tools/make_scale_fixture.py SRC_DIR DST_DIR [FACTOR=10]
-"""
+Usage: python tools/make_scale_fixture.py SRC_DIR DST_DIR [FACTOR=10] [TABLES]
+
+TABLES (optional, comma-separated) restricts the build to a subset —
+the doc-tier third decade (factor 1000) builds only
+``documents,embeddings,events``: the TPC-H fact tables at 1000× sf0.1
+(~600M lineitems, ~60 GB) exceed the host's disk, and the third-decade
+question being answered is about the LLM-data tier."""
 
 from __future__ import annotations
 
@@ -163,30 +168,40 @@ def main() -> int:
     src_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst_dir = sys.argv[2] if len(sys.argv) > 2 else "_scratch/sf1"
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    built = [t for t in TABLES if only is None or t in only]
     os.makedirs(dst_dir, exist_ok=True)
     con = duckdb.connect()
-    con.execute(
-        f"COPY ({_docs_sql(f'{src_dir}/documents.parquet', factor)}) "
-        f"TO '{dst_dir}/documents.parquet' (FORMAT PARQUET)"
-    )
-    con.execute(
-        f"COPY ({_events_sql(f'{src_dir}/events.parquet', factor)}) "
-        f"TO '{dst_dir}/events.parquet' (FORMAT PARQUET)"
-    )
-    _scale_embeddings(
-        f"{src_dir}/embeddings.parquet", f"{dst_dir}/embeddings.parquet", factor
-    )
+    # a factor-F build is an F-part UNION ALL; the default parser depth
+    # cap trips at F ~ 1000
+    con.execute(f"SET max_expression_depth TO {max(1000, 4 * factor)}")
+    if "documents" in built:
+        con.execute(
+            f"COPY ({_docs_sql(f'{src_dir}/documents.parquet', factor)}) "
+            f"TO '{dst_dir}/documents.parquet' (FORMAT PARQUET)"
+        )
+    if "events" in built:
+        con.execute(
+            f"COPY ({_events_sql(f'{src_dir}/events.parquet', factor)}) "
+            f"TO '{dst_dir}/events.parquet' (FORMAT PARQUET)"
+        )
+    if "embeddings" in built:
+        _scale_embeddings(
+            f"{src_dir}/embeddings.parquet", f"{dst_dir}/embeddings.parquet", factor
+        )
     for t in ("customer", "orders", "lineitem"):
-        con.execute(
-            f"COPY ({_tpch_sql(src_dir, t, factor)}) "
-            f"TO '{dst_dir}/{t}.parquet' (FORMAT PARQUET)"
-        )
-    for t in DIM_TABLES:  # dimensions copy through fixture-sized
-        con.execute(
-            f"COPY (SELECT * FROM read_parquet('{src_dir}/{t}.parquet')) "
-            f"TO '{dst_dir}/{t}.parquet' (FORMAT PARQUET)"
-        )
-    for t in TABLES:
+        if t in built:
+            con.execute(
+                f"COPY ({_tpch_sql(src_dir, t, factor)}) "
+                f"TO '{dst_dir}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    if only is None:
+        for t in DIM_TABLES:  # dimensions copy through fixture-sized
+            con.execute(
+                f"COPY (SELECT * FROM read_parquet('{src_dir}/{t}.parquet')) "
+                f"TO '{dst_dir}/{t}.parquet' (FORMAT PARQUET)"
+            )
+    for t in built:
         src_schema = pq.read_schema(f"{src_dir}/{t}.parquet")
         dst_schema = pq.read_schema(f"{dst_dir}/{t}.parquet")
         for f in src_schema:
