@@ -935,13 +935,50 @@ def knn_self_lsh(
     cands = exploded.groupBy("_t", "_b").applyInPandas(
         _bucket_topk, f"id_a {id_type}, id_b {id_type}, cosine double"
     )
-    # a pair can surface from several tables: collapse to one row with a
-    # deterministic value (max over the per-bucket BLAS results, which can
-    # differ in the last ulp), then the global per-source top-k
-    pairs = cands.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
-    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.col("id_b"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("long"))
-        .where(F.col("rank") <= k)
-        .select("id_a", "id_b", "cosine", "rank")
+
+    return collapse_pair_topk(cands, k, id_type)
+
+
+def collapse_pair_topk(cands: DataFrame, k: int, id_type: str) -> DataFrame:
+    """Collapse multi-table candidate pairs (id_a, id_b, cosine) to one row
+    per pair (max cosine — per-bucket BLAS results can differ in the last
+    ulp) and keep each source's top-k by (cosine desc, id_b asc), ranked.
+
+    One id_a-keyed exchange + a whole-partition Arrow kernel — NOT
+    groupBy(id_a, id_b).max + a row_number window: that form pays a JVM
+    hash aggregate producing one group per surviving pair (the measured
+    33 s / 27M-row shape from the r7 token-count work — candidate rows
+    here are n x k x n_tables) plus a SECOND exchange for the window's
+    id_a clustering. The kernel does the same dedup + rank as two stable
+    vector sorts inside one partition pass; hash-partitioning on id_a
+    alone co-locates every (id_a, id_b) row, and per-partition memory is
+    candidate_rows / shuffle_partitions — the same knob that bounds every
+    shuffle task. Row-identical to the agg+window form by construction
+    (stable sort -> first row per pair is its max; positional index per
+    id_a run -> row_number) — pinned by pytest on adversarial inputs
+    (cross-partition duplicates, ulp-split pairs, k-boundary ties)."""
+
+    def _collapse(batches):
+        chunks = [c for c in batches if len(c)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values(
+            ["id_a", "id_b", "cosine"],
+            ascending=[True, True, False],
+            kind="mergesort",
+        ).drop_duplicates(["id_a", "id_b"], keep="first")
+        pdf = pdf.sort_values(
+            ["id_a", "cosine", "id_b"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        rank = pdf.groupby("id_a", sort=False).cumcount().to_numpy() + 1
+        keep = rank <= k
+        out = pdf.loc[keep, ["id_a", "id_b", "cosine"]]
+        out = out.assign(rank=rank[keep])
+        yield out
+
+    return cands.repartition("id_a").mapInPandas(
+        _collapse, f"id_a {id_type}, id_b {id_type}, cosine double, rank bigint"
     )

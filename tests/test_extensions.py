@@ -586,6 +586,45 @@ def test_knn_self_guards_duplicate_ids_and_generic_id_type(spark):
     assert all(r["id_a"] != r["id_b"] for r in sout)
 
 
+def test_collapse_pair_topk_matches_agg_window_form(spark):
+    """The Arrow collapse kernel behind knn_self_lsh must be row-identical
+    to the groupBy(max)+row_number window form it replaced (r7), on
+    adversarial candidate input: the same pair surfacing from several
+    tables with last-ulp-different cosines, pairs split across input
+    partitions, exact ties at the k boundary, and a source with fewer
+    than k candidates."""
+    from pyspark.sql import Window
+
+    rows = []
+    for a in range(8):
+        for b in range(12):
+            if a == b:
+                continue
+            base = 1.0 - 0.01 * ((a * 7 + b * 3) % 40)
+            rows.append((a, b, base))
+            if (a + b) % 3 == 0:  # multi-table duplicate, one ulp apart
+                rows.append((a, b, base + 1e-15))
+            if (a + b) % 4 == 0:  # exact duplicate from a third table
+                rows.append((a, b, base))
+    rows += [(100, 101, 0.5), (100, 102, 0.5), (100, 103, 0.5)]  # k-boundary tie
+    rows += [(200, 201, 0.9)]  # fewer than k candidates
+    cands = spark.createDataFrame(
+        rows, "id_a bigint, id_b bigint, cosine double"
+    ).repartition(7)  # split pair duplicates across partitions
+
+    got = {tuple(r) for r in S.collapse_pair_topk(cands, 3, "bigint").collect()}
+
+    pairs = cands.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
+    w = Window.partitionBy("id_a").orderBy(F.desc("cosine"), F.col("id_b"))
+    ref = {
+        tuple(r)
+        for r in pairs.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 3)
+        .collect()
+    }
+    assert got == ref and len(got) >= 8 * 3 + 3 + 1
+
+
 def test_minhash_large_bucket_path_matches_hof_path(spark, monkeypatch):
     """The hybrid bucket scorer's two paths must be interchangeable: with
     the HOF cap forced to 0, every bucket routes through the chunked
