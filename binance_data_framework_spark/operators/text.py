@@ -480,16 +480,24 @@ def tfidf_top_terms(
     term-counting kernel (doc_term_tf_arrow — shuffle-free, ~6x the
     exploded-groupBy form at the 100x fixture) and is EAGER-checkpointed
     because both the df dictionary and the scoring join consume it under
-    separate actions. The df join is a plain term-keyed equi-join — NOT a
-    forced broadcast: a web-scale corpus's term dictionary (typo tail
-    included) can be executor-sized, so AQE picks broadcast only when the
-    dictionary really is small. N is a 1-row broadcast cross join.
+    separate actions. The df join is SIZE-GATED (the unigram_logprob
+    pattern): never force-broadcast — a web-scale corpus's term
+    dictionary (typo tail included) can be executor-sized — but don't
+    leave it to AQE either, which only converts the SortMergeJoin after
+    the tf side's shuffle map write has already run (measured 90 s of
+    182 s wasted on the unigram twin at the 5M-doc fixture). The
+    dictionary is checkpointed, its row count (model-sized action) picks
+    broadcast vs shuffle join. N is a 1-row broadcast cross join.
     Ranking windows are keyed by doc. Rank on the ROUNDED score so the
     ordering is reproducible across engines."""
     from pyspark.sql import Window
 
     tf = doc_term_tf_arrow(df, text_col, id_col).localCheckpoint(eager=True)
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df")).localCheckpoint(
+        eager=True
+    )
+    if df_t.count() <= 1_000_000:  # ~25 MB hashed relation — see unigram
+        df_t = F.broadcast(df_t)
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(df_t, "term")

@@ -17,10 +17,9 @@ contacts pay one fingerprint agg), knn_join_lsh/knn_recall_self
 size the plane count), dedup_substring (its span stream
 eager-checkpoints at build — two consumers; the hidden-by-checkpoint
 gram lineage is linted separately via registry._substring_spans in
-tests/test_plans.py), tfidf_top_terms (eager Arrow tf checkpoint — two
-consumers), text_unigram_logprob (eager tf + LM-dictionary checkpoints;
-one dictionary count() sizes the join gate), and every
-minhash_candidates consumer (dedup_near_minhash,
+tests/test_plans.py), tfidf_top_terms and text_unigram_logprob (eager Arrow tf + dictionary
+checkpoints — two consumers; one dictionary count() sizes each one's
+join gate), and every minhash_candidates consumer (dedup_near_minhash,
 dedup_clusters, dedup_keep_representative — eager bucket checkpoint,
 ADVICE r6) execute bounded work during construction; everything else is
 pure analysis. Flags:
