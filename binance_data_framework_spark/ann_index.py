@@ -137,7 +137,7 @@ class AnnIndexStore(SnapshotStore):
         self,
         df: DataFrame,
         dim: int = 64,
-        n_centroids: int = 16,
+        n_centroids: int | None = None,
         m_sub: int = 8,
         ksub: int = 16,
         lsh_planes: int = 4,
@@ -149,10 +149,20 @@ class AnnIndexStore(SnapshotStore):
         returned without any training (idempotent ensure-built semantics —
         what a scheduler wants); ``force`` always retrains.
 
+        n_centroids=None (the default) derives the IVF cell count from the
+        corpus size (S.auto_centroids — ~2000 vectors/cell, the auto_planes
+        rule applied to the index tier), using the count the fingerprint
+        aggregate already computed; a pinned value certified at one corpus
+        size makes probed-cell search candidates grow linearly with the
+        corpus (three-decade ann_ops measurement). Pass an explicit value
+        to pin a certified setting.
+
         One build = IVF k-means + plain-PQ codebooks + OPQ (rotation +
         codebooks) + two vectorized encode passes writing the
         cell-partitioned code layout + one commit."""
         fp = self._fingerprint(df)
+        if n_centroids is None:
+            n_centroids = S.auto_centroids(fp[0])
         params = dict(dim=dim, n_centroids=n_centroids, m_sub=m_sub, ksub=ksub)
         if not force:
             existing = self.load(validate_against=None)

@@ -818,6 +818,32 @@ def auto_planes(n: int, target_bucket: int = 250) -> int:
     return max(2, min(16, math.ceil(math.log2(max(n, 2) / target_bucket))))
 
 
+def auto_centroids(n: int, target_cell: int = 100_000) -> int:
+    """IVF centroid count that keeps expected cell occupancy ~target_cell
+    at corpus size n — the auto_planes rule applied to the index tier. A
+    FIXED n_centroids certified at one scale means cell size (and so the
+    candidate volume of every nprobe-cell search) grows linearly with the
+    corpus — at 10^10 vectors a pinned 16 makes 4 probed cells read 2.5B
+    codes. Deriving it from n bounds per-cell candidates, which is what
+    makes committed-index search O(probed cells), not O(corpus).
+
+    The occupancy target is deliberately ~400x auto_planes' bucket
+    target: per-BUCKET cost is quadratic in occupancy (the LSH self-join
+    scores pairs), so buckets must stay small; per-CELL cost is linear
+    (an ADC scan of 8-16 B codes), so the target is sized by IO
+    granularity instead — ~100k codes ≈ a 1-2 MB cell file. Measured at
+    the 2M-vector fixture (BENCH_SCALING ann_ops, r7): target_cell=2000
+    (1000 cells) made build/append/delete/purge 1.5-4x SLOWER paying a
+    1000-way partitioned write + 62x assign flops while search did not
+    improve — probed candidate volume only dominates search beyond
+    fixture scale; at 100k the rule resolves to the certified 16 at
+    every current fixture and bites exactly when cells outgrow their IO
+    sweet spot. Clamped to [16, 65536] (a 65k x dim float centroid model
+    is the most the flat k-means collect should carry — past that the
+    training wants hierarchical / sharded k-means) and to n itself."""
+    return max(1, min(n, min(65536, max(16, math.ceil(n / target_cell)))))
+
+
 def knn_self_lsh(
     df: DataFrame,
     k: int = 5,

@@ -541,6 +541,22 @@ def test_auto_planes_tracks_corpus_size():
         assert n / 2 ** S.auto_planes(n) <= 250
 
 
+def test_auto_centroids_tracks_corpus_size():
+    # every current fixture resolves to the certified 16 (the rule must
+    # not perturb oracle-checked searches at measured scales)...
+    assert S.auto_centroids(200) == 16
+    assert S.auto_centroids(2000) == 16
+    assert S.auto_centroids(200000) == 16
+    # ...and bites beyond, holding per-cell occupancy ~target
+    assert S.auto_centroids(2_000_000) == 20
+    assert S.auto_centroids(10**8) == 1000
+    assert S.auto_centroids(10**12) == 65536  # model-size ceiling
+    assert S.auto_centroids(5) == 5           # never more cells than vectors
+    assert S.auto_centroids(0) == 1           # degenerate corpus doesn't crash
+    for n in (10**6, 10**7, 10**8, 10**9):
+        assert n / S.auto_centroids(n) <= 100_000 + 1
+
+
 def test_knn_self_blocked_invariants(spark, sf_dir):
     """Blocked per-bucket k-NN output invariants: contiguous ranks 1..k per
     source, monotone non-increasing cosine along ranks, no self pairs, no

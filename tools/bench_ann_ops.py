@@ -18,7 +18,9 @@ scans of the committed id column — bytes proportional to the index's id
 column, not its vectors; purge reads only the (variant, cell)
 partitions holding tombstoned rows.
 
-Usage: python tools/bench_ann_ops.py [small_dir] [big_dir] [runs]
+Usage: python tools/bench_ann_ops.py [sf_dir ...] [runs]
+(defaults: /root/testdata/sf0.1 _scratch/sf10, runs=2; points are keyed
+by the sf dir's basename)
 """
 
 from __future__ import annotations
@@ -111,14 +113,15 @@ def run_point(spark, sf_dir: str, root: str) -> dict:
 
 
 def main() -> int:
-    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    big = sys.argv[2] if len(sys.argv) > 2 else "_scratch/sf10"
-    runs = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    args = sys.argv[1:]
+    runs = int(args.pop()) if args and args[-1].isdigit() else 2
+    dirs = args or ["/root/testdata/sf0.1", "_scratch/sf10"]
     spark = get_spark("bench-ann-ops")
     spark.sparkContext.setLogLevel("ERROR")
 
     points: dict[str, dict] = {}
-    for tag, sf_dir in (("small", small), ("big", big)):
+    for sf_dir in dirs:
+        tag = os.path.basename(os.path.normpath(sf_dir))
         # absolute: SnapshotStore roots must be absolute paths (relative
         # ones break the store-relative path arithmetic)
         root = os.path.join(
