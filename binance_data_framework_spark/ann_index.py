@@ -150,12 +150,13 @@ class AnnIndexStore(SnapshotStore):
         what a scheduler wants); ``force`` always retrains.
 
         n_centroids=None (the default) derives the IVF cell count from the
-        corpus size (S.auto_centroids — ~2000 vectors/cell, the auto_planes
-        rule applied to the index tier), using the count the fingerprint
-        aggregate already computed; a pinned value certified at one corpus
-        size makes probed-cell search candidates grow linearly with the
-        corpus (three-decade ann_ops measurement). Pass an explicit value
-        to pin a certified setting.
+        corpus size (S.auto_centroids — IO-granularity-sized cells, ~100k
+        codes each; see its docstring for why the target is NOT
+        bucket-sized), using the count the fingerprint aggregate already
+        computed; a pinned value certified at one corpus size makes
+        probed-cell search candidates grow linearly with the corpus
+        (three-decade ann_ops measurement). Pass an explicit value to pin
+        a certified setting.
 
         One build = IVF k-means + plain-PQ codebooks + OPQ (rotation +
         codebooks) + two vectorized encode passes writing the
