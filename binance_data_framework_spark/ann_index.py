@@ -61,6 +61,14 @@ class AnnIndex:
     opq_rotation: list[list[float]]
     opq_books: list[list[list[float]]]
     lsh: dict  # pinned sign-LSH params {n_planes, n_tables, seed}
+    # cell-count provenance (ADVICE r7 #4): True iff n_centroids was
+    # DERIVED (auto_centroids) at build time, plus the occupancy target it
+    # was derived with — maybe_rebuild() re-runs the same rule at the
+    # current corpus size to decide when appends have outgrown the cells.
+    # Defaults keep pre-r8 sidecars loadable (auto_cells False = never
+    # auto-rebuild a pinned index).
+    auto_cells: bool = False
+    target_cell: int = 100_000
 
 
 class AnnIndexStore(SnapshotStore):
@@ -143,6 +151,7 @@ class AnnIndexStore(SnapshotStore):
         lsh_planes: int = 4,
         lsh_tables: int = 6,
         force: bool = False,
+        target_cell: int = 100_000,
     ) -> AnnIndex:
         """Train (or reuse) the full index for ``df``. If a committed
         version exists with a matching corpus fingerprint and params, it is
@@ -162,9 +171,19 @@ class AnnIndexStore(SnapshotStore):
         codebooks) + two vectorized encode passes writing the
         cell-partitioned code layout + one commit."""
         fp = self._fingerprint(df)
+        auto_cells = n_centroids is None
         if n_centroids is None:
-            n_centroids = S.auto_centroids(fp[0])
-        params = dict(dim=dim, n_centroids=n_centroids, m_sub=m_sub, ksub=ksub)
+            n_centroids = S.auto_centroids(fp[0], target_cell)
+        params = dict(
+            dim=dim,
+            n_centroids=n_centroids,
+            m_sub=m_sub,
+            ksub=ksub,
+            # provenance for maybe_rebuild (ADVICE r7 #4): whether the cell
+            # count was derived, and under which occupancy target
+            auto_cells=auto_cells,
+            target_cell=target_cell,
+        )
         if not force:
             existing = self.load(validate_against=None)
             if (
@@ -264,12 +283,21 @@ class AnnIndexStore(SnapshotStore):
         self._commit_or_reclaim(new_files, _delta)
         return self.load(validate_against=None)
 
+    #: tombstone count above which append(purge="auto") folds the physical
+    #: purge into its commit cycle — below it, tombstones stay masked (a
+    #: correctness no-op; codes() anti-joins them on every search) and the
+    #: O(affected-cells) rewrite waits for purge_tombstones() / the next
+    #: rebuild, keeping append the O(delta) op its contract promises
+    #: (ADVICE r7 #3)
+    PURGE_APPEND_THRESHOLD = 4096
+
     # -- incremental append ------------------------------------------------
     def append(
         self,
         delta: DataFrame,
         check_duplicates: bool = True,
         skip_existing: bool = False,
+        purge: str = "auto",
     ) -> AnnIndex:
         """Append NEW vectors to the committed index WITHOUT retraining:
         encode the delta with the committed quantizer (cell assignment,
@@ -296,17 +324,47 @@ class AnnIndexStore(SnapshotStore):
         raises (retry re-reads the rolled-forward model) instead of
         silently losing the other writer's fingerprint contribution.
 
-        Tombstones are PURGED first (the promised "physical forget at the
-        next append/rebuild commit"). This also makes re-adding a
-        previously deleted id safe: without the purge, the old physical
-        code row would shadow the new one behind the id-keyed tombstone
-        mask, and the duplicate check (which reads MASKED codes) couldn't
-        see the collision."""
-        if any(
-            f.startswith("tombstones/")
-            for f in (self._snapshot() or {}).get("files", [])
-        ):
-            self.purge_tombstones()
+        ``purge`` decides when pending tombstones are physically reclaimed
+        (ADVICE r7 #3 — the old unconditional purge attached an
+        O(affected-cells) code rewrite to the documented O(delta) op, and
+        the streaming gate's first micro-batch after a delete silently
+        absorbed it):
+
+        - ``"auto"`` (default): purge only when forced by correctness — a
+          delta id with a live tombstone MUST purge first (without it the
+          old physical row survives next to the new one and the eventual
+          purge's id-keyed anti-join would delete BOTH: resurrect, then
+          lose the legitimate re-add) — or when the tombstone set has
+          grown past ``PURGE_APPEND_THRESHOLD``. The re-add check is
+          O(delta): the tombstone set is takedown-sized and broadcast.
+        - ``"always"``: the old behavior (purge whenever any tombstones
+          exist) — for callers that want every append commit to leave a
+          physically clean layout.
+        - ``"never"``: never purge here; a re-added tombstoned id raises
+          (call purge_tombstones() first). The explicit-maintenance mode.
+
+        Deferred tombstones are a correctness no-op either way: every
+        search path reads codes() masked."""
+        if purge not in ("auto", "always", "never"):
+            raise ValueError(f"append: unknown purge mode {purge!r}")
+        tomb0 = self._tombstones_from(self._snapshot())
+        if tomb0 is not None:
+            if purge == "always":
+                self.purge_tombstones()
+            else:
+                n_readd = delta.join(
+                    F.broadcast(tomb0), self.id_col, "left_semi"
+                ).count()
+                if n_readd:
+                    if purge == "never":
+                        raise ValueError(
+                            f"append: {n_readd} delta id(s) have live "
+                            f"tombstones — run purge_tombstones() first "
+                            f"(purge='never'), or use purge='auto'"
+                        )
+                    self.purge_tombstones()
+                elif tomb0.count() >= self.PURGE_APPEND_THRESHOLD:
+                    self.purge_tombstones()
         idx = self.load()
         if idx is None:
             raise ValueError(
@@ -453,6 +511,10 @@ class AnnIndexStore(SnapshotStore):
             n_centroids=idx.n_centroids,
             m_sub=idx.m_sub,
             ksub=idx.ksub,
+            # carry the cell-count provenance forward (a commit that drops
+            # it would reset auto_cells to False and silence maybe_rebuild)
+            auto_cells=idx.auto_cells,
+            target_cell=idx.target_cell,
         )
         self._write_model(
             staging,
@@ -512,6 +574,8 @@ class AnnIndexStore(SnapshotStore):
             opq_rotation=comp["opq_rotation"],
             opq_books=comp["opq_books"],
             lsh=comp["lsh"],
+            auto_cells=meta.get("auto_cells", False),
+            target_cell=meta.get("target_cell", 100_000),
         )
         if validate_against is not None:
             if self._fingerprint(validate_against) != idx.fingerprint:
@@ -658,6 +722,10 @@ class AnnIndexStore(SnapshotStore):
             n_centroids=idx.n_centroids,
             m_sub=idx.m_sub,
             ksub=idx.ksub,
+            # carry the cell-count provenance forward (a commit that drops
+            # it would reset auto_cells to False and silence maybe_rebuild)
+            auto_cells=idx.auto_cells,
+            target_cell=idx.target_cell,
         )
         self._write_model(
             staging,
@@ -710,8 +778,15 @@ class AnnIndexStore(SnapshotStore):
         all_codes = self.spark.read.option(
             "basePath", f"{self.root}/codes"
         ).parquet(*[f"{self.root}/{f}" for f in code_files])
+        # normalize BOTH sides to (str, int): r["cell"] collects as int only
+        # when partition-column type inference is on (the default) — with it
+        # disabled the collected value is a string, the set intersection
+        # with _vc's int-cast paths comes out empty, and the commit below
+        # would retire the tombstone files WITHOUT rewriting any code rows,
+        # physically resurrecting deleted vectors in masked search
+        # (ADVICE r7 #1 — make the match config-independent)
         hit = {
-            (r["variant"], r["cell"])
+            (str(r["variant"]), int(r["cell"]))
             for r in all_codes.join(
                 F.broadcast(tomb), self.id_col, "left_semi"
             )
@@ -763,6 +838,44 @@ class AnnIndexStore(SnapshotStore):
 
         self._commit_or_reclaim(new_files, _delta)
         return tomb.count()
+
+    def maybe_rebuild(
+        self, corpus: DataFrame, grow_factor: float = 2.0
+    ) -> bool:
+        """Maintenance trigger for an index grown through appends
+        (ADVICE r7 #4): append() reuses the committed quantizer AND cell
+        count by design, so an index auto-sized at its first build keeps
+        batch-1's n_centroids (and a quantizer trained on batch-1's
+        distribution) while the corpus grows 1000x underneath it —
+        re-introducing the linear per-cell candidate growth auto_centroids
+        exists to prevent. This re-runs the SAME derivation at the CURRENT
+        committed size and retrains (force build over ``corpus``) when the
+        rule asks for >= ``grow_factor`` x the committed cell count.
+
+        The check is O(1) driver-side (two sidecar fields); the rebuild is
+        the corpus-sized op, by design — call this at a maintenance cadence
+        (the streaming gate calls it per accepted batch; it no-ops until
+        the threshold trips). Pinned-cell indexes (built with an explicit
+        n_centroids) never auto-rebuild: auto_cells is recorded provenance,
+        not a guess. Returns True iff a rebuild was committed."""
+        idx = self.load()
+        if idx is None or not idx.auto_cells:
+            return False
+        ideal = S.auto_centroids(idx.n_vectors, idx.target_cell)
+        if ideal < grow_factor * idx.n_centroids:
+            return False
+        self.build(
+            corpus,
+            dim=idx.dim,
+            n_centroids=None,  # re-derive at the current size
+            m_sub=idx.m_sub,
+            ksub=idx.ksub,
+            lsh_planes=idx.lsh["n_planes"],
+            lsh_tables=idx.lsh["n_tables"],
+            force=True,
+            target_cell=idx.target_cell,
+        )
+        return True
 
 
 def ensure_index(

@@ -970,41 +970,69 @@ def collapse_pair_topk(cands: DataFrame, k: int, id_type: str) -> DataFrame:
     per pair (max cosine — per-bucket BLAS results can differ in the last
     ulp) and keep each source's top-k by (cosine desc, id_b asc), ranked.
 
-    One id_a-keyed exchange + a whole-partition Arrow kernel — NOT
-    groupBy(id_a, id_b).max + a row_number window: that form pays a JVM
-    hash aggregate producing one group per surviving pair (the measured
-    33 s / 27M-row shape from the r7 token-count work — candidate rows
-    here are n x k x n_tables) plus a SECOND exchange for the window's
-    id_a clustering. The kernel does the same dedup + rank as two stable
-    vector sorts inside one partition pass; hash-partitioning on id_a
-    alone co-locates every (id_a, id_b) row, and per-partition memory is
-    candidate_rows / shuffle_partitions — the same knob that bounds every
-    shuffle task. Row-identical to the agg+window form by construction
-    (stable sort -> first row per pair is its max; positional index per
-    id_a run -> row_number) — pinned by pytest on adversarial inputs
-    (cross-partition duplicates, ulp-split pairs, k-boundary ties)."""
+    One id_a-keyed exchange + in-partition JVM sort + a STREAMING Arrow
+    kernel — NOT groupBy(id_a, id_b).max + a row_number window: that form
+    pays a JVM hash aggregate producing one group per surviving pair (the
+    measured 33 s / 27M-row shape from the r7 token-count work — candidate
+    rows here are n x k x n_tables) plus a SECOND exchange for the
+    window's id_a clustering. The kernel does the same dedup + rank as two
+    stable vector sorts per Arrow-batch-sized chunk; hash-partitioning on
+    id_a alone co-locates every (id_a, id_b) row.
+
+    Memory shape (ADVICE r7 #2): the earlier kernel pd.concat'ed the WHOLE
+    partition before sorting — a spill-free pandas frame whose size was
+    candidate_volume / shuffle_partitions, OOM-able at default partition
+    counts. Now the exchange is followed by sortWithinPartitions(id_a) —
+    a SPILLABLE JVM sort — so every id_a group arrives contiguous in the
+    Arrow batch stream, and the kernel holds only the current batch plus
+    the one group that straddles its boundary: peak Python memory is
+    O(arrow_batch + largest single id_a group), and a group is bounded by
+    construction at ~k x n_tables candidate rows regardless of corpus
+    size. Row-identical to the agg+window form (stable sort -> first row
+    per pair is its max; positional index per id_a run -> row_number) —
+    pinned by pytest on adversarial inputs (cross-partition duplicates,
+    ulp-split pairs, k-boundary ties, groups straddling Arrow batches)."""
 
     def _collapse(batches):
-        chunks = [c for c in batches if len(c)]
-        if not chunks:
-            return
-        pdf = pd.concat(chunks, ignore_index=True)
-        pdf = pdf.sort_values(
-            ["id_a", "id_b", "cosine"],
-            ascending=[True, True, False],
-            kind="mergesort",
-        ).drop_duplicates(["id_a", "id_b"], keep="first")
-        pdf = pdf.sort_values(
-            ["id_a", "cosine", "id_b"],
-            ascending=[True, False, True],
-            kind="mergesort",
-        )
-        rank = pdf.groupby("id_a", sort=False).cumcount().to_numpy() + 1
-        keep = rank <= k
-        out = pdf.loc[keep, ["id_a", "id_b", "cosine"]]
-        out = out.assign(rank=rank[keep])
-        yield out
+        def _emit(pdf):
+            pdf = pdf.sort_values(
+                ["id_a", "id_b", "cosine"],
+                ascending=[True, True, False],
+                kind="mergesort",
+            ).drop_duplicates(["id_a", "id_b"], keep="first")
+            pdf = pdf.sort_values(
+                ["id_a", "cosine", "id_b"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            rank = pdf.groupby("id_a", sort=False).cumcount().to_numpy() + 1
+            keep = rank <= k
+            out = pdf.loc[keep, ["id_a", "id_b", "cosine"]]
+            return out.assign(rank=rank[keep])
 
-    return cands.repartition("id_a").mapInPandas(
-        _collapse, f"id_a {id_type}, id_b {id_type}, cosine double, rank bigint"
+        carry = None  # trailing (possibly incomplete) id_a group
+        for b in batches:
+            if not len(b):
+                continue
+            if carry is not None:
+                b = pd.concat([carry, b], ignore_index=True)
+            # input is sorted by id_a within the partition, so only the
+            # LAST id_a value can continue into the next batch; everything
+            # before it is a complete group — flush it now
+            last = b["id_a"].iloc[-1]
+            pending = b["id_a"].to_numpy() == last
+            done = b[~pending]
+            carry = b[pending]
+            if len(done):
+                yield _emit(done)
+        if carry is not None and len(carry):
+            yield _emit(carry)
+
+    return (
+        cands.repartition("id_a")
+        .sortWithinPartitions("id_a")
+        .mapInPandas(
+            _collapse,
+            f"id_a {id_type}, id_b {id_type}, cosine double, rank bigint",
+        )
     )

@@ -67,6 +67,7 @@ def neardup_gate_batch(
     threshold: float = 0.5,
     ann_store=None,
     ann_build_kwargs: dict | None = None,
+    ann_rebuild_factor: float | None = 2.0,
 ) -> dict:
     """Run one batch through the near-dup gate (module docstring).
     Returns {"arrived", "kept", "dropped_in_batch", "dropped_vs_corpus"}
@@ -82,7 +83,19 @@ def neardup_gate_batch(
     no-op. The corpus is then continuously curated AND continuously
     searchable: DocumentStore rows, band index, and ANN codes advance
     together, and the rolled fingerprint keeps certifying exactly the
-    stored corpus."""
+    stored corpus.
+
+    ``ann_rebuild_factor`` (ADVICE r7 #4): the batch-1 build pins BOTH
+    the cell count (auto_centroids of the first batch's size) and the
+    quantizer's training distribution; a corpus grown 1000x through
+    appends would otherwise keep them forever, re-growing per-cell
+    candidates linearly. After each append the gate runs
+    ``ann_store.maybe_rebuild(stored corpus, grow_factor)`` — an O(1)
+    sidecar check that force-retrains over the FULL DocumentStore corpus
+    (current distribution, re-derived cell count) once appends have
+    outgrown the committed cells by the factor. None disables (explicit
+    maintenance-cadence rebuilds instead); pinned-n_centroids builds
+    never auto-rebuild regardless."""
     # band hashes are a pure function of these — pin them in the band
     # store's layout sidecar so a gate reopened with different values
     # raises instead of silently admitting near-duplicates (ADVICE r6)
@@ -177,6 +190,16 @@ def neardup_gate_batch(
                 ann_store.build(vecs, **(ann_build_kwargs or {}))
             else:
                 ann_store.append(vecs, skip_existing=True)
+                if ann_rebuild_factor is not None:
+                    # rebuild source = the full STORED corpus (deleted docs
+                    # excluded by construction), so the retrained quantizer
+                    # sees the current distribution, not batch 1's
+                    ann_store.maybe_rebuild(
+                        docstore.read().select(
+                            ann_store.id_col, ann_store.vec_col
+                        ),
+                        grow_factor=ann_rebuild_factor,
+                    )
     return {
         "arrived": n_arrived,
         "kept": n_kept,

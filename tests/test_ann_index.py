@@ -289,34 +289,155 @@ def test_delete_tombstones_masked_search_then_purge(spark, tmp_path):
     assert st.purge_tombstones() == 0  # idempotent
 
 
-def test_append_purges_tombstones_and_readd_after_delete(spark, tmp_path):
-    """append() runs the physical purge first (the promised 'forget at the
-    next append/rebuild commit'), which also makes re-adding a previously
-    deleted id safe: the old physical code row is gone before the
-    duplicate check runs."""
+def test_append_purge_modes_and_readd_after_delete(spark, tmp_path):
+    """append(purge=...) semantics (ADVICE r7 #3 — the old unconditional
+    purge attached an O(affected-cells) rewrite to the O(delta) op):
+
+    - "auto" (default) DEFERS the purge for a small disjoint-id tombstone
+      set (masked search stays correct; tombstones survive the commit),
+      but FORCES it when the delta re-adds a tombstoned id (without the
+      purge the old physical row would sit next to the new one and a
+      later purge's id-keyed anti-join would delete BOTH);
+    - "always" purges on every append with pending tombstones;
+    - "never" defers unconditionally and raises on a re-add."""
     df = _emb(spark)
     st = AnnIndexStore(spark, str(tmp_path / "idx"))
     st.build(df, **BUILD)
     st.delete(spark.createDataFrame([(5,)], "vec_id bigint"))
     assert st.tombstones() is not None
 
+    # auto + disjoint delta: purge deferred — tombstone still pending, the
+    # physical row for 5 still present, but masked reads exclude it and
+    # the rolled fingerprint certifies exactly the stored corpus
     idx = st.append(_emb(spark, n=10, offset=100).withColumn(
         "vec_id", F.col("vec_id") + 1000
     ))
-    # purge happened inside append: no tombstones, physical row for 5 gone
-    assert st.tombstones() is None
-    assert st.codes("pq", masked=False).where(F.col("vec_id") == 5).count() == 0
+    assert st.tombstones() is not None
+    assert st.codes("pq", masked=False).where(F.col("vec_id") == 5).count() == 1
+    assert st.codes("pq").where(F.col("vec_id") == 5).count() == 0
     assert idx.n_vectors == 69
     expected = df.where(F.col("vec_id") != 5).unionByName(
         _emb(spark, n=10, offset=100).withColumn("vec_id", F.col("vec_id") + 1000)
     )
     assert st.load(validate_against=expected) is not None
 
-    # re-add the deleted vector: clean append, fingerprint covers it again
-    st.delete(spark.createDataFrame([(3,)], "vec_id bigint"))
-    back = df.where(F.col("vec_id") == 3)
-    idx3 = st.append(back)
-    assert idx3.n_vectors == 69
-    full = expected  # 3 deleted then re-added: same set
+    # never + re-add of a tombstoned id: hard error, nothing committed
+    back5 = df.where(F.col("vec_id") == 5)
+    with pytest.raises(ValueError, match="tombstone"):
+        st.append(back5, purge="never")
+    assert st.load().n_vectors == 69
+
+    # auto + re-add: purge is FORCED first, then the clean append lands —
+    # exactly one physical row for the re-added id, fingerprint covers it
+    idx3 = st.append(back5)
+    assert idx3.n_vectors == 70
+    assert st.tombstones() is None
+    assert st.codes("pq", masked=False).where(F.col("vec_id") == 5).count() == 1
+    full = df.unionByName(
+        _emb(spark, n=10, offset=100).withColumn("vec_id", F.col("vec_id") + 1000)
+    )
     assert st.load(validate_against=full) is not None
-    assert st.codes("pq", masked=False).where(F.col("vec_id") == 3).count() == 1
+
+    # always: a disjoint append still reclaims pending tombstones
+    st.delete(spark.createDataFrame([(3,)], "vec_id bigint"))
+    assert st.tombstones() is not None
+    st.append(
+        _emb(spark, n=1, offset=200).withColumn("vec_id", F.col("vec_id") + 2000),
+        purge="always",
+    )
+    assert st.tombstones() is None
+    assert st.codes("pq", masked=False).where(F.col("vec_id") == 3).count() == 0
+
+    with pytest.raises(ValueError, match="purge mode"):
+        st.append(back5, purge="sometimes")
+
+
+def test_append_auto_purge_threshold(spark, tmp_path, monkeypatch):
+    """auto's second trigger: a tombstone set past PURGE_APPEND_THRESHOLD
+    is reclaimed even for a disjoint delta (the set is supposed to stay
+    takedown-sized; past the bound, deferring forever just moves the
+    rewrite to an unbounded future commit)."""
+    df = _emb(spark)
+    st = AnnIndexStore(spark, str(tmp_path / "idx"))
+    st.build(df, **BUILD)
+    st.delete(spark.createDataFrame([(5,), (7,)], "vec_id bigint"))
+    monkeypatch.setattr(AnnIndexStore, "PURGE_APPEND_THRESHOLD", 2)
+    st.append(_emb(spark, n=2, offset=50).withColumn(
+        "vec_id", F.col("vec_id") + 3000
+    ))
+    assert st.tombstones() is None
+    assert st.codes("pq", masked=False).where(
+        F.col("vec_id").isin(5, 7)
+    ).count() == 0
+
+
+def test_purge_is_partition_inference_config_independent(spark, tmp_path):
+    """purge_tombstones matches collected (variant, cell) values against
+    path-parsed ones; with partition-column type inference DISABLED the
+    collected cell is a string, and an unnormalized match would retire
+    the tombstone files without rewriting any code rows — physically
+    resurrecting deleted vectors in masked search (ADVICE r7 #1)."""
+    df = _emb(spark)
+    st = AnnIndexStore(spark, str(tmp_path / "idx"))
+    st.build(df, **BUILD)
+    st.delete(spark.createDataFrame([(11,)], "vec_id bigint"))
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try:
+        assert st.purge_tombstones() == 1
+    finally:
+        spark.conf.set(key, old)
+    assert st.tombstones() is None
+    # the physical row is GONE — with the type-blind match it would survive
+    assert st.codes("pq", masked=False).where(F.col("vec_id") == 11).count() == 0
+    assert st.codes("pq", masked=False).count() == 59
+
+
+def test_maybe_rebuild_rederives_cells_on_grown_corpus(spark, tmp_path):
+    """maybe_rebuild (ADVICE r7 #4): an auto-sized index keeps batch-1's
+    cell count through every append; once the auto rule at the CURRENT
+    committed size asks for >= grow_factor x the committed cells, the
+    index force-retrains over the full corpus — new cell count, quantizer
+    trained on the current distribution, fingerprint fresh. Pinned-cell
+    indexes never auto-rebuild."""
+    root = str(tmp_path / "idx")
+    st = AnnIndexStore(spark, root)
+    first = _emb(spark, n=20)
+    idx = st.build(first, dim=DIM, m_sub=4, ksub=4, target_cell=2)
+    # auto_centroids(20, 2) = max(16, ceil(20/2)) = 16 (the floor clamp)
+    assert idx.auto_cells and idx.n_centroids == 16 and idx.target_cell == 2
+
+    # small growth: ideal = max(16, ceil(30/2)) = 16 < 2x16 -> no rebuild
+    st.append(_emb(spark, n=30).where(F.col("vec_id") >= 20))
+    full30 = _emb(spark, n=30)
+    assert st.maybe_rebuild(full30) is False
+    assert st.load().n_centroids == 16
+
+    # grown past the factor: ideal = ceil(70/2) = 35 >= 2x16 -> rebuild
+    st.append(_emb(spark, n=70).where(F.col("vec_id") >= 30))
+    full70 = _emb(spark, n=70)
+    assert st.maybe_rebuild(full70) is True
+    idx2 = st.load()
+    assert idx2.n_centroids == 35 and idx2.auto_cells
+    assert idx2.n_vectors == 70
+    assert st.load(validate_against=full70) is not None
+    # search over the rebuilt index still finds exact duplicates (id 11
+    # duplicates id 0 under _emb's period-11 pattern)
+    hits = {
+        r["vec_id"]
+        for r in S.topk_cosine_ivfpq(
+            full70, F.col("vec_id") < 1, k=5, dim=DIM,
+            n_centroids=idx2.n_centroids, m_sub=4, ksub=4,
+            centroids=idx2.centroids, books=idx2.pq_books,
+            coded=st.codes("pq"), nprobe=idx2.n_centroids,
+        ).collect()
+    }
+    assert hits and 11 in hits
+
+    # pinned index: never auto-rebuilds
+    st2 = AnnIndexStore(spark, str(tmp_path / "pinned"))
+    st2.build(first, **BUILD)
+    st2.append(_emb(spark, n=70).where(F.col("vec_id") >= 20))
+    assert st2.maybe_rebuild(_emb(spark, n=70)) is False
+    assert st2.load().n_centroids == BUILD["n_centroids"]

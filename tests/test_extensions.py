@@ -640,6 +640,21 @@ def test_collapse_pair_topk_matches_agg_window_form(spark):
     }
     assert got == ref and len(got) >= 8 * 3 + 3 + 1
 
+    # groups straddling Arrow batches (ADVICE r7 #2: the kernel streams
+    # group-at-a-time over the sorted partition instead of concat'ing the
+    # whole partition into one frame): force 3-row batches so nearly every
+    # id_a group spans several and the carry path does the heavy lifting
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "3")
+    try:
+        got_small = {
+            tuple(r) for r in S.collapse_pair_topk(cands, 3, "bigint").collect()
+        }
+    finally:
+        spark.conf.set(key, old)
+    assert got_small == ref
+
 
 def test_minhash_large_bucket_path_matches_hof_path(spark, monkeypatch):
     """The hybrid bucket scorer's two paths must be interchangeable: with

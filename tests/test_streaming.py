@@ -695,6 +695,79 @@ def test_streaming_gated_ingest_feeds_ann_index(spark, tmp_path):
     assert ann.codes("pq").count() == 4
 
 
+def test_gated_ingest_rebuilds_outgrown_ann_index(spark, tmp_path):
+    """ADVICE r7 #4: the composed pipeline trains the ANN index on the
+    FIRST accepted batch, pinning batch-1's auto-derived cell count and
+    quantizer distribution through every later append. The gate must
+    re-derive the cell count at the grown size and force-rebuild from the
+    FULL stored corpus once appends outgrow the committed cells by the
+    rebuild factor — and not before."""
+    from binance_data_framework_spark.ann_index import AnnIndexStore
+    from binance_data_framework_spark.docstore import BandIndexStore, DocumentStore
+    from binance_data_framework_spark.streaming.neardup_ingest import (
+        neardup_gate_batch,
+    )
+
+    store = DocumentStore(spark, str(tmp_path / "store"), n_shards=4)
+    bands = BandIndexStore(spark, str(tmp_path / "bands"), n_buckets=8)
+    ann = AnnIndexStore(
+        spark, str(tmp_path / "ann"), id_col="doc_id", vec_col="embedding"
+    )
+
+    def batch(lo, hi):
+        rows = [
+            (
+                i,
+                f"document {i} body w{i}a w{i}b w{i}c w{i}d w{i}e w{i}f",
+                [0.01 * i + float((i * 7 + j * 3) % 11) for j in range(8)],
+            )
+            for i in range(lo, hi)
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id bigint, text string, embedding array<double>"
+        )
+
+    kw = dict(
+        threshold=0.9,
+        ann_store=ann,
+        ann_build_kwargs=dict(dim=8, m_sub=4, ksub=4, target_cell=2),
+    )
+    # batch 1 (20 docs): build — auto_centroids(20, 2) = 16 (floor clamp)
+    neardup_gate_batch(batch(0, 20), store, bands, **kw)
+    idx = ann.load()
+    assert idx.auto_cells and idx.n_centroids == 16 and idx.n_vectors == 20
+
+    # batch 2 (10 docs): ideal = max(16, ceil(30/2)) = 16 < 2x16 — append
+    # only, the committed model is untouched
+    neardup_gate_batch(batch(20, 30), store, bands, **kw)
+    idx2 = ann.load()
+    assert idx2.n_centroids == 16 and idx2.n_vectors == 30
+    assert idx2.centroids == idx.centroids
+
+    # batch 3 (40 docs, corpus -> 70): ideal = ceil(70/2) = 35 >= 2x16 —
+    # the gate force-rebuilds from the full DocumentStore corpus
+    neardup_gate_batch(batch(30, 70), store, bands, **kw)
+    idx3 = ann.load()
+    assert idx3.n_centroids == 35 and idx3.n_vectors == 70
+    # the rebuilt fingerprint certifies exactly the stored corpus
+    assert (
+        ann.load(validate_against=store.read().select("doc_id", "embedding"))
+        is not None
+    )
+    assert ann.codes("pq").count() == 70
+
+    # ann_rebuild_factor=None disables the trigger
+    store2 = DocumentStore(spark, str(tmp_path / "store2"), n_shards=4)
+    bands2 = BandIndexStore(spark, str(tmp_path / "bands2"), n_buckets=8)
+    ann2 = AnnIndexStore(
+        spark, str(tmp_path / "ann2"), id_col="doc_id", vec_col="embedding"
+    )
+    kw2 = dict(kw, ann_store=ann2, ann_rebuild_factor=None)
+    neardup_gate_batch(batch(0, 20), store2, bands2, **kw2)
+    neardup_gate_batch(batch(20, 70), store2, bands2, **kw2)
+    assert ann2.load().n_centroids == 16 and ann2.load().n_vectors == 70
+
+
 def test_delete_documents_composes_all_three_tiers(spark, tmp_path):
     """delete_documents (the removal leg of the curated corpus): one call
     drops a doc from the DocumentStore, its bands from the band index
