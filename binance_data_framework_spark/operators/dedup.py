@@ -360,29 +360,52 @@ def _minhash_bucket_plan(
     group by band key into candidate buckets (>= 2 members). Split out so
     the lineage stays lintable after minhash_candidates eager-checkpoints
     it (tests/test_plans.py)."""
+    _validate_banding(num_bands, num_hashes)
+    banded = _band_explode(sigs, id_col, num_bands, band_on_slice, num_hashes)
+    return (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.collect_list(F.struct("_i", "_s")).alias("_arr"))
+        .where(F.size("_arr") >= 2)
+    )
+
+
+def _validate_banding(num_bands: int, num_hashes: int) -> None:
     if num_bands <= 0 or num_hashes % num_bands != 0:
         raise ValueError(
             f"num_bands={num_bands} must be a positive divisor of "
             f"num_hashes={num_hashes} (equal bands, no empty slices)"
         )
-    rows_per_band = num_hashes // num_bands  # validated: exact, never empty
+
+
+def _band_explode(
+    sigs: DataFrame,
+    id_col: str,
+    num_bands: int,
+    band_on_slice: bool,
+    num_hashes: int,
+) -> DataFrame:
+    """One (_i, _s, band_idx, band_hash) row per (doc, band) — the shared
+    band-key arithmetic (slot slice or its xxhash64) plus the unprunable
+    runtime signature-width assert (a sigs frame generated with a
+    different num_hashes would either drop trailing slots — recall loss —
+    or band on empty slices: one constant key => the O(n²) join banding
+    exists to avoid; assert_true lives inside the band-key expression so
+    Catalyst cannot prune it). Factored out so the self-join bucket plan
+    and the cross-corpus join key bands IDENTICALLY (a drifted copy would
+    silently miss every cross match)."""
+    rows_per_band = num_hashes // num_bands
     slice_of = lambda b: F.slice("sig", b * rows_per_band + 1, rows_per_band)  # noqa: E731
     band_key = (
         (lambda b: slice_of(b)) if band_on_slice else (lambda b: F.xxhash64(slice_of(b)))
     )
-    # Runtime guard: the plan-time divisibility check above cannot see the
-    # actual signature width, and a sigs frame generated with a different
-    # num_hashes would either drop trailing slots (recall loss) or band on
-    # empty slices (one constant key => O(n²) self-join). assert_true runs
-    # inside the band-key expression, so Catalyst cannot prune it away.
     sig_len_ok = F.assert_true(
         F.size("sig") == num_hashes,
         F.concat(
-            F.lit(f"minhash_candidates: signature width != num_hashes={num_hashes}: "),
+            F.lit(f"minhash banding: signature width != num_hashes={num_hashes}: "),
             F.size("sig").cast("string"),
         ),
     )
-    banded = sigs.select(
+    return sigs.select(
         F.col(id_col).alias("_i"),
         F.col("sig").alias("_s"),
         F.posexplode(
@@ -391,11 +414,6 @@ def _minhash_bucket_plan(
                 lambda b: F.when(sig_len_ok.isNull(), band_key(b)),
             )
         ).alias("band_idx", "band_hash"),
-    )
-    return (
-        banded.groupBy("band_idx", "band_hash")
-        .agg(F.collect_list(F.struct("_i", "_s")).alias("_arr"))
-        .where(F.size("_arr") >= 2)
     )
 
 
@@ -530,6 +548,70 @@ def minhash_candidates(
         _big_bucket_pairs, out_schema
     )
     return small_pairs.unionByName(large_pairs).dropDuplicates(["id_a", "id_b"])
+
+
+def minhash_cross_candidates(
+    sigs_train: DataFrame,
+    sigs_eval: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 4,
+    threshold: float = 0.5,
+    band_on_slice: bool = False,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """CROSS-corpus near-duplicate pairs — the document-level
+    decontamination primitive: (train_id, eval_id, est_jaccard >=
+    threshold) for every training document that near-duplicates an
+    eval/benchmark document. The n-gram containment form (decontaminate)
+    catches verbatim spans; this catches whole-document paraphrase-level
+    overlap at the same MinHash arithmetic the in-corpus dedup tier uses,
+    so "near-duplicate" means the same thing within a corpus and across
+    corpora.
+
+    Scale shape: the eval side is benchmark-sized by nature (10^3-10^6
+    docs vs a 100 TB train corpus), so its exploded bands BROADCAST —
+    the train corpus is touched by exactly ONE narrow pass (signature
+    projection -> band explode -> broadcast-hash-join on the band key),
+    no shuffle of the train side at all, and candidate verification
+    happens on the joined row (both signatures already co-located —
+    nothing re-joins the corpus per pair). Both sides key their bands via
+    the SAME _band_explode arithmetic as minhash_candidates, so in-corpus
+    and cross-corpus agree on what collides."""
+    _validate_banding(num_bands, num_hashes)
+    bt = _band_explode(sigs_train, id_col, num_bands, band_on_slice, num_hashes)
+    be = _band_explode(sigs_eval, id_col, num_bands, band_on_slice, num_hashes)
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("_s"), F.col("_se"), lambda p, q: (p == q).cast("int")
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(float(num_hashes))
+    )
+    return (
+        bt.join(
+            F.broadcast(
+                be.select(
+                    "band_idx",
+                    "band_hash",
+                    F.col("_i").alias("_ie"),
+                    F.col("_s").alias("_se"),
+                )
+            ),
+            on=["band_idx", "band_hash"],
+        )
+        # a pair colliding in several bands carries the same deterministic
+        # est — keep one row per (train, eval) before scoring
+        .dropDuplicates(["_i", "_ie"])
+        .select(
+            F.col("_i").alias("train_id"),
+            F.col("_ie").alias("eval_id"),
+            est.alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= threshold)
+    )
 
 
 def minhash_bands(

@@ -2413,6 +2413,74 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOPK_FILTERED_CTE = """
+    e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      FROM embeddings),
+    p AS (SELECT vec_id AS probe_id, emb AS p_emb, nrm AS p_nrm FROM e WHERE vec_id < 5),
+    pairs AS (
+      SELECT probe_id, vec_id,
+             list_sum(list_transform(list_zip(p_emb, emb), s -> s[1] * s[2]))
+               / (p_nrm * nrm) AS cosine
+      FROM p, e WHERE vec_id <> probe_id AND label % 2 = 1),
+    ranked AS (
+      SELECT probe_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM pairs)
+"""
+
+
+@register(
+    "topk_filtered",
+    f"""
+    WITH {_TOPK_FILTERED_CTE}
+    SELECT probe_id, vec_id, round(cosine, 6) AS cosine, rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def q_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED exact top-k (vector-search table stakes: "nearest
+    neighbors WHERE <attribute predicate>") — candidates restricted to
+    label % 2 = 1 before scoring; probes are selected independently of the
+    predicate (a query vector may search a slice it does not belong to).
+    The predicate is a plain Catalyst filter on the candidate scan
+    (parquet pushdown), so the brute-force pass scores only the matching
+    slice. This is the exact baseline the over-fetching index path
+    (topk_filtered_ivf) is certified against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.topk_cosine(
+        emb,
+        F.col("vec_id") < 5,
+        k=10,
+        candidate_filter=(F.col("label") % 2) == 1,
+    ).withColumn("cosine", F.round("cosine", 6))
+
+
+@register("topk_filtered_ivf")
+def q_topk_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered approximate top-k over the PERSISTED IVF-PQ index
+    (similarity.topk_cosine_filtered_ivfpq): fetch k*overfetch unfiltered
+    candidates from the committed cell-pruned code layout, post-filter by
+    the predicate (broadcast shortlist vs pushed-down metadata scan — the
+    corpus never shuffles), re-rank survivors to k. rows-only by design
+    (the survivor set depends on index shortlisting); quality is
+    adjudicated by the hash-matched topk_recall_filtered certificate."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    st, idx = _ann_index(spark, sf_dir)
+    return S.topk_cosine_filtered_ivfpq(
+        emb,
+        _ann_probe(),
+        (F.col("label") % 2) == 1,
+        k=10,
+        overfetch=4,
+        centroids=idx.centroids,
+        books=idx.pq_books,
+        coded=st.codes("pq", cells=_ann_probed_cells(spark, sf_dir)),
+    )
+
+
 @register(
     "dedup_ngram_jaccard",
     """
@@ -2586,7 +2654,7 @@ _MH_SLOTS = ",\n           ".join(
 # dedup.minhash_signature_portable: each token polynomial-hashed once,
 # shingle hash = fold of 3 consecutive token hashes mod 2^31-1; docs with
 # <3 tokens fold ALL token hashes from init 7)
-_MH_PIPE = f"""
+_MH_SIG = f"""
     t AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents),
     tk AS (SELECT doc_id, len(toks) AS n,
                   list_transform(toks, s -> {_MH_H31}) AS th
@@ -2601,7 +2669,9 @@ _MH_PIPE = f"""
           FROM tk),
     sig AS (SELECT doc_id,
            [{_MH_SLOTS}] AS sig
-      FROM h),
+      FROM h)
+"""
+_MH_PIPE = f"""{_MH_SIG},
     banded AS (
       SELECT doc_id, u.b AS band_idx, list_slice(sig, u.b * 4 + 1, u.b * 4 + 4) AS band
       FROM sig, unnest([0, 1, 2, 3]) AS u(b)),
@@ -2640,6 +2710,56 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sigs = D.minhash_signature_portable(docs)
     return D.minhash_candidates(sigs, threshold=0.3, band_on_slice=True)
+
+
+_EVAL_SRCS = ("src0", "src1", "src2", "src3", "src4")
+
+
+@register(
+    "decontaminate_neardup",
+    f"""
+    WITH {_MH_SIG},
+    lab AS (SELECT doc_id,
+                   source IN ('src0', 'src1', 'src2', 'src3', 'src4') AS is_eval
+            FROM documents),
+    banded AS (
+      SELECT s.doc_id, l.is_eval, u.b AS band_idx,
+             list_slice(s.sig, u.b * 4 + 1, u.b * 4 + 4) AS band
+      FROM sig s JOIN lab l ON l.doc_id = s.doc_id, unnest([0, 1, 2, 3]) AS u(b)),
+    cand AS (
+      SELECT DISTINCT t.doc_id AS train_id, e.doc_id AS eval_id
+      FROM banded t JOIN banded e ON t.band_idx = e.band_idx AND t.band = e.band
+      WHERE NOT t.is_eval AND e.is_eval),
+    est AS (
+      SELECT c.train_id, c.eval_id,
+             list_sum(list_transform(range(1, 17),
+               k -> CASE WHEN st.sig[k] = se.sig[k] THEN 1 ELSE 0 END))::DOUBLE / 16.0
+               AS est_jaccard
+      FROM cand c
+      JOIN sig st ON st.doc_id = c.train_id
+      JOIN sig se ON se.doc_id = c.eval_id)
+    SELECT train_id, eval_id, est_jaccard FROM est WHERE est_jaccard >= 0.3
+    """,
+)
+def q_decontaminate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-corpus near-dup decontamination at the document level
+    (operators/dedup.minhash_cross_candidates): every TRAIN document that
+    near-duplicates an EVAL/benchmark document, with the same portable
+    MinHash arithmetic as dedup_near_minhash — so "near-duplicate" means
+    the same thing within a corpus and across corpora. Complements
+    `decontaminate` (n-gram CONTAINMENT — verbatim span leaks) with
+    whole-document paraphrase-level overlap. The eval split here is the
+    source columns' first five values standing in for a benchmark corpus;
+    in production the eval side is a separate benchmark-sized table whose
+    exploded bands broadcast — the 100 TB train corpus is touched by one
+    narrow shuffle-free pass (see the operator docstring)."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_eval = F.col("source").isin(*_EVAL_SRCS)
+    sigs_t = D.minhash_signature_portable(docs.where(~is_eval))
+    sigs_e = D.minhash_signature_portable(docs.where(is_eval))
+    return D.minhash_cross_candidates(
+        sigs_t, sigs_e, threshold=0.3, band_on_slice=True
+    )
 
 
 @register(
@@ -4231,6 +4351,45 @@ def q_topk_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         0.2,
     )
+
+
+_RECALL_FILTERED_ORACLE = f"""
+    WITH {_TOPK_FILTERED_CTE}
+    SELECT CAST(count(DISTINCT probe_id) AS BIGINT) AS n_probes,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST({{floor}} AS DOUBLE) AS recall_floor,
+           true AS meets_floor,
+           true AS scores_match
+    FROM ranked WHERE rank <= 10
+"""
+
+
+@register("topk_recall_filtered", _RECALL_FILTERED_ORACLE.format(floor=0.2))
+def q_topk_recall_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall certificate for the FILTERED index search: the over-fetch/
+    post-filter path (topk_filtered_ivf) vs the exact filtered top-k
+    (topk_filtered's plan). The floor matches the unfiltered PQ cert —
+    with overfetch=4 and a ~half-selective predicate the expected
+    surviving shortlist is ~2k per probe, so filtered recall tracks the
+    unfiltered shortlist quality; a failing floor is the signal to raise
+    overfetch/nprobe (see topk_cosine_filtered_ivfpq's docstring).
+    scores_match additionally proves the survivors carry EXACT cosines
+    (the re-rank is exact; only candidate selection approximates)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    st, idx = _ann_index(spark, sf_dir)
+    pred = (F.col("label") % 2) == 1
+    exact = S.topk_cosine(emb, _ann_probe(), k=10, candidate_filter=pred)
+    approx = S.topk_cosine_filtered_ivfpq(
+        emb,
+        _ann_probe(),
+        pred,
+        k=10,
+        overfetch=4,
+        centroids=idx.centroids,
+        books=idx.pq_books,
+        coded=st.codes("pq", cells=_ann_probed_cells(spark, sf_dir)),
+    )
+    return _recall_invariant(exact, approx, 0.2)
 
 
 @register("topk_recall_opq", _RECALL_ORACLE.format(floor=0.2))

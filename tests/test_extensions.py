@@ -228,6 +228,90 @@ def test_ivfpq_topk_invariants(spark, sf_dir):
     )
 
 
+def test_topk_cosine_candidate_filter(spark, sf_dir):
+    """Filtered exact search: every result satisfies the predicate, the
+    result is EXACTLY the unfiltered ranking restricted to matching
+    candidates (not a post-hoc truncation), and a probe outside the
+    filtered slice still searches it."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = (F.col("label") % 2) == 1
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    got = S.topk_cosine(emb, F.col("vec_id") < 5, k=10, candidate_filter=pred).toPandas()
+    assert (got["vec_id"].map(labels) % 2 == 1).all()
+    assert (got.groupby("probe_id")["rank"].max() == 10).all()
+    # reference: brute-force unfiltered scores, filter, re-rank
+    wide = S.topk_cosine(emb, F.col("vec_id") < 5, k=10**9).toPandas()
+    wide = wide[wide["vec_id"].map(labels) % 2 == 1]
+    for pid, g in got.groupby("probe_id"):
+        ref = wide[wide["probe_id"] == pid].sort_values(
+            ["cosine", "vec_id"], ascending=[False, True]
+        ).head(10)
+        assert list(g.sort_values("rank")["vec_id"]) == list(ref["vec_id"])
+    # an even-label probe searches the odd-label slice fine
+    even_probe = next(v for v, l in sorted(labels.items()) if l % 2 == 0)
+    g2 = S.topk_cosine(
+        emb, F.col("vec_id") == even_probe, k=5, candidate_filter=pred
+    ).toPandas()
+    assert len(g2) == 5 and (g2["vec_id"].map(labels) % 2 == 1).all()
+
+
+def test_topk_filtered_ivfpq_invariants(spark, sf_dir):
+    """Over-fetch/post-filter index search: every survivor satisfies the
+    predicate, carries the EXACT cosine, at most k per probe, and recall
+    vs the exact filtered baseline clears the certificate floor."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = (F.col("label") % 2) == 1
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    exact = S.topk_cosine(
+        emb, F.col("vec_id") < 5, k=10, candidate_filter=pred
+    ).toPandas()
+    approx = S.topk_cosine_filtered_ivfpq(
+        emb, F.col("vec_id") < 5, pred, k=10, overfetch=4
+    ).toPandas()
+    assert (approx["vec_id"].map(labels) % 2 == 1).all()
+    assert (approx.groupby("probe_id").size() <= 10).all()
+    merged = approx.merge(
+        exact, on=["probe_id", "vec_id"], how="left", suffixes=("_a", "_e")
+    )
+    both = merged["cosine_e"].notna()
+    assert (merged.loc[both, "cosine_a"] - merged.loc[both, "cosine_e"]).abs().max() < 1e-6
+    assert both.mean() > 0.2
+
+
+def test_minhash_cross_candidates_decontamination(spark):
+    """Cross-corpus near-dup pairs: a train doc duplicating an eval doc is
+    flagged at est 1.0, train-train / eval-eval pairs are never emitted,
+    disjoint docs never pair, and the banding arithmetic matches the
+    in-corpus tier (a pair flagged cross-corpus is flagged by
+    minhash_candidates on the union)."""
+    t_dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t_uni = "one two three four five six seven eight nine ten eleven"
+    e_other = "red orange yellow green blue indigo violet cyan magenta white"
+    train = spark.createDataFrame(
+        [(1, t_dup), (2, t_uni)], "doc_id bigint, text string"
+    )
+    ev = spark.createDataFrame(
+        [(100, t_dup), (101, e_other)], "doc_id bigint, text string"
+    )
+    st = D.minhash_signature_portable(train)
+    se = D.minhash_signature_portable(ev)
+    got = D.minhash_cross_candidates(st, se, threshold=0.5).collect()
+    assert {(r["train_id"], r["eval_id"]) for r in got} == {(1, 100)}
+    assert got[0]["est_jaccard"] == 1.0
+    # agreement with the in-corpus tier on the union
+    union_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_candidates(
+            D.minhash_signature_portable(train.unionByName(ev)), threshold=0.5
+        ).collect()
+    }
+    assert (1, 100) in union_pairs
+    # the eval side is the broadcast build side (the train corpus must
+    # never shuffle for the gate to hold at 100 TB)
+    plan = D.minhash_cross_candidates(st, se, threshold=0.5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
 def test_pq_codes_shape(spark, sf_dir):
     """PQ encoding invariants: M codes per vector, every code < ksub."""
     emb = load_table(spark, sf_dir, "embeddings")

@@ -52,6 +52,12 @@ from binance_data_framework_spark.session import get_spark
 # alternative IS the LSH/IVF tier) and for tiny literal-dim cross joins.
 BNLJ_OK = {
     "topk_similarity",
+    # the filtered EXACT baseline: same broadcast-probe x corpus shape as
+    # topk_similarity, with the metadata predicate narrowing the corpus
+    # side BEFORE the nested loop (the index tier for the same semantics
+    # is topk_filtered_ivf — equi-join, not allowlisted)
+    "topk_filtered",
+    "topk_recall_filtered",  # runs the exact filtered baseline above
     # embed_near_dup / graph_pagerank moved OFF the nested-loop form in r6
     # (BLAS-screen + certify kernel) — deliberately not allowlisted so a
     # regression back to BNLJ is caught
