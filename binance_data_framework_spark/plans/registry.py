@@ -5646,92 +5646,22 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r7 window arithmetic (the cut at 50 is exact): 2 NEW queries
 # (ann_index_delete, curated_index_pipeline) + the 9 late-r6 registrations
 # with NO driver row in any round (ann_index_append + 8 TPC-H — VERDICT
-# r6 #1) + 6 whose plan/kernel changed in r7 (listed inline below) + the
-# 2 r3-green queries past the bound (flagship_ohlcv_sma,
-# topk_similarity_lsh) + 31 of the 42-strong r4 cohort = 50. The 11
-# r4-cohort queries that did not fit are age-3-legal this round, declared
-# in _FRESHNESS_CARRYOVER, and MUST head r8's window (the test fails the
-# build otherwise).
+# r8 window: the 11 queries deferred at r7 (the carryover PROMISE — they
+# head this window) + the 4 queries new in r8 (no driver row exists) + 6
+# whose plan/behavior changed in r8 (listed inline) + 29 of the 39-strong
+# r5-green cohort (age 3 — at 152 registered queries the freshness bound
+# is ceil(152/50) = 4 rounds, so the 9 that did not fit are age-4-legal
+# at r9 and MUST head r9's window: scan_exchange_info, text_sentiment,
+# text_token_count, doc_fingerprint, fill_gaps_forward, window_cci,
+# window_donchian, window_median, window_roc — all trivial
+# projection/window plans with pytest + local-oracle-sweep coverage).
 #
-# Deliberately left out with standing coverage: knn_join_lsh /
-# topk_similarity_ivf/pq (rows-only by design; their hash-matched
-# recall certificates re-run the same searches), dedup_near_minhash
-# (r7 change is the eager bucket checkpoint — plan and output identical,
-# r6-green), topk_recall_* / knn_recall_self (codes() masking only
-# activates when tombstones exist; their roots have none — plan
-# unchanged, r6-green). The r5/r6-green remainder is within the bound and
-# covered every round by the local oracle harness (tools/check_oracles.py
-# at sf0.01 AND sf0.1) and pytest.
+# Deliberately left out with standing coverage: dedup_near_minhash /
+# dedup_simhash (r8's _band_explode refactor emits IDENTICAL expressions
+# — plan unchanged, r6-green), topk_similarity (candidate_filter=None
+# default leaves the plan untouched, r6-green).
 _DRIVER_ORDER = [
-    # -- NEW in r7: the ANN delete tier + the composed continuous pipeline --
-    "ann_index_delete",
-    "curated_index_pipeline",
-    # -- registered late-r6, NO driver row in any round (VERDICT r6 #1) --
-    "ann_index_append",
-    "tpch_q2",
-    "tpch_q9",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q15",
-    "tpch_q16",
-    "tpch_q20",
-    "tpch_q21",
-    # -- plan/kernel changed in r7: need fresh driver rows --
-    # (ann_index_build: chash code column + masked codes();
-    #  docstore_snapshot: save_docs (name,type) schema guard;
-    #  dedup_substring: Arrow rolling-hash spans + keyed-window dup flag;
-    #  tfidf: Arrow term-count kernel; unigram: occurrence-sum form +
-    #  broadcast LM; bm25: pre-explode dl projection)
-    "ann_index_build",
-    "docstore_snapshot",
-    "dedup_substring",
-    "tfidf_top_terms",
-    "text_unigram_logprob",
-    "bm25_search",
-    # -- past the freshness bound: newest green row r3 --
-    "flagship_ohlcv_sma",
-    "topk_similarity_lsh",
-    # -- the r4 cohort (newest green row r4 — age 3 without a r7 row);
-    #    31 of 42 fit, the 11 in _FRESHNESS_CARRYOVER are r8's head --
-    "resample_from_base",
-    "window_returns",
-    "pivot_close",
-    "window_rank",
-    "set_intersect",
-    "set_except",
-    "tpch_q6",
-    "scan_table_range",
-    "project_ohlcv",
-    "filter_eq_range",
-    "filter_suffix_status",
-    "filter_contains_ci",
-    "filter_rowlookup",
-    "agg_minmax_series",
-    "meta_coverage",
-    "upsert_precedence",
-    "op_delete_partition",
-    "sink_export_parquet",
-    "sink_export_csv",
-    "dedup_exact",
-    "window_stochastic",
-    "window_obv",
-    "window_atr",
-    "window_heikin_ashi",
-    "vwap_anchored",
-    "window_macd",
-    "funnel_conversion",
-    "asof_align",
-    "range_join_events",
-    "sketch_merge_bounds",
-    "sketch_error_bounds",
-]
-
-# r4-cohort queries deliberately deferred to r8's window head: age 3 at r7
-# (legal under the ceil(N_queries / 50)-round freshness bound — 148 queries
-# through a 50-row window is a 3-round cycle), all trivial scalar/projection
-# plans additionally exercised by pytest and the local oracle sweeps.
-# tests/test_driver_window.py enforces both the bound and this list's size.
-_FRESHNESS_CARRYOVER = [
+    # -- the r7 carryover promise: age 4, must get their row THIS round --
     "map_tf_duration",
     "interval_arith",
     "cast_str_to_double",
@@ -5743,7 +5673,61 @@ _FRESHNESS_CARRYOVER = [
     "union_pages",
     "distinct_audit",
     "agg_count",
+    # -- NEW in r8: filtered vector search + cross-corpus decontamination --
+    "topk_filtered",
+    "topk_filtered_ivf",
+    "topk_recall_filtered",
+    "decontaminate_neardup",
+    # -- plan/behavior changed in r8: need fresh driver rows --
+    # (knn_join_lsh / knn_recall_self: collapse_pair_topk now sorts within
+    #  partitions and streams group-at-a-time — ADVICE r7 #2;
+    #  ann_index_build: auto_cells/target_cell provenance in the sidecar;
+    #  ann_index_append: purge="auto" defers the physical purge —
+    #  ADVICE r7 #3; ann_index_delete: config-independent purge cell
+    #  match — ADVICE r7 #1; curated_index_pipeline: the gate now runs
+    #  maybe_rebuild after each append — ADVICE r7 #4)
+    "knn_join_lsh",
+    "knn_recall_self",
+    "ann_index_build",
+    "ann_index_append",
+    "ann_index_delete",
+    "curated_index_pipeline",
+    # -- the r5-green cohort (age 3): 29 of 39, heaviest plans first --
+    "tpch_q4",
+    "tpch_q10",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
+    "filter_dropna",
+    "coverage_check",
+    "lookup_export_meta",
+    "ingest_jsonl",
+    "text_stats",
+    "text_term_freq",
+    "text_quality",
+    "text_lang_id",
+    "text_pii_redact",
+    "text_repetition",
+    "topk_similarity_ivf",
+    "topk_similarity_pq",
+    "topk_recall_lsh",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "chunk_documents",
+    "sample_mixture",
+    "shard_manifest",
+    "anomaly_mad",
+    "dedup_fuzzy_edit",
+    "graph_pagerank",
 ]
+
+# Empty at r8: with 152 queries the bound is 4 rounds, so the 9 age-3
+# queries that missed this window are legal until r9's rotation (they are
+# named in the window comment above and must head r9).
+_FRESHNESS_CARRYOVER: list[str] = []
 assert len(_DRIVER_ORDER) == 50, f"driver window must be exactly 50, got {len(_DRIVER_ORDER)}"
 assert len(set(_DRIVER_ORDER)) == 50, "duplicate names in _DRIVER_ORDER"
 assert not set(_FRESHNESS_CARRYOVER) & set(_DRIVER_ORDER)

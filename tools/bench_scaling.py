@@ -50,6 +50,12 @@ HEAVY = [
     # all-pairs k-NN with size-derived plane count (3 planes at 2k
     # vectors, 7 at 20k): candidate volume should stay ~linear
     "knn_join_lsh",
+    # r8 additions: cross-corpus decontamination (one broadcast-banded
+    # pass over the train side — expected ~linear in the train corpus)
+    # and filtered index search (committed-index read + shortlist
+    # post-filter — expected ~flat, probe-bounded)
+    "decontaminate_neardup",
+    "topk_filtered_ivf",
 ]
 
 
