@@ -22,13 +22,17 @@ pieces into that gate:
 Gate semantics per micro-batch, in order:
 1. in-batch self-dedup (lowest id of each near-pair survives —
    dedup_near_minhash's deterministic rule);
-2. corpus check: batch bands -> BandIndexStore.candidates ->
+2. (optional) eval decontamination: batch bands against a READ-ONLY
+   benchmark index built by build_eval_index() — a doc near-duplicating
+   an eval doc is dropped before it can reach any store ("never train
+   on benchmark data", enforced at ingest);
+3. corpus check: batch bands -> BandIndexStore.candidates ->
    same-id pairs are checkpoint REDELIVERIES, not duplicates (the
    doc is already stored; the keyed upsert makes re-saving it a
    no-op) -> remaining candidates verify est_jaccard against the
    stored signatures (point-read via DocumentStore.read_keys — shard
    -pruned, no corpus scan) and drop at >= threshold;
-3. survivors: save_docs (one commit) then band append (one add-only
+4. survivors: save_docs (one commit) then band append (one add-only
    commit). A crash between the two commits leaves docs stored but
    unindexed for one batch; the checkpoint replays the batch, the
    redelivery rule keeps the docs, and the band append completes —
@@ -55,6 +59,91 @@ from binance_data_framework_spark.operators.dedup import (
 )
 
 
+def _banded_drops(
+    sigs: DataFrame,
+    docstore,
+    band_store,
+    id_col: str,
+    num_bands: int,
+    num_hashes: int,
+    threshold: float,
+    same_id_is_redelivery: bool,
+) -> DataFrame:
+    """Batch ids to DROP against one persisted (band index, doc store)
+    pair: band the batch signatures, look up candidate collisions in only
+    the touched buckets, verify est_jaccard exactly against the stored
+    signatures (shard-pruned point read), keep ids at >= threshold. The
+    ONE corpus-check implementation shared by the in-corpus stage (where
+    a same-id collision is a checkpoint redelivery, not a duplicate) and
+    the eval-decontamination stage (where ids are from a DIFFERENT corpus
+    — an id collision is coincidence and must still verify by content)."""
+    bands = minhash_bands(sigs, id_col, num_bands, num_hashes)
+    cand = band_store.candidates(bands)
+    if same_id_is_redelivery:
+        cand = cand.where(F.col("id_new") != F.col("id_stored"))
+    if not cand.limit(1).count():
+        return cand.limit(0).select("id_new")
+    stored_sigs = docstore.read_keys(
+        cand.select(F.col("id_stored").alias(docstore.key_col)).distinct()
+    ).select(
+        F.col(docstore.key_col).alias("id_stored"),
+        F.col("sig").alias("_sig_stored"),
+    )
+    # exact est on the stored signatures — same eq/num_hashes arithmetic
+    # as minhash_candidates
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("sig"),
+                F.col("_sig_stored"),
+                lambda p, q: (p == q).cast("int"),
+            ),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        )
+        / F.lit(float(num_hashes))
+    )
+    return (
+        cand.join(sigs.withColumnRenamed(id_col, "id_new"), "id_new")
+        .join(stored_sigs, "id_stored")
+        .where(est >= threshold)
+        .select("id_new")
+        .distinct()
+    )
+
+
+def build_eval_index(
+    eval_docs: DataFrame,
+    eval_docstore,
+    eval_band_store,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    num_bands: int = 4,
+    shingle_n: int = 3,
+) -> int:
+    """One-time (re-runnable) indexing of a BENCHMARK/eval corpus so the
+    streaming gate can refuse contaminated training docs at ingest: store
+    each eval doc with its MinHash signature (the gate's est verification
+    point-reads it) and append its LSH bands to a dedicated band index.
+    Uses the same signature/banding arithmetic — and the same param
+    pinning — as the gate itself, so "contaminated" means exactly what
+    the batch-tier decontaminate_neardup query means. Returns the number
+    of eval docs indexed."""
+    eval_band_store.pin_params(
+        {"num_hashes": num_hashes, "num_bands": num_bands, "shingle_n": shingle_n}
+    )
+    sigs = minhash_signature(eval_docs, text_col, id_col, num_hashes, shingle_n)
+    keyed = eval_docs.join(sigs, id_col).localCheckpoint(eager=True)
+    n = keyed.count()
+    if n:
+        eval_docstore.save_docs(keyed)
+        eval_band_store.append(
+            minhash_bands(keyed.select(id_col, "sig"), id_col, num_bands, num_hashes)
+        )
+    return n
+
+
 def neardup_gate_batch(
     batch_df: DataFrame,
     docstore,
@@ -68,6 +157,9 @@ def neardup_gate_batch(
     ann_store=None,
     ann_build_kwargs: dict | None = None,
     ann_rebuild_factor: float | None = 2.0,
+    eval_docstore=None,
+    eval_band_store=None,
+    eval_threshold: float | None = None,
 ) -> dict:
     """Run one batch through the near-dup gate (module docstring).
     Returns {"arrived", "kept", "dropped_in_batch", "dropped_vs_corpus"}
@@ -84,6 +176,17 @@ def neardup_gate_batch(
     searchable: DocumentStore rows, band index, and ANN codes advance
     together, and the rolled fingerprint keeps certifying exactly the
     stored corpus.
+
+    ``eval_docstore``/``eval_band_store`` (ingest-time benchmark
+    DECONTAMINATION): a persisted eval-corpus index prepared by
+    build_eval_index(). When given, every batch doc that near-duplicates
+    an eval doc (est_jaccard >= ``eval_threshold``, default =
+    ``threshold``) is dropped BEFORE it can reach any store — "never
+    train on benchmark data" enforced at the gate, per batch, at the same
+    bucket-pruned O(batch + touched buckets/shards) cost as the corpus
+    check; the eval index is only ever READ here. Unlike the corpus
+    check, a same-id collision is NOT a redelivery (the ids come from a
+    different corpus) — it verifies by content like any candidate.
 
     ``ann_rebuild_factor`` (ADVICE r7 #4): the batch-1 build pins BOTH
     the cell count (auto_centroids of the first batch's size) and the
@@ -102,6 +205,14 @@ def neardup_gate_batch(
     band_store.pin_params(
         {"num_hashes": num_hashes, "num_bands": num_bands, "shingle_n": shingle_n}
     )
+    if eval_band_store is not None:
+        eval_band_store.pin_params(
+            {
+                "num_hashes": num_hashes,
+                "num_bands": num_bands,
+                "shingle_n": shingle_n,
+            }
+        )
     batch_df = batch_df.localCheckpoint(eager=True)  # micro-batch sized
     n_arrived = batch_df.count()
     if not n_arrived:
@@ -110,6 +221,7 @@ def neardup_gate_batch(
             "kept": 0,
             "dropped_in_batch": 0,
             "dropped_vs_corpus": 0,
+            "dropped_contaminated": 0,
         }
     # signatures computed ONCE and shared by both stages — the earlier
     # form ran the shingle+hash pipeline (the dedup tier's dominant cost)
@@ -131,40 +243,36 @@ def neardup_gate_batch(
         eager=True
     )
     n_self = sigs.count()
-    # 2. corpus check via the persisted band index
-    bands = minhash_bands(sigs, id_col, num_bands, num_hashes)
-    cand = band_store.candidates(bands).where(
-        F.col("id_new") != F.col("id_stored")  # same id = redelivery
+    # 2. eval-decontamination check FIRST (when configured): contaminated
+    #    docs must never reach any store, and dropping them before the
+    #    corpus check keeps the two drop counters disjoint
+    n_eval = n_self
+    if eval_band_store is not None:
+        contaminated = _banded_drops(
+            sigs,
+            eval_docstore,
+            eval_band_store,
+            id_col,
+            num_bands,
+            num_hashes,
+            threshold if eval_threshold is None else eval_threshold,
+            same_id_is_redelivery=False,
+        )
+        sigs = sigs.join(
+            contaminated.withColumnRenamed("id_new", id_col), id_col, "left_anti"
+        ).localCheckpoint(eager=True)
+        n_eval = sigs.count()
+    # 3. corpus check via the persisted band index
+    dropped = _banded_drops(
+        sigs,
+        docstore,
+        band_store,
+        id_col,
+        num_bands,
+        num_hashes,
+        threshold,
+        same_id_is_redelivery=True,
     )
-    dropped = cand.limit(0).select("id_new")
-    if cand.limit(1).count():
-        stored_sigs = docstore.read_keys(
-            cand.select(F.col("id_stored").alias(docstore.key_col)).distinct()
-        ).select(
-            F.col(docstore.key_col).alias("id_stored"),
-            F.col("sig").alias("_sig_stored"),
-        )
-        # exact est on the stored signatures — same eq/num_hashes
-        # arithmetic as minhash_candidates
-        est = (
-            F.aggregate(
-                F.zip_with(
-                    F.col("sig"),
-                    F.col("_sig_stored"),
-                    lambda p, q: (p == q).cast("int"),
-                ),
-                F.lit(0),
-                lambda acc, v: acc + v,
-            )
-            / F.lit(float(num_hashes))
-        )
-        dropped = (
-            cand.join(sigs.withColumnRenamed(id_col, "id_new"), "id_new")
-            .join(stored_sigs, "id_stored")
-            .where(est >= threshold)
-            .select("id_new")
-            .distinct()
-        )
     survivors = (
         sigs.join(
             dropped.withColumnRenamed("id_new", id_col), id_col, "left_anti"
@@ -174,7 +282,7 @@ def neardup_gate_batch(
         .localCheckpoint(eager=True)
     )
     n_kept = survivors.count()
-    # 3. commit: docs first, then bands (replay-convergent either way —
+    # 4. commit: docs first, then bands (replay-convergent either way —
     # see module docstring crash note), then the ANN leg (also convergent:
     # skip_existing makes a replayed append a no-op)
     if n_kept:
@@ -204,7 +312,8 @@ def neardup_gate_batch(
         "arrived": n_arrived,
         "kept": n_kept,
         "dropped_in_batch": n_arrived - n_self,
-        "dropped_vs_corpus": n_self - n_kept,
+        "dropped_contaminated": n_self - n_eval,
+        "dropped_vs_corpus": n_eval - n_kept,
     }
 
 

@@ -467,6 +467,7 @@ def test_neardup_gate_batch_stats_and_band_layout(spark, tmp_path):
         "arrived": 2,
         "kept": 2,
         "dropped_in_batch": 0,
+        "dropped_contaminated": 0,
         "dropped_vs_corpus": 0,
     }
     s2 = neardup_gate_batch(
@@ -479,6 +480,7 @@ def test_neardup_gate_batch_stats_and_band_layout(spark, tmp_path):
         "arrived": 3,
         "kept": 1,
         "dropped_in_batch": 1,  # 13 loses to 12 in-batch
+        "dropped_contaminated": 0,
         "dropped_vs_corpus": 1,  # 12 near-dups stored 10
     }
     assert {r["doc_id"] for r in store.read().collect()} == {10, 11, 14}
@@ -693,6 +695,82 @@ def test_streaming_gated_ingest_feeds_ann_index(spark, tmp_path):
     run()
     assert ann._snapshot()["version"] == v_ann  # filtered to empty: no commit
     assert ann.codes("pq").count() == 4
+
+
+def test_gate_eval_decontamination(spark, tmp_path):
+    """Ingest-time benchmark decontamination (r8): a persisted eval index
+    (build_eval_index) makes the gate drop any batch doc near-duplicating
+    an eval doc BEFORE it reaches any store — counted separately from the
+    corpus drops, same-id collisions verified by content (not treated as
+    redeliveries), eval stores never written by the gate, and the whole
+    thing convergent under replay."""
+    from binance_data_framework_spark.docstore import BandIndexStore, DocumentStore
+    from binance_data_framework_spark.streaming.neardup_ingest import (
+        build_eval_index,
+        neardup_gate_batch,
+    )
+
+    store = DocumentStore(spark, str(tmp_path / "store"), n_shards=2)
+    bands = BandIndexStore(spark, str(tmp_path / "bands"), n_buckets=4)
+    ev_store = DocumentStore(spark, str(tmp_path / "ev_store"), n_shards=2)
+    ev_bands = BandIndexStore(spark, str(tmp_path / "ev_bands"), n_buckets=4)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id bigint, text string"
+    )
+    bench = "the standardized benchmark question text used for evaluation runs"
+    other = "an unrelated benchmark prompt about entirely different matters"
+    assert build_eval_index(mk([(1, bench), (2, other)]), ev_store, ev_bands) == 2
+    ev_v = ev_store._snapshot()["version"]
+    ev_bv = ev_bands._snapshot()["version"]
+
+    kw = dict(
+        threshold=0.9,
+        eval_docstore=ev_store,
+        eval_band_store=ev_bands,
+    )
+    # doc 10 is contaminated (same text as eval doc 1 — and shares NO id
+    # with it); doc 11 is clean. doc 1 collides with an EVAL id — it must
+    # be judged by content (clean), not waved through as a "redelivery".
+    s1 = neardup_gate_batch(
+        mk([
+            (10, bench),
+            (11, "a perfectly ordinary training document body here"),
+            (1, "training doc that happens to reuse an eval id value"),
+        ]),
+        store,
+        bands,
+        **kw,
+    )
+    assert s1["arrived"] == 3 and s1["dropped_contaminated"] == 1
+    assert s1["kept"] == 2
+    assert {r["doc_id"] for r in store.read().collect()} == {11, 1}
+    # eval stores are READ-ONLY to the gate: no new commits
+    assert ev_store._snapshot()["version"] == ev_v
+    assert ev_bands._snapshot()["version"] == ev_bv
+
+    # replay of the same batch: contaminated doc still dropped, stored
+    # docs recognized as redeliveries -> converges, nothing double-counted
+    s2 = neardup_gate_batch(
+        mk([
+            (10, bench),
+            (11, "a perfectly ordinary training document body here"),
+            (1, "training doc that happens to reuse an eval id value"),
+        ]),
+        store,
+        bands,
+        **kw,
+    )
+    assert s2["dropped_contaminated"] == 1 and s2["kept"] == 2
+    assert {r["doc_id"] for r in store.read().collect()} == {11, 1}
+
+    # param drift vs the eval index's pinned layout raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="param"):
+        neardup_gate_batch(
+            mk([(30, "whatever text")]), store, bands, num_hashes=8,
+            num_bands=4, **kw,
+        )
 
 
 def test_gated_ingest_rebuilds_outgrown_ann_index(spark, tmp_path):
