@@ -839,6 +839,68 @@ class AnnIndexStore(SnapshotStore):
         self._commit_or_reclaim(new_files, _delta)
         return tomb.count()
 
+    def compact_codes(self, min_files: int = 2) -> int:
+        """Small-file maintenance for the streaming-append lifecycle:
+        every append() writes its delta as NEW file(s) into each touched
+        (variant, cell) code partition, so a cell fed by thousands of
+        micro-batches accumulates thousands of tiny files and probed-cell
+        scan cost drifts from O(codes) to O(files + codes). Rewrite every
+        cell holding >= ``min_files`` committed files into ONE sorted
+        file, retiring the fragments in a single commit.
+
+        Layout-only: row content is preserved exactly — tombstoned rows
+        are NOT dropped (purge_tombstones owns physical deletion) and the
+        model sidecar is untouched, so searches before and after are
+        identical and the compaction commutes with concurrent reads.
+        Idempotent (a second call finds single-file cells and commits
+        nothing); a concurrent writer retiring an affected file fails the
+        commit cleanly — retry after reloading. Returns the number of
+        (variant, cell) partitions compacted."""
+        man = self._snapshot()
+        if not man:
+            return 0
+        from collections import Counter
+
+        code_files = [f for f in man["files"] if f.startswith("codes/")]
+
+        def _vc(rel: str) -> tuple[str, str] | None:
+            parts = rel.split("/")
+            return (parts[1], parts[2]) if len(parts) >= 3 else None
+
+        counts = Counter(vc for f in code_files if (vc := _vc(f)))
+        hit = {vc for vc, n in counts.items() if n >= min_files}
+        if not hit:
+            return 0
+        affected = [f for f in code_files if _vc(f) in hit]
+        frag = self.spark.read.option("basePath", f"{self.root}/codes").parquet(
+            *[f"{self.root}/{f}" for f in affected]
+        )
+        import uuid as _uuid
+
+        staging = f"_staging-{_uuid.uuid4().hex}"
+        (
+            frag.repartition("variant", "cell")
+            .sortWithinPartitions(self.id_col)
+            .write.partitionBy("variant", "cell")
+            .option("compression", "zstd")
+            .mode("overwrite")
+            .save(f"{self.root}/{staging}/codes")
+        )
+        new_files = self._publish_staged(staging)
+        sup = set(affected)
+
+        def _delta(latest: dict | None):
+            live = set(latest["files"]) if latest else set()
+            if not sup <= live:
+                raise RuntimeError(
+                    "concurrent index write during compaction: an affected "
+                    "code file is no longer live — retry"
+                )
+            return new_files, affected
+
+        self._commit_or_reclaim(new_files, _delta)
+        return len(hit)
+
     def maybe_rebuild(
         self, corpus: DataFrame, grow_factor: float = 2.0
     ) -> bool:

@@ -394,6 +394,62 @@ def test_purge_is_partition_inference_config_independent(spark, tmp_path):
     assert st.codes("pq", masked=False).count() == 59
 
 
+def test_compact_codes_folds_append_fragments(spark, tmp_path):
+    """compact_codes: appends fragment each touched cell into one file per
+    append; compaction folds them to one file per (variant, cell) WITHOUT
+    changing any row — counts, search results, pending tombstones, and
+    the fingerprint all survive byte-identical. Idempotent second call."""
+    df = _emb(spark)
+    st = AnnIndexStore(spark, str(tmp_path / "idx"))
+    idx = st.build(df.where(F.col("vec_id") < 30), **BUILD)
+    st.append(df.where((F.col("vec_id") >= 30) & (F.col("vec_id") < 45)))
+    st.append(df.where(F.col("vec_id") >= 45))
+    st.delete(spark.createDataFrame([(7,)], "vec_id bigint"))  # pending tomb
+
+    man = st._snapshot()
+    per_cell: dict[tuple, int] = {}
+    for f in man["files"]:
+        if f.startswith("codes/"):
+            parts = f.split("/")
+            per_cell[(parts[1], parts[2])] = per_cell.get((parts[1], parts[2]), 0) + 1
+    assert max(per_cell.values()) >= 3  # fragmented by the two appends
+
+    def search():
+        return {
+            (r["probe_id"], r["vec_id"], round(r["cosine"], 9))
+            for r in S.topk_cosine_ivfpq(
+                df, F.col("vec_id") < 3, k=5, dim=DIM, n_centroids=4,
+                m_sub=4, ksub=4, centroids=idx.centroids,
+                books=idx.pq_books, coded=st.codes("pq"),
+            ).collect()
+        }
+
+    before = search()
+    n_masked = st.codes("pq").count()
+    n_phys = st.codes("pq", masked=False).count()
+    fp = st.load().fingerprint
+
+    n = st.compact_codes()
+    assert n == len([vc for vc, c in per_cell.items() if c >= 2]) and n > 0
+    man2 = st._snapshot()
+    per_cell2: dict[tuple, int] = {}
+    for f in man2["files"]:
+        if f.startswith("codes/"):
+            parts = f.split("/")
+            per_cell2[(parts[1], parts[2])] = per_cell2.get((parts[1], parts[2]), 0) + 1
+    assert max(per_cell2.values()) == 1  # one file per cell now
+
+    assert st.codes("pq").count() == n_masked
+    assert st.codes("pq", masked=False).count() == n_phys
+    assert st.load().fingerprint == fp
+    assert search() == before
+    # pending tombstone untouched: purge still reclaims it afterwards
+    assert st.tombstones() is not None
+    assert st.purge_tombstones() == 1
+    # idempotent
+    assert st.compact_codes() == 0
+
+
 def test_maybe_rebuild_rederives_cells_on_grown_corpus(spark, tmp_path):
     """maybe_rebuild (ADVICE r7 #4): an auto-sized index keeps batch-1's
     cell count through every append; once the auto rule at the CURRENT

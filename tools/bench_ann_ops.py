@@ -75,6 +75,15 @@ def run_point(spark, sf_dir: str, root: str) -> dict:
     idx = st.append(delta)
     times["append_sec"] = time.perf_counter() - t0
 
+    # small-file maintenance right after the fragmenting append (purge
+    # below would consolidate its hit cells as a side effect): fold the
+    # per-cell fragments back to one file per (variant, cell) —
+    # O(fragmented cells), like purge
+    t0 = time.perf_counter()
+    n_compacted = st.compact_codes()
+    times["compact_sec"] = time.perf_counter() - t0
+    assert n_compacted > 0, "append should have fragmented at least one cell"
+
     doomed = emb.orderBy("vec_id").limit(DELETE_IDS).select("vec_id")
     t0 = time.perf_counter()
     idx = st.delete(doomed)
