@@ -157,6 +157,7 @@ def neardup_gate_batch(
     ann_store=None,
     ann_build_kwargs: dict | None = None,
     ann_rebuild_factor: float | None = 2.0,
+    ann_compact_min_files: int | None = 64,
     eval_docstore=None,
     eval_band_store=None,
     eval_threshold: float | None = None,
@@ -187,6 +188,15 @@ def neardup_gate_batch(
     check; the eval index is only ever READ here. Unlike the corpus
     check, a same-id collision is NOT a redelivery (the ids come from a
     different corpus) — it verifies by content like any candidate.
+
+    ``ann_compact_min_files``: each append fragments its touched cells
+    by one more file; once any (variant, cell) partition holds that many
+    committed files the gate folds the layout back to one file per cell
+    (compact_codes — layout-only, search-invariant). The check is a
+    driver-side manifest count per batch; None disables (explicit
+    maintenance instead). Together with the rebuild trigger below, the
+    composed pipeline is self-maintaining: ingest, dedup, decontaminate,
+    index, rebuild on growth, compact on fragmentation.
 
     ``ann_rebuild_factor`` (ADVICE r7 #4): the batch-1 build pins BOTH
     the cell count (auto_centroids of the first batch's size) and the
@@ -298,16 +308,32 @@ def neardup_gate_batch(
                 ann_store.build(vecs, **(ann_build_kwargs or {}))
             else:
                 ann_store.append(vecs, skip_existing=True)
+                rebuilt = False
                 if ann_rebuild_factor is not None:
                     # rebuild source = the full STORED corpus (deleted docs
                     # excluded by construction), so the retrained quantizer
                     # sees the current distribution, not batch 1's
-                    ann_store.maybe_rebuild(
+                    rebuilt = ann_store.maybe_rebuild(
                         docstore.read().select(
                             ann_store.id_col, ann_store.vec_col
                         ),
                         grow_factor=ann_rebuild_factor,
                     )
+                if ann_compact_min_files is not None and not rebuilt:
+                    # each append fragments its touched cells by one file;
+                    # fold once any cell passes the threshold (a rebuild
+                    # just rewrote the whole layout — nothing to fold).
+                    # The check is a driver-side manifest count, O(files).
+                    man = ann_store._snapshot() or {}
+                    from collections import Counter
+
+                    frag = Counter(
+                        tuple(f.split("/")[1:3])
+                        for f in man.get("files", [])
+                        if f.startswith("codes/")
+                    )
+                    if frag and max(frag.values()) >= ann_compact_min_files:
+                        ann_store.compact_codes()
     return {
         "arrived": n_arrived,
         "kept": n_kept,

@@ -846,6 +846,66 @@ def test_gated_ingest_rebuilds_outgrown_ann_index(spark, tmp_path):
     assert ann2.load().n_centroids == 16 and ann2.load().n_vectors == 70
 
 
+def test_gated_ingest_auto_compacts_fragmented_cells(spark, tmp_path):
+    """ann_compact_min_files: appends fragment touched cells one file per
+    batch; once a cell passes the threshold the gate folds the layout back
+    to one file per cell, with counts and the fingerprint unchanged."""
+    from binance_data_framework_spark.ann_index import AnnIndexStore
+    from binance_data_framework_spark.docstore import BandIndexStore, DocumentStore
+    from binance_data_framework_spark.streaming.neardup_ingest import (
+        neardup_gate_batch,
+    )
+
+    store = DocumentStore(spark, str(tmp_path / "store"), n_shards=2)
+    bands = BandIndexStore(spark, str(tmp_path / "bands"), n_buckets=4)
+    ann = AnnIndexStore(
+        spark, str(tmp_path / "ann"), id_col="doc_id", vec_col="embedding"
+    )
+
+    def batch(lo, hi):
+        rows = [
+            (
+                i,
+                f"body {i} w{i}a w{i}b w{i}c w{i}d w{i}e",
+                [0.5 * i + float(j) for j in range(8)],
+            )
+            for i in range(lo, hi)
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id bigint, text string, embedding array<double>"
+        )
+
+    def max_frag():
+        from collections import Counter
+
+        man = ann._snapshot()
+        c = Counter(
+            tuple(f.split("/")[1:3])
+            for f in man["files"]
+            if f.startswith("codes/")
+        )
+        return max(c.values())
+
+    kw = dict(
+        threshold=0.9,
+        ann_store=ann,
+        ann_build_kwargs=dict(dim=8, n_centroids=2, m_sub=4, ksub=4),
+        ann_compact_min_files=3,
+    )
+    neardup_gate_batch(batch(0, 6), store, bands, **kw)    # build
+    neardup_gate_batch(batch(6, 12), store, bands, **kw)   # frag 2 — below
+    assert max_frag() >= 2
+    fp = ann.load().fingerprint
+    neardup_gate_batch(batch(12, 18), store, bands, **kw)  # frag 3 — folds
+    assert max_frag() == 1
+    assert ann.codes("pq").count() == 18
+    assert ann.load().fingerprint != fp  # append landed, THEN compaction
+    assert (
+        ann.load(validate_against=store.read().select("doc_id", "embedding"))
+        is not None
+    )
+
+
 def test_delete_documents_composes_all_three_tiers(spark, tmp_path):
     """delete_documents (the removal leg of the curated corpus): one call
     drops a doc from the DocumentStore, its bands from the band index
