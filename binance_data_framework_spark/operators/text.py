@@ -520,6 +520,69 @@ def tfidf_top_terms(
     )
 
 
+def corpus_drift_terms(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """Top-k terms by absolute distribution DRIFT between two corpus
+    snapshots — the data-quality shift detector a continuously-ingested
+    corpus needs (a crawler change, an injected boilerplate wave, or a
+    contamination event shows up as a handful of terms whose frequency
+    share moves, long before aggregate stats do). drift is the
+    Laplace-smoothed log-probability ratio
+    ln((cnt_a+1)/(tot_a+V)) - ln((cnt_b+1)/(tot_b+V)) over the UNION
+    vocabulary (V), so terms absent from one side are first-class
+    (the classic log-odds-with-prior monitor).
+
+    Scale shape: one Arrow term-count pass per side (doc_term_tf_arrow —
+    shuffle-free), one vocab-grain partial-aggregated groupBy each, a
+    vocab-keyed full outer join, two 1-row scalar broadcasts (totals and
+    V), and a global TakeOrderedAndProject for the top-k (map-side
+    partial top-k — no unkeyed window, no full sort). Nothing is
+    corpus-grain after the first pass. Deterministic: ties at equal
+    |drift| break by term; drift rounded to 6 dp (oracle parity)."""
+    cnt_a = (
+        doc_term_tf_arrow(df_a, text_col, id_col)
+        .groupBy("term")
+        .agg(F.sum("tf").alias("cnt_a"))
+    )
+    cnt_b = (
+        doc_term_tf_arrow(df_b, text_col, id_col)
+        .groupBy("term")
+        .agg(F.sum("tf").alias("cnt_b"))
+    )
+    merged = (
+        cnt_a.join(cnt_b, "term", "full_outer")
+        .select(
+            "term",
+            F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+            F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
+        )
+        # referenced by the totals aggregate AND the scored projection —
+        # one materialization instead of two term-count pipelines
+        .localCheckpoint(eager=True)
+    )
+    totals = merged.agg(
+        F.sum("cnt_a").alias("tot_a"),
+        F.sum("cnt_b").alias("tot_b"),
+        F.count(F.lit(1)).alias("v"),  # union vocabulary size
+    )
+    drift = F.round(
+        F.log((F.col("cnt_a") + 1.0) / (F.col("tot_a") + F.col("v")))
+        - F.log((F.col("cnt_b") + 1.0) / (F.col("tot_b") + F.col("v"))),
+        6,
+    )
+    return (
+        merged.crossJoin(F.broadcast(totals))
+        .select("term", "cnt_a", "cnt_b", drift.alias("drift"))
+        .orderBy(F.abs(F.col("drift")).desc(), F.col("term"))
+        .limit(k)
+    )
+
+
 def bm25_search(
     df: DataFrame,
     query_terms: tuple[str, ...],

@@ -2763,6 +2763,49 @@ def q_decontaminate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_drift_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    ca AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt_a
+           FROM tok WHERE doc_id % 2 = 0 GROUP BY term),
+    cb AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt_b
+           FROM tok WHERE doc_id % 2 = 1 GROUP BY term),
+    m AS (SELECT coalesce(ca.term, cb.term) AS term,
+                 coalesce(cnt_a, 0) AS cnt_a, coalesce(cnt_b, 0) AS cnt_b
+          FROM ca FULL OUTER JOIN cb ON ca.term = cb.term),
+    t AS (SELECT CAST(sum(cnt_a) AS DOUBLE) AS tot_a,
+                 CAST(sum(cnt_b) AS DOUBLE) AS tot_b,
+                 CAST(count(*) AS DOUBLE) AS v
+          FROM m),
+    s AS (SELECT term, cnt_a, cnt_b,
+                 round(ln((cnt_a + 1) / (tot_a + v))
+                       - ln((cnt_b + 1) / (tot_b + v)), 6) AS drift
+          FROM m, t)
+    SELECT term, cnt_a, cnt_b, drift
+    FROM s ORDER BY abs(drift) DESC, term LIMIT 20
+    """,
+)
+def q_corpus_drift_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-distribution DRIFT monitor between two corpus snapshots
+    (operators/text.corpus_drift_terms): top-20 terms by absolute
+    Laplace-smoothed log-probability ratio over the union vocabulary —
+    the data-quality shift detector that surfaces a crawler change,
+    boilerplate wave, or contamination event as a handful of moved terms
+    long before aggregate stats react. Snapshot split here is doc_id
+    parity (a deterministic stand-in for consecutive ingest snapshots);
+    in production the two sides are different snapshot versions of the
+    same DocumentStore (read_version). One Arrow term-count pass per
+    side, vocab-grain aggregates, global map-side top-k — see the
+    operator docstring for the plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    return TX.corpus_drift_terms(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+    )
+
+
+@register(
     "window_ewma",
     f"""
     WITH RECURSIVE bars AS ({_BARS_1H_SQL}),
@@ -5648,12 +5691,15 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # with NO driver row in any round (ann_index_append + 8 TPC-H — VERDICT
 # r8 window: the 11 queries deferred at r7 (the carryover PROMISE — they
 # head this window) + the 4 queries new in r8 (no driver row exists) + 6
-# whose plan/behavior changed in r8 (listed inline) + 29 of the 39-strong
-# r5-green cohort (age 3 — at 152 registered queries the freshness bound
-# is ceil(152/50) = 4 rounds, so the 9 that did not fit are age-4-legal
+# whose plan/behavior changed in r8 (listed inline) + 28 of the 39-strong
+# r5-green cohort + the late-r8 corpus_drift_terms (age 3 — at 153
+# registered queries the freshness bound
+# is ceil(153/50) = 4 rounds, so the 10 that did not fit are age-4-legal
 # at r9 and MUST head r9's window: scan_exchange_info, text_sentiment,
 # text_token_count, doc_fingerprint, fill_gaps_forward, window_cci,
-# window_donchian, window_median, window_roc — all trivial
+# window_donchian, window_median, window_roc, graph_pagerank — the last
+# displaced by r8's late corpus_drift_terms addition (new queries have
+# no row and outrank an age-3 cohort slot); the rest are trivial
 # projection/window plans with pytest + local-oracle-sweep coverage).
 #
 # Deliberately left out with standing coverage: dedup_near_minhash /
@@ -5673,7 +5719,8 @@ _DRIVER_ORDER = [
     "union_pages",
     "distinct_audit",
     "agg_count",
-    # -- NEW in r8: filtered vector search + cross-corpus decontamination --
+    # -- NEW in r8: filtered vector search + cross-corpus decontamination
+    #    (+ corpus_drift_terms at the window tail) --
     "topk_filtered",
     "topk_filtered_ivf",
     "topk_recall_filtered",
@@ -5721,7 +5768,7 @@ _DRIVER_ORDER = [
     "shard_manifest",
     "anomaly_mad",
     "dedup_fuzzy_edit",
-    "graph_pagerank",
+    "corpus_drift_terms",
 ]
 
 # Empty at r8: with 152 queries the bound is 4 rounds, so the 9 age-3

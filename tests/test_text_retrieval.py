@@ -204,3 +204,33 @@ def test_doc_term_tf_arrow_pinned_equal_to_exploded_groupby(spark, sf_dir):
     }
     assert arrow == jvm and len(arrow) > 0
     assert not any(d == 100004 for d, *_ in arrow)  # null text: no rows
+
+
+def test_corpus_drift_terms_surfaces_planted_shift(spark):
+    """A term appearing ONLY in snapshot B (a planted boilerplate wave)
+    must rank at the top by |drift| with a negative drift value (B-heavy);
+    a perfectly balanced term contributes ~0 and stays out of a top-1
+    cut; counts are exact and sides with absent terms coalesce to 0."""
+    from binance_data_framework_spark.operators.text import corpus_drift_terms
+
+    base = "alpha beta gamma delta"
+    a = spark.createDataFrame(
+        [(i, base) for i in range(20)], "doc_id bigint, text string"
+    )
+    b = spark.createDataFrame(
+        [(100 + i, base + " spamtoken spamtoken") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+    out = corpus_drift_terms(a, b, k=1).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["term"] == "spamtoken"
+    assert r["cnt_a"] == 0 and r["cnt_b"] == 40
+    assert r["drift"] < 0  # B-heavy => ln(pA) - ln(pB) negative
+
+    # balanced corpora: every drift is ~0 (smoothing only), top-k still
+    # deterministic by (|drift|, term)
+    flat = corpus_drift_terms(a, a.withColumn("doc_id", F.col("doc_id") + 500), k=4)
+    rows = flat.collect()
+    assert [x["term"] for x in rows] == ["alpha", "beta", "delta", "gamma"]
+    assert all(abs(x["drift"]) < 1e-9 for x in rows)

@@ -78,6 +78,7 @@ BNLJ_OK = {
     "bm25_search",
     "tfidf_top_terms",
     "text_unigram_logprob",
+    "corpus_drift_terms",  # 1-row (tot_a, tot_b, V) totals cross
     # 1-row params x 1-row code-count aggregates (index audit)
     "ann_index_build",
     "ann_index_append",
