@@ -51,11 +51,13 @@ HEAVY = [
     # vectors, 7 at 20k): candidate volume should stay ~linear
     "knn_join_lsh",
     # r8 additions: cross-corpus decontamination (one broadcast-banded
-    # pass over the train side — expected ~linear in the train corpus)
-    # and filtered index search (committed-index read + shortlist
-    # post-filter — expected ~flat, probe-bounded)
+    # pass over the train side — expected ~linear in the train corpus),
+    # filtered index search (committed-index read + shortlist
+    # post-filter — expected ~flat, probe-bounded), and snapshot drift
+    # (two Arrow term-count passes + vocab-grain join — expected ~linear)
     "decontaminate_neardup",
     "topk_filtered_ivf",
+    "corpus_drift_terms",
 ]
 
 
