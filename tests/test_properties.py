@@ -301,3 +301,38 @@ def test_substring_dedup_matches_bruteforce(spark, texts):
         dup = sum(1 for g in grams if len(gram_docs[g]) >= 2)
         expect[i] = (len(grams), dup, round(dup / len(grams), 6))
     assert got == expect
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(train=_corpus, ev=_corpus)
+def test_cross_candidates_equal_union_selfjoin_restricted(spark, train, ev):
+    """minhash_cross_candidates(A, B) must equal minhash_candidates over
+    the UNION restricted to cross-side pairs (same banding arithmetic by
+    construction — _band_explode is shared — so any divergence is a bug
+    in the cross join's pairing, dedup, or est arithmetic, exactly the
+    parts the refactor could have broken). Ids are made disjoint so side
+    membership is recoverable from the id."""
+    from binance_data_framework_spark.operators import dedup as D
+
+    a = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train)], "doc_id bigint, text string"
+    )
+    b = spark.createDataFrame(
+        [(10_000 + i, t) for i, t in enumerate(ev)], "doc_id bigint, text string"
+    )
+    sa, sb = D.minhash_signature_portable(a), D.minhash_signature_portable(b)
+    got = {
+        (r["train_id"], r["eval_id"], round(r["est_jaccard"], 9))
+        for r in D.minhash_cross_candidates(sa, sb, threshold=0.4).collect()
+    }
+    union_pairs = D.minhash_candidates(
+        D.minhash_signature_portable(a.unionByName(b)), threshold=0.4
+    ).collect()
+    want = {
+        # orient (train, eval): id_a < id_b always puts the train id first
+        # under the disjoint-range construction
+        (r["id_a"], r["id_b"], round(r["est_jaccard"], 9))
+        for r in union_pairs
+        if r["id_a"] < 10_000 <= r["id_b"]
+    }
+    assert got == want
