@@ -234,3 +234,30 @@ def test_corpus_drift_terms_surfaces_planted_shift(spark):
     rows = flat.collect()
     assert [x["term"] for x in rows] == ["alpha", "beta", "delta", "gamma"]
     assert all(abs(x["drift"]) < 1e-9 for x in rows)
+
+
+def test_corpus_drift_between_docstore_versions(spark, tmp_path):
+    """The production drift composition: corpus_drift_terms over two
+    committed DocumentStore snapshots (time travel) — an ingested
+    boilerplate wave shows up as the top drifted term between version
+    N-1 and N, with no side tables or manual bookkeeping."""
+    from binance_data_framework_spark.docstore import DocumentStore
+    from binance_data_framework_spark.operators.text import corpus_drift_terms
+
+    st = DocumentStore(spark, str(tmp_path / "docs"), n_shards=2)
+    base = [(i, "alpha beta gamma delta epsilon") for i in range(10)]
+    st.save_docs(spark.createDataFrame(base, "doc_id bigint, text string"))
+    v1 = st._snapshot()["version"]
+    wave = [(100 + i, "spamwave spamwave alpha beta") for i in range(10)]
+    st.save_docs(spark.createDataFrame(wave, "doc_id bigint, text string"))
+    v2 = st._snapshot()["version"]
+    assert v2 > v1
+
+    out = corpus_drift_terms(
+        st.read_version(v1).select("doc_id", "text"),
+        st.read_version(v2).select("doc_id", "text"),
+        k=1,
+    ).collect()
+    assert out[0]["term"] == "spamwave"
+    assert out[0]["cnt_a"] == 0 and out[0]["cnt_b"] == 20
+    assert out[0]["drift"] < 0  # new-snapshot-heavy
