@@ -950,8 +950,9 @@ def knn_self_lsh(
     candidate volume scales ~linearly with the corpus; the one count()
     action is model-sized orchestration, same class as the IVF centroid
     collect. Pass an explicit n_planes to pin a certified setting."""
+    n = df.count()  # model-sized action; also sizes the collapse strategy
     if n_planes is None:
-        n_planes = auto_planes(df.count(), target_bucket)
+        n_planes = auto_planes(n, target_bucket)
     planes_all = [_planes(dim, n_planes, seed=42 + 1000 * t) for t in range(n_tables)]
     buckets = _lsh_buckets_udf(planes_all)
     # no checkpoint: unlike the probe paths, this plan consumes the bucketed
@@ -1026,36 +1027,64 @@ def knn_self_lsh(
         _bucket_topk, f"id_a {id_type}, id_b {id_type}, cosine double"
     )
 
-    return collapse_pair_topk(cands, k, id_type)
+    # candidate volume is bounded by construction at n x k x n_tables — a
+    # size the caller KNOWS, so the collapse picks its memory strategy on
+    # a measured bound instead of guessing
+    return collapse_pair_topk(cands, k, id_type, candidate_rows=n * k * n_tables)
 
 
-def collapse_pair_topk(cands: DataFrame, k: int, id_type: str) -> DataFrame:
+#: candidate volumes below this take collapse_pair_topk's one-shot
+#: partition-concat path: at 8M rows x ~40 B over >= 32 hash partitions
+#: the per-partition pandas frame is ~10 MB — nowhere near executor
+#: memory — and the spillable-sort streaming path's fixed cost (an extra
+#: in-partition JVM sort) is pure overhead at that size (measured +0.5 s
+#: on the 10k-vector sweep entries)
+_COLLAPSE_STREAM_THRESHOLD = 8_000_000
+
+
+def collapse_pair_topk(
+    cands: DataFrame,
+    k: int,
+    id_type: str,
+    candidate_rows: int | None = None,
+) -> DataFrame:
     """Collapse multi-table candidate pairs (id_a, id_b, cosine) to one row
     per pair (max cosine — per-bucket BLAS results can differ in the last
     ulp) and keep each source's top-k by (cosine desc, id_b asc), ranked.
 
-    One id_a-keyed exchange + in-partition JVM sort + a STREAMING Arrow
-    kernel — NOT groupBy(id_a, id_b).max + a row_number window: that form
-    pays a JVM hash aggregate producing one group per surviving pair (the
-    measured 33 s / 27M-row shape from the r7 token-count work — candidate
-    rows here are n x k x n_tables) plus a SECOND exchange for the
-    window's id_a clustering. The kernel does the same dedup + rank as two
-    stable vector sorts per Arrow-batch-sized chunk; hash-partitioning on
-    id_a alone co-locates every (id_a, id_b) row.
+    One id_a-keyed exchange + an Arrow kernel — NOT groupBy(id_a,
+    id_b).max + a row_number window: that form pays a JVM hash aggregate
+    producing one group per surviving pair (the measured 33 s / 27M-row
+    shape from the r7 token-count work — candidate rows here are
+    n x k x n_tables) plus a SECOND exchange for the window's id_a
+    clustering. The kernel does the same dedup + rank as two stable
+    vector sorts; hash-partitioning on id_a alone co-locates every
+    (id_a, id_b) row.
 
-    Memory shape (ADVICE r7 #2): the earlier kernel pd.concat'ed the WHOLE
-    partition before sorting — a spill-free pandas frame whose size was
-    candidate_volume / shuffle_partitions, OOM-able at default partition
-    counts. Now the exchange is followed by sortWithinPartitions(id_a) —
-    a SPILLABLE JVM sort — so every id_a group arrives contiguous in the
-    Arrow batch stream, and the kernel holds only the current batch plus
-    the one group that straddles its boundary: peak Python memory is
-    O(arrow_batch + largest single id_a group), and a group is bounded by
-    construction at ~k x n_tables candidate rows regardless of corpus
-    size. Row-identical to the agg+window form (stable sort -> first row
-    per pair is its max; positional index per id_a run -> row_number) —
-    pinned by pytest on adversarial inputs (cross-partition duplicates,
-    ulp-split pairs, k-boundary ties, groups straddling Arrow batches)."""
+    Memory strategy is SIZE-GATED on ``candidate_rows`` (the caller's
+    known bound; ADVICE r7 #2 + the broadcast-gate lesson):
+
+    - bounded small (< _COLLAPSE_STREAM_THRESHOLD): one-shot per-partition
+      concat — per-partition pandas memory is candidate_rows /
+      shuffle_partitions, provably tiny at this size, and it skips the
+      streaming path's extra JVM sort (+0.5 s at the 10k-vector scale);
+    - large or UNKNOWN (None): the exchange is followed by
+      sortWithinPartitions(id_a) — a SPILLABLE JVM sort — so every id_a
+      group arrives contiguous in the Arrow batch stream and the kernel
+      holds only the current batch plus the one group straddling its
+      boundary: peak Python memory is O(arrow_batch + largest id_a
+      group), and a group is bounded at ~k x n_tables rows regardless of
+      corpus size.
+
+    Both paths are row-identical to the agg+window form (stable sort ->
+    first row per pair is its max; positional index per id_a run ->
+    row_number) and to each other — pinned by pytest on adversarial
+    inputs (cross-partition duplicates, ulp-split pairs, k-boundary
+    ties, groups straddling Arrow batches)."""
+    small = (
+        candidate_rows is not None
+        and candidate_rows < _COLLAPSE_STREAM_THRESHOLD
+    )
 
     def _collapse(batches):
         def _emit(pdf):
@@ -1074,6 +1103,11 @@ def collapse_pair_topk(cands: DataFrame, k: int, id_type: str) -> DataFrame:
             out = pdf.loc[keep, ["id_a", "id_b", "cosine"]]
             return out.assign(rank=rank[keep])
 
+        if small:
+            chunks = [c for c in batches if len(c)]
+            if chunks:
+                yield _emit(pd.concat(chunks, ignore_index=True))
+            return
         carry = None  # trailing (possibly incomplete) id_a group
         for b in batches:
             if not len(b):
@@ -1092,11 +1126,10 @@ def collapse_pair_topk(cands: DataFrame, k: int, id_type: str) -> DataFrame:
         if carry is not None and len(carry):
             yield _emit(carry)
 
-    return (
-        cands.repartition("id_a")
-        .sortWithinPartitions("id_a")
-        .mapInPandas(
-            _collapse,
-            f"id_a {id_type}, id_b {id_type}, cosine double, rank bigint",
-        )
+    shuffled = cands.repartition("id_a")
+    if not small:
+        shuffled = shuffled.sortWithinPartitions("id_a")
+    return shuffled.mapInPandas(
+        _collapse,
+        f"id_a {id_type}, id_b {id_type}, cosine double, rank bigint",
     )

@@ -739,6 +739,16 @@ def test_collapse_pair_topk_matches_agg_window_form(spark):
         spark.conf.set(key, old)
     assert got_small == ref
 
+    # the size-gated ONE-SHOT path (bounded-small candidate volume skips
+    # the streaming sort) must be row-identical to both
+    got_oneshot = {
+        tuple(r)
+        for r in S.collapse_pair_topk(
+            cands, 3, "bigint", candidate_rows=len(rows)
+        ).collect()
+    }
+    assert got_oneshot == ref
+
 
 def test_minhash_large_bucket_path_matches_hof_path(spark, monkeypatch):
     """The hybrid bucket scorer's two paths must be interchangeable: with
