@@ -906,6 +906,98 @@ def test_gated_ingest_auto_compacts_fragmented_cells(spark, tmp_path):
     )
 
 
+def test_streaming_full_stack_gate(spark, tmp_path):
+    """Capstone: the COMPLETE self-maintaining pipeline through the
+    streaming entry point — JSONL tail -> in-batch dedup -> eval
+    decontamination -> corpus near-dup gate -> DocumentStore + band
+    index + ANN append — in one stream_neardup_ingest run, across
+    several availableNow cycles. Asserts the end state of every tier and
+    that a contaminated doc never reached any of them."""
+    from binance_data_framework_spark.ann_index import AnnIndexStore
+    from binance_data_framework_spark.docstore import BandIndexStore, DocumentStore
+    from binance_data_framework_spark.streaming.corpus_ingest import (
+        stream_jsonl_documents,
+    )
+    from binance_data_framework_spark.streaming.neardup_ingest import (
+        build_eval_index,
+        stream_neardup_ingest,
+    )
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    store = DocumentStore(spark, str(tmp_path / "store"), n_shards=2)
+    bands = BandIndexStore(spark, str(tmp_path / "bands"), n_buckets=8)
+    ev_store = DocumentStore(spark, str(tmp_path / "ev_store"), n_shards=2)
+    ev_bands = BandIndexStore(spark, str(tmp_path / "ev_bands"), n_buckets=8)
+    ann = AnnIndexStore(
+        spark, str(tmp_path / "ann"), id_col="doc_id", vec_col="embedding"
+    )
+    bench_text = "the held out benchmark question text for evaluation only"
+    build_eval_index(
+        spark.createDataFrame(
+            [(9001, bench_text)], "doc_id bigint, text string"
+        ),
+        ev_store,
+        ev_bands,
+    )
+
+    schema = "doc_id bigint, text string, embedding array<double>"
+
+    def emb(i):
+        return [0.3 * i + float(j) for j in range(8)]
+
+    def doc(i, text):
+        return f'{{"doc_id": {i}, "text": "{text}", "embedding": {emb(i)}}}'
+
+    def run():
+        clean, _ = stream_jsonl_documents(spark, str(land), schema=schema)
+        q = stream_neardup_ingest(
+            clean,
+            store,
+            bands,
+            ckpt,
+            threshold=0.9,
+            ann_store=ann,
+            ann_build_kwargs=dict(dim=8, n_centroids=2, m_sub=4, ksub=4),
+            eval_docstore=ev_store,
+            eval_band_store=ev_bands,
+        )
+        q.awaitTermination(180)
+
+    t1 = "plain training document about spark physical plans and shuffles"
+    t2 = "another unrelated training text concerning parquet row groups"
+    t3 = "a third document on adaptive query execution and partitions"
+    # batch 1: one clean doc + one CONTAMINATED (= the benchmark text)
+    (land / "b1.jsonl").write_text(doc(1, t1) + "\n" + doc(2, bench_text) + "\n")
+    run()
+    # batch 2: clean + an in-corpus near-dup of doc 1
+    (land / "b2.jsonl").write_text(doc(3, t2) + "\n" + doc(4, t1) + "\n")
+    run()
+    # batch 3: clean
+    (land / "b3.jsonl").write_text(doc(5, t3) + "\n")
+    run()
+
+    kept = {r["doc_id"] for r in store.read().collect()}
+    assert kept == {1, 3, 5}  # 2 contaminated, 4 near-duped
+    assert {
+        r["doc_id"] for r in ann.codes("pq").select("doc_id").collect()
+    } == {1, 3, 5}
+    assert (
+        ann.load(validate_against=store.read().select("doc_id", "embedding"))
+        is not None
+    )
+    # the contaminated doc never touched the eval tier either (read-only)
+    assert {r["doc_id"] for r in ev_store.read().collect()} == {9001}
+    # replay the whole landing dir from a fresh checkpoint: converges
+    import shutil as _sh
+
+    _sh.rmtree(ckpt)
+    run()
+    assert {r["doc_id"] for r in store.read().collect()} == {1, 3, 5}
+    assert ann.codes("pq").count() == 3
+
+
 def test_delete_documents_composes_all_three_tiers(spark, tmp_path):
     """delete_documents (the removal leg of the curated corpus): one call
     drops a doc from the DocumentStore, its bands from the band index
