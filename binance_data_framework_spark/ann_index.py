@@ -363,7 +363,14 @@ class AnnIndexStore(SnapshotStore):
                             f"(purge='never'), or use purge='auto'"
                         )
                     self.purge_tombstones()
-                elif tomb0.count() >= self.PURGE_APPEND_THRESHOLD:
+                elif (
+                    purge == "auto"
+                    and tomb0.count() >= self.PURGE_APPEND_THRESHOLD
+                ):
+                    # threshold purge belongs to "auto" only: "never" is
+                    # the explicit-maintenance mode and must not attach
+                    # the O(affected-cells) rewrite it exists to avoid
+                    # (ADVICE r8 #1)
                     self.purge_tombstones()
         idx = self.load()
         if idx is None:

@@ -68,24 +68,86 @@ class BandIndexStore(SnapshotStore):
     Sizing ``n_buckets`` (measured, PLANS.md r6 gate bench): a batch's
     lookup IO is touched_buckets x rows_per_bucket ≈ batch_keys x
     (num_bands x corpus / n_buckets) once batch_keys ≥ n_buckets — FLAT
-    in corpus size only if n_buckets scales with the corpus target
-    (pick n_buckets ≈ corpus x num_bands / desired_bucket_rows at
-    creation; the layout is pinned, so re-bucketing means a rebuild).
-    The same constant-vs-corpus-function lesson as auto_planes."""
+    in corpus size only if n_buckets scales with the corpus target.
+    Two modes (VERDICT r8 #1 — the growth leg the ANN index got in r8):
+
+    - ``n_buckets=<int>`` (pinned): the creation-time count is layout,
+      forever — the pre-r9 behavior, for callers who sized it for the
+      corpus target themselves. Pinned stores never auto-rebucket, the
+      same provenance rule as a pinned n_centroids ANN index.
+    - ``n_buckets=None`` (auto): the count is DERIVED state owned by the
+      store — it starts at auto_buckets(0) and ``maybe_rebucket()``
+      (called by the streaming gate per accepted batch) re-derives it at
+      the CURRENT committed row count, rewriting the layout once the
+      rule asks for >= grow_factor x the committed count. Re-bucketing
+      is a narrow remap of the committed (id, band_idx, band_hash) rows
+      — pmod against the new count; no signature or shingle recompute.
+
+    The band-GENERATION params (num_hashes/num_bands/shingle_n) stay
+    pinned in BOTH modes, deliberately: unlike the bucket count (pure
+    physical layout), they define the near-duplicate SEMANTICS — the
+    banding recall curve — so growing them with the corpus would silently
+    change which documents count as duplicates. Scaling lookup cost is
+    the bucket count's job.
+
+    Single-maintainer note: rebucket swaps the bucket routing (sidecar)
+    and the file layout (manifest) in two steps; auto-mode handles
+    re-read the sidecar on every operation, so any op started after the
+    rebucket commit sees the new layout. A lookup that reads the sidecar
+    in the microseconds BEFORE a concurrent rebucket's commit and the
+    manifest after it can prune with the old routing for that one call —
+    run maintenance from the store's single writer (the gate), the same
+    assumption AnnIndexStore.maybe_rebuild's full-layout swap makes."""
+
+    #: target committed rows per bucket for the auto derivation — ~50k
+    #: rows x ~24 B/row ≈ 1.2 MB per bucket file, the same IO-granularity
+    #: sizing rule as auto_centroids' target_cell (a bucket lookup is a
+    #: narrow scan, linear per row, so the target is file-size-shaped;
+    #: per-BUCKET pair work is the generator's num_bands concern, not
+    #: the store's)
+    TARGET_BUCKET_ROWS = 50_000
+
+    @staticmethod
+    def auto_buckets(n_rows: int, target_bucket_rows: int = 50_000) -> int:
+        """Bucket count keeping expected committed occupancy at
+        ~target_bucket_rows for n_rows committed band rows — the
+        auto_planes/auto_centroids rule applied to the band index
+        (PLANS.md scale rule #1: LSH/banding parameters bounding bucket
+        occupancy must be functions of corpus size, never constants).
+        Clamped to [8, 2^20]: 8 keeps a tiny store from degenerating to
+        one file, 2^20 x 50k rows ≈ 5e10 band rows before the clamp
+        binds."""
+        import math as _math
+
+        return max(
+            8,
+            min(1 << 20, _math.ceil(max(1, n_rows) / max(1, target_bucket_rows))),
+        )
 
     def __init__(
         self,
         spark: SparkSession,
         root: str,
         id_col: str = "doc_id",
-        n_buckets: int = 64,
+        n_buckets: int | None = 64,
         params: dict | None = None,
+        target_bucket_rows: int | None = None,
     ):
-        if n_buckets <= 0:
+        if n_buckets is not None and n_buckets <= 0:
             raise ValueError("n_buckets must be positive")
         super().__init__(spark, root)
         self.id_col = id_col
-        self.n_buckets = n_buckets
+        self.target_bucket_rows = (
+            target_bucket_rows
+            if target_bucket_rows is not None
+            else self.TARGET_BUCKET_ROWS
+        )
+        self._auto = n_buckets is None
+        self.n_buckets = (
+            n_buckets
+            if n_buckets is not None
+            else self.auto_buckets(0, self.target_bucket_rows)
+        )
         # band-GENERATION parameters (minhash num_hashes/num_bands/
         # shingle_n for the near-dup gate): band hashes are a pure function
         # of these, so they are part of the layout — reopening with
@@ -102,14 +164,43 @@ class BandIndexStore(SnapshotStore):
         count would route the same band key to a different bucket, and
         different generator params (minhash widths) produce band hashes
         that never match committed rows; both must raise, not silently
-        miss candidates (ADVICE r6)."""
-        if self._layout_checked:
-            return
+        miss candidates (ADVICE r6).
+
+        Auto-bucketed stores additionally RE-ADOPT the sidecar's current
+        n_buckets on every call (one small driver-side read): in auto mode
+        the count is derived state owned by the store, and a rebucket —
+        by this handle or another — must be visible to the next lookup,
+        not to the next process."""
         import json as _json
+
+        if self._layout_checked:
+            if self._auto:
+                stored = _json.loads(self._read_bytes("_layout.json"))
+                self.n_buckets = int(stored["n_buckets"])
+            return
 
         fs, p = self._fs_path("_layout.json")
         if fs.exists(p):
             stored = _json.loads(self._read_bytes("_layout.json"))
+            if self._auto:
+                # adopt the stored layout wholesale: in auto mode the
+                # caller pins nothing — a reopened auto store keeps its
+                # grown count, and opening a PINNED store with
+                # n_buckets=None adopts the pinned count (and stays
+                # pinned: auto provenance is recorded at creation, not
+                # re-guessed)
+                self.n_buckets = int(stored["n_buckets"])
+                self._auto = bool(stored.get("auto_buckets", False))
+                if stored.get("target_bucket_rows"):
+                    self.target_bucket_rows = int(stored["target_bucket_rows"])
+            elif stored.get("auto_buckets", False):
+                raise ValueError(
+                    f"BandIndexStore at {self.root} is auto-bucketed (its "
+                    f"count is derived state, currently "
+                    f"{stored.get('n_buckets')}) — open it with "
+                    f"n_buckets=None instead of pinning "
+                    f"{self.n_buckets}"
+                )
             if (
                 stored.get("n_buckets") != self.n_buckets
                 or stored.get("id_col") != self.id_col
@@ -152,10 +243,24 @@ class BandIndexStore(SnapshotStore):
                         "n_buckets": self.n_buckets,
                         "id_col": self.id_col,
                         "params": self.params,
+                        "auto_buckets": self._auto,
+                        "target_bucket_rows": self.target_bucket_rows,
+                        "n_rows": 0,
                     }
                 ).encode(),
             )
         self._layout_checked = True
+
+    def _layout_update(self, **fields) -> dict:
+        """Read-modify-write the layout sidecar (driver-side JSON).
+        Used for the auto-mode bookkeeping fields (n_rows, n_buckets)
+        only — the pinned identity fields never change this way."""
+        import json as _json
+
+        stored = _json.loads(self._read_bytes("_layout.json"))
+        stored.update(fields)
+        self._write_bytes("_layout.json", _json.dumps(stored).encode())
+        return stored
 
     def pin_params(self, params: dict) -> None:
         """Declare the band-generation params this session derives keys
@@ -204,7 +309,40 @@ class BandIndexStore(SnapshotStore):
         if not new_files:
             return 0
         self._commit_or_reclaim(new_files, lambda latest: (new_files, []))
+        if self._auto:
+            # growth bookkeeping for maybe_rebucket's O(1) trigger: count
+            # the rows just COMMITTED (a footer-bound scan of the delta
+            # files — never a re-execution of the caller's band pipeline,
+            # the reason append returns a file count). Best-effort under
+            # concurrent appenders (a lost read-modify-write increment
+            # undercounts and merely delays the trigger one batch;
+            # rebucket recounts exactly).
+            n_added = (
+                self.spark.read.option("basePath", self.root)
+                .parquet(*[f"{self.root}/{f}" for f in new_files])
+                .count()
+            )
+            import json as _json
+
+            stored = _json.loads(self._read_bytes("_layout.json"))
+            stored["n_rows"] = int(stored.get("n_rows", 0)) + n_added
+            self._write_bytes("_layout.json", _json.dumps(stored).encode())
         return len(new_files)
+
+    def read(self) -> DataFrame:
+        """Full committed band-row scan (id_col, band_idx, band_hash,
+        bucket) — maintenance/inspection surface; lookups should go
+        through candidates() (bucket-pruned)."""
+        self._check_layout()
+        man = self._snapshot()
+        if not man or not man["files"]:
+            return self.spark.createDataFrame(
+                [],
+                f"{self.id_col} long, band_idx int, band_hash long, bucket int",
+            )
+        return self.spark.read.option("basePath", self.root).parquet(
+            *[f"{self.root}/{f}" for f in man["files"]]
+        )
 
     def candidates(self, bands: DataFrame) -> DataFrame:
         """(id_new, id_stored) distinct pairs whose (band_idx, band_hash)
@@ -334,6 +472,94 @@ class BandIndexStore(SnapshotStore):
 
         self._commit_or_reclaim(new_files, _delta)
         return len({self._bucket_of(f) for f in files})
+
+    def maybe_rebucket(self, grow_factor: float = 2.0) -> bool:
+        """Maintenance trigger for an auto-bucketed index grown through
+        appends (VERDICT r8 #1 — the exact ADVICE r7 #4 failure mode one
+        tier over, fixed for IVF cells in r8): a gate started on a small
+        corpus keeps batch-1's bucket count while the corpus grows 1000x,
+        so per-batch candidate reads grow linearly
+        (num_bands x corpus / n_buckets) and the measured-flat gate claim
+        quietly expires. This re-runs the auto_buckets derivation at the
+        CURRENT committed row count (the sidecar counter append maintains
+        — an O(1) driver-side check) and rewrites the layout
+        (``rebucket()``) when the rule asks for >= ``grow_factor`` x the
+        committed count. Pinned-n_buckets stores never auto-rebucket:
+        auto mode is recorded provenance, not a guess — the same rule as
+        AnnIndexStore.maybe_rebuild. Returns True iff a rebucket was
+        committed."""
+        self._check_layout()
+        if not self._auto:
+            return False
+        import json as _json
+
+        stored = _json.loads(self._read_bytes("_layout.json"))
+        ideal = self.auto_buckets(
+            int(stored.get("n_rows", 0)),
+            int(stored.get("target_bucket_rows", self.target_bucket_rows)),
+        )
+        if ideal < grow_factor * int(stored["n_buckets"]):
+            return False
+        return self.rebucket()
+
+    def rebucket(self, n_buckets: int | None = None) -> bool:
+        """Rewrite the committed band rows under a new bucket count —
+        a narrow remap (one pmod against the new count; no signature or
+        shingle recompute) superseding every prior file in ONE commit, so
+        readers see the old or the new layout whole, never a mix. With
+        ``n_buckets=None`` the new count is auto_buckets() of the EXACT
+        committed row count (measured during the rewrite's first pass —
+        the sidecar counter is best-effort; the rewrite is the
+        authoritative recount and resets it). Also folds redelivery
+        duplicates and multi-file buckets as a side effect (the rewrite
+        is one file per new bucket). Returns True iff the layout changed
+        (an equal derived count just refreshes the row counter)."""
+        self._check_layout()
+        man = self._snapshot()
+        if not man or not man["files"]:
+            return False
+        rows = (
+            self.spark.read.option("basePath", self.root)
+            .parquet(*[f"{self.root}/{f}" for f in man["files"]])
+            .select(self.id_col, "band_idx", "band_hash")
+            .distinct()
+        )
+        exact = rows.count()
+        final = (
+            n_buckets
+            if n_buckets is not None
+            else self.auto_buckets(exact, self.target_bucket_rows)
+        )
+        if final == self.n_buckets:
+            if self._auto:
+                self._layout_update(n_rows=exact)
+            return False
+        staging = f"_staging-{uuid.uuid4().hex}"
+        (
+            rows.withColumn("bucket", F.pmod("band_hash", F.lit(final)))
+            .repartition("bucket")
+            .write.partitionBy("bucket")
+            .option("compression", "zstd")
+            .mode("overwrite")
+            .save(f"{self.root}/{staging}")
+        )
+        new_files = self._publish_staged(staging)
+        old = list(man["files"])
+        sup = set(old)
+
+        def _delta(latest: dict | None):
+            live = set(latest["files"]) if latest else set()
+            if not sup <= live:
+                raise RuntimeError(
+                    "concurrent band-index write during rebucket: a "
+                    "superseded file is no longer live — retry"
+                )
+            return new_files, old
+
+        self._commit_or_reclaim(new_files, _delta)
+        self._layout_update(n_buckets=final, n_rows=exact)
+        self.n_buckets = final
+        return True
 
 
 class DocumentStore(SnapshotStore):

@@ -137,10 +137,31 @@ def build_eval_index(
     keyed = eval_docs.join(sigs, id_col).localCheckpoint(eager=True)
     n = keyed.count()
     if n:
+        # band-leg idempotency (ADVICE r8 #4): save_docs is a keyed
+        # upsert, but band append is add-only — a re-run would append the
+        # same band rows again, growing the index with every invocation
+        # and re-verifying duplicate collisions per lookup. Index bands
+        # only for ids NOT already in the eval doc store (shard-pruned
+        # point read of exactly the incoming keys). Already-indexed ids
+        # keep their committed bands — eval corpora are static by
+        # contract; to change an indexed doc's text, rebuild both stores.
+        man = eval_docstore._snapshot()
+        if man and man["files"]:
+            already = eval_docstore.read_keys(keyed.select(id_col)).select(
+                id_col
+            )
+            fresh = keyed.join(already, id_col, "left_anti").localCheckpoint(
+                eager=True
+            )
+        else:
+            fresh = keyed
         eval_docstore.save_docs(keyed)
-        eval_band_store.append(
-            minhash_bands(keyed.select(id_col, "sig"), id_col, num_bands, num_hashes)
-        )
+        if fresh.limit(1).count():
+            eval_band_store.append(
+                minhash_bands(
+                    fresh.select(id_col, "sig"), id_col, num_bands, num_hashes
+                )
+            )
     return n
 
 
@@ -158,6 +179,8 @@ def neardup_gate_batch(
     ann_build_kwargs: dict | None = None,
     ann_rebuild_factor: float | None = 2.0,
     ann_compact_min_files: int | None = 64,
+    band_rebucket_factor: float | None = 2.0,
+    band_compact_min_files: int | None = 64,
     eval_docstore=None,
     eval_band_store=None,
     eval_threshold: float | None = None,
@@ -198,6 +221,18 @@ def neardup_gate_batch(
     composed pipeline is self-maintaining: ingest, dedup, decontaminate,
     index, rebuild on growth, compact on fragmentation.
 
+    ``band_rebucket_factor`` / ``band_compact_min_files`` (VERDICT r8
+    #1/#5 — band-index lifecycle parity with the ANN legs): when the
+    band store is AUTO-bucketed (created with n_buckets=None), the gate
+    re-derives its bucket count at the grown corpus after each append
+    (BandIndexStore.maybe_rebucket — O(1) sidecar check; the rebucket
+    itself is a narrow remap of committed band rows) so per-batch
+    candidate reads stay flat as the corpus grows; pinned stores no-op.
+    Independently, once any band bucket accumulates that many committed
+    files from streaming appends, the gate folds the layout
+    (BandIndexStore.compact() — also folds redelivery duplicates).
+    None disables either leg (explicit maintenance instead).
+
     ``ann_rebuild_factor`` (ADVICE r7 #4): the batch-1 build pins BOTH
     the cell count (auto_centroids of the first batch's size) and the
     quantizer's training distribution; a corpus grown 1000x through
@@ -212,6 +247,18 @@ def neardup_gate_batch(
     # band hashes are a pure function of these — pin them in the band
     # store's layout sidecar so a gate reopened with different values
     # raises instead of silently admitting near-duplicates (ADVICE r6)
+    if (eval_docstore is None) != (eval_band_store is None):
+        # the decontamination stage needs BOTH: it is keyed off
+        # eval_band_store, so a lone eval_docstore silently disables it,
+        # and a lone eval_band_store fails only when a band collision
+        # occurs — a misconfigured gate could run clean batches without
+        # error (ADVICE r8 #2)
+        raise ValueError(
+            "neardup_gate_batch: pass eval_docstore AND eval_band_store "
+            "together (decontamination needs the band index for candidate "
+            "lookup and the doc store for signature verification), or "
+            "neither"
+        )
     band_store.pin_params(
         {"num_hashes": num_hashes, "num_bands": num_bands, "shingle_n": shingle_n}
     )
@@ -302,6 +349,26 @@ def neardup_gate_batch(
                 survivors.select(id_col, "sig"), id_col, num_bands, num_hashes
             )
         )
+        # band-index lifecycle, mirroring the ANN legs below (VERDICT r8
+        # #1/#5): an AUTO-bucketed band store re-derives its bucket count
+        # at the grown corpus (O(1) sidecar check per batch; pinned
+        # stores no-op), and append-fragmented buckets fold back to one
+        # file each once any bucket passes the file threshold (a
+        # rebucket just rewrote the whole layout — nothing to fold).
+        band_rebucketed = False
+        if band_rebucket_factor is not None:
+            band_rebucketed = band_store.maybe_rebucket(band_rebucket_factor)
+        if band_compact_min_files is not None and not band_rebucketed:
+            man = band_store._snapshot() or {}
+            from collections import Counter as _Counter
+
+            frag = _Counter(
+                b
+                for f in man.get("files", [])
+                if (b := band_store._bucket_of(f)) is not None
+            )
+            if frag and max(frag.values()) >= band_compact_min_files:
+                band_store.compact()
         if ann_store is not None:
             vecs = survivors.select(ann_store.id_col, ann_store.vec_col)
             if ann_store.load() is None:

@@ -371,6 +371,35 @@ def test_append_auto_purge_threshold(spark, tmp_path, monkeypatch):
     ).count() == 0
 
 
+def test_append_purge_never_skips_threshold_purge(spark, tmp_path, monkeypatch):
+    """purge="never" must not run the PURGE_APPEND_THRESHOLD purge either
+    (ADVICE r8 #1): the threshold branch belongs to "auto" — "never" is the
+    explicit-maintenance mode and exists precisely to keep the
+    O(affected-cells) rewrite out of append, no matter how large the
+    pending tombstone set has grown. A disjoint-id append under "never"
+    with the set past the threshold must leave the tombstones pending and
+    the physical rows in place."""
+    df = _emb(spark)
+    st = AnnIndexStore(spark, str(tmp_path / "idx"))
+    st.build(df, **BUILD)
+    st.delete(spark.createDataFrame([(5,), (7,)], "vec_id bigint"))
+    monkeypatch.setattr(AnnIndexStore, "PURGE_APPEND_THRESHOLD", 2)
+    st.append(
+        _emb(spark, n=2, offset=50).withColumn(
+            "vec_id", F.col("vec_id") + 3000
+        ),
+        purge="never",
+    )
+    # tombstones still pending, physical rows still present (masked only)
+    tomb = st.tombstones()
+    assert tomb is not None and tomb.count() == 2
+    assert (
+        st.codes("pq", masked=False).where(F.col("vec_id").isin(5, 7)).count()
+        == 2
+    )
+    assert st.codes("pq").where(F.col("vec_id").isin(5, 7)).count() == 0
+
+
 def test_purge_is_partition_inference_config_independent(spark, tmp_path):
     """purge_tombstones matches collected (variant, cell) values against
     path-parsed ones; with partition-column type inference DISABLED the

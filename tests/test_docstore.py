@@ -229,3 +229,120 @@ def test_docstore_type_drift_same_names_raises(spark, tmp_path):
     # and the good-typed upsert still works after the rejected one
     st.save_docs(_docs(spark, [(2, "b", 0.2)]))
     assert st.read().count() == 2
+
+
+# ---------------------------------------------------------------------------
+# BandIndexStore growth leg (VERDICT r8 #1): auto_buckets derivation,
+# maybe_rebucket, layout adoption
+# ---------------------------------------------------------------------------
+
+
+def _band_rows(spark, ids, per_doc=4):
+    """Deterministic synthetic band rows: per_doc (band_idx, band_hash)
+    rows per doc id, hashes spread across the long range so every bucket
+    count routes them broadly."""
+    rows = [
+        (int(i), b, int(i) * 2_654_435_761 + b * 97_003)
+        for i in ids
+        for b in range(per_doc)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id bigint, band_idx int, band_hash long"
+    )
+
+
+def test_band_index_auto_rebucket_grows_and_preserves_candidates(
+    spark, tmp_path
+):
+    """An auto-bucketed store re-derives its bucket count at the grown
+    committed size (maybe_rebucket) and the rewrite is candidate-
+    invariant: the same probe bands produce the same (id_new, id_stored)
+    pairs before and after, while the layout's bucket count grows and
+    duplicate rows fold."""
+    from binance_data_framework_spark.docstore import BandIndexStore
+
+    st = BandIndexStore(
+        spark, str(tmp_path / "bands"), n_buckets=None, target_bucket_rows=4
+    )
+    st.append(_band_rows(spark, range(6)))
+    assert st.n_buckets == 8  # auto floor
+    # below the 2x threshold: no rebucket (24 rows / 4 = 6 < 16)
+    assert st.maybe_rebucket() is False
+    probe = _band_rows(spark, [2, 3])
+    before = {
+        (r["id_new"], r["id_stored"]) for r in st.candidates(probe).collect()
+    }
+    assert before  # self-matches at minimum
+    # grow past the threshold: 40 docs -> 160 rows -> ceil(160/4)=40 >= 16
+    st.append(_band_rows(spark, range(6, 40)))
+    st.append(_band_rows(spark, [2, 3]))  # redelivery duplicates
+    assert st.maybe_rebucket() is True
+    assert st.n_buckets > 8
+    after = {
+        (r["id_new"], r["id_stored"]) for r in st.candidates(probe).collect()
+    }
+    assert after >= before
+    # duplicates folded by the rewrite: committed rows = 40 docs x 4
+    left = spark.read.option("basePath", st.root).parquet(
+        *[f"{st.root}/{f}" for f in st._snapshot()["files"]]
+    )
+    assert left.count() == 160
+    # idempotent: a second call at the same size is a no-op
+    assert st.maybe_rebucket() is False
+
+
+def test_band_index_pinned_never_rebuckets_and_auto_adopts(spark, tmp_path):
+    """Provenance rules: a pinned store never auto-rebuckets (the
+    ANN pinned-n_centroids rule); reopening an auto store with
+    n_buckets=None adopts the grown count; pinning an auto store raises;
+    reopening a pinned store with None adopts the pinned count and stays
+    pinned."""
+    import pytest as _pytest
+
+    from binance_data_framework_spark.docstore import BandIndexStore
+
+    pinned = BandIndexStore(spark, str(tmp_path / "pinned"), n_buckets=4)
+    pinned.append(_band_rows(spark, range(50)))
+    assert pinned.maybe_rebucket() is False
+    assert pinned.n_buckets == 4
+    # reopen pinned with None: adopts 4, still never rebuckets
+    re_p = BandIndexStore(spark, str(tmp_path / "pinned"), n_buckets=None)
+    assert re_p.maybe_rebucket() is False
+    assert re_p.n_buckets == 4
+
+    auto = BandIndexStore(
+        spark, str(tmp_path / "auto"), n_buckets=None, target_bucket_rows=4
+    )
+    auto.append(_band_rows(spark, range(40)))
+    assert auto.maybe_rebucket() is True
+    grown = auto.n_buckets
+    assert grown > 8
+    # a second handle opened with None sees the grown count
+    re_a = BandIndexStore(spark, str(tmp_path / "auto"), n_buckets=None)
+    re_a._check_layout()
+    assert re_a.n_buckets == grown
+    # pinning an auto store raises
+    with _pytest.raises(ValueError, match="auto-bucketed"):
+        BandIndexStore(spark, str(tmp_path / "auto"), n_buckets=8)._check_layout()
+
+
+def test_band_index_stale_handle_sees_rebucket(spark, tmp_path):
+    """Auto-mode handles re-read the layout sidecar per operation: a
+    handle opened BEFORE a rebucket routes lookups with the NEW count
+    afterwards (a stale count would prune the wrong buckets and silently
+    miss candidates — the exact silent-miss class the layout pin exists
+    to prevent)."""
+    from binance_data_framework_spark.docstore import BandIndexStore
+
+    a = BandIndexStore(
+        spark, str(tmp_path / "bands"), n_buckets=None, target_bucket_rows=4
+    )
+    b = BandIndexStore(spark, str(tmp_path / "bands"), n_buckets=None)
+    a.append(_band_rows(spark, range(3)))
+    b._check_layout()  # b adopts the initial count (8)
+    a.append(_band_rows(spark, range(3, 40)))
+    assert a.maybe_rebucket() is True
+    probe = _band_rows(spark, [1, 2])
+    got = {(r["id_new"], r["id_stored"]) for r in b.candidates(probe).collect()}
+    assert {(1, 1), (2, 2)} <= got
+    assert b.n_buckets == a.n_buckets

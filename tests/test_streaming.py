@@ -773,6 +773,83 @@ def test_gate_eval_decontamination(spark, tmp_path):
         )
 
 
+def test_gate_eval_stores_both_or_neither(spark, tmp_path):
+    """ADVICE r8 #2: the decontamination stage needs BOTH eval stores —
+    a lone eval_docstore silently disabled the stage (it is keyed off
+    eval_band_store) and a lone eval_band_store failed only when a band
+    collision occurred. Either half alone must raise up front, on every
+    batch, clean or not."""
+    import pytest as _pytest
+
+    from binance_data_framework_spark.docstore import (
+        BandIndexStore,
+        DocumentStore,
+    )
+    from binance_data_framework_spark.streaming.neardup_ingest import (
+        neardup_gate_batch,
+    )
+
+    store = DocumentStore(spark, str(tmp_path / "store"), n_shards=2)
+    bands = BandIndexStore(spark, str(tmp_path / "bands"), n_buckets=4)
+    ev_store = DocumentStore(spark, str(tmp_path / "ev_store"), n_shards=2)
+    ev_bands = BandIndexStore(spark, str(tmp_path / "ev_bands"), n_buckets=4)
+    batch = spark.createDataFrame(
+        [(1, "a clean training document")], "doc_id bigint, text string"
+    )
+    with _pytest.raises(ValueError, match="together"):
+        neardup_gate_batch(batch, store, bands, eval_docstore=ev_store)
+    with _pytest.raises(ValueError, match="together"):
+        neardup_gate_batch(batch, store, bands, eval_band_store=ev_bands)
+    # both (or neither) still work
+    s = neardup_gate_batch(batch, store, bands)
+    assert s["kept"] == 1
+
+
+def test_build_eval_index_rerun_is_idempotent(spark, tmp_path):
+    """ADVICE r8 #4: build_eval_index is documented re-runnable, but the
+    band leg was add-only — every re-run appended the same band rows
+    again, growing the eval index and re-verifying duplicate collisions
+    per lookup. A re-run must leave the committed band ROW count unchanged
+    (docs upsert idempotently already), while genuinely new eval docs
+    still index."""
+    from binance_data_framework_spark.docstore import (
+        BandIndexStore,
+        DocumentStore,
+    )
+    from binance_data_framework_spark.streaming.neardup_ingest import (
+        build_eval_index,
+    )
+
+    ev_store = DocumentStore(spark, str(tmp_path / "ev_store"), n_shards=2)
+    ev_bands = BandIndexStore(spark, str(tmp_path / "ev_bands"), n_buckets=4)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id bigint, text string"
+    )
+    docs = mk(
+        [
+            (1, "the standardized benchmark question text used in evals"),
+            (2, "an unrelated benchmark prompt about different matters"),
+        ]
+    )
+    assert build_eval_index(docs, ev_store, ev_bands) == 2
+    n1 = ev_bands.read().count()
+    # re-run with the identical corpus: no new band rows
+    assert build_eval_index(docs, ev_store, ev_bands) == 2
+    assert ev_bands.read().count() == n1
+    # a new doc still indexes; the old ones still don't re-append
+    assert (
+        build_eval_index(
+            docs.union(mk([(3, "a third benchmark item appended later")])),
+            ev_store,
+            ev_bands,
+        )
+        == 3
+    )
+    n3 = ev_bands.read().count()
+    assert n1 < n3 <= n1 * 2
+    assert ev_store.read().count() == 3
+
+
 def test_gated_ingest_rebuilds_outgrown_ann_index(spark, tmp_path):
     """ADVICE r7 #4: the composed pipeline trains the ANN index on the
     FIRST accepted batch, pinning batch-1's auto-derived cell count and
@@ -1057,3 +1134,69 @@ def test_delete_documents_composes_all_three_tiers(spark, tmp_path):
     )
     assert out2["deleted"] == 0
     assert {r["doc_id"] for r in store.read().collect()} == {1, 3}
+
+
+def test_gate_auto_rebuckets_and_compacts_band_index(spark, tmp_path):
+    """VERDICT r8 #1/#5: the self-maintaining gate's band-index legs.
+    With an AUTO-bucketed band store and a tiny occupancy target, enough
+    accepted batches trip maybe_rebucket (bucket count grows mid-stream,
+    near-dup detection unaffected); independently, append fragmentation
+    past band_compact_min_files folds buckets back to one file each.
+    Pinned band stores (every pre-r9 caller) take neither leg."""
+    from collections import Counter
+
+    from binance_data_framework_spark.docstore import BandIndexStore, DocumentStore
+    from binance_data_framework_spark.streaming.neardup_ingest import (
+        neardup_gate_batch,
+    )
+
+    store = DocumentStore(spark, str(tmp_path / "store"), n_shards=2)
+    bands = BandIndexStore(
+        spark, str(tmp_path / "bands"), n_buckets=None, target_bucket_rows=8
+    )
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id bigint, text string"
+    )
+    texts = [
+        f"document number {i} holds its own entirely distinct words "
+        f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i}"
+        for i in range(40)
+    ]
+    bands._check_layout()
+    first = bands.n_buckets
+    # batches of 10 distinct docs; 4 band rows/doc -> 160 committed rows
+    # by batch 4, auto_buckets(160, 8) = 20 >= 2 x 8 -> rebucket fires
+    for lo in range(0, 40, 10):
+        s = neardup_gate_batch(
+            mk([(i, texts[i]) for i in range(lo, lo + 10)]),
+            store,
+            bands,
+            band_compact_min_files=None,
+        )
+        assert s["kept"] == 10
+    assert bands.n_buckets > first
+    # the grown layout still catches a near-duplicate of an OLD doc
+    s = neardup_gate_batch(mk([(100, texts[0])]), store, bands)
+    assert s["dropped_vs_corpus"] == 1 and s["kept"] == 0
+
+    # compaction leg: a PINNED store fragments one file per append; with
+    # the threshold at 2 the gate folds every multi-file bucket
+    store2 = DocumentStore(spark, str(tmp_path / "store2"), n_shards=2)
+    bands2 = BandIndexStore(spark, str(tmp_path / "bands2"), n_buckets=4)
+    for lo in range(0, 30, 10):
+        neardup_gate_batch(
+            mk([(i, texts[i]) for i in range(lo, lo + 10)]),
+            store2,
+            bands2,
+            band_compact_min_files=2,
+        )
+    frag = Counter(
+        b
+        for f in bands2._snapshot()["files"]
+        if (b := bands2._bucket_of(f)) is not None
+    )
+    assert max(frag.values()) == 1  # folded to one file per bucket
+    # pinned store: the rebucket leg never ran
+    assert bands2.n_buckets == 4
+    s = neardup_gate_batch(mk([(200, texts[5])]), store2, bands2)
+    assert s["dropped_vs_corpus"] == 1
