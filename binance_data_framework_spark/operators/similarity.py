@@ -734,6 +734,9 @@ def topk_cosine_filtered_ivfpq(
     overfetch: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    selectivity: float | None = None,
+    target_factor: float = 2.0,
+    max_overfetch: int = 64,
     **ivfpq_kwargs,
 ) -> DataFrame:
     """Metadata-FILTERED approximate top-k over a (typically persisted)
@@ -751,13 +754,50 @@ def topk_cosine_filtered_ivfpq(
     FILTERED corpus slice instead: the predicate lands on the metadata
     scan (Catalyst pushdown), and the k*overfetch shortlist — probe-bounded,
     independent of corpus size — is BROADCAST against it, so the corpus
-    side never shuffles. Recall under the filter is
-    certificate-monitored (registry topk_recall_filtered): a predicate
-    keeping fraction s of the corpus leaves ~s * k * overfetch survivors
-    per probe, so size ``overfetch`` ~ c/s (c >= 1) and raise nprobe for
-    very selective filters — at which point a dedicated
-    attribute-partitioned index tier is the real answer (out of scope,
-    same answer FAISS/Milvus give)."""
+    side never shuffles.
+
+    SELECTIVITY GATE (VERDICT r8 #2 — the escape hatch post-filtering
+    needs): a predicate keeping fraction s of the corpus leaves
+    ~s * k * overfetch survivors per probe; at s = 1% with overfetch 4
+    the expected surviving shortlist is under one row and recall
+    collapses. So the strategy is chosen on MEASURED selectivity — one
+    predicate-pushed-down count of the matching slice (the same
+    measured-count-gate pattern as the LM-dictionary broadcast gate in
+    text.py; never an optimizer estimate):
+
+    - moderate s: escalate overfetch to ceil(target_factor / s), so the
+      expected survivors stay >= target_factor * k regardless of s
+      (never below the caller's ``overfetch``);
+    - s below target_factor / max_overfetch: run the EXACT filtered path
+      (topk_cosine with the predicate on the candidate scan) — the
+      brute-force slice is small precisely because the predicate is
+      selective, and recall is 1.0 by construction;
+    - s == 0: the exact path returns the correct empty result.
+
+    ``selectivity`` short-circuits the measurement when the caller
+    already knows it (e.g. a partition-count from table stats). Recall
+    under the filter remains certificate-monitored across the
+    selectivity range (registry topk_recall_filtered: ~50% / ~5% / ~0.5%
+    fixtures); past max_overfetch a dedicated attribute-partitioned
+    index tier is the real answer (out of scope, same answer
+    FAISS/Milvus give)."""
+    if selectivity is None:
+        # one pushed-down count over the predicate column(s) only —
+        # df.count() on the parquet source is footer-bound, the filtered
+        # count scans just the predicate columns
+        n_total = df.count()
+        n_match = df.where(candidate_filter).count()
+        selectivity = (n_match / n_total) if n_total else 0.0
+    if selectivity <= 0 or target_factor / max(selectivity, 1e-12) > max_overfetch:
+        return topk_cosine(
+            df,
+            probe_filter,
+            k=k,
+            id_col=id_col,
+            vec_col=vec_col,
+            candidate_filter=candidate_filter,
+        )
+    overfetch = max(overfetch, math.ceil(target_factor / selectivity))
     fetched = topk_cosine_ivfpq(
         df,
         probe_filter,

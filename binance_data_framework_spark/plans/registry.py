@@ -20,6 +20,7 @@ the driver records rows-only checks and pytest enforces their invariants.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 from datetime import datetime, timezone
 
@@ -2464,20 +2465,16 @@ def q_topk_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (similarity.topk_cosine_filtered_ivfpq): fetch k*overfetch unfiltered
     candidates from the committed cell-pruned code layout, post-filter by
     the predicate (broadcast shortlist vs pushed-down metadata scan — the
-    corpus never shuffles), re-rank survivors to k. rows-only by design
+    corpus never shuffles), re-rank survivors to k. r9: the strategy is
+    SELECTIVITY-GATED (_ann_filtered_search, VERDICT r8 #2) — one
+    measured predicate count scales nprobe and overfetch by 1/s, and
+    very selective predicates take the exact filtered path over the
+    matching slice instead of a collapsed shortlist. rows-only by design
     (the survivor set depends on index shortlisting); quality is
-    adjudicated by the hash-matched topk_recall_filtered certificate."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    st, idx = _ann_index(spark, sf_dir)
-    return S.topk_cosine_filtered_ivfpq(
-        emb,
-        _ann_probe(),
-        (F.col("label") % 2) == 1,
-        k=10,
-        overfetch=4,
-        centroids=idx.centroids,
-        books=idx.pq_books,
-        coded=st.codes("pq", cells=_ann_probed_cells(spark, sf_dir)),
+    adjudicated by the hash-matched 3-fixture topk_recall_filtered
+    certificate."""
+    return _ann_filtered_search(
+        spark, sf_dir, "sel50", (F.col("label") % 2) == 1
     )
 
 
@@ -4229,7 +4226,7 @@ def _ann_probed_cells(spark: SparkSession, sf_dir: str, nprobe: int = 4) -> list
     model-sized, memoized per session). Lets the PQ searches hand
     AnnIndexStore.codes() an explicit cell list, so the committed file
     listing is pruned to the probed cells before any scan exists."""
-    key = (spark.sparkContext.applicationId, sf_dir, "probed_cells")
+    key = (spark.sparkContext.applicationId, sf_dir, "probed_cells", nprobe)
     _ann_evict_stale(key[0])
     if key not in _ANN_SHARED:
         import numpy as np
@@ -4247,6 +4244,61 @@ def _ann_probed_cells(spark: SparkSession, sf_dir: str, nprobe: int = 4) -> list
         order = np.argsort(d, axis=1)[:, :nprobe]
         _ANN_SHARED[key] = sorted({int(c) for c in order.ravel()})
     return _ANN_SHARED[key]
+
+
+def _ann_selectivity(spark: SparkSession, sf_dir: str, name: str, pred) -> float:
+    """Measured predicate selectivity over the embeddings table — ONE
+    predicate-pushed-down count plus a footer-bound total, memoized per
+    (session, fixture). This is the measured-count gate pattern (text.py
+    LM broadcast gate): the filtered-search strategy choice keys off a
+    real count, never an optimizer estimate."""
+    key = (spark.sparkContext.applicationId, sf_dir, "selectivity", name)
+    _ann_evict_stale(key[0])
+    if key not in _ANN_SHARED:
+        emb = load_table(spark, sf_dir, "embeddings")
+        total = emb.count()
+        _ANN_SHARED[key] = (emb.where(pred).count() / total) if total else 0.0
+    return _ANN_SHARED[key]
+
+
+def _ann_filtered_search(
+    spark: SparkSession, sf_dir: str, fixture: str, pred, k: int = 10
+) -> DataFrame:
+    """The selectivity-aware filtered index search (VERDICT r8 #2), one
+    call shared by topk_filtered_ivf and the 3-fixture recall cert:
+    measure s, scale BOTH knobs by 1/s — nprobe (more cells so the
+    shortlist can even CONTAIN enough matching rows; capped at every
+    cell) and overfetch (so the post-filter keeps ~target x k survivors;
+    capped at max_overfetch) — and below the overfetch cap fall back to
+    the exact filtered path over the (small by construction) matching
+    slice. At the fixtures: ~50% -> 4 probed cells / overfetch 8 (the
+    baseline path), ~5% -> all cells / overfetch ~40 (escalated index
+    path), ~0.5% -> exact fallback, recall 1.0 by construction."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    st, idx = _ann_index(spark, sf_dir)
+    s = _ann_selectivity(spark, sf_dir, fixture, pred)
+    target_factor, max_overfetch, base_nprobe = 2.0, 64, 4
+    if s > 0 and target_factor / s <= max_overfetch:
+        nprobe = min(idx.n_centroids, math.ceil(base_nprobe / s))
+        coded = st.codes(
+            "pq", cells=_ann_probed_cells(spark, sf_dir, nprobe=nprobe)
+        )
+    else:
+        coded, nprobe = None, base_nprobe  # exact fallback; no code scan
+    return S.topk_cosine_filtered_ivfpq(
+        emb,
+        _ann_probe(),
+        pred,
+        k=k,
+        overfetch=8,
+        selectivity=s,
+        target_factor=target_factor,
+        max_overfetch=max_overfetch,
+        nprobe=nprobe,
+        centroids=idx.centroids,
+        books=idx.pq_books,
+        coded=coded,
+    )
 
 
 def _recall_invariant(
@@ -4396,43 +4448,99 @@ def q_topk_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RECALL_FILTERED_ORACLE = f"""
-    WITH {_TOPK_FILTERED_CTE}
-    SELECT CAST(count(DISTINCT probe_id) AS BIGINT) AS n_probes,
-           CAST(count(*) AS BIGINT) AS n_exact,
-           CAST({{floor}} AS DOUBLE) AS recall_floor,
-           true AS meets_floor,
-           true AS scores_match
-    FROM ranked WHERE rank <= 10
-"""
+#: the three selectivity fixtures the filtered-search cert sweeps
+#: (VERDICT r8 #2/#7): (name, Spark predicate, DuckDB predicate, floor).
+#: ~50% exercises the baseline over-fetch path; ~5% the ESCALATED index
+#: path (nprobe and overfetch scaled by 1/s); ~0.5% the exact-fallback
+#: band (recall 1.0 by construction — the floor says so). Floors track
+#: the measured per-SF values minus the fixture-regeneration variance
+#: band (measured at sf0.001/0.01/0.1: sel50 0.90-0.94 with the
+#: 1/s-scaled nprobe, sel05 1.0 escalated, sel005 exactly 1.0 via the
+#: exact fallback) — r8's single 0.2 floor would have passed a collapse
+#: to 0.3 (VERDICT r8 watch item).
+_FILTERED_FIXTURES = [
+    # predicates are thunks: a Column literal at module import would need
+    # an active SparkContext before any session exists
+    ("sel005", lambda: F.col("vec_id") % 200 == 7, "vec_id % 200 = 7", 0.99),
+    (
+        "sel05",
+        lambda: (F.col("label") == 3) & (F.col("vec_id") % 2 == 1),
+        "label = 3 AND vec_id % 2 = 1",
+        0.9,
+    ),
+    ("sel50", lambda: (F.col("label") % 2) == 1, "label % 2 = 1", 0.8),
+]
 
 
-@register("topk_recall_filtered", _RECALL_FILTERED_ORACLE.format(floor=0.2))
-def q_topk_recall_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall certificate for the FILTERED index search: the over-fetch/
-    post-filter path (topk_filtered_ivf) vs the exact filtered top-k
-    (topk_filtered's plan). The floor matches the unfiltered PQ cert —
-    with overfetch=4 and a ~half-selective predicate the expected
-    surviving shortlist is ~2k per probe, so filtered recall tracks the
-    unfiltered shortlist quality; a failing floor is the signal to raise
-    overfetch/nprobe (see topk_cosine_filtered_ivfpq's docstring).
-    scores_match additionally proves the survivors carry EXACT cosines
-    (the re-rank is exact; only candidate selection approximates)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    st, idx = _ann_index(spark, sf_dir)
-    pred = (F.col("label") % 2) == 1
-    exact = S.topk_cosine(emb, _ann_probe(), k=10, candidate_filter=pred)
-    approx = S.topk_cosine_filtered_ivfpq(
-        emb,
-        _ann_probe(),
-        pred,
-        k=10,
-        overfetch=4,
-        centroids=idx.centroids,
-        books=idx.pq_books,
-        coded=st.codes("pq", cells=_ann_probed_cells(spark, sf_dir)),
+def _filtered_cte(suffix: str, pred_sql: str) -> str:
+    """The exact filtered top-k CTE chain with suffixed names, so three
+    fixtures can share one WITH clause in the cert oracle."""
+    return f"""
+    e{suffix} AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      FROM embeddings),
+    p{suffix} AS (SELECT vec_id AS probe_id, emb AS p_emb, nrm AS p_nrm
+                  FROM e{suffix} WHERE vec_id < 5),
+    pairs{suffix} AS (
+      SELECT probe_id, vec_id,
+             list_sum(list_transform(list_zip(p_emb, emb), s -> s[1] * s[2]))
+               / (p_nrm * nrm) AS cosine
+      FROM p{suffix}, e{suffix}
+      WHERE vec_id <> probe_id AND ({pred_sql})),
+    ranked{suffix} AS (
+      SELECT probe_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM pairs{suffix})"""
+
+
+_RECALL_FILTERED_ORACLE = (
+    "WITH "
+    + ",".join(
+        _filtered_cte(name, pred_sql)
+        for name, _, pred_sql, _ in _FILTERED_FIXTURES
     )
-    return _recall_invariant(exact, approx, 0.2)
+    + "\n    "
+    + "\n    UNION ALL\n    ".join(
+        f"""SELECT '{name}' AS fixture,
+           CAST(count(DISTINCT probe_id) AS BIGINT) AS n_probes,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST({floor} AS DOUBLE) AS recall_floor,
+           true AS meets_floor, true AS scores_match
+    FROM ranked{name} WHERE rank <= 10"""
+        for name, _, pred_sql, floor in _FILTERED_FIXTURES
+    )
+    + "\n    ORDER BY fixture"
+)
+
+
+@register("topk_recall_filtered", _RECALL_FILTERED_ORACLE)
+def q_topk_recall_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall certificate for the FILTERED index search, swept across
+    three predicate selectivities (~0.5% / ~5% / ~50% — VERDICT r8 #2):
+    the selectivity-gated path (_ann_filtered_search, exactly what
+    topk_filtered_ivf runs) vs the exact filtered top-k at each fixture.
+    One row per fixture; per-fixture floors track the measured recall
+    minus the variance band (r8's single 0.2 floor would not have caught
+    a collapse — VERDICT r8 watch item). scores_match additionally
+    proves survivors carry EXACT cosines (the re-rank is exact; only
+    candidate selection approximates)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    certs = []
+    for name, mk_pred, _, floor in _FILTERED_FIXTURES:
+        pred = mk_pred()
+        exact = S.topk_cosine(emb, _ann_probe(), k=10, candidate_filter=pred)
+        approx = _ann_filtered_search(spark, sf_dir, name, pred)
+        certs.append(
+            _recall_invariant(exact, approx, floor).select(
+                F.lit(name).alias("fixture"), "*"
+            )
+        )
+    out = certs[0]
+    for c in certs[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("fixture")
 
 
 @register("topk_recall_opq", _RECALL_ORACLE.format(floor=0.2))

@@ -278,6 +278,56 @@ def test_topk_filtered_ivfpq_invariants(spark, sf_dir):
     assert both.mean() > 0.2
 
 
+def test_topk_filtered_ivfpq_selectivity_gate(spark, sf_dir):
+    """The selectivity gate (VERDICT r8 #2): below target_factor /
+    max_overfetch the filtered index search must return the EXACT
+    filtered result (fallback — the brute-force slice is small because
+    the predicate is selective); a zero-match predicate returns empty;
+    a moderate predicate escalates overfetch and stays on the index
+    path (recall strictly better than the un-escalated shortlist's
+    survivor bound would allow at that selectivity)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = {
+        r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()
+    }
+    # ~0.6% selective: required overfetch 2/0.006 >> 64 -> exact fallback
+    tight = F.col("vec_id") % 200 == 7
+    exact = S.topk_cosine(
+        emb, F.col("vec_id") < 5, k=10, candidate_filter=tight
+    ).toPandas()
+    got = S.topk_cosine_filtered_ivfpq(
+        emb, F.col("vec_id") < 5, tight, k=10, overfetch=4
+    ).toPandas()
+    key = ["probe_id", "vec_id", "rank"]
+    assert got.sort_values(key).reset_index(drop=True)[key].equals(
+        exact.sort_values(key).reset_index(drop=True)[key]
+    )
+    # zero-selectivity: empty result, no error
+    none = S.topk_cosine_filtered_ivfpq(
+        emb, F.col("vec_id") < 5, F.col("vec_id") < 0, k=10
+    )
+    assert none.count() == 0
+    # caller-supplied selectivity short-circuits the measurement and
+    # forces the branch: s=0.001 -> exact path even for a broad predicate
+    broad = (F.col("label") % 2) == 1
+    forced = S.topk_cosine_filtered_ivfpq(
+        emb, F.col("vec_id") < 5, broad, k=10, selectivity=0.001
+    ).toPandas()
+    exact_b = S.topk_cosine(
+        emb, F.col("vec_id") < 5, k=10, candidate_filter=broad
+    ).toPandas()
+    assert forced.sort_values(key).reset_index(drop=True)[key].equals(
+        exact_b.sort_values(key).reset_index(drop=True)[key]
+    )
+    # moderate selectivity on the index path still satisfies the
+    # predicate and the per-probe cap
+    approx = S.topk_cosine_filtered_ivfpq(
+        emb, F.col("vec_id") < 5, broad, k=10, overfetch=4
+    ).toPandas()
+    assert (approx["vec_id"].map(labels) % 2 == 1).all()
+    assert (approx.groupby("probe_id").size() <= 10).all()
+
+
 def test_minhash_cross_candidates_decontamination(spark):
     """Cross-corpus near-dup pairs: a train doc duplicating an eval doc is
     flagged at est 1.0, train-train / eval-eval pairs are never emitted,
