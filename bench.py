@@ -68,6 +68,7 @@ BUILD_TIER = {
     "ann_index_append",
     "ann_index_delete",
     "curated_index_pipeline",
+    "knn_lsh_build",
 }
 
 

@@ -948,6 +948,37 @@ def auto_centroids(n: int, target_cell: int = 100_000) -> int:
     return max(1, min(n, min(65536, max(16, math.ceil(n / target_cell)))))
 
 
+def knn_lsh_assign(
+    df: DataFrame,
+    n_planes: int,
+    n_tables: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """The corpus-stable HALF of the all-pairs kNN self-join
+    (VERDICT r8 #4 — the train-once story applied to the kNN tier):
+    (id, _v double[], _norm, _t, _b) — every vector's norm and its
+    multi-table LSH bucket assignment, exploded to n x n_tables rows.
+    For a static corpus this never changes between runs, so persist it
+    BUCKETED by (_t, _b) (sources/bucketed.write_bucketed semantics):
+    a later knn_self_lsh(assigned=...) then starts from a scan whose
+    physical partitioning already satisfies the per-bucket grouping —
+    no plane projection, no explode, and crucially NO shuffle of the
+    n x n_tables vector rows (the dominant data movement at 2M+
+    vectors). Plane seeds are fixed (42 + 1000*t), so the assignment —
+    and therefore the kNN result — is bit-identical to the in-plan
+    path."""
+    planes_all = [
+        _planes(dim, n_planes, seed=42 + 1000 * t) for t in range(n_tables)
+    ]
+    buckets = _lsh_buckets_udf(planes_all)
+    base = with_norm(df, vec_col).withColumn("_tb", buckets(F.col("_v")))
+    return base.select(
+        id_col, "_v", "_norm", F.posexplode("_tb").alias("_t", "_b")
+    )
+
+
 def knn_self_lsh(
     df: DataFrame,
     k: int = 5,
@@ -957,6 +988,8 @@ def knn_self_lsh(
     n_tables: int = 6,
     dim: int = 64,
     target_bucket: int = 250,
+    assigned: DataFrame | None = None,
+    n: int | None = None,
 ) -> DataFrame:
     """Approximate all-pairs k-NN: every vector gets its k nearest
     neighbors (cosine) — the self-join form used for embedding-cluster
@@ -989,18 +1022,30 @@ def knn_self_lsh(
     occupancy ~constant, so
     candidate volume scales ~linearly with the corpus; the one count()
     action is model-sized orchestration, same class as the IVF centroid
-    collect. Pass an explicit n_planes to pin a certified setting."""
-    n = df.count()  # model-sized action; also sizes the collapse strategy
-    if n_planes is None:
-        n_planes = auto_planes(n, target_bucket)
-    planes_all = [_planes(dim, n_planes, seed=42 + 1000 * t) for t in range(n_tables)]
-    buckets = _lsh_buckets_udf(planes_all)
-    # no checkpoint: unlike the probe paths, this plan consumes the bucketed
-    # base exactly once (via `exploded`), so a checkpoint would only add a
-    # full corpus materialization
-    base = with_norm(df, vec_col).withColumn("_tb", buckets(F.col("_v")))
-    exploded = base.select(id_col, "_v", "_norm", F.posexplode("_tb").alias("_t", "_b"))
-    id_type = df.schema[id_col].dataType.simpleString()
+    collect. Pass an explicit n_planes to pin a certified setting.
+
+    ``assigned`` (VERDICT r8 #4): a PERSISTED assignment table from
+    knn_lsh_assign — typically (_t, _b)-bucketed (sources/bucketed) —
+    replaces the count/plane-derivation/projection/explode front half
+    entirely; with bucket metadata the per-bucket grouping below runs
+    with NO exchange (the scan already clusters on the keys). ``n`` (the
+    corpus size, known to whoever built the table) is required with it:
+    it sizes the collapse memory strategy. The scoring kernel and the
+    collapse are byte-identical in both paths."""
+    if assigned is not None:
+        if n is None:
+            raise ValueError("assigned requires n (the corpus size)")
+        exploded = assigned.select(id_col, "_v", "_norm", "_t", "_b")
+        id_type = assigned.schema[id_col].dataType.simpleString()
+    else:
+        n = df.count()  # model-sized action; also sizes collapse strategy
+        if n_planes is None:
+            n_planes = auto_planes(n, target_bucket)
+        # no checkpoint: unlike the probe paths, this plan consumes the
+        # assignment exactly once, so a checkpoint would only add a full
+        # corpus materialization
+        exploded = knn_lsh_assign(df, n_planes, n_tables, id_col, vec_col, dim)
+        id_type = df.schema[id_col].dataType.simpleString()
 
     def _bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
         # Blocked per-bucket scoring: BLAS matmuls in row CHUNKS so peak

@@ -4342,6 +4342,95 @@ _RECALL_ORACLE = f"""
 """
 
 
+def _knn_lsh_table(spark: SparkSession, sf_dir: str, n_tables: int = 12):
+    """(assignment DataFrame, n, n_planes) for the all-pairs kNN tier —
+    the train-once story applied to candidate GENERATION (VERDICT r8 #4):
+    the plane projection and table/bucket explosion are corpus-stable, so
+    they are computed ONCE per corpus into a (_t, _b)-BUCKETED external
+    table (sources/bucketed semantics) and every later knn_self_lsh run
+    starts from a scan that already clusters on the grouping keys — no
+    projection UDF, no explode, and no exchange of the n x n_tables
+    vector rows (the dominant data movement at 2M vectors). The table
+    name encodes (corpus basename, n, id-sum fingerprint, planes,
+    tables, buckets): a regenerated fixture or changed parameter derives
+    a different name and rebuilds — the same staleness rule as
+    AnnIndexStore's fingerprint. Cross-session the catalog is in-memory,
+    so a later session finds the files on disk and RE-REGISTERS them
+    with a bucket-spec DDL (driver-side metadata, no rewrite)."""
+    key = (spark.sparkContext.applicationId, sf_dir, "knn_lsh", n_tables)
+    _ann_evict_stale(key[0])
+    if key not in _ANN_SHARED:
+        import os
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        agg = emb.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("vec_id").alias("s")
+        ).collect()[0]
+        n, idsum = int(agg["n"]), int(agg["s"] or 0)
+        n_planes = S.auto_planes(n, 250)
+        # grouping parallelism: ~250k assignment rows (~60 MB of vectors)
+        # per bucket-task, clamped — derived from n so it is stable per
+        # table and scales with the corpus
+        nb = max(32, min(1024, math.ceil(n * n_tables / 250_000)))
+        base = (
+            os.path.basename(sf_dir.rstrip("/"))
+            .replace(".", "_")
+            .replace("-", "_")
+        )
+        tbl = f"knn_lsh_{base}_{n}_{idsum % 1000000007}_p{n_planes}t{n_tables}b{nb}"
+        loc = _export_dir(spark, tbl)
+        if not spark.catalog.tableExists(tbl):
+            if os.path.exists(os.path.join(loc, "_SUCCESS")):
+                spark.sql(
+                    f"CREATE TABLE {tbl} (`vec_id` BIGINT, `_v` ARRAY<DOUBLE>,"
+                    f" `_norm` DOUBLE, `_t` INT, `_b` BIGINT) USING parquet"
+                    f" CLUSTERED BY (`_t`, `_b`) SORTED BY (`_t`, `_b`)"
+                    f" INTO {nb} BUCKETS LOCATION '{loc}'"
+                )
+            else:
+                (
+                    S.knn_lsh_assign(emb, n_planes, n_tables)
+                    .write.mode("overwrite")
+                    .option("path", loc)
+                    .bucketBy(nb, "_t", "_b")
+                    .sortBy("_t", "_b")
+                    .format("parquet")
+                    .saveAsTable(tbl)
+                )
+        _ANN_SHARED[key] = (tbl, n, n_planes)
+    tbl, n, n_planes = _ANN_SHARED[key]
+    return spark.table(tbl), n, n_planes
+
+
+@register(
+    "knn_lsh_build",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           least(16, greatest(2,
+             CAST(ceil(log2(count(*) / 250.0)) AS INT))) AS n_planes,
+           12 AS n_tables,
+           CAST(count(*) * 12 AS BIGINT) AS n_assigned
+    FROM embeddings
+    """,
+)
+def q_knn_lsh_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN candidate-generation build side (VERDICT r8 #4): ensure the
+    persisted (_t, _b)-bucketed LSH assignment table exists for this
+    corpus (built only on first contact or after a fingerprint change —
+    the name encodes corpus count + id-sum + params), then AUDIT the
+    committed artifact: it must hold exactly n x n_tables assignment
+    rows and the auto-derived plane count. Counts come FROM the
+    persisted table, so a truncated or stale table hash-mismatches."""
+    assigned, n, n_planes = _knn_lsh_table(spark, sf_dir, n_tables=12)
+    params = spark.sql(
+        f"""SELECT CAST({n} AS BIGINT) AS n_vectors,
+                   {n_planes} AS n_planes, 12 AS n_tables"""
+    )
+    return params.crossJoin(
+        assigned.agg(F.count(F.lit(1)).alias("n_assigned"))
+    )
+
+
 @register("knn_join_lsh")
 def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate all-pairs k-NN (5 neighbors per vector) via multi-table
@@ -4351,11 +4440,15 @@ def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (ceil(log2(n/250)), which resolves to the certified 3 planes at
     sf0.01 — 0.97 recall, knn_recall_self — and grows at larger
     fixtures so candidate volume stays ~linear instead of quadratic;
-    scaling measured in BENCH_SCALING.json).
+    scaling measured in BENCH_SCALING.json). r9: candidate generation
+    reads the PERSISTED bucketed assignment table (_knn_lsh_table,
+    VERDICT r8 #4) — plane seeds are fixed, so the output is identical
+    to the in-plan path, minus its projection/explode/exchange.
     Approximate by design -> rows-only driver check + the hash-matched
     certificate row."""
     emb = load_table(spark, sf_dir, "embeddings")
-    out = S.knn_self_lsh(emb, k=5, n_tables=12)
+    assigned, n, _ = _knn_lsh_table(spark, sf_dir, n_tables=12)
+    out = S.knn_self_lsh(emb, k=5, n_tables=12, assigned=assigned, n=n)
     return out.select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine"), "rank"
     )

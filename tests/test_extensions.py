@@ -328,6 +328,76 @@ def test_topk_filtered_ivfpq_selectivity_gate(spark, sf_dir):
     assert (approx.groupby("probe_id").size() <= 10).all()
 
 
+def test_knn_self_lsh_persisted_assignment_identical(spark, sf_dir, tmp_path):
+    """VERDICT r8 #4 (train-once for the all-pairs kNN tier): the
+    persisted bucketed assignment path must be row-identical to the
+    in-plan path (fixed plane seeds), its grouping must run WITHOUT an
+    exchange (the bucketed scan already clusters on the keys), and a new
+    session's DDL re-registration over the same files must read back
+    identically."""
+    from binance_data_framework_spark.operators.similarity import (
+        auto_planes,
+        knn_lsh_assign,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    n_planes = auto_planes(n, 250)
+    inplan = (
+        S.knn_self_lsh(emb, k=5, n_tables=4)
+        .toPandas()
+        .sort_values(["id_a", "rank"])
+        .reset_index(drop=True)
+    )
+
+    tbl, loc = "knn_lsh_pytest", str(tmp_path / "knn_lsh_pytest")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    (
+        knn_lsh_assign(emb, n_planes, 4)
+        .write.mode("overwrite")
+        .option("path", loc)
+        .bucketBy(8, "_t", "_b")
+        .sortBy("_t", "_b")
+        .format("parquet")
+        .saveAsTable(tbl)
+    )
+    persisted = (
+        S.knn_self_lsh(emb, k=5, n_tables=4, assigned=spark.table(tbl), n=n)
+        .toPandas()
+        .sort_values(["id_a", "rank"])
+        .reset_index(drop=True)
+    )
+    assert persisted.equals(inplan)
+    # no exchange between the bucketed scan and the per-bucket kernel
+    plan = S.knn_self_lsh(
+        emb, k=5, n_tables=4, assigned=spark.table(tbl), n=n
+    )._jdf.queryExecution().executedPlan().toString()
+    head = plan.split("FlatMapGroupsInPandas")[1]
+    assert "Exchange" not in head.split("MapInPandas")[0]
+
+    # cross-session path: catalog is in-memory, files survive — DDL
+    # re-registration with the bucket spec must read back identically
+    spark.sql(f"DROP TABLE {tbl}")
+    spark.sql(
+        f"CREATE TABLE {tbl} (`vec_id` BIGINT, `_v` ARRAY<DOUBLE>,"
+        f" `_norm` DOUBLE, `_t` INT, `_b` BIGINT) USING parquet"
+        f" CLUSTERED BY (`_t`, `_b`) SORTED BY (`_t`, `_b`)"
+        f" INTO 8 BUCKETS LOCATION '{loc}'"
+    )
+    again = (
+        S.knn_self_lsh(emb, k=5, n_tables=4, assigned=spark.table(tbl), n=n)
+        .toPandas()
+        .sort_values(["id_a", "rank"])
+        .reset_index(drop=True)
+    )
+    assert again.equals(inplan)
+    spark.sql(f"DROP TABLE {tbl}")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="requires n"):
+        S.knn_self_lsh(emb, assigned=emb.limit(0))
+
+
 def test_minhash_cross_candidates_decontamination(spark):
     """Cross-corpus near-dup pairs: a train doc duplicating an eval doc is
     flagged at est 1.0, train-train / eval-eval pairs are never emitted,
