@@ -543,17 +543,42 @@ def corpus_drift_terms(
     V), and a global TakeOrderedAndProject for the top-k (map-side
     partial top-k — no unkeyed window, no full sort). Nothing is
     corpus-grain after the first pass. Deterministic: ties at equal
-    |drift| break by term; drift rounded to 6 dp (oracle parity)."""
-    cnt_a = (
-        doc_term_tf_arrow(df_a, text_col, id_col)
-        .groupBy("term")
-        .agg(F.sum("tf").alias("cnt_a"))
+    |drift| break by term; drift rounded to 6 dp (oracle parity).
+
+    The snapshot-vs-snapshot form; the streaming gate's monitoring leg
+    (streaming/neardup_ingest.corpus_drift_report) persists one side as
+    a vocab-grain baseline and calls drift_from_counts — the SAME
+    arithmetic below, factored so the two paths cannot drift."""
+    return drift_from_counts(
+        corpus_term_counts(df_a, text_col, id_col, "cnt_a"),
+        corpus_term_counts(df_b, text_col, id_col, "cnt_b"),
+        k,
     )
-    cnt_b = (
-        doc_term_tf_arrow(df_b, text_col, id_col)
+
+
+def corpus_term_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "cnt",
+) -> DataFrame:
+    """(term, count) over a corpus: one shuffle-free Arrow term-count
+    pass, then a vocab-grain partial-aggregated groupBy. Vocab-grain
+    output (Heaps'-law sublinear in corpus size) — the persistable side
+    of the drift monitor."""
+    return (
+        doc_term_tf_arrow(df, text_col, id_col)
         .groupBy("term")
-        .agg(F.sum("tf").alias("cnt_b"))
+        .agg(F.sum("tf").alias(out_col))
     )
+
+
+def drift_from_counts(cnt_a: DataFrame, cnt_b: DataFrame, k: int = 20) -> DataFrame:
+    """corpus_drift_terms' scoring half over two pre-computed (term,
+    cnt_a)/(term, cnt_b) tables — shared by the snapshot form above and
+    the gate's persisted-baseline monitor."""
+    cnt_a = cnt_a.select("term", F.col(cnt_a.columns[-1]).alias("cnt_a"))
+    cnt_b = cnt_b.select("term", F.col(cnt_b.columns[-1]).alias("cnt_b"))
     merged = (
         cnt_a.join(cnt_b, "term", "full_outer")
         .select(

@@ -469,6 +469,7 @@ def test_neardup_gate_batch_stats_and_band_layout(spark, tmp_path):
         "dropped_in_batch": 0,
         "dropped_contaminated": 0,
         "dropped_vs_corpus": 0,
+        "drift": None,
     }
     s2 = neardup_gate_batch(
         mk([(12, t), (13, t), (14, "fresh and unrelated closing words here")]),
@@ -482,6 +483,7 @@ def test_neardup_gate_batch_stats_and_band_layout(spark, tmp_path):
         "dropped_in_batch": 1,  # 13 loses to 12 in-batch
         "dropped_contaminated": 0,
         "dropped_vs_corpus": 1,  # 12 near-dups stored 10
+        "drift": None,
     }
     assert {r["doc_id"] for r in store.read().collect()} == {10, 11, 14}
     # empty batch short-circuits
@@ -1200,3 +1202,56 @@ def test_gate_auto_rebuckets_and_compacts_band_index(spark, tmp_path):
     assert bands2.n_buckets == 4
     s = neardup_gate_batch(mk([(200, texts[5])]), store2, bands2)
     assert s["dropped_vs_corpus"] == 1
+
+
+def test_gate_drift_monitoring_detects_boilerplate_wave(spark, tmp_path):
+    """VERDICT r8 #6: the drift-monitoring leg, promoted from pytest
+    composition to gate feature. First monitored batch seeds the
+    vocab-grain baseline (report None); after a planted boilerplate wave
+    floods the corpus, the next monitored point surfaces the injected
+    term at the top of the report; the baseline then advances (a third
+    probe against the unchanged corpus reports ~zero drift); and the
+    arithmetic matches the oracled corpus_drift_terms exactly."""
+    from binance_data_framework_spark.docstore import BandIndexStore, DocumentStore
+    from binance_data_framework_spark.operators.text import corpus_drift_terms
+    from binance_data_framework_spark.streaming.neardup_ingest import (
+        corpus_drift_report,
+        neardup_gate_batch,
+    )
+
+    store = DocumentStore(spark, str(tmp_path / "store"), n_shards=2)
+    bands = BandIndexStore(spark, str(tmp_path / "bands"), n_buckets=4)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id bigint, text string"
+    )
+    clean = [
+        (i, f"ordinary words alpha{i} beta{i} gamma{i} delta{i}")
+        for i in range(8)
+    ]
+    s1 = neardup_gate_batch(mk(clean), store, bands, drift_report=True)
+    assert s1["kept"] == 8 and s1["drift"] is None  # baseline seeded
+    v1 = store._snapshot()["version"]
+
+    # the wave: every doc carries the same injected boilerplate token
+    wave = [
+        (100 + i, f"zzboilerplate zzboilerplate filler{i} epsilon{i}")
+        for i in range(8)
+    ]
+    s2 = neardup_gate_batch(mk(wave), store, bands, drift_report=True)
+    assert s2["kept"] == 8 and s2["drift"] is not None
+    top = s2["drift"][0]
+    assert top["term"] == "zzboilerplate" and top["drift"] > 0
+    assert top["cnt_baseline"] == 0 and top["cnt_now"] == 16
+
+    # arithmetic parity with the oracled snapshot query: same top term
+    # and drift value as corpus_drift_terms(v_now, v_baseline)
+    snap = corpus_drift_terms(
+        store.read().select("doc_id", "text"),
+        store.read_version(v1).select("doc_id", "text"),
+        k=1,
+    ).collect()[0]
+    assert snap["term"] == top["term"] and snap["drift"] == top["drift"]
+
+    # baseline advanced: a dry-run probe on the unchanged corpus is flat
+    probe = corpus_drift_report(store, k=1, update_baseline=False)
+    assert abs(probe[0]["drift"]) < 0.05
