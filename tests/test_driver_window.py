@@ -97,3 +97,51 @@ def test_driver_window_covers_unrowed_and_stale_queries():
             f"carryover {q} is {age} rounds stale — it missed its deferred "
             f"slot; rotate it into the window now"
         )
+    # rule (c), r9 (ADVICE r8 #3 — the machine-checked form of the old
+    # comment-only "must head next round" promises): a query at age
+    # EXACTLY the bound gets its last legal row THIS round — it must be
+    # in the current window (or explicitly deferred via carryover), not
+    # merely promised in prose. This is what forces the r9 head to honor
+    # the r8 promise, and the r10 head to honor _NEXT_WINDOW_HEAD.
+    at_bound = {
+        q
+        for q in QUERIES
+        if q in newest and current - newest[q] == bound
+    }
+    missed = at_bound - window - carry
+    assert not missed, (
+        f"queries at the {bound}-round age bound but not in the current "
+        f"window (their last legal round is NOW): {sorted(missed)}"
+    )
+
+
+def test_next_window_head_is_consistent():
+    """_NEXT_WINDOW_HEAD (the declared start of the NEXT round's window)
+    must name registered queries, be disjoint from the current window,
+    and cover every query that will hit the age bound next round — so the
+    next rotation starts from a checked list instead of prose arithmetic
+    (ADVICE r8 #3)."""
+    from binance_data_framework_spark.plans.registry import (
+        _DRIVER_ORDER,
+        _NEXT_WINDOW_HEAD,
+        QUERIES,
+    )
+
+    newest, current = _green_rows()
+    bound = math.ceil(len(QUERIES) / WINDOW)
+    head = set(_NEXT_WINDOW_HEAD)
+    assert head <= set(QUERIES)
+    assert not head & set(_DRIVER_ORDER)
+    # everything that will be at the bound at round current+1 and is not
+    # getting a row this round must be declared
+    due_next = {
+        q
+        for q in QUERIES
+        if q in newest
+        and (current + 1) - newest[q] == bound
+        and q not in set(_DRIVER_ORDER)
+    }
+    assert due_next <= head, (
+        f"age-bound-next-round queries missing from _NEXT_WINDOW_HEAD: "
+        f"{sorted(due_next - head)}"
+    )

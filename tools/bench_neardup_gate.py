@@ -46,16 +46,27 @@ def main() -> int:
     spark = get_spark("bench-neardup-gate")
     docs = spark.read.parquet(docs_path).select("doc_id", "text")
     ids = [r["doc_id"] for r in docs.select("doc_id").orderBy("doc_id").collect()]
-    sizes = [n for n in (10_000, 100_000, 450_000) if n + batch_size <= len(ids)]
+    sizes = [
+        n
+        for n in (10_000, 100_000, 450_000, 4_500_000)
+        if n + batch_size <= len(ids)
+    ]
     results = {}
     scratch = os.path.abspath("_scratch/neardup_gate_bench")
     for n in sizes:
-        best, stats = float("inf"), None
+        best, stats, nb = float("inf"), None, None
         for _run in range(2):  # best-of-2, fresh stores per run (the gate
             # mutates state, so a warm re-run would do different work)
             shutil.rmtree(scratch, ignore_errors=True)
             store = DocumentStore(spark, f"{scratch}/docs", n_shards=16)
-            bands = BandIndexStore(spark, f"{scratch}/bands", n_buckets=64)
+            # AUTO-bucketed band store (r9 growth leg): the bucket count
+            # is derived from the committed row count, exactly what the
+            # self-maintaining gate runs in production — the setup's
+            # maybe_rebucket below right-sizes the layout for the
+            # pre-built corpus (a maintenance event, excluded from the
+            # timed gate call like the rest of setup), so the measured
+            # point is the steady state the derivation promises
+            bands = BandIndexStore(spark, f"{scratch}/bands", n_buckets=None)
             # pin BEFORE the first append: since the r7 layout-pinning
             # rework, a store populated unpinned refuses candidates()
             # (the generator params of its rows would be unknowable)
@@ -66,6 +77,8 @@ def main() -> int:
             sigs = minhash_signature(corpus).localCheckpoint(eager=True)
             store.save_docs(sigs.join(corpus, "doc_id"))
             bands.append(minhash_bands(sigs))
+            bands.maybe_rebucket()
+            nb = bands.n_buckets
             fresh = docs.where(
                 (F.col("doc_id") > ids[n - 1])
                 & (F.col("doc_id") <= ids[n + batch_size - 1])
@@ -84,8 +97,8 @@ def main() -> int:
             t0 = time.time()
             stats = neardup_gate_batch(batch, store, bands, threshold=0.8)
             best = min(best, round(time.time() - t0, 3))
-        results[str(n)] = {"gate_sec": best, **stats}
-        print(f"corpus={n}: gate={best}s {stats}", flush=True)
+        results[str(n)] = {"gate_sec": best, "n_buckets": nb, **stats}
+        print(f"corpus={n}: gate={best}s n_buckets={nb} {stats}", flush=True)
 
     # Skewed-corpus stress (VERDICT r6 #7): real crawls have boilerplate
     # cliques — one band bucket with 10^4 members. Corpus = 90k uniform
@@ -217,7 +230,12 @@ def main() -> int:
         "method": "fixed-size unseen batch gated against a pre-built corpus "
         "of N docs (fresh DocumentStore+BandIndexStore per point; setup "
         "excluded). Flat gate_sec across N = the O(batch + touched "
-        "buckets/shards) claim, measured. 'skewed' plants a 10k-doc "
+        "buckets/shards) claim, measured. r9: the uniform points run an "
+        "AUTO-bucketed band store — setup's maybe_rebucket derives "
+        "n_buckets from the committed row count (recorded per point), so "
+        "the flat claim holds BECAUSE the growth leg sizes the layout, "
+        "exactly as the self-maintaining gate does in production; the "
+        "4.5M point is 10x the r8 ceiling. 'skewed' plants a 10k-doc "
         "identical-text clique in a 100k corpus and 1000 more copies in "
         "the batch (chunked in-batch scorer + hot-bucket verify); the "
         "claim is gate_sec within ~2x of the uniform 100k point. "
