@@ -631,6 +631,41 @@ class DocumentStore(SnapshotStore):
         the merge scan is O(touched shards), not O(store)."""
         return [f for f in files if self._shard_of(f) in shards]
 
+    def _check_schema_against_stored(
+        self, incoming: DataFrame, live: list[str], op: str
+    ) -> None:
+        """Identical (name, dataType) pairs required against the TABLE
+        schema (one driver-side footer read), not just the overlapping
+        shards — a write whose keys all hash to untouched shards would
+        otherwise silently commit a drifted-schema shard, and a NAME-only
+        check (ADVICE r6) would let same-name/drifted-type rows (int vs
+        bigint n_chars) commit mixed-type parquet that only explodes at
+        read time, after publish. "shard" is recomputed by shard_assign
+        (always int), so names suffice for it."""
+        if not live:
+            return
+        stored_schema = (
+            self.spark.read.option("basePath", self.root)
+            .parquet(f"{self.root}/{live[0]}")
+            .schema
+        )
+        stored_fields = {
+            (f.name, f.dataType.simpleString())
+            for f in stored_schema.fields
+            if f.name != "shard"
+        }
+        incoming_fields = {
+            (f.name, f.dataType.simpleString())
+            for f in incoming.schema.fields
+            if f.name != "shard"
+        }
+        if incoming_fields != stored_fields:
+            raise ValueError(
+                f"{op}: schema drift vs stored table "
+                f"(stored {sorted(stored_fields)}, "
+                f"incoming {sorted(incoming_fields)})"
+            )
+
     # -- write path --------------------------------------------------------
     def save_docs(self, df: DataFrame, full_refresh: bool = False) -> int:
         """Keyed upsert: incoming rows win on ``key_col``; only the shards
@@ -665,37 +700,7 @@ class DocumentStore(SnapshotStore):
             return 0
         man = self._snapshot()
         live = man["files"] if man else []
-        if live:
-            # identical (name, dataType) pairs required against the TABLE
-            # schema (one driver-side footer read), not just the overlapping
-            # shards — an upsert whose keys all hash to untouched shards
-            # would otherwise silently write a drifted-schema shard, and a
-            # NAME-only check (ADVICE r6) would let same-name/drifted-type
-            # rows (int vs bigint n_chars) commit mixed-type parquet that
-            # only explodes at read time, after publish. "shard" is
-            # recomputed by shard_assign (always int), so names suffice
-            # for it.
-            stored_schema = (
-                self.spark.read.option("basePath", self.root)
-                .parquet(f"{self.root}/{live[0]}")
-                .schema
-            )
-            stored_fields = {
-                (f.name, f.dataType.simpleString())
-                for f in stored_schema.fields
-                if f.name != "shard"
-            }
-            incoming_fields = {
-                (f.name, f.dataType.simpleString())
-                for f in incoming.schema.fields
-                if f.name != "shard"
-            }
-            if incoming_fields != stored_fields:
-                raise ValueError(
-                    f"save_docs: schema drift vs stored table "
-                    f"(stored {sorted(stored_fields)}, "
-                    f"incoming {sorted(incoming_fields)})"
-                )
+        self._check_schema_against_stored(incoming, live, "save_docs")
         if full_refresh:
             superseded = list(live)
             ranked = incoming.withColumn("_rank", F.lit(0))
@@ -750,6 +755,98 @@ class DocumentStore(SnapshotStore):
 
         self._commit_or_reclaim(new_files, _delta)
         return len(touched)
+
+    def append_docs(self, df: DataFrame, on_existing: str = "raise") -> int:
+        """Add-only commit of NEW keys — the O(batch) write path for
+        append-mostly ingest (the r9 gate scaling finding: save_docs'
+        rewrite amplification is touched_shards x shard_size, and a
+        micro-batch whose keys hash to every shard rewrites the WHOLE
+        store — ~4.5 GB per 2000-doc batch at the 4.5M-doc gate point,
+        the dominant term that made the measured gate grow 8 -> 36 s
+        across corpus decades). No stored file is read or superseded:
+        the batch lands as one new file per touched shard (same
+        layout + key sort as save_docs, so point reads keep their
+        row-group skipping), concurrent appenders rebase cleanly (the
+        add-only trivial case), and the per-batch fragmentation is
+        folded back by optimize() at maintenance cadence (the gate's
+        shard-compaction leg).
+
+        Correctness contract: keys must be NEW — reads do NOT
+        precedence-merge (the store stays scan-clean by construction
+        instead), so an appended duplicate of a stored key would leave
+        two live rows. ``on_existing`` picks the enforcement:
+
+        - ``"raise"`` (default): point-read the incoming keys
+          (read_keys — pushed-filter fast path, batch-bounded) and raise
+          if any is already stored;
+        - ``"skip"``: silently drop already-stored keys and append the
+          rest — the replay-convergent form for streaming (a
+          checkpoint-replayed batch converges to a no-op), and the
+          append-mode analogue of first-write-wins;
+        - ``"trust"``: no check — for callers with an upstream proof
+          (the near-dup gate's band check detects every identical
+          redelivery, but uses "skip" anyway to close the
+          crash-between-commits replay window).
+
+        Among duplicate incoming keys one row survives (the save_docs
+        rule). Returns the number of rows appended."""
+        if on_existing not in ("raise", "skip", "trust"):
+            raise ValueError(f"append_docs: unknown on_existing {on_existing!r}")
+        self._check_layout()
+        incoming = shard_assign(df, self.n_shards, self.key_col)
+        stats = (
+            incoming.groupBy("shard")
+            .agg(F.sum(F.col(self.key_col).isNull().cast("long")).alias("n_null"))
+            .collect()
+        )
+        n_null = sum(r["n_null"] for r in stats)
+        if n_null:
+            raise ValueError(f"append_docs: {n_null} row(s) with null {self.key_col}")
+        if not stats:
+            return 0
+        man = self._snapshot()
+        live = man["files"] if man else []
+        self._check_schema_against_stored(incoming, live, "append_docs")
+        if on_existing != "trust" and live:
+            existing = self.read_keys(
+                incoming.select(self.key_col).distinct()
+            ).select(self.key_col)
+            if on_existing == "raise":
+                n_dup = existing.count()
+                if n_dup:
+                    raise ValueError(
+                        f"append_docs: {n_dup} incoming key(s) already "
+                        f"stored — append-only stores do not merge; use "
+                        f"on_existing='skip' or save_docs()"
+                    )
+            else:
+                incoming = incoming.join(
+                    existing, self.key_col, "left_anti"
+                ).localCheckpoint(eager=True)
+                if not incoming.limit(1).count():
+                    return 0
+        # one-survivor rule among duplicate incoming keys (save_docs parity)
+        w = Window.partitionBy(self.key_col).orderBy(F.lit(0))
+        deduped = (
+            incoming.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        staging = f"_staging-{uuid.uuid4().hex}"
+        n_rows = deduped.count()
+        (
+            deduped.repartition("shard")
+            .sortWithinPartitions(self.key_col)
+            .write.partitionBy("shard")
+            .option("compression", "zstd")
+            .mode("overwrite")
+            .save(f"{self.root}/{staging}")
+        )
+        new_files = self._publish_staged(staging)
+        if not new_files:
+            return 0
+        self._commit_or_reclaim(new_files, lambda latest: (new_files, []))
+        return n_rows
 
     def delete_docs(self, keys: DataFrame) -> int:
         """Keyed delete: rewrite the touched shards WITHOUT the given keys
@@ -810,13 +907,38 @@ class DocumentStore(SnapshotStore):
         paths = [f"{self.root}/{f}" for f in man["files"]]
         return self.spark.read.option("basePath", self.root).parquet(*paths)
 
+    #: key sets at or below this take read_keys' pushed-filter path: the
+    #: values collect to the driver (bounded: 8k longs) and land on the
+    #: scan as an IN predicate, so parquet row-group min/max + dictionary
+    #: stats skip most of each touched shard's file (shard files are
+    #: written key-sorted for exactly this). Above it, the semi-join path
+    #: (no driver materialization) — the measured-size gate pattern.
+    READ_KEYS_PUSHDOWN_MAX = 8192
+
     def read_keys(self, keys: DataFrame) -> DataFrame:
         """Point-lookup scan: prune to the shards the requested keys hash
-        to (manifest-level, driver-side), then semi-join — O(touched
-        shards) IO for a key-list lookup against a 100 TB table."""
+        to (manifest-level, driver-side), then either push the key list
+        into the scan as an IN filter (small key sets — row-group
+        skipping makes the read O(matching row groups), not O(touched
+        shards), the r9 gate fix: at a 4.5M-doc store a 2000-key batch
+        touches every shard, and the semi-join form read them WHOLE) or
+        semi-join (large key sets)."""
         self._check_layout()
         keyed = shard_assign(keys.select(self.key_col), self.n_shards, self.key_col)
-        touched = {r["shard"] for r in keyed.select("shard").distinct().collect()}
+        pairs = (
+            keyed.select(self.key_col, "shard")
+            .distinct()
+            .limit(self.READ_KEYS_PUSHDOWN_MAX + 1)
+            .collect()
+        )
+        small = len(pairs) <= self.READ_KEYS_PUSHDOWN_MAX
+        if small:
+            probe = [r[self.key_col] for r in pairs]
+            touched = {r["shard"] for r in pairs}
+        else:
+            touched = {
+                r["shard"] for r in keyed.select("shard").distinct().collect()
+            }
         man = self._snapshot()
         if not man:
             raise ValueError(f"DocumentStore at {self.root} is empty")
@@ -826,6 +948,8 @@ class DocumentStore(SnapshotStore):
         df = self.spark.read.option("basePath", self.root).parquet(
             *[f"{self.root}/{f}" for f in files]
         )
+        if small:
+            return df.where(F.col(self.key_col).isin(probe))
         return df.join(keyed.select(self.key_col), on=self.key_col, how="left_semi")
 
     def read_version(self, version: int) -> DataFrame:

@@ -32,19 +32,27 @@ Gate semantics per micro-batch, in order:
    no-op) -> remaining candidates verify est_jaccard against the
    stored signatures (point-read via DocumentStore.read_keys — shard
    -pruned, no corpus scan) and drop at >= threshold;
-4. survivors: save_docs (one commit) then band append (one add-only
-   commit). A crash between the two commits leaves docs stored but
-   unindexed for one batch; the checkpoint replays the batch, the
-   redelivery rule keeps the docs, and the band append completes —
-   convergent, at the cost of possibly-duplicate band rows (candidates
-   are distinct-ed, so duplicates cost bytes, not correctness).
+4. survivors: doc store write (one commit — save_mode="append_new"
+   writes only the provably-new docs as an ADD-ONLY commit, the
+   O(batch) path; "upsert" keeps the pre-r9 last-write-wins merge)
+   then band append (one add-only commit). A crash between the two
+   commits leaves docs stored but unindexed for one batch; the
+   checkpoint replays the batch, append_docs(on_existing="skip") /
+   the keyed upsert absorbs the doc rows, and the band append
+   completes — convergent, at the cost of possibly-duplicate band
+   rows (candidates are distinct-ed, so duplicates cost bytes, not
+   correctness).
 
 Scale shape: per batch the work is O(batch) signatures (narrow),
-O(batch x num_bands) band rows, O(touched buckets + touched shards) IO
-— nothing scans the corpus. The est verification is exact on the
-stored signatures, so the gate's false-drop rate equals the batch
-dedup tier's (banding recall x signature estimate), not a new
-approximation.
+O(batch x num_bands) band rows, O(touched buckets) candidate IO, a
+row-group-pruned point read for verification, and a batch-sized
+ADD-ONLY store write — nothing scans or rewrites the corpus (the r9
+finding: the upsert save was touched_shards x shard_size, a
+whole-store rewrite per batch once keys hash everywhere; measured as
+the gate's only super-flat term across corpus decades). The est
+verification is exact on the stored signatures, so the gate's
+false-drop rate equals the batch dedup tier's (banding recall x
+signature estimate), not a new approximation.
 """
 
 from __future__ import annotations
@@ -68,7 +76,8 @@ def _banded_drops(
     num_hashes: int,
     threshold: float,
     same_id_is_redelivery: bool,
-) -> DataFrame:
+    return_redeliveries: bool = False,
+):
     """Batch ids to DROP against one persisted (band index, doc store)
     pair: band the batch signatures, look up candidate collisions in only
     the touched buckets, verify est_jaccard exactly against the stored
@@ -76,13 +85,28 @@ def _banded_drops(
     ONE corpus-check implementation shared by the in-corpus stage (where
     a same-id collision is a checkpoint redelivery, not a duplicate) and
     the eval-decontamination stage (where ids are from a DIFFERENT corpus
-    — an id collision is coincidence and must still verify by content)."""
+    — an id collision is coincidence and must still verify by content).
+
+    ``return_redeliveries=True`` additionally returns the same-id
+    collision ids (the batch docs provably already stored — an identical
+    redelivery's bands equal its stored bands, so it always collides
+    with itself): the append-new save path uses them to know which
+    survivors need no store write."""
     bands = minhash_bands(sigs, id_col, num_bands, num_hashes)
-    cand = band_store.candidates(bands)
+    cand_all = band_store.candidates(bands)
+    cand = cand_all
+    redelivered = None
     if same_id_is_redelivery:
-        cand = cand.where(F.col("id_new") != F.col("id_stored"))
+        cand = cand_all.where(F.col("id_new") != F.col("id_stored"))
+        if return_redeliveries:
+            redelivered = (
+                cand_all.where(F.col("id_new") == F.col("id_stored"))
+                .select("id_new")
+                .distinct()
+            )
     if not cand.limit(1).count():
-        return cand.limit(0).select("id_new")
+        empty = cand.limit(0).select("id_new")
+        return (empty, redelivered) if return_redeliveries else empty
     stored_sigs = docstore.read_keys(
         cand.select(F.col("id_stored").alias(docstore.key_col)).distinct()
     ).select(
@@ -103,13 +127,14 @@ def _banded_drops(
         )
         / F.lit(float(num_hashes))
     )
-    return (
+    drops = (
         cand.join(sigs.withColumnRenamed(id_col, "id_new"), "id_new")
         .join(stored_sigs, "id_stored")
         .where(est >= threshold)
         .select("id_new")
         .distinct()
     )
+    return (drops, redelivered) if return_redeliveries else drops
 
 
 def build_eval_index(
@@ -237,6 +262,8 @@ def neardup_gate_batch(
     ann_compact_min_files: int | None = 64,
     band_rebucket_factor: float | None = 2.0,
     band_compact_min_files: int | None = 64,
+    save_mode: str = "append_new",
+    doc_compact_min_files: int | None = 64,
     eval_docstore=None,
     eval_band_store=None,
     eval_threshold: float | None = None,
@@ -278,6 +305,33 @@ def neardup_gate_batch(
     maintenance instead). Together with the rebuild trigger below, the
     composed pipeline is self-maintaining: ingest, dedup, decontaminate,
     index, rebuild on growth, compact on fragmentation.
+
+    ``save_mode`` (r9 — the gate scaling finding): how survivors reach
+    the DocumentStore.
+
+    - ``"append_new"`` (default): only survivors NOT already stored are
+      written, via an ADD-ONLY commit (DocumentStore.append_docs) — the
+      O(batch) write path. The already-stored set comes from the band
+      check itself (an identical redelivery's bands equal its stored
+      bands, so it always collides with itself — no extra store read),
+      and append_docs(on_existing="skip") closes the
+      crash-between-commits replay window with a pushed-filter point
+      read. Semantics: FIRST-write-wins per doc id (a same-id re-send
+      with drifted text does not replace the stored doc). Why this is
+      the default: save_docs' upsert rewrite is touched_shards x
+      shard_size — a batch whose keys hash to every shard rewrites the
+      WHOLE store per micro-batch (measured: the gate grew 8 -> 36 s
+      across corpus decades on exactly this term; with append_new the
+      write is batch-sized forever).
+    - ``"upsert"``: the pre-r9 behavior — last-write-wins keyed merge,
+      for pipelines whose ids can legitimately re-arrive with updated
+      content and that want the replacement.
+
+    ``doc_compact_min_files``: append_new fragments each touched shard
+    by one file per batch; once any shard holds this many committed
+    files the gate folds the store back to one file per shard
+    (DocumentStore.optimize — the shard analogue of the two index
+    compaction legs). None disables.
 
     ``band_rebucket_factor`` / ``band_compact_min_files`` (VERDICT r8
     #1/#5 — band-index lifecycle parity with the ANN legs): when the
@@ -334,6 +388,7 @@ def neardup_gate_batch(
         return {
             "arrived": 0,
             "kept": 0,
+            "saved": 0,
             "dropped_in_batch": 0,
             "dropped_vs_corpus": 0,
             "dropped_contaminated": 0,
@@ -379,7 +434,9 @@ def neardup_gate_batch(
         ).localCheckpoint(eager=True)
         n_eval = sigs.count()
     # 3. corpus check via the persisted band index
-    dropped = _banded_drops(
+    if save_mode not in ("append_new", "upsert"):
+        raise ValueError(f"neardup_gate_batch: unknown save_mode {save_mode!r}")
+    dropped, redelivered = _banded_drops(
         sigs,
         docstore,
         band_store,
@@ -388,6 +445,7 @@ def neardup_gate_batch(
         num_hashes,
         threshold,
         same_id_is_redelivery=True,
+        return_redeliveries=True,
     )
     survivors = (
         sigs.join(
@@ -401,11 +459,26 @@ def neardup_gate_batch(
     # 4. commit: docs first, then bands (replay-convergent either way —
     # see module docstring crash note), then the ANN leg (also convergent:
     # skip_existing makes a replayed append a no-op)
+    n_saved = 0
     if n_kept:
-        docstore.save_docs(survivors)
+        if save_mode == "append_new":
+            # band-detected redeliveries are provably stored — everything
+            # else is new; the store write is batch-sized (add-only), and
+            # the bands/vectors of redelivered docs are already committed
+            # so they are excluded from EVERY tier's write this batch
+            to_store = survivors.join(
+                redelivered.withColumnRenamed("id_new", id_col),
+                id_col,
+                "left_anti",
+            ).localCheckpoint(eager=True)
+            n_saved = docstore.append_docs(to_store, on_existing="skip")
+        else:
+            to_store = survivors
+            docstore.save_docs(survivors)
+            n_saved = n_kept
         band_store.append(
             minhash_bands(
-                survivors.select(id_col, "sig"), id_col, num_bands, num_hashes
+                to_store.select(id_col, "sig"), id_col, num_bands, num_hashes
             )
         )
         # band-index lifecycle, mirroring the ANN legs below (VERDICT r8
@@ -414,6 +487,21 @@ def neardup_gate_batch(
         # stores no-op), and append-fragmented buckets fold back to one
         # file each once any bucket passes the file threshold (a
         # rebucket just rewrote the whole layout — nothing to fold).
+        # shard-compaction leg (r9, pairs with save_mode="append_new"):
+        # each append fragments its touched shards by one file; fold once
+        # any shard passes the threshold — the store stays scan-clean so
+        # point reads and corpus scans never precedence-merge
+        if doc_compact_min_files is not None:
+            from collections import Counter as _C
+
+            dman = docstore._snapshot() or {}
+            sfrag = _C(
+                s
+                for f in dman.get("files", [])
+                if (s := docstore._shard_of(f)) is not None
+            )
+            if sfrag and max(sfrag.values()) >= doc_compact_min_files:
+                docstore.optimize()
         band_rebucketed = False
         if band_rebucket_factor is not None:
             band_rebucketed = band_store.maybe_rebucket(band_rebucket_factor)
@@ -429,7 +517,7 @@ def neardup_gate_batch(
             if frag and max(frag.values()) >= band_compact_min_files:
                 band_store.compact()
         if ann_store is not None:
-            vecs = survivors.select(ann_store.id_col, ann_store.vec_col)
+            vecs = to_store.select(ann_store.id_col, ann_store.vec_col)
             if ann_store.load() is None:
                 ann_store.build(vecs, **(ann_build_kwargs or {}))
             else:
@@ -472,6 +560,7 @@ def neardup_gate_batch(
     return {
         "arrived": n_arrived,
         "kept": n_kept,
+        "saved": n_saved,
         "dropped_in_batch": n_arrived - n_self,
         "dropped_contaminated": n_self - n_eval,
         "dropped_vs_corpus": n_eval - n_kept,

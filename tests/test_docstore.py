@@ -346,3 +346,76 @@ def test_band_index_stale_handle_sees_rebucket(spark, tmp_path):
     got = {(r["id_new"], r["id_stored"]) for r in b.candidates(probe).collect()}
     assert {(1, 1), (2, 2)} <= got
     assert b.n_buckets == a.n_buckets
+
+
+def test_append_docs_add_only_semantics(spark, tmp_path):
+    """append_docs (r9 — the O(batch) gate write path): add-only commit
+    of new keys with no stored file rewritten; on_existing picks the
+    duplicate-key enforcement (raise / skip / trust); in-batch duplicate
+    keys collapse to one row (save_docs parity); schema drift and null
+    keys raise."""
+    st = DocumentStore(spark, str(tmp_path / "ds"), n_shards=4)
+    st.save_docs(_docs(spark, [(1, "a", 0.1), (2, "b", 0.2)]))
+    before = set(st._snapshot()["files"])
+    assert st.append_docs(_docs(spark, [(3, "c", 0.3), (4, "d", 0.4)])) == 2
+    after = set(st._snapshot()["files"])
+    # add-only: every pre-existing file is still live, untouched
+    assert before <= after
+    assert {r["doc_id"] for r in st.read().collect()} == {1, 2, 3, 4}
+    # duplicate of a stored key: raise by default...
+    with pytest.raises(ValueError, match="already"):
+        st.append_docs(_docs(spark, [(2, "B2", 0.9), (5, "e", 0.5)]))
+    # ...skip appends only the new one (first-write-wins for 2)
+    assert (
+        st.append_docs(
+            _docs(spark, [(2, "B2", 0.9), (5, "e", 0.5)]), on_existing="skip"
+        )
+        == 1
+    )
+    got = {r["doc_id"]: r["text"] for r in st.read().collect()}
+    assert got[2] == "b" and got[5] == "e"
+    # the store stays scan-clean: no duplicate rows for any key
+    assert st.read().count() == st.read().select("doc_id").distinct().count()
+    # in-batch duplicate keys: one survivor
+    assert st.append_docs(_docs(spark, [(6, "x", 0.0), (6, "y", 0.0)])) == 1
+    assert st.read().where("doc_id = 6").count() == 1
+    # guards
+    with pytest.raises(ValueError, match="null"):
+        st.append_docs(_docs(spark, [(None, "n", 0.0)]))
+    with pytest.raises(ValueError, match="schema drift"):
+        st.append_docs(
+            spark.createDataFrame(
+                [(9, "z", 1)], "doc_id bigint, text string, quality int"
+            )
+        )
+    with pytest.raises(ValueError, match="on_existing"):
+        st.append_docs(_docs(spark, [(9, "z", 0.0)]), on_existing="merge")
+
+
+def test_read_keys_pushdown_matches_semijoin(spark, tmp_path):
+    """read_keys' two paths (small -> pushed IN filter with row-group
+    skipping; large -> semi-join) must return identical rows; the
+    boundary is READ_KEYS_PUSHDOWN_MAX."""
+    st = DocumentStore(spark, str(tmp_path / "ds"), n_shards=4)
+    st.save_docs(_docs(spark, [(i, f"t{i}", i / 100.0) for i in range(200)]))
+    keys = spark.createDataFrame([(i,) for i in range(0, 200, 7)], "doc_id bigint")
+    small = {
+        (r["doc_id"], r["text"]) for r in st.read_keys(keys).collect()
+    }
+    orig = DocumentStore.READ_KEYS_PUSHDOWN_MAX
+    try:
+        DocumentStore.READ_KEYS_PUSHDOWN_MAX = 5  # force the semi-join path
+        large = {
+            (r["doc_id"], r["text"]) for r in st.read_keys(keys).collect()
+        }
+    finally:
+        DocumentStore.READ_KEYS_PUSHDOWN_MAX = orig
+    assert small == large == {(i, f"t{i}") for i in range(0, 200, 7)}
+    # the pushed path really lands the IN predicate on the scan
+    plan = (
+        st.read_keys(keys)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "doc_id" in plan and "Join" not in plan.split("Scan")[0]

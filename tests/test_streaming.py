@@ -466,6 +466,7 @@ def test_neardup_gate_batch_stats_and_band_layout(spark, tmp_path):
     assert s1 == {
         "arrived": 2,
         "kept": 2,
+        "saved": 2,
         "dropped_in_batch": 0,
         "dropped_contaminated": 0,
         "dropped_vs_corpus": 0,
@@ -480,6 +481,7 @@ def test_neardup_gate_batch_stats_and_band_layout(spark, tmp_path):
     assert s2 == {
         "arrived": 3,
         "kept": 1,
+        "saved": 1,
         "dropped_in_batch": 1,  # 13 loses to 12 in-batch
         "dropped_contaminated": 0,
         "dropped_vs_corpus": 1,  # 12 near-dups stored 10
@@ -1255,3 +1257,69 @@ def test_gate_drift_monitoring_detects_boilerplate_wave(spark, tmp_path):
     # baseline advanced: a dry-run probe on the unchanged corpus is flat
     probe = corpus_drift_report(store, k=1, update_baseline=False)
     assert abs(probe[0]["drift"]) < 0.05
+
+
+def test_gate_append_new_save_path(spark, tmp_path):
+    """save_mode="append_new" (r9): survivors already stored (band-detected
+    redeliveries) are excluded from every tier's write — the doc commit is
+    add-only and batch-sized, replay converges, stored content matches the
+    upsert path for identical redeliveries, and the shard-compaction leg
+    folds the per-batch fragmentation."""
+    from collections import Counter
+
+    from binance_data_framework_spark.docstore import BandIndexStore, DocumentStore
+    from binance_data_framework_spark.streaming.neardup_ingest import (
+        neardup_gate_batch,
+    )
+
+    store = DocumentStore(spark, str(tmp_path / "store"), n_shards=2)
+    bands = BandIndexStore(spark, str(tmp_path / "bands"), n_buckets=4)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id bigint, text string"
+    )
+    texts = [
+        f"wholly distinct content number {i} tokens alpha{i} beta{i} gamma{i}"
+        for i in range(20)
+    ]
+    s1 = neardup_gate_batch(
+        mk([(i, texts[i]) for i in range(10)]), store, bands,
+        doc_compact_min_files=None,
+    )
+    assert s1["kept"] == 10 and s1["saved"] == 10
+    v1 = store._snapshot()["version"]
+    band_rows1 = bands.read().count()
+
+    # exact replay: all redeliveries -> NOTHING written anywhere
+    s2 = neardup_gate_batch(
+        mk([(i, texts[i]) for i in range(10)]), store, bands,
+        doc_compact_min_files=None,
+    )
+    assert s2["kept"] == 10 and s2["saved"] == 0
+    assert store._snapshot()["version"] == v1  # no doc commit at all
+    assert bands.read().count() == band_rows1  # no duplicate band rows
+    assert store.read().count() == 10
+
+    # mixed batch: 5 redelivered + 5 new -> only the new 5 written
+    s3 = neardup_gate_batch(
+        mk([(i, texts[i]) for i in range(5, 15)]), store, bands,
+        doc_compact_min_files=None,
+    )
+    assert s3["kept"] == 10 and s3["saved"] == 5
+    assert store.read().count() == 15
+    # scan-clean: no duplicate keys ever
+    assert store.read().select("doc_id").distinct().count() == 15
+
+    # shard-compaction leg: batches fragment shards one file per append;
+    # threshold 2 folds them back to one file per shard
+    s4 = neardup_gate_batch(
+        mk([(i, texts[i]) for i in range(15, 20)]), store, bands,
+        doc_compact_min_files=2,
+    )
+    assert s4["saved"] == 5
+    frag = Counter(
+        s
+        for f in store._snapshot()["files"]
+        if (s := store._shard_of(f)) is not None
+    )
+    assert max(frag.values()) == 1
+    assert store.read().count() == 20
