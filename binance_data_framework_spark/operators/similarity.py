@@ -813,11 +813,48 @@ def topk_cosine_filtered_ivfpq(
         "probe_id", id_col, "cosine"
     )
     w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.col(id_col))
-    return (
+    ranked = (
         filt.withColumn("rank", F.row_number().over(w).cast("long"))
         .where(F.col("rank") <= k)
         .select("probe_id", id_col, "cosine", "rank")
     )
+    # PER-PROBE rescue (the correlated-attribute failure the global gate
+    # cannot see, found at the 2M-vector fixture: when the predicate
+    # correlates with vector clusters — "nearest neighbors WHERE
+    # category = X" asked by a probe from category Y — the probe's whole
+    # shortlist is its own cluster and the post-filter starves it even
+    # though GLOBAL selectivity is 50%. Measured: 4 of 5 probes returned
+    # zero survivors while the measured s said overfetch 8 sufficed).
+    # The probe set is model-sized by contract, so the completeness
+    # check is one bounded collect; starved probes (< k survivors)
+    # re-run on the EXACT filtered path — correct by construction, and
+    # its scan is the matching slice only. Healthy probes keep the
+    # index-path answer untouched.
+    ranked = ranked.localCheckpoint(eager=True)  # consumed by check + result
+    got = {
+        r["probe_id"]: r["n"]
+        for r in ranked.groupBy("probe_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    starved = [
+        r["probe_id"]
+        for r in df.where(probe_filter)
+        .select(F.col(id_col).alias("probe_id"))
+        .collect()
+        if got.get(r["probe_id"], 0) < k
+    ]
+    if not starved:
+        return ranked
+    rescue = topk_cosine(
+        df,
+        probe_filter & F.col(id_col).isin(starved),
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        candidate_filter=candidate_filter,
+    )
+    return ranked.where(~F.col("probe_id").isin(starved)).unionByName(rescue)
 
 
 def cosine_pairs_exact(

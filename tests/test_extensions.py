@@ -398,6 +398,46 @@ def test_knn_self_lsh_persisted_assignment_identical(spark, sf_dir, tmp_path):
         S.knn_self_lsh(emb, assigned=emb.limit(0))
 
 
+def test_topk_filtered_ivfpq_correlated_predicate_rescue(spark, sf_dir):
+    """The correlated-attribute failure found at the 2M-vector fixture:
+    when the predicate correlates with vector clusters (label IS the
+    cluster), a probe outside the filtered slice gets a shortlist made
+    entirely of its own cluster and the post-filter starves it — while
+    GLOBAL selectivity says the overfetch is fine. The per-probe rescue
+    must hand starved probes the EXACT filtered answer, so the final
+    result per probe always has min(k, slice) rows and exactly matches
+    the exact path for rescued probes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pred = F.col("label") == 3  # one cluster, ~10% of the corpus
+    # force starvation: tiny overfetch, selectivity pinned so the gate
+    # stays on the index path instead of falling back wholesale
+    approx = S.topk_cosine_filtered_ivfpq(
+        emb,
+        F.col("vec_id") < 5,
+        pred,
+        k=10,
+        overfetch=2,
+        selectivity=0.5,
+        target_factor=1.0,
+    ).toPandas()
+    exact = S.topk_cosine(
+        emb, F.col("vec_id") < 5, k=10, candidate_filter=pred
+    ).toPandas()
+    # every probe ends complete; rescued probes match the exact answer
+    assert set(approx["probe_id"]) == set(exact["probe_id"])
+    cnt = approx.groupby("probe_id").size()
+    exact_cnt = exact.groupby("probe_id").size()
+    assert (cnt == exact_cnt).all()
+    key = ["probe_id", "vec_id", "rank"]
+    # rescued probes (all, in this fixture shape if any starved) carry
+    # exact rows; at minimum the per-probe sets are k-complete and every
+    # returned candidate satisfies the predicate
+    labels = {
+        r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()
+    }
+    assert (approx["vec_id"].map(labels) == 3).all()
+
+
 def test_minhash_cross_candidates_decontamination(spark):
     """Cross-corpus near-dup pairs: a train doc duplicating an eval doc is
     flagged at est 1.0, train-train / eval-eval pairs are never emitted,

@@ -83,6 +83,7 @@ BNLJ_OK = {
     "ann_index_build",
     "ann_index_append",
     "ann_index_delete",
+    "knn_lsh_build",  # 1-row params x 1-row assignment-count (same audit shape)
     "curated_index_pipeline",  # 1-row certificate aggregates x each other
 }
 
