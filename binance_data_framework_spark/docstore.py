@@ -566,20 +566,70 @@ class DocumentStore(SnapshotStore):
     """Hash-sharded snapshot store for keyed corpus tables (module
     docstring). ``key_col`` must be an integral id column (the portable
     multiplicative hash is int64 arithmetic — string keys should be
-    pre-hashed to an id, e.g. xxhash64, upstream)."""
+    pre-hashed to an id, e.g. xxhash64, upstream).
+
+    Shard-count modes (r9 — the third tier to get the growth leg, after
+    IVF cells in r8 and band buckets earlier in r9):
+
+    - ``n_shards=<int>`` (pinned, default 16): the pre-r9 behavior — the
+      creation-time count is layout forever, and the deterministic
+      shard = training-shard identity holds across the store's life.
+    - ``n_shards=None`` (auto): the count is DERIVED state —
+      auto_shards(n_rows, target_shard_rows) with sidecar provenance and
+      a row counter maintained exactly by append_docs/delete_docs (the
+      auto-mode write paths; save_docs in auto mode recounts the store
+      after commit — documented there). ``maybe_reshard()`` re-derives
+      the count at the committed size and remaps the layout (a narrow
+      re-hash of the key column — one pmod, one commit) once the rule
+      asks for >= grow_factor x the current count. Without it, an
+      append-only store started small keeps batch-1's shard count while
+      the corpus grows 1000x: each shard becomes corpus/16, compaction
+      rewrites balloon, and the one-file-per-shard write loses all
+      parallelism. Same single-maintainer note as
+      BandIndexStore.rebucket."""
+
+    #: target committed rows per shard for the auto derivation — ~250k
+    #: ~1 KB docs ≈ a 250 MB shard, the "one shard fits an executor
+    #: write task" rule from the module docstring made a number
+    TARGET_SHARD_ROWS = 250_000
+
+    @staticmethod
+    def auto_shards(n_rows: int, target_shard_rows: int = 250_000) -> int:
+        """Shard count keeping expected occupancy ~target_shard_rows at
+        n_rows committed docs; clamped to [4, 2^18]."""
+        import math as _math
+
+        return max(
+            4,
+            min(
+                1 << 18,
+                _math.ceil(max(1, n_rows) / max(1, target_shard_rows)),
+            ),
+        )
 
     def __init__(
         self,
         spark: SparkSession,
         root: str,
         key_col: str = "doc_id",
-        n_shards: int = 16,
+        n_shards: int | None = 16,
+        target_shard_rows: int | None = None,
     ):
-        if n_shards <= 0:
+        if n_shards is not None and n_shards <= 0:
             raise ValueError("n_shards must be positive")
         super().__init__(spark, root)
         self.key_col = key_col
-        self.n_shards = n_shards
+        self.target_shard_rows = (
+            target_shard_rows
+            if target_shard_rows is not None
+            else self.TARGET_SHARD_ROWS
+        )
+        self._auto = n_shards is None
+        self.n_shards = (
+            n_shards
+            if n_shards is not None
+            else self.auto_shards(0, self.target_shard_rows)
+        )
         self._layout_checked = False
 
     def _check_layout(self) -> None:
@@ -588,14 +638,38 @@ class DocumentStore(SnapshotStore):
         a 16-shard store with n_shards=32 would hash keys to different
         shards, so upserts would miss the stored copy (duplicate keys) and
         deletes would miss rows entirely — silently. Layout drift is a
-        config error and must raise, exactly like schema drift."""
-        if self._layout_checked:
-            return
+        config error and must raise, exactly like schema drift.
+
+        Auto-sharded stores RE-ADOPT the sidecar's current n_shards on
+        every call (one small driver-side read): in auto mode the count
+        is derived state, and a reshard — by this handle or another —
+        must be visible to the next operation, not the next process."""
         import json as _json
+
+        if self._layout_checked:
+            if self._auto:
+                stored = _json.loads(self._read_bytes("_layout.json"))
+                self.n_shards = int(stored["n_shards"])
+            return
 
         fs, p = self._fs_path("_layout.json")
         if fs.exists(p):
             stored = _json.loads(self._read_bytes("_layout.json"))
+            if self._auto:
+                # adopt the stored layout wholesale (auto stores keep
+                # their grown count; opening a PINNED store with
+                # n_shards=None adopts the pinned count and stays pinned)
+                self.n_shards = int(stored["n_shards"])
+                self._auto = bool(stored.get("auto_shards", False))
+                if stored.get("target_shard_rows"):
+                    self.target_shard_rows = int(stored["target_shard_rows"])
+            elif stored.get("auto_shards", False):
+                raise ValueError(
+                    f"DocumentStore at {self.root} is auto-sharded (its "
+                    f"count is derived state, currently "
+                    f"{stored.get('n_shards')}) — open it with "
+                    f"n_shards=None instead of pinning {self.n_shards}"
+                )
             if (
                 stored.get("n_shards") != self.n_shards
                 or stored.get("key_col") != self.key_col
@@ -609,10 +683,26 @@ class DocumentStore(SnapshotStore):
             self._write_bytes(
                 "_layout.json",
                 _json.dumps(
-                    {"n_shards": self.n_shards, "key_col": self.key_col}
+                    {
+                        "n_shards": self.n_shards,
+                        "key_col": self.key_col,
+                        "auto_shards": self._auto,
+                        "target_shard_rows": self.target_shard_rows,
+                        "n_rows": 0,
+                    }
                 ).encode(),
             )
         self._layout_checked = True
+
+    def _bump_rows(self, delta: int) -> None:
+        """Auto-mode row bookkeeping (best-effort under concurrent
+        writers — a lost increment only delays the reshard trigger;
+        maybe_reshard's rewrite recounts exactly)."""
+        import json as _json
+
+        stored = _json.loads(self._read_bytes("_layout.json"))
+        stored["n_rows"] = max(0, int(stored.get("n_rows", 0)) + delta)
+        self._write_bytes("_layout.json", _json.dumps(stored).encode())
 
     # -- helpers -----------------------------------------------------------
     @staticmethod
@@ -754,6 +844,26 @@ class DocumentStore(SnapshotStore):
             return new_files, superseded
 
         self._commit_or_reclaim(new_files, _delta)
+        if self._auto:
+            # upsert mixes inserts and replacements, so the counter cannot
+            # be rolled forward from the delta alone — recount the live
+            # files' footers (auto-mode stores write through append_docs
+            # on the hot path; save_docs here is the rare bulk-load /
+            # correction case, so the O(files) footer count is maintenance
+            # cost, not per-batch cost)
+            man2 = self._snapshot()
+            total = (
+                self.spark.read.option("basePath", self.root)
+                .parquet(*[f"{self.root}/{f}" for f in man2["files"]])
+                .count()
+                if man2 and man2["files"]
+                else 0
+            )
+            import json as _json
+
+            stored = _json.loads(self._read_bytes("_layout.json"))
+            stored["n_rows"] = int(total)
+            self._write_bytes("_layout.json", _json.dumps(stored).encode())
         return len(touched)
 
     def append_docs(self, df: DataFrame, on_existing: str = "raise") -> int:
@@ -846,6 +956,8 @@ class DocumentStore(SnapshotStore):
         if not new_files:
             return 0
         self._commit_or_reclaim(new_files, lambda latest: (new_files, []))
+        if self._auto and n_rows:
+            self._bump_rows(n_rows)
         return n_rows
 
     def delete_docs(self, keys: DataFrame) -> int:
@@ -895,6 +1007,22 @@ class DocumentStore(SnapshotStore):
             return new_files, superseded
 
         self._commit_or_reclaim(new_files, _delta)
+        if self._auto:
+            # exact removed-row delta from parquet footers (the rewritten
+            # shard files are batch-bounded; no plan re-execution)
+            before = (
+                self.spark.read.option("basePath", self.root)
+                .parquet(*[f"{self.root}/{f}" for f in superseded])
+                .count()
+            )
+            after = (
+                self.spark.read.option("basePath", self.root)
+                .parquet(*[f"{self.root}/{f}" for f in new_files])
+                .count()
+                if new_files
+                else 0
+            )
+            self._bump_rows(after - before)
         return len({self._shard_of(f) for f in superseded})
 
     # -- read path ---------------------------------------------------------
@@ -1015,3 +1143,92 @@ class DocumentStore(SnapshotStore):
 
         self._commit_or_reclaim(new_files, _delta)
         return len(todo)
+
+    def maybe_reshard(self, grow_factor: float = 2.0) -> bool:
+        """Maintenance trigger for an AUTO-sharded store grown through
+        appends (the r9 growth-leg rule applied to the third derived
+        layout, after IVF cells and band buckets): re-run the auto_shards
+        derivation at the committed row count (O(1) sidecar check) and
+        remap the layout once the rule asks for >= ``grow_factor`` x the
+        current count. Pinned-n_shards stores never auto-reshard (the
+        recorded-provenance rule). Returns True iff a reshard was
+        committed."""
+        self._check_layout()
+        if not self._auto:
+            return False
+        import json as _json
+
+        stored = _json.loads(self._read_bytes("_layout.json"))
+        ideal = self.auto_shards(
+            int(stored.get("n_rows", 0)),
+            int(stored.get("target_shard_rows", self.target_shard_rows)),
+        )
+        if ideal < grow_factor * int(stored["n_shards"]):
+            return False
+        return self.reshard()
+
+    def reshard(self, n_shards: int | None = None) -> bool:
+        """Rewrite the committed rows under a new shard count — a narrow
+        remap (one portable-hash pmod against the new count; no content
+        recompute) superseding every prior file in ONE commit. With
+        ``n_shards=None`` the new count is auto_shards() of the EXACT
+        committed row count (the rewrite recounts; the sidecar counter is
+        best-effort). Also folds multi-file shards as a side effect.
+        NOTE: resharding changes the store-shard <-> training-shard
+        identity (shard = hash mod n); exporters that pinned a shard
+        count should export through curation.shard_assign with their own
+        n, which is independent of the store layout. Returns True iff
+        the layout changed."""
+        self._check_layout()
+        man = self._snapshot()
+        if not man or not man["files"]:
+            return False
+        rows = (
+            self.spark.read.option("basePath", self.root)
+            .parquet(*[f"{self.root}/{f}" for f in man["files"]])
+            .drop("shard")
+        )
+        exact = rows.count()
+        final = (
+            n_shards
+            if n_shards is not None
+            else self.auto_shards(exact, self.target_shard_rows)
+        )
+        import json as _json
+
+        if final == self.n_shards:
+            if self._auto:
+                stored = _json.loads(self._read_bytes("_layout.json"))
+                stored["n_rows"] = exact
+                self._write_bytes("_layout.json", _json.dumps(stored).encode())
+            return False
+        staging = f"_staging-{uuid.uuid4().hex}"
+        (
+            shard_assign(rows, final, self.key_col)
+            .repartition("shard")
+            .sortWithinPartitions(self.key_col)
+            .write.partitionBy("shard")
+            .option("compression", "zstd")
+            .mode("overwrite")
+            .save(f"{self.root}/{staging}")
+        )
+        new_files = self._publish_staged(staging)
+        old_files = list(man["files"])
+        sup = set(old_files)
+
+        def _delta(latest: dict | None):
+            live = set(latest["files"]) if latest else set()
+            if not sup <= live:
+                raise RuntimeError(
+                    "concurrent write during reshard: a superseded file is "
+                    "no longer live — retry"
+                )
+            return new_files, old_files
+
+        self._commit_or_reclaim(new_files, _delta)
+        stored = _json.loads(self._read_bytes("_layout.json"))
+        stored["n_shards"] = final
+        stored["n_rows"] = exact
+        self._write_bytes("_layout.json", _json.dumps(stored).encode())
+        self.n_shards = final
+        return True

@@ -264,6 +264,7 @@ def neardup_gate_batch(
     band_compact_min_files: int | None = 64,
     save_mode: str = "append_new",
     doc_compact_min_files: int | None = 64,
+    doc_reshard_factor: float | None = 2.0,
     eval_docstore=None,
     eval_band_store=None,
     eval_threshold: float | None = None,
@@ -332,6 +333,14 @@ def neardup_gate_batch(
     files the gate folds the store back to one file per shard
     (DocumentStore.optimize — the shard analogue of the two index
     compaction legs). None disables.
+
+    ``doc_reshard_factor``: for an AUTO-sharded DocumentStore
+    (n_shards=None), re-derive the shard count at the grown corpus after
+    each accepted batch (DocumentStore.maybe_reshard — O(1) sidecar
+    check; the reshard itself is a narrow key-hash remap). Completes the
+    growth-leg symmetry: IVF cells (r8), band buckets and doc shards
+    (r9) all track the data they index. Pinned stores no-op; None
+    disables.
 
     ``band_rebucket_factor`` / ``band_compact_min_files`` (VERDICT r8
     #1/#5 — band-index lifecycle parity with the ANN legs): when the
@@ -487,11 +496,18 @@ def neardup_gate_batch(
         # stores no-op), and append-fragmented buckets fold back to one
         # file each once any bucket passes the file threshold (a
         # rebucket just rewrote the whole layout — nothing to fold).
+        # doc-store growth leg (r9): an auto-sharded store re-derives its
+        # shard count at the grown corpus; a reshard just rewrote the
+        # whole layout, so the compaction check below is skipped that
+        # batch (nothing left to fold)
+        resharded = False
+        if doc_reshard_factor is not None:
+            resharded = docstore.maybe_reshard(doc_reshard_factor)
         # shard-compaction leg (r9, pairs with save_mode="append_new"):
         # each append fragments its touched shards by one file; fold once
         # any shard passes the threshold — the store stays scan-clean so
         # point reads and corpus scans never precedence-merge
-        if doc_compact_min_files is not None:
+        if doc_compact_min_files is not None and not resharded:
             from collections import Counter as _C
 
             dman = docstore._snapshot() or {}

@@ -419,3 +419,85 @@ def test_read_keys_pushdown_matches_semijoin(spark, tmp_path):
         .toString()
     )
     assert "doc_id" in plan and "Join" not in plan.split("Scan")[0]
+
+
+def test_docstore_auto_reshard_grows_and_preserves_reads(spark, tmp_path):
+    """Auto-sharded DocumentStore (r9): the shard count is derived state
+    — maybe_reshard re-runs auto_shards at the committed row count and
+    remaps the layout; reads (full scan + point lookup) are identical
+    before and after; pinned stores never auto-reshard; reopening with
+    None adopts the grown count; pinning an auto store raises."""
+    st = DocumentStore(
+        spark, str(tmp_path / "auto"), n_shards=None, target_shard_rows=8
+    )
+    st._check_layout()
+    first = st.n_shards
+    assert first == 4  # auto floor
+    st.append_docs(_docs(spark, [(i, f"t{i}", 0.0) for i in range(20)]))
+    # below 2x: ceil(20/8)=3 < 8 -> no reshard
+    assert st.maybe_reshard() is False
+    st.append_docs(_docs(spark, [(i, f"t{i}", 0.0) for i in range(20, 80)]))
+    # ceil(80/8)=10 >= 2*4 -> reshard
+    assert st.maybe_reshard() is True
+    assert st.n_shards > first
+    assert st.read().count() == 80
+    keys = spark.createDataFrame([(7,), (42,), (79,)], "doc_id bigint")
+    assert {r["doc_id"] for r in st.read_keys(keys).collect()} == {7, 42, 79}
+    # shard column matches the NEW assignment (scan-consistency)
+    exp = {
+        r["doc_id"]: r["shard"]
+        for r in shard_assign(
+            _docs(spark, [(i, "", 0.0) for i in range(80)]), st.n_shards
+        ).collect()
+    }
+    assert {r["doc_id"]: r["shard"] for r in st.read().collect()} == exp
+    # idempotent at the same size
+    assert st.maybe_reshard() is False
+
+    # reopen with None adopts; pinning raises
+    re_a = DocumentStore(spark, str(tmp_path / "auto"), n_shards=None)
+    re_a._check_layout()
+    assert re_a.n_shards == st.n_shards
+    with pytest.raises(ValueError, match="auto-sharded"):
+        DocumentStore(spark, str(tmp_path / "auto"), n_shards=4)._check_layout()
+
+    # pinned store: never auto-reshards
+    pin = DocumentStore(spark, str(tmp_path / "pin"), n_shards=2)
+    pin.save_docs(_docs(spark, [(i, f"t{i}", 0.0) for i in range(100)]))
+    assert pin.maybe_reshard() is False
+    assert pin.n_shards == 2
+
+
+def test_gate_auto_reshards_docstore(spark, tmp_path):
+    """The gate's doc_reshard_factor leg: an auto-sharded store grows its
+    shard count mid-stream; dedup detection and point reads stay correct
+    across the remap."""
+    from binance_data_framework_spark.docstore import BandIndexStore
+    from binance_data_framework_spark.streaming.neardup_ingest import (
+        neardup_gate_batch,
+    )
+
+    store = DocumentStore(
+        spark, str(tmp_path / "store"), n_shards=None, target_shard_rows=8
+    )
+    bands = BandIndexStore(spark, str(tmp_path / "bands"), n_buckets=4)
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id bigint, text string"
+    )
+    texts = [
+        f"unique body {i} with tokens alpha{i} beta{i} gamma{i} delta{i}"
+        for i in range(60)
+    ]
+    store._check_layout()
+    first = store.n_shards
+    for lo in range(0, 60, 20):
+        s = neardup_gate_batch(
+            mk([(i, texts[i]) for i in range(lo, lo + 20)]), store, bands
+        )
+        assert s["saved"] == 20
+    assert store.n_shards > first  # resharded mid-stream
+    assert store.read().count() == 60
+    # near-dup of an old doc is still caught (sig point-read across the
+    # NEW shard routing)
+    s = neardup_gate_batch(mk([(500, texts[3])]), store, bands)
+    assert s["dropped_vs_corpus"] == 1 and s["saved"] == 0
