@@ -992,7 +992,9 @@ def test_streaming_full_stack_gate(spark, tmp_path):
     streaming entry point — JSONL tail -> in-batch dedup -> eval
     decontamination -> corpus near-dup gate -> DocumentStore + band
     index + ANN append — in one stream_neardup_ingest run, across
-    several availableNow cycles. Asserts the end state of every tier and
+    several availableNow cycles. r9: the stores are AUTO-sharded /
+    AUTO-bucketed (every growth/compaction leg armed) and the drift
+    monitor runs every batch. Asserts the end state of every tier and
     that a contaminated doc never reached any of them."""
     from binance_data_framework_spark.ann_index import AnnIndexStore
     from binance_data_framework_spark.docstore import BandIndexStore, DocumentStore
@@ -1007,8 +1009,8 @@ def test_streaming_full_stack_gate(spark, tmp_path):
     land = tmp_path / "landing"
     land.mkdir()
     ckpt = str(tmp_path / "ckpt")
-    store = DocumentStore(spark, str(tmp_path / "store"), n_shards=2)
-    bands = BandIndexStore(spark, str(tmp_path / "bands"), n_buckets=8)
+    store = DocumentStore(spark, str(tmp_path / "store"), n_shards=None)
+    bands = BandIndexStore(spark, str(tmp_path / "bands"), n_buckets=None)
     ev_store = DocumentStore(spark, str(tmp_path / "ev_store"), n_shards=2)
     ev_bands = BandIndexStore(spark, str(tmp_path / "ev_bands"), n_buckets=8)
     ann = AnnIndexStore(
@@ -1043,6 +1045,9 @@ def test_streaming_full_stack_gate(spark, tmp_path):
             ann_build_kwargs=dict(dim=8, n_centroids=2, m_sub=4, ksub=4),
             eval_docstore=ev_store,
             eval_band_store=ev_bands,
+            drift_every=1,
+            doc_compact_min_files=2,
+            band_compact_min_files=2,
         )
         q.awaitTermination(180)
 
