@@ -215,6 +215,56 @@ def main() -> int:
             f"eval-gated corpus={ev_n} (5k eval index): gate={best}s {stats}",
             flush=True,
         )
+    # Sustained ingest (r9): 12 CONSECUTIVE batches against a pre-built
+    # 100k corpus with every maintenance leg armed and aggressive
+    # thresholds (compaction at 4 files, growth factors at 2), on
+    # auto-sharded/auto-bucketed stores. The claim: per-batch cost stays
+    # bounded, with periodic maintenance spikes that amortize — the
+    # measured form of "self-maintaining". Single pass (the series IS
+    # the measurement; a best-of re-run would do different maintenance).
+    sustained = None
+    su_n = 100_000
+    if su_n + 12 * batch_size <= len(ids):
+        shutil.rmtree(scratch, ignore_errors=True)
+        store = DocumentStore(spark, f"{scratch}/docs", n_shards=None)
+        bands = BandIndexStore(spark, f"{scratch}/bands", n_buckets=None)
+        bands.pin_params({"num_hashes": 16, "num_bands": 4, "shingle_n": 3})
+        corpus = docs.where(F.col("doc_id") <= ids[su_n - 1])
+        sigs = minhash_signature(corpus).localCheckpoint(eager=True)
+        store.save_docs(sigs.join(corpus, "doc_id"))
+        bands.append(minhash_bands(sigs))
+        bands.maybe_rebucket()
+        store.maybe_reshard()
+        series = []
+        for b in range(12):
+            lo = su_n + b * batch_size
+            batch = docs.where(
+                (F.col("doc_id") > ids[lo - 1])
+                & (F.col("doc_id") <= ids[lo + batch_size - 1])
+            )
+            t0 = time.time()
+            st = neardup_gate_batch(
+                batch,
+                store,
+                bands,
+                threshold=0.8,
+                doc_compact_min_files=4,
+                band_compact_min_files=4,
+                doc_reshard_factor=2.0,
+                band_rebucket_factor=2.0,
+                drift_report=(b % 6 == 5),
+            )
+            series.append(round(time.time() - t0, 3))
+        sustained = {
+            "corpus_start": su_n,
+            "batches": 12,
+            "batch_size": batch_size,
+            "batch_sec": series,
+            "total_sec": round(sum(series), 3),
+            "config": "auto shards+buckets, compact@4 files, growth@2x, drift every 6",
+        }
+        print(f"sustained 12-batch series: {series}", flush=True)
+
     shutil.rmtree(scratch, ignore_errors=True)
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -245,6 +295,7 @@ def main() -> int:
         "points": results,
         "skewed": skewed,
         "eval_gated": eval_gated,
+        "sustained": sustained,
     }
     with open(path, "w") as f:
         json.dump(doc, f, indent=2)
