@@ -262,6 +262,17 @@ class BandIndexStore(SnapshotStore):
         self._write_bytes("_layout.json", _json.dumps(stored).encode())
         return stored
 
+    def _bump_rows(self, delta: int) -> None:
+        """Auto-mode row bookkeeping (best-effort under concurrent
+        writers — a lost increment only delays the growth trigger; the
+        rebuild-style rewrite recounts exactly)."""
+        import json as _json
+
+        stored = _json.loads(self._read_bytes("_layout.json"))
+        self._layout_update(
+            n_rows=max(0, int(stored.get("n_rows", 0)) + delta)
+        )
+
     def pin_params(self, params: dict) -> None:
         """Declare the band-generation params this session derives keys
         with; the next layout check pins them in the sidecar (first write)
@@ -322,11 +333,7 @@ class BandIndexStore(SnapshotStore):
                 .parquet(*[f"{self.root}/{f}" for f in new_files])
                 .count()
             )
-            import json as _json
-
-            stored = _json.loads(self._read_bytes("_layout.json"))
-            stored["n_rows"] = int(stored.get("n_rows", 0)) + n_added
-            self._write_bytes("_layout.json", _json.dumps(stored).encode())
+            self._bump_rows(n_added)
         return len(new_files)
 
     def read(self) -> DataFrame:
@@ -694,6 +701,17 @@ class DocumentStore(SnapshotStore):
             )
         self._layout_checked = True
 
+    def _layout_update(self, **fields) -> dict:
+        """Read-modify-write the layout sidecar (the BandIndexStore
+        helper's twin) — bookkeeping fields only; pinned identity fields
+        never change this way."""
+        import json as _json
+
+        stored = _json.loads(self._read_bytes("_layout.json"))
+        stored.update(fields)
+        self._write_bytes("_layout.json", _json.dumps(stored).encode())
+        return stored
+
     def _bump_rows(self, delta: int) -> None:
         """Auto-mode row bookkeeping (best-effort under concurrent
         writers — a lost increment only delays the reshard trigger;
@@ -701,8 +719,9 @@ class DocumentStore(SnapshotStore):
         import json as _json
 
         stored = _json.loads(self._read_bytes("_layout.json"))
-        stored["n_rows"] = max(0, int(stored.get("n_rows", 0)) + delta)
-        self._write_bytes("_layout.json", _json.dumps(stored).encode())
+        self._layout_update(
+            n_rows=max(0, int(stored.get("n_rows", 0)) + delta)
+        )
 
     # -- helpers -----------------------------------------------------------
     @staticmethod
@@ -859,11 +878,7 @@ class DocumentStore(SnapshotStore):
                 if man2 and man2["files"]
                 else 0
             )
-            import json as _json
-
-            stored = _json.loads(self._read_bytes("_layout.json"))
-            stored["n_rows"] = int(total)
-            self._write_bytes("_layout.json", _json.dumps(stored).encode())
+            self._layout_update(n_rows=int(total))
         return len(touched)
 
     def append_docs(self, df: DataFrame, on_existing: str = "raise") -> int:
@@ -1198,9 +1213,7 @@ class DocumentStore(SnapshotStore):
 
         if final == self.n_shards:
             if self._auto:
-                stored = _json.loads(self._read_bytes("_layout.json"))
-                stored["n_rows"] = exact
-                self._write_bytes("_layout.json", _json.dumps(stored).encode())
+                self._layout_update(n_rows=exact)
             return False
         staging = f"_staging-{uuid.uuid4().hex}"
         (
@@ -1226,9 +1239,6 @@ class DocumentStore(SnapshotStore):
             return new_files, old_files
 
         self._commit_or_reclaim(new_files, _delta)
-        stored = _json.loads(self._read_bytes("_layout.json"))
-        stored["n_shards"] = final
-        stored["n_rows"] = exact
-        self._write_bytes("_layout.json", _json.dumps(stored).encode())
+        self._layout_update(n_shards=final, n_rows=exact)
         self.n_shards = final
         return True

@@ -4363,10 +4363,21 @@ def _knn_lsh_table(spark: SparkSession, sf_dir: str, n_tables: int = 12):
         import os
 
         emb = load_table(spark, sf_dir, "embeddings")
+        # CONTENT-aware fingerprint (review r9 #3): a count+id-sum name
+        # was content-blind — a regenerated fixture with the same ids but
+        # different vectors would silently reuse the stale assignment
+        # table. Same xxhash64-of-vector folding as
+        # AnnIndexStore._fingerprint (the review-r6 lesson, applied here).
         agg = emb.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("vec_id").alias("s")
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vec_id").alias("s"),
+            F.sum(
+                F.pmod(F.xxhash64("embedding"), F.lit(2147483648)).cast(
+                    "decimal(38,0)"
+                )
+            ).alias("c"),
         ).collect()[0]
-        n, idsum = int(agg["n"]), int(agg["s"] or 0)
+        n, idsum = int(agg["n"]), int(agg["s"] or 0) + int(agg["c"] or 0)
         n_planes = S.auto_planes(n, 250)
         # grouping parallelism: ~250k assignment rows (~60 MB of vectors)
         # per bucket-task, clamped — derived from n so it is stable per

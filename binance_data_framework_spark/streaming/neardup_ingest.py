@@ -93,7 +93,12 @@ def _banded_drops(
     with itself): the append-new save path uses them to know which
     survivors need no store write."""
     bands = minhash_bands(sigs, id_col, num_bands, num_hashes)
-    cand_all = band_store.candidates(bands)
+    # the candidate set feeds up to three consumers (the emptiness probe,
+    # the drop verification, and the redelivery split) — one eager
+    # checkpoint replaces three bucket-pruned index scans + their
+    # driver-side touched-bucket collects (review r9 #5); it is bounded
+    # at batch x num_bands x collisions
+    cand_all = band_store.candidates(bands).localCheckpoint(eager=True)
     cand = cand_all
     redelivered = None
     if same_id_is_redelivery:
@@ -165,28 +170,31 @@ def build_eval_index(
         # band-leg idempotency (ADVICE r8 #4): save_docs is a keyed
         # upsert, but band append is add-only — a re-run would append the
         # same band rows again, growing the index with every invocation
-        # and re-verifying duplicate collisions per lookup. Index bands
-        # only for ids NOT already in the eval doc store (shard-pruned
-        # point read of exactly the incoming keys). Already-indexed ids
+        # and re-verifying duplicate collisions per lookup. Membership is
+        # keyed off the BAND INDEX itself (a self-collision of the doc's
+        # own bands — bucket-pruned lookup), NOT the doc store: the doc
+        # commit lands first below, so a crash between the two commits
+        # followed by a re-run must still see those docs as band-fresh
+        # and complete their band rows (review r9 #2 — the doc-store
+        # membership check left them unindexed forever, silently passing
+        # contaminated docs that duplicated them). Already-banded ids
         # keep their committed bands — eval corpora are static by
         # contract; to change an indexed doc's text, rebuild both stores.
-        man = eval_docstore._snapshot()
-        if man and man["files"]:
-            already = eval_docstore.read_keys(keyed.select(id_col)).select(
-                id_col
-            )
-            fresh = keyed.join(already, id_col, "left_anti").localCheckpoint(
-                eager=True
-            )
-        else:
-            fresh = keyed
+        bands = minhash_bands(
+            keyed.select(id_col, "sig"), id_col, num_bands, num_hashes
+        ).localCheckpoint(eager=True)
+        already = (
+            eval_band_store.candidates(bands)
+            .where(F.col("id_new") == F.col("id_stored"))
+            .select(F.col("id_new").alias(id_col))
+            .distinct()
+        )
+        fresh = bands.join(already, id_col, "left_anti").localCheckpoint(
+            eager=True
+        )
         eval_docstore.save_docs(keyed)
         if fresh.limit(1).count():
-            eval_band_store.append(
-                minhash_bands(
-                    fresh.select(id_col, "sig"), id_col, num_bands, num_hashes
-                )
-            )
+            eval_band_store.append(fresh)
     return n
 
 
@@ -219,18 +227,31 @@ def corpus_drift_report(
         drift_from_counts,
     )
 
+    import json as _json
+    import uuid as _uuid
+
     man = docstore._snapshot()
     if not man or not man["files"]:
         return None  # nothing stored yet — no baseline to seed either
     spark = docstore.spark
-    loc = f"{docstore.root}/_drift_baseline"
     cur = corpus_term_counts(
         docstore.read(), text_col, docstore.key_col, "cnt_now"
-    ).localCheckpoint(eager=True)  # survives the baseline overwrite below
+    ).localCheckpoint(eager=True)  # survives the baseline swap below
     report = None
-    fs, p = docstore._fs_path("_drift_baseline")
-    if fs.exists(p):
-        base = spark.read.parquet(loc)
+    # the baseline lives in a versioned directory resolved through a tiny
+    # pointer sidecar — a plain mode("overwrite") would delete-then-write
+    # in place, and a crash mid-rewrite would leave the NEXT monitored
+    # batch computing drift against partial counts (a phantom shift from
+    # the very leg meant to detect real ones; review r9 #8). The pointer
+    # write is a single small-file replace; the previous directory is
+    # removed only after the swap.
+    fs, ptr_path = docstore._fs_path("_drift_baseline.json")
+    old_dir = None
+    if fs.exists(ptr_path):
+        old_dir = _json.loads(docstore._read_bytes("_drift_baseline.json"))[
+            "dir"
+        ]
+        base = spark.read.parquet(f"{docstore.root}/{old_dir}")
         report = [
             {
                 "term": r["term"],
@@ -238,11 +259,18 @@ def corpus_drift_report(
                 "cnt_now": r["cnt_a"],
                 "cnt_baseline": r["cnt_b"],
             }
-            # collected BEFORE the overwrite: the baseline read feeds it
+            # collected BEFORE the swap: the baseline read feeds it
             for r in drift_from_counts(cur, base, k).collect()
         ]
     if update_baseline:
-        cur.write.mode("overwrite").parquet(loc)
+        new_dir = f"_drift_baseline-{_uuid.uuid4().hex}"
+        cur.write.parquet(f"{docstore.root}/{new_dir}")
+        docstore._write_bytes(
+            "_drift_baseline.json", _json.dumps({"dir": new_dir}).encode()
+        )
+        if old_dir:
+            fs_o, p_o = docstore._fs_path(old_dir)
+            fs_o.delete(p_o, True)
     return report
 
 
@@ -471,23 +499,49 @@ def neardup_gate_batch(
     n_saved = 0
     if n_kept:
         if save_mode == "append_new":
-            # band-detected redeliveries are provably stored — everything
-            # else is new; the store write is batch-sized (add-only), and
-            # the bands/vectors of redelivered docs are already committed
-            # so they are excluded from EVERY tier's write this batch
-            to_store = survivors.join(
+            # band-detected redeliveries are provably stored WITH their
+            # bands — excluded from the doc and band writes. The rest
+            # splits by one pushed point-read of the batch's keys
+            # (row-group-pruned, batch-bounded — review r9 #4):
+            # - not stored            -> NEW: doc + bands
+            # - stored, SAME sig      -> crash-window replay (doc landed,
+            #   bands did not): bands only
+            # - stored, DIFFERENT sig -> same-id re-send with drifted
+            #   text: nothing — first-write-wins, and committing the
+            #   drifted text's bands would leave phantom band rows whose
+            #   content is not in the store
+            maybe_new = survivors.join(
                 redelivered.withColumnRenamed("id_new", id_col),
                 id_col,
                 "left_anti",
             ).localCheckpoint(eager=True)
-            n_saved = docstore.append_docs(to_store, on_existing="skip")
+            dman = docstore._snapshot()
+            if dman and dman["files"]:
+                stored_sig = docstore.read_keys(
+                    maybe_new.select(docstore.key_col)
+                ).select(
+                    docstore.key_col, F.col("sig").alias("_stored_sig")
+                )
+                flagged = maybe_new.join(
+                    stored_sig, docstore.key_col, "left"
+                ).localCheckpoint(eager=True)
+                to_store = flagged.where(F.col("_stored_sig").isNull()).drop(
+                    "_stored_sig"
+                )
+                backfill = flagged.where(
+                    F.col("_stored_sig") == F.col("sig")
+                ).drop("_stored_sig")
+                to_band = to_store.unionByName(backfill)
+            else:
+                to_store, to_band = maybe_new, maybe_new
+            n_saved = docstore.append_docs(to_store, on_existing="trust")
         else:
-            to_store = survivors
+            to_store, to_band = survivors, survivors
             docstore.save_docs(survivors)
             n_saved = n_kept
         band_store.append(
             minhash_bands(
-                to_store.select(id_col, "sig"), id_col, num_bands, num_hashes
+                to_band.select(id_col, "sig"), id_col, num_bands, num_hashes
             )
         )
         # band-index lifecycle, mirroring the ANN legs below (VERDICT r8
@@ -533,7 +587,13 @@ def neardup_gate_batch(
             if frag and max(frag.values()) >= band_compact_min_files:
                 band_store.compact()
         if ann_store is not None:
-            vecs = to_store.select(ann_store.id_col, ann_store.vec_col)
+            # ALL survivors, not just the newly-stored slice (review r9
+            # #1): a crash between the band append and this leg leaves a
+            # doc stored+banded but unindexed; on replay it band-collides
+            # with itself and is excluded from to_store — feeding
+            # to_store here would lose its vector forever. skip_existing
+            # makes the already-appended ids a no-op, so this converges.
+            vecs = survivors.select(ann_store.id_col, ann_store.vec_col)
             if ann_store.load() is None:
                 ann_store.build(vecs, **(ann_build_kwargs or {}))
             else:
@@ -658,6 +718,12 @@ def stream_neardup_ingest(
     ("drift" key) and the baseline advances at each monitored point.
     Cadence keys off batch_id, so a checkpoint-replayed batch re-monitors
     deterministically. None (default) disables."""
+
+    if "drift_report" in gate_kwargs:
+        raise ValueError(
+            "stream_neardup_ingest: pass drift_every=<N> instead of "
+            "drift_report — the stream owns the per-batch cadence"
+        )
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         monitor = (

@@ -1328,3 +1328,124 @@ def test_gate_append_new_save_path(spark, tmp_path):
     )
     assert max(frag.values()) == 1
     assert store.read().count() == 20
+
+
+def test_gate_replay_crash_windows_and_drifted_resend(spark, tmp_path):
+    """Review r9 crash-window fixes, pinned:
+
+    (1) ANN leg feeds ALL survivors — a replay where docs+bands are
+        already committed but the ANN leg never ran must still index the
+        vectors (to_store is empty on such a replay; feeding it would
+        lose them forever);
+    (2) a same-id re-send with DRIFTED text writes NOTHING — not even
+        band rows (phantom bands for unstored content);
+    (3) a crash-window doc (stored, bands missing, text identical) gets
+        its bands backfilled on replay."""
+    from binance_data_framework_spark.ann_index import AnnIndexStore
+    from binance_data_framework_spark.docstore import BandIndexStore, DocumentStore
+    from binance_data_framework_spark.operators.dedup import (
+        minhash_bands,
+        minhash_signature,
+    )
+    from binance_data_framework_spark.streaming.neardup_ingest import (
+        neardup_gate_batch,
+    )
+
+    store = DocumentStore(spark, str(tmp_path / "store"), n_shards=2)
+    bands = BandIndexStore(spark, str(tmp_path / "bands"), n_buckets=4)
+    ann = AnnIndexStore(
+        spark, str(tmp_path / "ann"), id_col="doc_id", vec_col="embedding"
+    )
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "doc_id bigint, text string, embedding array<double>"
+    )
+    emb = lambda i: [0.25 * i + float(j) for j in range(8)]  # noqa: E731
+    texts = [
+        f"document body {i} entirely distinct alpha{i} beta{i} gamma{i}"
+        for i in range(6)
+    ]
+    batch = mk([(i, texts[i], emb(i)) for i in range(4)])
+
+    # (1) first pass WITHOUT the ANN leg = the crash-before-ANN state
+    s1 = neardup_gate_batch(batch, store, bands)
+    assert s1["saved"] == 4
+    # replay WITH the ANN leg: every survivor is a redelivery, yet the
+    # index must end up holding all four vectors
+    s2 = neardup_gate_batch(
+        batch, store, bands,
+        ann_store=ann,
+        ann_build_kwargs=dict(dim=8, n_centroids=2, m_sub=4, ksub=4),
+    )
+    assert s2["saved"] == 0
+    assert ann.codes("pq").count() == 4
+
+    # (2) drifted same-id re-send: nothing lands anywhere
+    band_rows = bands.read().count()
+    v = store._snapshot()["version"]
+    s3 = neardup_gate_batch(
+        mk([(0, "totally different replacement words zeta eta theta", emb(9))]),
+        store,
+        bands,
+        ann_store=ann,
+    )
+    assert s3["saved"] == 0
+    assert store._snapshot()["version"] == v  # no doc commit
+    assert bands.read().count() == band_rows  # no phantom bands
+    assert {r["text"] for r in store.read().where("doc_id = 0").collect()} == {
+        texts[0]
+    }
+    assert ann.codes("pq").count() == 4
+
+    # (3) crash window: doc 5 stored (with sig) but bands never appended
+    doc5 = mk([(5, texts[5], emb(5))])
+    sig5 = minhash_signature(doc5)
+    store.append_docs(doc5.join(sig5, "doc_id").select(
+        "doc_id", "text", "embedding", "sig"
+    ))
+    s4 = neardup_gate_batch(doc5, store, bands, ann_store=ann)
+    assert s4["saved"] == 0  # the doc row was already there
+    # ...but its bands were backfilled: an exact copy is now caught
+    s5 = neardup_gate_batch(
+        mk([(50, texts[5], emb(5))]), store, bands, ann_store=ann
+    )
+    assert s5["dropped_vs_corpus"] == 1 and s5["saved"] == 0
+    assert ann.codes("pq").count() == 5  # doc 5's vector indexed too
+
+
+def test_build_eval_index_band_crash_window_completes(spark, tmp_path):
+    """Review r9 #2: build_eval_index's idempotency keys off the BAND
+    index (self-collision), not the doc store — a crash between the doc
+    commit and the band append, followed by a re-run, must complete the
+    band rows (the doc-store membership check left them unindexed
+    forever, silently disabling decontamination for those docs)."""
+    from binance_data_framework_spark.docstore import BandIndexStore, DocumentStore
+    from binance_data_framework_spark.operators.dedup import minhash_signature
+    from binance_data_framework_spark.streaming.neardup_ingest import (
+        build_eval_index,
+        neardup_gate_batch,
+    )
+
+    ev_store = DocumentStore(spark, str(tmp_path / "ev_store"), n_shards=2)
+    ev_bands = BandIndexStore(spark, str(tmp_path / "ev_bands"), n_buckets=4)
+    bench = "the held out benchmark question text for evaluation only here"
+    docs = spark.createDataFrame(
+        [(9001, bench)], "doc_id bigint, text string"
+    )
+    # simulate the crash: doc leg committed, band leg never ran
+    ev_store.save_docs(docs.join(minhash_signature(docs), "doc_id"))
+    assert ev_bands._snapshot() is None
+    # re-run completes the band leg
+    assert build_eval_index(docs, ev_store, ev_bands) == 1
+    assert ev_bands.read().count() > 0
+    # and the gate now actually refuses a contaminated doc
+    store = DocumentStore(spark, str(tmp_path / "store"), n_shards=2)
+    bands = BandIndexStore(spark, str(tmp_path / "bands"), n_buckets=4)
+    s = neardup_gate_batch(
+        spark.createDataFrame([(1, bench)], "doc_id bigint, text string"),
+        store,
+        bands,
+        threshold=0.9,
+        eval_docstore=ev_store,
+        eval_band_store=ev_bands,
+    )
+    assert s["dropped_contaminated"] == 1

@@ -12,9 +12,14 @@ ann_index_append, ann_index_delete, curated_index_pipeline,
 topk_similarity_ivf/pq, topk_recall_ivf/pq/opq — first contact per corpus
 trains and commits the index (append: half-build + delta-encode; delete:
 build + tombstone + purge; pipeline: the two-batch gate + train), later
-contacts pay one fingerprint agg), knn_join_lsh/knn_recall_self
-(knn_self_lsh's n_planes=None auto-derivation runs one df.count() to
-size the plane count), dedup_substring (its span stream
+contacts pay one fingerprint agg), knn_lsh_build/knn_join_lsh/
+knn_recall_self (first contact per corpus writes the bucketed LSH
+assignment table; later contacts pay one count+idsum agg plus a
+catalog check), topk_filtered_ivf/topk_recall_filtered (the
+selectivity-gated search measures predicate counts and runs its
+per-probe rescue completeness check — an eager checkpoint of the
+ranked result plus two model-sized collects — during construction,
+r9), dedup_substring (its span stream
 eager-checkpoints at build — two consumers; the hidden-by-checkpoint
 gram lineage is linted separately via registry._substring_spans in
 tests/test_plans.py), tfidf_top_terms and text_unigram_logprob (eager Arrow tf + dictionary
