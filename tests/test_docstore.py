@@ -501,3 +501,65 @@ def test_gate_auto_reshards_docstore(spark, tmp_path):
     # NEW shard routing)
     s = neardup_gate_batch(mk([(500, texts[3])]), store, bands)
     assert s["dropped_vs_corpus"] == 1 and s["saved"] == 0
+
+
+def test_reshard_and_rebucket_detect_concurrent_writes(spark, tmp_path):
+    """A layout remap races a concurrent writer: the remap resolved its
+    snapshot, the writer superseded one of those files, and the remap's
+    commit must RAISE (its rewrite is missing the writer's rows), never
+    silently publish a layout that lost them."""
+    from binance_data_framework_spark.docstore import BandIndexStore
+
+    # doc store: B reshards while A upserts a row into a shard B read
+    root = str(tmp_path / "ds")
+    a = DocumentStore(spark, root, n_shards=2)
+    a.save_docs(_docs(spark, [(i, f"t{i}", 0.0) for i in range(10)]))
+    b = DocumentStore(spark, root, n_shards=2)
+    orig_publish = DocumentStore._publish_staged
+    state = {"raced": False}
+
+    def racing_publish(self, staging):
+        if not state["raced"] and self is b:
+            state["raced"] = True
+            a.save_docs(_docs(spark, [(3, "a-wins", 9.9)]))
+        return orig_publish(self, staging)
+
+    DocumentStore._publish_staged = racing_publish
+    try:
+        with pytest.raises(RuntimeError, match="concurrent write during reshard"):
+            b.reshard(n_shards=8)
+    finally:
+        DocumentStore._publish_staged = orig_publish
+    # A's write survived; the store is readable and un-remapped
+    got = {r["doc_id"]: r["text"] for r in a.read().collect()}
+    assert got[3] == "a-wins" and len(got) == 10
+
+    # band index: B rebuckets while A compacts a bucket B read
+    broot = str(tmp_path / "bx")
+    ba = BandIndexStore(spark, broot, n_buckets=2)
+    rows = spark.createDataFrame(
+        [(i, 0, i * 7) for i in range(10)],
+        "doc_id bigint, band_idx int, band_hash long",
+    )
+    ba.append(rows)
+    ba.append(rows)  # duplicates so compact() has something to fold
+    bb = BandIndexStore(spark, broot, n_buckets=2)
+    orig_bpub = BandIndexStore._publish_staged
+    bstate = {"raced": False}
+
+    def racing_bpub(self, staging):
+        if not bstate["raced"] and self is bb:
+            bstate["raced"] = True
+            ba.compact()
+        return orig_bpub(self, staging)
+
+    BandIndexStore._publish_staged = racing_bpub
+    try:
+        with pytest.raises(
+            RuntimeError, match="concurrent band-index write during rebucket"
+        ):
+            bb.rebucket(n_buckets=16)
+    finally:
+        BandIndexStore._publish_staged = orig_bpub
+    probe = rows.limit(3)
+    assert ba.candidates(probe).count() > 0  # index intact post-abort

@@ -336,3 +336,89 @@ def test_cross_candidates_equal_union_selfjoin_restricted(spark, train, ev):
         if r["id_a"] < 10_000 <= r["id_b"]
     }
     assert got == want
+
+
+# randomized key sets for the r9 store-layout machinery: keys drawn from a
+# wide int64 range so shard/bucket routing exercises the hash arithmetic
+_keysets = st.lists(
+    st.integers(min_value=0, max_value=2**40),
+    min_size=1,
+    max_size=60,
+    unique=True,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_keysets, _keysets)
+def test_read_keys_paths_agree_property(spark, tmp_path_factory, stored, probe):
+    """read_keys' pushed-IN path and semi-join path return the same rows
+    for ANY stored/probe key sets (including probes absent from the
+    store), and append_docs round-trips every stored key exactly once."""
+    from binance_data_framework_spark.docstore import DocumentStore
+
+    root = str(tmp_path_factory.mktemp("ds"))
+    st_ = DocumentStore(spark, root, n_shards=4)
+    st_.append_docs(
+        spark.createDataFrame(
+            [(k, f"t{k}") for k in stored], "doc_id bigint, text string"
+        )
+    )
+    keys = spark.createDataFrame([(k,) for k in probe], "doc_id bigint")
+    fast = {r["doc_id"] for r in st_.read_keys(keys).collect()}
+    orig = DocumentStore.READ_KEYS_PUSHDOWN_MAX
+    try:
+        DocumentStore.READ_KEYS_PUSHDOWN_MAX = 0  # force semi-join
+        slow = {r["doc_id"] for r in st_.read_keys(keys).collect()}
+    finally:
+        DocumentStore.READ_KEYS_PUSHDOWN_MAX = orig
+    expected = set(stored) & set(probe)
+    assert fast == slow == expected
+    assert st_.read().count() == len(stored)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_keysets, _keysets)
+def test_rebucket_reshard_candidate_and_read_invariance(
+    spark, tmp_path_factory, ids_a, ids_b
+):
+    """Layout remaps are read-invariant for ANY data: after rebucket the
+    band index returns the same candidate pairs; after reshard the doc
+    store returns the same rows and point lookups — with duplicates
+    folded but never content changed."""
+    from binance_data_framework_spark.docstore import BandIndexStore, DocumentStore
+
+    root = str(tmp_path_factory.mktemp("bx"))
+    bands = BandIndexStore(spark, f"{root}/bands", n_buckets=3)
+
+    def brows(ids):
+        return spark.createDataFrame(
+            [(int(i), b, int(i) * 40_503 + b) for i in ids for b in range(2)],
+            "doc_id bigint, band_idx int, band_hash long",
+        )
+
+    bands.append(brows(ids_a))
+    probe = brows(ids_b)
+    before = {
+        (r["id_new"], r["id_stored"])
+        for r in bands.candidates(probe).collect()
+    }
+    assert bands.rebucket(n_buckets=11) is True
+    after = {
+        (r["id_new"], r["id_stored"])
+        for r in bands.candidates(probe).collect()
+    }
+    assert after == before
+
+    ds = DocumentStore(spark, f"{root}/docs", n_shards=3)
+    ds.append_docs(
+        spark.createDataFrame(
+            [(int(i), f"t{i}") for i in ids_a], "doc_id bigint, text string"
+        )
+    )
+    rows_before = {(r["doc_id"], r["text"]) for r in ds.read().collect()}
+    assert ds.reshard(n_shards=7) is True
+    rows_after = {(r["doc_id"], r["text"]) for r in ds.read().collect()}
+    assert rows_after == rows_before
+    keys = spark.createDataFrame([(int(i),) for i in ids_b], "doc_id bigint")
+    got = {r["doc_id"] for r in ds.read_keys(keys).collect()}
+    assert got == set(ids_a) & set(ids_b)
