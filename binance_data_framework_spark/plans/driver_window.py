@@ -1,0 +1,176 @@
+"""Derive the driver's 50-query correctness window from committed evidence.
+
+The external driver records the FIRST 50 entries of ``queries()`` per
+round into ``CORRECTNESS_r{N}.json``.  Through round 9 the window
+(``_DRIVER_ORDER`` in registry.py) was authored by hand each round and
+*checked* by tests/test_driver_window.py; VERDICT r9 #6 asks for the
+inverse: derive the window from the evidence files at import time so the
+rotation is correct by construction, and let the test remain as an
+independent re-computation of the same arithmetic.
+
+Inputs
+------
+* the registration order of ``QUERIES`` (narrative order from SURVEY §2),
+* the ``CORRECTNESS_r*.json`` files at the repo root (absent in a normal
+  user install — the derivation then degrades to "first 50 registered"),
+* ``force``: the one legitimately non-derivable input — queries whose
+  PLAN OR BEHAVIOR changed this round (the protocol requires them to get
+  a fresh driver row; no evidence file can know what the current diff
+  touched).  New queries need no declaration: they have no row and are
+  mandatory automatically.
+
+Priority (VERDICT r9 #6's spec, extended with the force tier):
+  0. queries with NO green row in any round (no grace at all),
+  1. queries at or past the freshness bound (age >= ceil(Q/50) rounds),
+  2. ``force`` (changed this round),
+  3. everything else, ascending newest-green round (oldest first),
+ties broken by registration order throughout.  The window is the first
+50 by that key.  If tiers 0+1 alone overflow 50 (only possible after a
+missed round), the overflow of tier 1 spills into the carryover list —
+capped at window//4 by the test, so a real overflow fails loudly rather
+than silently deferring half the backlog.
+
+``next_head`` is a derived REPORT (not an input): the queries that will
+be at the bound next round and are not getting a row this round, plus
+any carryover.  The test asserts the next rotation must start from it;
+since the same derivation runs next round with tier 1 catching exactly
+that set, it does — by construction.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import math
+import os
+import re
+from dataclasses import dataclass, field
+from typing import Iterable, Mapping, Sequence
+
+WINDOW = 50
+
+
+def read_green_rows(evidence_dir: str) -> tuple[dict[str, int], int]:
+    """{query: newest green round}, current round (= newest file + 1).
+
+    Green = hash-matched, or a rows-only check for the by-design
+    no-oracle queries (``err == "no_oracle"``).  Mirrors the independent
+    parse in tests/test_driver_window.py on purpose — the test is the
+    cross-check on this function.
+    """
+    newest: dict[str, int] = {}
+    last = 0
+    for f in glob.glob(os.path.join(evidence_dir, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)\.json$", f)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        last = max(last, rnd)
+        try:
+            with open(f) as fh:
+                rows = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        for q, v in rows.items():
+            ok = v.get("hash_match") or (
+                v.get("err") == "no_oracle" and not v.get("hash_match")
+            )
+            if ok:
+                newest[q] = max(newest.get(q, 0), rnd)
+    return newest, last + 1
+
+
+@dataclass
+class DerivedWindow:
+    order: list[str]
+    carryover: list[str]
+    next_head: list[str]
+    current_round: int
+    bound: int
+    # diagnostic: tier of each in-window query (0=no-row, 1=at/past bound,
+    # 2=forced, 3=age-filled)
+    tiers: dict[str, int] = field(default_factory=dict)
+
+
+def derive_window(
+    registered: Sequence[str],
+    newest: Mapping[str, int],
+    current_round: int,
+    force: Iterable[str] = (),
+    window: int = WINDOW,
+) -> DerivedWindow:
+    """Pure derivation — no filesystem access; see module docstring."""
+    names = list(registered)
+    if len(names) != len(set(names)):
+        raise ValueError("duplicate query names")
+    unknown = sorted(set(force) - set(names))
+    if unknown:
+        raise ValueError(f"force names not registered: {unknown}")
+    bound = math.ceil(len(names) / window)
+    force_set = set(force)
+    reg_index = {q: i for i, q in enumerate(names)}
+
+    def tier(q: str) -> int:
+        if q not in newest:
+            return 0
+        if current_round - newest[q] >= bound:
+            return 1
+        if q in force_set:
+            return 2
+        return 3
+
+    ranked = sorted(names, key=lambda q: (tier(q), newest.get(q, 0), reg_index[q]))
+    tiers = {q: tier(q) for q in names}
+
+    mandatory = [q for q in ranked if tiers[q] <= 1]
+    carryover: list[str] = []
+    if len(mandatory) > window:
+        # only at-EXACTLY-bound queries may legally defer one round; age
+        # past the bound (or no row at all) has no escape valve.
+        spill = mandatory[window:]
+        hard = [q for q in spill if tiers[q] == 0 or current_round - newest[q] > bound]
+        if hard:
+            raise ValueError(
+                f"window overflow with non-deferrable queries: {hard} "
+                f"(no-row or past the freshness bound — the rotation "
+                f"missed a round; shrink the registry growth or widen "
+                f"the window)"
+            )
+        carryover = spill
+        order = mandatory[:window]
+    else:
+        order = ranked[:window]
+
+    in_window = set(order)
+    due_next = {
+        q
+        for q in names
+        if q in newest
+        and (current_round + 1) - newest[q] == bound
+        and q not in in_window
+    }
+    next_head = sorted(
+        due_next | set(carryover), key=lambda q: (newest.get(q, 0), reg_index[q])
+    )
+    return DerivedWindow(
+        order=order,
+        carryover=carryover,
+        next_head=next_head,
+        current_round=current_round,
+        bound=bound,
+        tiers={q: tiers[q] for q in order},
+    )
+
+
+def derive_from_repo(
+    registered: Sequence[str],
+    force: Iterable[str] = (),
+    repo_root: str | None = None,
+    window: int = WINDOW,
+) -> DerivedWindow:
+    if repo_root is None:
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        )
+    newest, current = read_green_rows(repo_root)
+    return derive_window(registered, newest, current, force=force, window=window)

@@ -5885,130 +5885,41 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver presentation order
 # ---------------------------------------------------------------------------
 # The driver's correctness harness walks queries() in registration order and
-# (empirically, r01-r08) records the first 50. Registration order above
-# follows SURVEY.md §2's narrative; the DRIVER order below is the ROUND-9
-# rotation, ENFORCED BY TEST (tests/test_driver_window.py recomputes
-# freshness from the CORRECTNESS_r* files ∪ this list — VERDICT r6 #1: the
-# r6 slip was window arithmetic done by hand; ADVICE r8 #3: the r8 comment
-# arithmetic drifted from the registry, so the r9 counts below are asserted,
-# not narrated).
+# (empirically, r01-r09) records the first 50. Registration order above
+# follows SURVEY.md §2's narrative; the 50-query DRIVER window is DERIVED at
+# import from the committed CORRECTNESS_r*.json evidence (VERDICT r9 #6 —
+# the r6 slip and the r8 comment drift both came from hand-authored window
+# arithmetic; r9 made the test check it; r10 makes the derivation produce
+# it, and tests/test_driver_window.py independently recomputes the same
+# arithmetic as the invariant check).
 #
-# Freshness bound: with 154 registered queries and a 50-row window the
-# sustainable cycle is ceil(154/50) = 4 rounds. The test enforces, per
-# round: (a) no-row queries must be in the window; (b) nothing older than
-# the bound unless declared in _FRESHNESS_CARRYOVER; (c) — NEW in r9 —
-# every query at age EXACTLY the bound must be in the current window (the
-# machine-checked form of the old comment-only "must head next round"
-# promises).
-#
-# r9 window arithmetic (the cut at 50 is exact):
-#   10  the committed r8 promise — the r5-green cohort at age 4 (the bound):
-#       scan_exchange_info, text_sentiment, text_token_count,
-#       doc_fingerprint, fill_gaps_forward, window_cci, window_donchian,
-#       window_median, window_roc, graph_pagerank — enforced by rule (c);
-#    1  NEW in r9 (no driver row exists): knn_lsh_build;
-#    5  plan/behavior changed in r9: knn_join_lsh + knn_recall_self (read
-#       the persisted bucketed assignment table), topk_filtered_ivf +
-#       topk_recall_filtered (selectivity-gated strategy, 3-fixture cert),
-#       curated_index_pipeline (gate grew the band rebucket/compact legs);
-#   34  of the 47-strong r6-green cohort (age 3), heaviest plans first.
-# The 13 r6-cohort queries that did not fit are age-4 at r10 and rule (c)
-# will force them into r10's head; they are named in _NEXT_WINDOW_HEAD
-# below so the r10 rotation starts from a checked list, not prose.
-#
-# Deliberately left out with standing coverage: corpus_drift_terms (r9
-# refactor routes it through corpus_term_counts/drift_from_counts, which
-# emit IDENTICAL expressions — plan unchanged, r8-green, same precedent as
-# r8's _band_explode); ann_index_append (the purge-threshold fix only
-# affects purge="never", which the registered query does not use;
-# r8-green).
-_DRIVER_ORDER = [
-    # -- the committed r8 promise: r5-green cohort, age 4 == bound --
-    "scan_exchange_info",
-    "text_sentiment",
-    "text_token_count",
-    "doc_fingerprint",
-    "fill_gaps_forward",
-    "window_cci",
-    "window_donchian",
-    "window_median",
-    "window_roc",
-    "graph_pagerank",
-    # -- NEW in r9 (build precedes the queries that read its artifact) --
-    "knn_lsh_build",
-    # -- plan/behavior changed in r9 --
-    "knn_join_lsh",
-    "knn_recall_self",
+# Priority (plans/driver_window.py): no-row queries first, then queries at
+# or past the ceil(Q/50)-round freshness bound (oldest green row first),
+# then _ROUND_CHANGED (the one non-derivable input: this round's plan /
+# behavior changes), then everything else by ascending newest-green round;
+# registration order breaks ties. _NEXT_WINDOW_HEAD and
+# _FRESHNESS_CARRYOVER are derived REPORTS now, not inputs.
+from binance_data_framework_spark.plans.driver_window import derive_from_repo
+
+#: queries whose PLAN OR BEHAVIOR changed in the CURRENT round — the only
+#: hand-maintained rotation input left (evidence files cannot know what the
+#: current diff touched). New queries need no entry: no driver row exists,
+#: so the derivation puts them in the window automatically.
+#: r10: docstore duplicate-survivor tie-break (docstore_snapshot), the
+#: gate's pushed-IN band-candidate read (curated_index_pipeline), filtered
+#: ANN rescue-decision caching (topk_filtered_ivf + its cert).
+_ROUND_CHANGED = [
+    "docstore_snapshot",
+    "curated_index_pipeline",
     "topk_filtered_ivf",
     "topk_recall_filtered",
-    "curated_index_pipeline",
-    # -- the r6-green cohort (age 3): 34 of 47, heaviest plans first --
-    "pretraining_pipeline",
-    "embed_near_dup",
-    "dedup_near_minhash",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_clusters",
-    "dedup_keep_representative",
-    "decontaminate",
-    "corpus_curation",
-    "pack_sequences",
-    "quality_quantile_filter",
-    "sample_reservoir",
-    "sample_stratified",
-    "topk_similarity",
-    "topk_recall_ivf",
-    "topk_recall_pq",
-    "topk_recall_opq",
-    "topk_skew_salted",
-    "agg_sketches",
-    "agg_cube",
-    "agg_ndv",
-    "agg_percentiles",
-    "asof_align_by",
-    "cohort_retention",
-    "pair_correlation",
-    "sessionize",
-    "gap_antijoin",
-    "multimodal_features",
-    "resample_ohlcv",
-    "tpch_q1",
-    "tpch_q3",
-    "tpch_q5",
-    "tpch_q7",
-    "tpch_q8",
 ]
 
-#: the 13 r6-green queries deferred by the r9 cut — age 4 at r10, where
-#: test rule (c) forces them into the window; the r10 rotation MUST start
-#: from this list (machine-checked membership, ADVICE r8 #3).
-_NEXT_WINDOW_HEAD = [
-    "window_ewma",
-    "window_rsi",
-    "window_sma",
-    "window_bollinger",
-    "window_drawdown",
-    "window_trend",
-    "unpivot_ohlcv",
-    "rollup_volume",
-    "resample_ohlcv_1w",
-    "resample_ohlcv_1M",
-    "agg_vwap",
-    "json_extract",
-    "chart_downsample_m4",
-]
-
-# Empty at r9: rule (c) covers the age-at-bound queries (all 10 are in the
-# window head), and nothing else is past the bound.
-_FRESHNESS_CARRYOVER: list[str] = []
+_derived = derive_from_repo(list(QUERIES), force=_ROUND_CHANGED)
+_DRIVER_ORDER = _derived.order
+_NEXT_WINDOW_HEAD = _derived.next_head
+_FRESHNESS_CARRYOVER = _derived.carryover
 assert len(_DRIVER_ORDER) == 50, f"driver window must be exactly 50, got {len(_DRIVER_ORDER)}"
-assert len(set(_DRIVER_ORDER)) == 50, "duplicate names in _DRIVER_ORDER"
-assert not set(_FRESHNESS_CARRYOVER) & set(_DRIVER_ORDER)
-assert not set(_NEXT_WINDOW_HEAD) & set(_DRIVER_ORDER), (
-    "a deferred query cannot also be in the current window"
-)
-_missing = [n for n in _DRIVER_ORDER + _NEXT_WINDOW_HEAD if n not in QUERIES]
-assert not _missing, f"window names not registered: {_missing}"
 _tail = [n for n in QUERIES if n not in set(_DRIVER_ORDER)]
 _ordered = _DRIVER_ORDER + _tail
 assert len(_ordered) == len(QUERIES)

@@ -145,3 +145,87 @@ def test_next_window_head_is_consistent():
         f"age-bound-next-round queries missing from _NEXT_WINDOW_HEAD: "
         f"{sorted(due_next - head)}"
     )
+
+
+def test_derivation_is_green_by_construction_for_future_rounds():
+    """VERDICT r9 #6: the window is now DERIVED (plans/driver_window.py),
+    so its correctness must hold for ANY future evidence state, not just
+    the committed one. Simulate 8 future rounds: each round the driver
+    writes green rows for the derived window, then we re-derive with an
+    empty force list and assert every invariant this file checks —
+    no-row coverage, bound staleness, rule (c), carryover cap, next-head
+    consistency. A failure here means some evidence trajectory breaks
+    the rotation arithmetic itself."""
+    from binance_data_framework_spark.plans.driver_window import (
+        derive_window,
+        read_green_rows,
+    )
+    from binance_data_framework_spark.plans.registry import QUERIES
+
+    names = list(QUERIES)
+    newest, current = read_green_rows(REPO)
+    bound = math.ceil(len(names) / WINDOW)
+    prev_next_head: set[str] | None = None
+
+    for rnd in range(current, current + 8):
+        d = derive_window(names, newest, rnd)
+        window = set(d.order)
+        carry = set(d.carryover)
+        assert len(d.order) == WINDOW and len(window) == WINDOW
+        assert len(carry) <= WINDOW // 4
+        assert not carry & window
+        # rule (a): no-row queries in window
+        assert all(q in window for q in names if q not in newest)
+        # rule (b)+(c): nothing at/past the bound outside window ∪ carry
+        for q in names:
+            if q in newest and rnd - newest[q] >= bound:
+                assert q in window or q in carry, (rnd, q, rnd - newest[q])
+        # the previous round's declared next head must be honored
+        if prev_next_head is not None:
+            assert prev_next_head <= window, prev_next_head - window
+        # due-next ⊆ next_head
+        due_next = {
+            q
+            for q in names
+            if q in newest and (rnd + 1) - newest[q] == bound and q not in window
+        }
+        assert due_next <= set(d.next_head)
+        prev_next_head = set(d.next_head)
+        # the driver runs: every window query gets a green row this round
+        for q in d.order:
+            newest[q] = rnd
+
+
+def test_derivation_force_and_overflow_semantics():
+    from binance_data_framework_spark.plans.driver_window import derive_window
+
+    names = [f"q{i:03d}" for i in range(120)]
+    bound = math.ceil(len(names) / WINDOW)  # 3
+    current = 10
+    # evenly aged evidence: ages 1 and 2 alternating
+    newest = {q: current - 1 - (i % 2) for i, q in enumerate(names)}
+    d = derive_window(names, newest, current, force=["q119"])
+    assert "q119" in d.order  # forced in despite young age
+    # forced queries outrank age-filled ones but not at-bound ones
+    assert d.tiers["q119"] == 2
+    # no-row queries are always in, ahead of everything
+    newest2 = dict(newest)
+    del newest2["q100"]
+    d2 = derive_window(names, newest2, current)
+    assert d2.order[0] == "q100" and d2.tiers["q100"] == 0
+    # overflow: >50 at-bound queries with ages exactly at the bound spill
+    # into carryover; past-bound spill raises
+    newest3 = {q: current - bound for q in names[:60]}
+    newest3.update({q: current - 1 for q in names[60:]})
+    d3 = derive_window(names, newest3, current)
+    assert len(d3.order) == WINDOW and len(d3.carryover) == 10
+    assert set(d3.carryover) <= set(names[:60])
+    assert set(d3.carryover) <= set(d3.next_head)
+    newest4 = dict(newest3)
+    for q in names[:60]:
+        newest4[q] = current - bound - 1  # past the bound
+    try:
+        derive_window(names, newest4, current)
+        assert False, "expected overflow with non-deferrable queries to raise"
+    except ValueError as e:
+        assert "non-deferrable" in str(e)
