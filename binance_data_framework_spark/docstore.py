@@ -46,6 +46,17 @@ from binance_data_framework_spark.operators.curation import shard_assign
 from binance_data_framework_spark.store import SnapshotStore
 
 
+def _content_tiebreak(df: DataFrame, exclude: tuple[str, ...] = ()):
+    """Deterministic total-order key for one-survivor windows: xxhash64
+    over every data column (sorted by name, bookkeeping columns excluded),
+    so which duplicate survives never depends on partitioning or task
+    scheduling (VERDICT r9 #3). Identical duplicate ROWS collide, but then
+    every survivor choice commits the same bytes — the invariance we want."""
+    skip = set(exclude) | {"shard", "_rn"}
+    cols = sorted(c for c in df.columns if c not in skip)
+    return F.xxhash64(*[F.col(c) for c in cols])
+
+
 class BandIndexStore(SnapshotStore):
     """Append-only LSH band index on the snapshot-commit protocol: rows
     ``(id_col, band_idx int, band_hash long)`` laid out as
@@ -789,9 +800,10 @@ class DocumentStore(SnapshotStore):
         readers keep the old snapshot; history/time travel retain it).
 
         Null keys are a data error (they would be unfindable by any later
-        upsert) and raise; among duplicate incoming keys one row survives
-        (same contract as OhlcvStore: precedence is incoming-over-stored,
-        not defined within a source)."""
+        upsert) and raise; among duplicate incoming keys the one with the
+        smallest content hash survives (VERDICT r9 #3: the survivor must
+        not depend on partitioning, so the committed BYTES are replay-
+        and repartition-invariant, not just the key set)."""
         self._check_layout()
         incoming = shard_assign(df, self.n_shards, self.key_col)
         # one model-sized agg: touched shards + null-key guard (<= n_shards
@@ -823,7 +835,12 @@ class DocumentStore(SnapshotStore):
                     .withColumn("_rank", F.lit(1))
                 )
                 ranked = ranked.unionByName(stored)
-        w = Window.partitionBy(self.key_col).orderBy("_rank")
+        # content-hash tie-break (VERDICT r9 #3): two incoming rows with the
+        # same key both carry _rank 0 — without a total order the survivor
+        # (and thus the committed bytes) would depend on partitioning.
+        w = Window.partitionBy(self.key_col).orderBy(
+            "_rank", _content_tiebreak(ranked, exclude=("_rank",))
+        )
         merged = (
             ranked.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
@@ -950,8 +967,9 @@ class DocumentStore(SnapshotStore):
                 ).localCheckpoint(eager=True)
                 if not incoming.limit(1).count():
                     return 0
-        # one-survivor rule among duplicate incoming keys (save_docs parity)
-        w = Window.partitionBy(self.key_col).orderBy(F.lit(0))
+        # one-survivor rule among duplicate incoming keys (save_docs parity;
+        # content-hash order makes the survivor partitioning-invariant)
+        w = Window.partitionBy(self.key_col).orderBy(_content_tiebreak(incoming))
         deduped = (
             incoming.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
