@@ -3,11 +3,13 @@
 North-star extension (SURVEY.md §2b): image/audio/video travel as
 `binary` columns with a typed metadata map (schemas.MULTIMODAL_BLOB). The
 Spark-side plumbing — schema, partition-parallel Arrow batching via
-mapInPandas, deterministic batch shapes — is real and tested; the actual
-codec calls are STUBBED (image/audio libraries are not in this container):
-`decode_stub=True` derives deterministic fake features from the bytes, and
-`decode_stub=False` raises NotImplementedError at the exact point a real
-decoder (PIL / torchaudio / pyav) would be called.
+mapInPandas, deterministic batch shapes — is real and tested. Decoding
+(r10, VERDICT r9 #5): PNG and PCM WAV payloads are REALLY decoded by the
+pure-stdlib codecs in functions/media_codecs.py (`decode_media` below);
+formats that genuinely need PIL/torchaudio/pyav (absent in this container)
+keep the documented stub: `decode_stub=True` derives deterministic fake
+features from the bytes, and `decode_stub=False` raises
+NotImplementedError at the exact point a library decoder would be called.
 
 Design notes for 100 TB:
 - mapInPandas streams Arrow record batches — bounded memory per task no
@@ -62,10 +64,27 @@ def synth_blobs(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
     return spark.createDataFrame(rows, MULTIMODAL_BLOB)
 
 
-def _decode_real(data: bytes, modality: str):  # pragma: no cover - stub
+def _decode_real(data: bytes, modality: str) -> dict:
+    """Real decode for the formats the stdlib can handle (VERDICT r9 #5):
+    PNG via zlib+struct, PCM WAV via struct (functions/media_codecs.py) —
+    sniffed by magic bytes, so the caller never guesses. Every other
+    format keeps the documented stub: video and the compressed image/audio
+    codecs genuinely need PIL/torchaudio/pyav, absent in this container."""
+    from binance_data_framework_spark.functions.media_codecs import (
+        PNG_SIG,
+        decode_png,
+        decode_wav,
+    )
+
+    if data[:8] == PNG_SIG:
+        return decode_png(data)
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
+        return decode_wav(data)
     raise NotImplementedError(
-        "real media decoding requires PIL/torchaudio/pyav, not present in "
-        "this environment; pass decode_stub=True for the deterministic fake"
+        f"no stdlib decoder for this {modality} payload (PNG and PCM WAV "
+        "are decoded natively; JPEG/MP3/video need PIL/torchaudio/pyav, "
+        "not present in this environment); pass decode_stub=True for the "
+        "deterministic fake"
     )
 
 
@@ -178,3 +197,57 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
         )
         .select("blob_id", "media_type", "frame_idx")
     )
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("blob_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("bit_depth", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """REAL media decode over mapInPandas (VERDICT r9 #5): PNG and PCM WAV
+    payloads are parsed by the pure-stdlib codecs (functions/media_codecs),
+    yielding typed dimensions plus the raw decoded bytes (PNG: unfiltered
+    pixels; WAV: PCM frames). Unsupported formats raise — this operator is
+    the non-stub path; use extract_features(decode_stub=True) for opaque
+    payloads. Embarrassingly parallel, no shuffle; payload bytes stay
+    columnar through Arrow."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for blob_id, modality, data in zip(
+                pdf["blob_id"], pdf["modality"], pdf["data"]
+            ):
+                d = _decode_real(bytes(data), modality)
+                if d["format"] == "png":
+                    rows.append(
+                        (blob_id, "png", d["width"], d["height"],
+                         d["bit_depth"], d["channels"], None, None,
+                         d["pixels"])
+                    )
+                else:
+                    rows.append(
+                        (blob_id, "wav", None, None, d["bits_per_sample"],
+                         d["n_channels"], d["sample_rate"], d["n_samples"],
+                         d["frames"])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "blob_id", "format", "width", "height", "bit_depth",
+                    "channels", "sample_rate", "n_samples", "payload",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=DECODED_SCHEMA)
