@@ -102,6 +102,63 @@ class AnnIndexStore(SnapshotStore):
         without touching the corpus."""
         return F.pmod(F.xxhash64(self.vec_col), F.lit(2147483648))
 
+    # -- filtered-search decision cache -------------------------------------
+    # VERDICT r9 #7: the selectivity-gated filtered search re-measures
+    # predicate selectivity and re-collects per-probe completeness on every
+    # invocation. For the repeated-query regime a persisted index exists
+    # for, the measured decision — (selectivity, starved-probe set) per
+    # predicate fingerprint — is as corpus-stable as the index itself, so
+    # it persists NEXT TO the model sidecar under the SAME staleness rule:
+    # entries are keyed by the index fingerprint and any entry written
+    # against a different fingerprint is invisible (and dropped on the
+    # next put). It is a CACHE, not state: losing it costs one
+    # re-measurement, never correctness, so it sits outside the manifest
+    # commit protocol (a torn write is prevented by the root commit lock;
+    # a missing file is a clean miss).
+    _FILTERED_CACHE = "filtered_search_cache.json"
+
+    def _filtered_cache_read(self) -> dict:
+        fs, path = self._fs_path(self._FILTERED_CACHE)
+        if not fs.exists(path):
+            return {}
+        try:
+            return json.loads(self._read_bytes(self._FILTERED_CACHE))
+        except (ValueError, OSError):
+            return {}
+
+    def filtered_cache_get(self, key: str, fingerprint: list[int]) -> dict | None:
+        ent = self._filtered_cache_read().get(key)
+        if ent is None or ent.get("fingerprint") != list(fingerprint):
+            return None
+        return ent
+
+    def filtered_cache_put(self, key: str, fingerprint: list[int], entry: dict) -> None:
+        with self._commit_lock:
+            cache = {
+                k: v
+                for k, v in self._filtered_cache_read().items()
+                if v.get("fingerprint") == list(fingerprint)
+            }
+            cache[key] = {**entry, "fingerprint": list(fingerprint)}
+            self._write_bytes(
+                self._FILTERED_CACHE, json.dumps(cache).encode("utf-8")
+            )
+
+    def filtered_cache(self, fingerprint: list[int]):
+        """get/put adapter binding this store + fingerprint — the protocol
+        operators/similarity.topk_cosine_filtered_ivfpq accepts as
+        ``cache=`` without knowing about stores or fingerprints."""
+        store = self
+
+        class _Bound:
+            def get(self, key: str):
+                return store.filtered_cache_get(key, fingerprint)
+
+            def put(self, key: str, entry: dict):
+                store.filtered_cache_put(key, fingerprint, entry)
+
+        return _Bound()
+
     def _write_model(
         self,
         staging: str,

@@ -737,6 +737,8 @@ def topk_cosine_filtered_ivfpq(
     selectivity: float | None = None,
     target_factor: float = 2.0,
     max_overfetch: int = 64,
+    cache=None,
+    cache_key: str | None = None,
     **ivfpq_kwargs,
 ) -> DataFrame:
     """Metadata-FILTERED approximate top-k over a (typically persisted)
@@ -780,7 +782,20 @@ def topk_cosine_filtered_ivfpq(
     selectivity range (registry topk_recall_filtered: ~50% / ~5% / ~0.5%
     fixtures); past max_overfetch a dedicated attribute-partitioned
     index tier is the real answer (out of scope, same answer
-    FAISS/Milvus give)."""
+    FAISS/Milvus give).
+
+    DECISION CACHE (VERDICT r9 #7): ``cache`` is a get/put object (e.g.
+    AnnIndexStore.filtered_cache(fingerprint)) and ``cache_key`` a caller
+    fingerprint of (predicate, probe set, k, knobs). On a hit, BOTH
+    measurement jobs disappear from the plan — the global selectivity
+    counts and the per-probe completeness collect — and the cached
+    starved-probe set drives the rescue directly; deterministic operator
+    + unchanged index fingerprint (the cache binds to it) means the
+    replayed decision yields row-identical results. On a miss the
+    measured decision is written back after the completeness check."""
+    cached = cache.get(cache_key) if cache is not None and cache_key else None
+    if cached is not None:
+        selectivity = cached["selectivity"]
     if selectivity is None:
         # one pushed-down count over the predicate column(s) only —
         # df.count() on the parquet source is footer-bound, the filtered
@@ -789,6 +804,10 @@ def topk_cosine_filtered_ivfpq(
         n_match = df.where(candidate_filter).count()
         selectivity = (n_match / n_total) if n_total else 0.0
     if selectivity <= 0 or target_factor / max(selectivity, 1e-12) > max_overfetch:
+        if cached is None and cache is not None and cache_key:
+            # the exact path needs no starved set, but caching s lets the
+            # next invocation skip the selectivity counts too
+            cache.put(cache_key, {"selectivity": selectivity, "starved": []})
         return topk_cosine(
             df,
             probe_filter,
@@ -830,20 +849,28 @@ def topk_cosine_filtered_ivfpq(
     # re-run on the EXACT filtered path — correct by construction, and
     # its scan is the matching slice only. Healthy probes keep the
     # index-path answer untouched.
-    ranked = ranked.localCheckpoint(eager=True)  # consumed by check + result
-    got = {
-        r["probe_id"]: r["n"]
-        for r in ranked.groupBy("probe_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    starved = [
-        r["probe_id"]
-        for r in df.where(probe_filter)
-        .select(F.col(id_col).alias("probe_id"))
-        .collect()
-        if got.get(r["probe_id"], 0) < k
-    ]
+    if cached is not None:
+        # replayed decision: the completeness collect is skipped entirely —
+        # the starved set is a pure function of (index, predicate, probes),
+        # all pinned by the cache's fingerprint binding
+        starved = list(cached["starved"])
+    else:
+        ranked = ranked.localCheckpoint(eager=True)  # consumed by check + result
+        got = {
+            r["probe_id"]: r["n"]
+            for r in ranked.groupBy("probe_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        starved = [
+            r["probe_id"]
+            for r in df.where(probe_filter)
+            .select(F.col(id_col).alias("probe_id"))
+            .collect()
+            if got.get(r["probe_id"], 0) < k
+        ]
+        if cache is not None and cache_key:
+            cache.put(cache_key, {"selectivity": selectivity, "starved": starved})
     if not starved:
         return ranked
     rescue = topk_cosine(

@@ -4379,8 +4379,24 @@ def _ann_filtered_search(
     path), ~0.5% -> exact fallback, recall 1.0 by construction."""
     emb = load_table(spark, sf_dir, "embeddings")
     st, idx = _ann_index(spark, sf_dir)
-    s = _ann_selectivity(spark, sf_dir, fixture, pred)
     target_factor, max_overfetch, base_nprobe = 2.0, 64, 4
+    # persisted decision cache (VERDICT r9 #7): keyed by predicate fixture
+    # + knobs, bound to the index fingerprint — a repeated invocation of
+    # the same filtered search (this session or a later one) runs ZERO
+    # measurement jobs: no selectivity counts here, no completeness
+    # collect inside the operator. Rebuilt/appended index -> new
+    # fingerprint -> clean miss, re-measured.
+    cache_key = (
+        f"{fixture}|k={k}|tf={target_factor}|mo={max_overfetch}"
+        f"|np={base_nprobe}|probes=std"
+    )
+    cache = st.filtered_cache(idx.fingerprint)
+    ent = cache.get(cache_key)
+    s = (
+        ent["selectivity"]
+        if ent is not None
+        else _ann_selectivity(spark, sf_dir, fixture, pred)
+    )
     if s > 0 and target_factor / s <= max_overfetch:
         nprobe = min(idx.n_centroids, math.ceil(base_nprobe / s))
         coded = st.codes(
@@ -4397,6 +4413,8 @@ def _ann_filtered_search(
         selectivity=s,
         target_factor=target_factor,
         max_overfetch=max_overfetch,
+        cache=cache,
+        cache_key=cache_key,
         nprobe=nprobe,
         centroids=idx.centroids,
         books=idx.pq_books,

@@ -526,3 +526,60 @@ def test_maybe_rebuild_rederives_cells_on_grown_corpus(spark, tmp_path):
     st2.append(_emb(spark, n=70).where(F.col("vec_id") >= 20))
     assert st2.maybe_rebuild(_emb(spark, n=70)) is False
     assert st2.load().n_centroids == BUILD["n_centroids"]
+
+
+def test_filtered_search_decision_cache(spark, tmp_path, monkeypatch):
+    """VERDICT r9 #7: the filtered search's measured decision
+    (selectivity + starved-probe set) persists next to the index model
+    under the index-fingerprint staleness rule. A repeated invocation of
+    the same filtered search must run ZERO measurement jobs — we poison
+    DataFrame.count/collect during the cache-hit call to prove neither
+    the selectivity counts nor the completeness collect happens — and
+    must return row-identical results."""
+    from pyspark.sql import DataFrame as DF
+
+    df = _emb(spark, n=80)
+    st, idx = ensure_index(spark, df, str(tmp_path / "annidx"), **BUILD)
+    pred = F.col("vec_id") % 2 == 1
+    cache = st.filtered_cache(idx.fingerprint)
+    key = "vid_odd|k=5|std"
+    kwargs = dict(
+        k=5, overfetch=4, nprobe=2, dim=DIM, m_sub=4, ksub=4,
+        centroids=idx.centroids, books=idx.pq_books, coded=st.codes("pq"),
+    )
+    first = S.topk_cosine_filtered_ivfpq(
+        df, F.col("vec_id") < 3, pred, cache=cache, cache_key=key, **kwargs
+    ).toPandas()
+    ent = st.filtered_cache_get(key, idx.fingerprint)
+    assert ent is not None and 0 < ent["selectivity"] < 1
+    assert isinstance(ent["starved"], list)
+
+    def boom(self, *a, **k):
+        raise AssertionError("measurement job ran on a cache hit")
+
+    with monkeypatch.context() as m:
+        m.setattr(DF, "count", boom)
+        m.setattr(DF, "collect", boom)
+        second_df = S.topk_cosine_filtered_ivfpq(
+            df, F.col("vec_id") < 3, pred,
+            cache=cache, cache_key=key, **kwargs,
+        )
+    second = second_df.toPandas()
+    cols = ["probe_id", "vec_id", "rank"]
+    assert first.sort_values(cols).reset_index(drop=True)[cols].equals(
+        second.sort_values(cols).reset_index(drop=True)[cols]
+    )
+    # staleness: a different fingerprint sees nothing...
+    assert st.filtered_cache_get(key, [0, 0, 0]) is None
+    # ...and a put under a NEW fingerprint (index rebuilt) drops old entries
+    st.filtered_cache_put("other", [1, 2, 3], {"selectivity": 0.5, "starved": []})
+    assert st.filtered_cache_get(key, idx.fingerprint) is None
+    assert st.filtered_cache_get("other", [1, 2, 3]) is not None
+    # exact-fallback decisions cache too (selectivity below the gate)
+    tight = F.col("vec_id") % 40 == 1
+    S.topk_cosine_filtered_ivfpq(
+        df, F.col("vec_id") < 3, tight,
+        cache=st.filtered_cache(idx.fingerprint), cache_key="tight", **kwargs,
+    ).toPandas()
+    tent = st.filtered_cache_get("tight", idx.fingerprint)
+    assert tent is not None and tent["starved"] == []
