@@ -77,9 +77,14 @@ class BandIndexStore(SnapshotStore):
     later if redelivery is heavy.
 
     Sizing ``n_buckets`` (measured, PLANS.md r6 gate bench): a batch's
-    lookup IO is touched_buckets x rows_per_bucket ≈ batch_keys x
-    (num_bands x corpus / n_buckets) once batch_keys ≥ n_buckets — FLAT
-    in corpus size only if n_buckets scales with the corpus target.
+    JOIN-path lookup IO is touched_buckets x rows_per_bucket ≈ batch_keys
+    x (num_bands x corpus / n_buckets) once batch_keys ≥ n_buckets — FLAT
+    in corpus size only if n_buckets scales with the corpus target. The
+    r10 POINT-LOOKUP path (candidates() docstring) tightens that to
+    ~probe_keys x row-group rows regardless of the bucket/batch-key
+    ratio, which is what kills the r9 inversion (per-file overhead beating
+    pruning once touched ≈ n_buckets). n_buckets remains the layout knob
+    bounding per-bucket file size and join-path pruning.
     Two modes (VERDICT r8 #1 — the growth leg the ANN index got in r8):
 
     - ``n_buckets=<int>`` (pinned): the creation-time count is layout,
@@ -117,6 +122,20 @@ class BandIndexStore(SnapshotStore):
     #: per-BUCKET pair work is the generator's num_bands concern, not
     #: the store's)
     TARGET_BUCKET_ROWS = 50_000
+
+    #: row-group byte target for band files (~5k rows at 24 B/row): the
+    #: point-lookup path in candidates() prunes at ROW-GROUP granularity
+    #: (footer min/max over band_hash-sorted rows), so row groups — not
+    #: files — are the IO unit a probe key costs. Small groups keep that
+    #: unit probe-sized; the per-group stats overhead is ~100 B.
+    BAND_ROWGROUP_BYTES = 131_072
+
+    #: probe-row cap for the point-lookup candidate path (same pattern as
+    #: DocumentStore.READ_KEYS_PUSHDOWN_MAX one tier down): a gate batch
+    #: is batch_docs x num_bands ≈ 20k rows — far under the cap; beyond
+    #: it the driver-side plan itself would be the bottleneck and the
+    #: join path wins anyway.
+    CANDIDATES_PUSHDOWN_MAX = 1 << 18
 
     @staticmethod
     def auto_buckets(n_rows: int, target_bucket_rows: int = 50_000) -> int:
@@ -168,6 +187,11 @@ class BandIndexStore(SnapshotStore):
         # keys (the gate) MUST pass them.
         self.params = dict(params) if params else None
         self._layout_checked = False
+        # footer cache for the point-lookup candidate path: committed
+        # files are immutable, so (rel path -> row-group band_hash ranges)
+        # never staleness-checks; superseded files just stop being asked
+        # for. Rebuildable any time — losing it costs one footer sweep.
+        self._footer_cache: dict[str, list[tuple[int, int | None, int | None]]] = {}
 
     def _check_layout(self) -> None:
         """Pin (n_buckets, id_col, band-generation params) like
@@ -309,43 +333,101 @@ class BandIndexStore(SnapshotStore):
         except ValueError:
             return None
 
+    @staticmethod
+    def _is_delta(rel: str) -> bool:
+        return rel.startswith("delta/")
+
     def append(self, bands: DataFrame) -> int:
-        """Add-only commit of (id_col, band_idx, band_hash) rows into their
-        buckets. Returns the number of bucket FILES appended (0 = empty
-        input, no commit) — a row count would re-execute the caller's
-        bands pipeline post-commit just for the return value (review
-        r6b #6)."""
+        """Add-only commit of (id_col, band_idx, band_hash) rows. Returns
+        the number of FILES appended (0 = empty input, no commit).
+
+        Two physical forms (r10 — the 4.5M gate point measured
+        band_append at 7.6 s of a 14.6 s gate, LINEAR in n_buckets: a
+        batch's keys hash into every bucket, so the bucketed write
+        created one near-empty file per bucket per batch):
+
+        - DELTA RUN (incoming rows <= target_bucket_rows — every gate
+          batch): ONE band_hash-sorted file under ``delta/`` carrying its
+          own bucket column. The LSM idea: appends cost O(batch files),
+          never O(n_buckets files); lookups consult runs (they are
+          batch-sized) alongside the bucket layout; maybe_fold_deltas()
+          merges runs into the buckets once they reach a fraction of the
+          base — each row is rewritten O(1) amortized times.
+        - BUCKETED (corpus-sized appends — initial builds): straight into
+          the bucket layout as before; a follow-up rebucket/compact is
+          the builder's normal maintenance.
+
+        The one count() below re-executes the caller's band projection —
+        cheap for every caller (they all derive bands from checkpointed
+        signatures) and it is what picks the physical form and maintains
+        the exact row bookkeeping the fold/rebucket triggers read."""
         self._check_layout()
         with_bucket = bands.select(
             self.id_col, "band_idx", "band_hash"
         ).withColumn("bucket", F.pmod("band_hash", F.lit(self.n_buckets)))
+        n_in = with_bucket.count()
+        if not n_in:
+            return 0
         staging = f"_staging-{uuid.uuid4().hex}"
-        (
-            with_bucket.repartition("bucket")
-            .write.partitionBy("bucket")
-            .option("compression", "zstd")
-            .mode("overwrite")
-            .save(f"{self.root}/{staging}")
-        )
+        if n_in <= self.target_bucket_rows:
+            (
+                with_bucket.coalesce(1)
+                .sortWithinPartitions("band_hash")
+                .write.option("compression", "zstd")
+                .option("parquet.block.size", str(self.BAND_ROWGROUP_BYTES))
+                .mode("overwrite")
+                .save(f"{self.root}/{staging}/delta")
+            )
+        else:
+            (
+                with_bucket.repartition("bucket")
+                # band_hash-sorted rows + small row groups: the point-lookup
+                # path in candidates() skips at ROW-GROUP granularity, so a
+                # file's row groups must carry tight band_hash min/max stats
+                .sortWithinPartitions("bucket", "band_hash")
+                .write.partitionBy("bucket")
+                .option("compression", "zstd")
+                .option("parquet.block.size", str(self.BAND_ROWGROUP_BYTES))
+                .mode("overwrite")
+                .save(f"{self.root}/{staging}")
+            )
         new_files = self._publish_staged(staging)
         if not new_files:
             return 0
         self._commit_or_reclaim(new_files, lambda latest: (new_files, []))
         if self._auto:
-            # growth bookkeeping for maybe_rebucket's O(1) trigger: count
-            # the rows just COMMITTED (a footer-bound scan of the delta
-            # files — never a re-execution of the caller's band pipeline,
-            # the reason append returns a file count). Best-effort under
-            # concurrent appenders (a lost read-modify-write increment
-            # undercounts and merely delays the trigger one batch;
-            # rebucket recounts exactly).
-            n_added = (
-                self.spark.read.option("basePath", self.root)
-                .parquet(*[f"{self.root}/{f}" for f in new_files])
-                .count()
-            )
-            self._bump_rows(n_added)
+            # growth bookkeeping for maybe_rebucket's O(1) trigger —
+            # exact: n_in is the committed row count (best-effort under
+            # concurrent appenders; rebucket recounts exactly)
+            self._bump_rows(n_in)
         return len(new_files)
+
+    def _read_files(self, files: list[str]) -> DataFrame:
+        """Committed band rows (id_col, band_idx, band_hash, bucket) from
+        a mixed file list: bucketed files carry ``bucket`` as a partition
+        directory, delta runs carry it as a data column — the two groups
+        read separately and union (one spark.read over both would make
+        partition discovery and the in-file schema disagree)."""
+        cols = [self.id_col, "band_idx", "band_hash", "bucket"]
+        parts = []
+        bucketed = [f for f in files if not self._is_delta(f)]
+        deltas = [f for f in files if self._is_delta(f)]
+        if bucketed:
+            parts.append(
+                self.spark.read.option("basePath", self.root)
+                .parquet(*[f"{self.root}/{f}" for f in bucketed])
+                .select(*cols)
+            )
+        if deltas:
+            parts.append(
+                self.spark.read.parquet(
+                    *[f"{self.root}/{f}" for f in deltas]
+                ).select(*cols)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def read(self) -> DataFrame:
         """Full committed band-row scan (id_col, band_idx, band_hash,
@@ -358,16 +440,82 @@ class BandIndexStore(SnapshotStore):
                 [],
                 f"{self.id_col} long, band_idx int, band_hash long, bucket int",
             )
-        return self.spark.read.option("basePath", self.root).parquet(
-            *[f"{self.root}/{f}" for f in man["files"]]
-        )
+        return self._read_files(list(man["files"]))
+
+    def _local_root(self) -> str | None:
+        """Filesystem path of the root when it is local (bare path or
+        file: URI), else None — the point-lookup path opens parquet
+        footers and row groups with pyarrow, which wants OS paths."""
+        from urllib.parse import urlparse
+
+        u = urlparse(self.root)
+        if u.scheme in ("", "file"):
+            return u.path or self.root
+        return None
+
+    def _footer_ranges(
+        self, relpaths: list[str], local_root: str
+    ) -> dict[str, list[tuple[int, int | None, int | None, int]]]:
+        """(rel -> [(row_group, band_hash min, band_hash max, n_rows)])
+        from the parquet footers, cached per immutable file. Missing
+        statistics surface as (None, None) — the planner then always
+        reads that row group (correct, just unpruned: e.g. files written
+        before the sorted-write change)."""
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow.parquet as pq
+
+        def _one(rel: str):
+            md = pq.ParquetFile(os.path.join(local_root, rel)).metadata
+            hash_leaf = next(
+                i
+                for i in range(len(md.schema))
+                if md.schema.column(i).name == "band_hash"
+            )
+            out = []
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                st = rg.column(hash_leaf).statistics
+                if st is not None and st.has_min_max:
+                    out.append((g, int(st.min), int(st.max), rg.num_rows))
+                else:
+                    out.append((g, None, None, rg.num_rows))
+            return rel, out
+
+        missing = [r for r in relpaths if r not in self._footer_cache]
+        if missing:
+            with ThreadPoolExecutor(max_workers=16) as ex:
+                for rel, ranges in ex.map(_one, missing):
+                    self._footer_cache[rel] = ranges
+        return {r: self._footer_cache[r] for r in relpaths}
 
     def candidates(self, bands: DataFrame) -> DataFrame:
         """(id_new, id_stored) distinct pairs whose (band_idx, band_hash)
-        matches a committed row. Bucket set comes from ONE model-sized
-        distinct-collect over the incoming bands (bounded by
-        num_bands x batch size); only those buckets' committed files are
-        scanned. Empty store -> empty result."""
+        matches a committed row. Empty store -> empty result.
+
+        Two physical strategies (VERDICT r9 #2 — the read_keys lesson one
+        tier over; reference analogue: the coverage-metadata point lookup,
+        database_handler.py:279-283 — never scan what an index answers):
+
+        - POINT LOOKUP (batch-sized probe sets, local roots): ONE
+          model-sized distinct-collect of the incoming (id, band_idx,
+          band_hash) rows, then a driver-side plan over the cached
+          parquet footers selects exactly the row groups whose band_hash
+          range can contain a probe key (files are band_hash-sorted with
+          ~BAND_ROWGROUP_BYTES row groups, so ranges are tight). Executors
+          read ONLY those row groups via pyarrow and hash-join them
+          against the broadcast probe set in pandas. Per-batch IO is
+          bounded by probe_keys x row_group_rows — CONSTANT in corpus
+          size — where the old join path read every touched bucket WHOLE:
+          at batch_keys >= n_buckets that was the entire index, and
+          file-level pruning could not help (PLANS.md r9 measured the
+          inversion: 3600 buckets slower than 360 at 18M rows because
+          per-file overhead beats pruning until touched << n_buckets).
+        - JOIN (oversized probe sets, non-local roots): bucket-pruned scan
+          of the touched buckets' committed files joined on the band key —
+          the pre-r10 path, still the right plan when the probe side is
+          itself corpus-sized (dedup-style self-comparisons)."""
         self._check_layout()
         incoming = bands.select(
             F.col(self.id_col).alias("id_new"), "band_idx", "band_hash"
@@ -378,15 +526,32 @@ class BandIndexStore(SnapshotStore):
         )
         if not man or not man["files"]:
             return empty
+        local_root = self._local_root()
+        probe_rows = None
+        if local_root is not None:
+            probe_rows = (
+                incoming.select("id_new", "band_idx", "band_hash", "bucket")
+                .distinct()
+                .limit(self.CANDIDATES_PUSHDOWN_MAX + 1)
+                .collect()
+            )
+            if len(probe_rows) > self.CANDIDATES_PUSHDOWN_MAX:
+                probe_rows = None
+        if probe_rows is not None:
+            return self._candidates_point(probe_rows, man, local_root, empty)
         touched = {
             r["bucket"] for r in incoming.select("bucket").distinct().collect()
         }
-        files = [f for f in man["files"] if self._bucket_of(f) in touched]
+        # delta runs are unpruned by bucket (batch-sized by construction —
+        # a probe must always consult them)
+        files = [
+            f
+            for f in man["files"]
+            if self._is_delta(f) or self._bucket_of(f) in touched
+        ]
         if not files:
             return empty
-        stored = self.spark.read.option("basePath", self.root).parquet(
-            *[f"{self.root}/{f}" for f in files]
-        )
+        stored = self._read_files(files)
         return (
             incoming.join(
                 stored.select(
@@ -397,6 +562,91 @@ class BandIndexStore(SnapshotStore):
                 on=["band_idx", "band_hash"],
             )
             .select("id_new", "id_stored")
+            .distinct()
+        )
+
+    def _candidates_point(
+        self, probe_rows, man: dict, local_root: str, empty: DataFrame
+    ) -> DataFrame:
+        """Point-lookup execution of candidates() (see its docstring):
+        driver plans (file, row-group) hits from footer stats; executors
+        pyarrow-read exactly those row groups and pandas-join them to the
+        broadcast probe set, emitting pairs directly."""
+        import bisect
+        import os
+
+        # probe structures: per-bucket sorted hash lists for planning, a
+        # (band_idx, band_hash) -> [id_new] map for executor-side pairing
+        by_bucket: dict[int, list[int]] = {}
+        probe_map: dict[tuple[int, int], list] = {}
+        for r in probe_rows:
+            by_bucket.setdefault(r["bucket"], []).append(r["band_hash"])
+            probe_map.setdefault(
+                (r["band_idx"], r["band_hash"]), []
+            ).append(r["id_new"])
+        for b in by_bucket:
+            by_bucket[b] = sorted(set(by_bucket[b]))
+        all_keys = sorted({h for ks in by_bucket.values() for h in ks})
+        touched_files = [
+            f
+            for f in man["files"]
+            # delta runs have no bucket directory: plan them against the
+            # whole probe key set (they are batch-sized, and their rows
+            # are band_hash-sorted so row-group ranges still prune)
+            if self._is_delta(f) or self._bucket_of(f) in by_bucket
+        ]
+        if not touched_files:
+            return empty
+        ranges = self._footer_ranges(touched_files, local_root)
+        hits: list[tuple[str, list[int]]] = []
+        for rel in touched_files:
+            keys = (
+                all_keys
+                if self._is_delta(rel)
+                else by_bucket[self._bucket_of(rel)]
+            )
+            rgs = [
+                g
+                for g, mn, mx, _n in ranges[rel]
+                if mn is None
+                or bisect.bisect_left(keys, mn)
+                < bisect.bisect_right(keys, mx)
+            ]
+            if rgs:
+                hits.append((os.path.join(local_root, rel), rgs))
+        if not hits:
+            return empty
+        id_col = self.id_col
+        id_type = empty.schema["id_new"].dataType.simpleString()
+
+        def scan(batches):
+            import pandas as pd
+            import pyarrow.parquet as pq
+
+            probe_pdf = pd.DataFrame(
+                [
+                    (bi, bh, i)
+                    for (bi, bh), ids in probe_map.items()
+                    for i in ids
+                ],
+                columns=["band_idx", "band_hash", "id_new"],
+            )
+            for pdf in batches:
+                for path, rgs in zip(pdf["path"], pdf["rgs"]):
+                    tbl = pq.ParquetFile(path).read_row_groups(
+                        list(rgs), columns=[id_col, "band_idx", "band_hash"]
+                    )
+                    sub = tbl.to_pandas().rename(columns={id_col: "id_stored"})
+                    m = sub.merge(probe_pdf, on=["band_idx", "band_hash"])
+                    if len(m):
+                        yield m[["id_new", "id_stored"]]
+
+        spark = self.spark
+        hits_df = spark.createDataFrame(hits, "path string, rgs array<int>")
+        n_slots = min(len(hits), spark.sparkContext.defaultParallelism)
+        return (
+            hits_df.repartition(n_slots)
+            .mapInPandas(scan, schema=f"id_new {id_type}, id_stored {id_type}")
             .distinct()
         )
 
@@ -420,9 +670,12 @@ class BandIndexStore(SnapshotStore):
           Bands of one doc spread across buckets unpredictably, so this is
           a FULL index rewrite — correct, but O(index); prefer drop_bands.
 
-        With neither, compacts multi-file buckets and (by default) folds
-        duplicate band rows — the OPTIMIZE analogue. Returns the number of
-        buckets rewritten (0 = nothing to do)."""
+        With neither, compacts multi-file buckets, folds every DELTA RUN
+        into the bucket layout (r10 — runs route rows into many buckets,
+        so any run forces those buckets' rewrite; use maybe_fold_deltas()
+        for the amortized trigger), and (by default) folds duplicate band
+        rows — the OPTIMIZE analogue. Returns the number of buckets
+        rewritten (0 = nothing to do)."""
         if drop_bands is not None and drop_keys is not None:
             raise ValueError("pass drop_bands OR drop_keys, not both")
         self._check_layout()
@@ -437,23 +690,34 @@ class BandIndexStore(SnapshotStore):
                 r["bucket"]
                 for r in keyed.select("bucket").distinct().collect()
             }
-            files = [f for f in man["files"] if self._bucket_of(f) in touched]
+            # a dropped row can also sit in a delta run — always include
+            # them (they are bounded by the fold trigger)
+            files = [
+                f
+                for f in man["files"]
+                if self._is_delta(f) or self._bucket_of(f) in touched
+            ]
         elif drop_keys is not None:
             files = list(man["files"])
         else:
-            # plain compaction: only multi-file buckets need a rewrite
-            per_bucket: dict[int, int] = {}
-            for f in man["files"]:
-                b = self._bucket_of(f)
-                if b is not None:
-                    per_bucket[b] = per_bucket.get(b, 0) + 1
-            multi = {b for b, n in per_bucket.items() if n > 1}
-            files = [f for f in man["files"] if self._bucket_of(f) in multi]
+            # plain compaction: multi-file buckets need a rewrite; any
+            # delta run folds in (its rows belong across the buckets, so
+            # every base file must merge — the fold IS the full rewrite
+            # the amortized trigger schedules)
+            has_delta = any(self._is_delta(f) for f in man["files"])
+            if has_delta:
+                files = list(man["files"])
+            else:
+                per_bucket: dict[int, int] = {}
+                for f in man["files"]:
+                    b = self._bucket_of(f)
+                    if b is not None:
+                        per_bucket[b] = per_bucket.get(b, 0) + 1
+                multi = {b for b, n in per_bucket.items() if n > 1}
+                files = [f for f in man["files"] if self._bucket_of(f) in multi]
         if not files:
             return 0
-        stored = self.spark.read.option("basePath", self.root).parquet(
-            *[f"{self.root}/{f}" for f in files]
-        )
+        stored = self._read_files(files)
         if drop_bands is not None:
             survivors = stored.join(
                 keyed.select(self.id_col, "band_idx", "band_hash"),
@@ -471,8 +735,10 @@ class BandIndexStore(SnapshotStore):
         staging = f"_staging-{uuid.uuid4().hex}"
         (
             survivors.repartition("bucket")
+            .sortWithinPartitions("bucket", "band_hash")
             .write.partitionBy("bucket")
             .option("compression", "zstd")
+            .option("parquet.block.size", str(self.BAND_ROWGROUP_BYTES))
             .mode("overwrite")
             .save(f"{self.root}/{staging}")
         )
@@ -520,6 +786,55 @@ class BandIndexStore(SnapshotStore):
             return False
         return self.rebucket()
 
+    def maybe_fold_deltas(self, max_fraction: float = 0.02) -> bool:
+        """Amortized LSM fold trigger (r10, pairs with append()'s delta
+        runs): merge the delta runs into the bucket layout once their
+        rows reach ``max_fraction`` of the committed base (floor:
+        target_bucket_rows, so a small store folds once runs reach one
+        bucket's worth). The check is driver-side over the manifest +
+        cached footers (row counts come from parquet metadata — no scan);
+        the fold itself is compact()'s full rewrite, whose cost amortizes
+        to O(batch) per append: at fraction f, each row is rewritten
+        ~1/f-amortized once per decade of growth. Lookup overhead between
+        folds is bounded by the same fraction — candidates() reads runs
+        alongside buckets, and runs never exceed f x base rows. Returns
+        True iff a fold was committed."""
+        self._check_layout()
+        man = self._snapshot()
+        if not man or not man["files"]:
+            return False
+        deltas = [f for f in man["files"] if self._is_delta(f)]
+        if not deltas:
+            return False
+        local_root = self._local_root()
+        if local_root is not None:
+            ranges = self._footer_ranges(list(man["files"]), local_root)
+            delta_rows = sum(
+                n for f in deltas for _g, _mn, _mx, n in ranges[f]
+            )
+            base_rows = sum(
+                n
+                for f in man["files"]
+                if not self._is_delta(f)
+                for _g, _mn, _mx, n in ranges[f]
+            )
+        else:  # non-local root: footer-bound spark counts (still no scan)
+            delta_rows = self.spark.read.parquet(
+                *[f"{self.root}/{f}" for f in deltas]
+            ).count()
+            base = [f for f in man["files"] if not self._is_delta(f)]
+            base_rows = (
+                self.spark.read.option("basePath", self.root)
+                .parquet(*[f"{self.root}/{f}" for f in base])
+                .count()
+                if base
+                else 0
+            )
+        threshold = max(self.target_bucket_rows, max_fraction * base_rows)
+        if delta_rows < threshold:
+            return False
+        return self.compact() > 0
+
     def rebucket(self, n_buckets: int | None = None) -> bool:
         """Rewrite the committed band rows under a new bucket count —
         a narrow remap (one pmod against the new count; no signature or
@@ -537,8 +852,7 @@ class BandIndexStore(SnapshotStore):
         if not man or not man["files"]:
             return False
         rows = (
-            self.spark.read.option("basePath", self.root)
-            .parquet(*[f"{self.root}/{f}" for f in man["files"]])
+            self._read_files(list(man["files"]))
             .select(self.id_col, "band_idx", "band_hash")
             .distinct()
         )
@@ -556,8 +870,10 @@ class BandIndexStore(SnapshotStore):
         (
             rows.withColumn("bucket", F.pmod("band_hash", F.lit(final)))
             .repartition("bucket")
+            .sortWithinPartitions("bucket", "band_hash")
             .write.partitionBy("bucket")
             .option("compression", "zstd")
+            .option("parquet.block.size", str(self.BAND_ROWGROUP_BYTES))
             .mode("overwrite")
             .save(f"{self.root}/{staging}")
         )

@@ -6026,11 +6026,13 @@ from binance_data_framework_spark.plans.driver_window import derive_from_repo
 #: hand-maintained rotation input left (evidence files cannot know what the
 #: current diff touched). New queries need no entry: no driver row exists,
 #: so the derivation puts them in the window automatically.
-#: r10: docstore duplicate-survivor tie-break (docstore_snapshot), the
-#: gate's pushed-IN band-candidate read (curated_index_pipeline), filtered
+#: r10: docstore duplicate-survivor tie-break (every save_docs caller:
+#: docstore_snapshot, corpus_drift_terms), the gate's point-lookup band
+#: candidate read + LSM delta appends (curated_index_pipeline), filtered
 #: ANN rescue-decision caching (topk_filtered_ivf + its cert).
 _ROUND_CHANGED = [
     "docstore_snapshot",
+    "corpus_drift_terms",
     "curated_index_pipeline",
     "topk_filtered_ivf",
     "topk_recall_filtered",

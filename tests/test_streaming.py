@@ -463,6 +463,7 @@ def test_neardup_gate_batch_stats_and_band_layout(spark, tmp_path):
         bands,
         threshold=0.9,
     )
+    assert isinstance(s1.pop("stage_sec"), dict)  # r10 observability
     assert s1 == {
         "arrived": 2,
         "kept": 2,
@@ -478,6 +479,7 @@ def test_neardup_gate_batch_stats_and_band_layout(spark, tmp_path):
         bands,
         threshold=0.9,
     )
+    assert set(s2.pop("stage_sec")) >= {"sig_selfdedup", "corpus_check"}
     assert s2 == {
         "arrived": 3,
         "kept": 1,
@@ -1188,10 +1190,12 @@ def test_gate_auto_rebuckets_and_compacts_band_index(spark, tmp_path):
     s = neardup_gate_batch(mk([(100, texts[0])]), store, bands)
     assert s["dropped_vs_corpus"] == 1 and s["kept"] == 0
 
-    # compaction leg: a PINNED store fragments one file per append; with
-    # the threshold at 2 the gate folds every multi-file bucket
+    # fold leg (r10 delta tier): batch appends land as delta runs, and
+    # with a tiny fold floor every batch crosses it, so the gate folds
+    # each run into the bucket layout — one file per bucket, no runs left
     store2 = DocumentStore(spark, str(tmp_path / "store2"), n_shards=2)
     bands2 = BandIndexStore(spark, str(tmp_path / "bands2"), n_buckets=4)
+    bands2.target_bucket_rows = 8  # fold floor below one batch's band rows
     for lo in range(0, 30, 10):
         neardup_gate_batch(
             mk([(i, texts[i]) for i in range(lo, lo + 10)]),
@@ -1199,12 +1203,12 @@ def test_gate_auto_rebuckets_and_compacts_band_index(spark, tmp_path):
             bands2,
             band_compact_min_files=2,
         )
+    files = bands2._snapshot()["files"]
+    assert not any(f.startswith("delta/") for f in files)
     frag = Counter(
-        b
-        for f in bands2._snapshot()["files"]
-        if (b := bands2._bucket_of(f)) is not None
+        b for f in files if (b := bands2._bucket_of(f)) is not None
     )
-    assert max(frag.values()) == 1  # folded to one file per bucket
+    assert frag and max(frag.values()) == 1  # folded to one file per bucket
     # pinned store: the rebucket leg never ran
     assert bands2.n_buckets == 4
     s = neardup_gate_batch(mk([(200, texts[5])]), store2, bands2)
