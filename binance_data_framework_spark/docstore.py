@@ -46,6 +46,10 @@ from binance_data_framework_spark.operators.curation import shard_assign
 from binance_data_framework_spark.store import SnapshotStore
 
 
+#: sentinel distinguishing "not computed yet" from a computed None
+_UNSET = object()
+
+
 def _content_tiebreak(df: DataFrame, exclude: tuple[str, ...] = ()):
     """Deterministic total-order key for one-survivor windows: xxhash64
     over every data column (sorted by name, bookkeeping columns excluded),
@@ -189,9 +193,13 @@ class BandIndexStore(SnapshotStore):
         self._layout_checked = False
         # footer cache for the point-lookup candidate path: committed
         # files are immutable, so (rel path -> row-group band_hash ranges)
-        # never staleness-checks; superseded files just stop being asked
-        # for. Rebuildable any time — losing it costs one footer sweep.
+        # never staleness-checks; entries for superseded files are evicted
+        # against the live manifest on each sweep (review r10 #5 — a
+        # long-lived gate handle folds/compacts thousands of files over a
+        # stream, and "just stop being asked for" leaked them all).
+        # Rebuildable any time — losing it costs one footer sweep.
         self._footer_cache: dict[str, list[tuple[int, int | None, int | None]]] = {}
+        self._local_root_cache = _UNSET
 
     def _check_layout(self) -> None:
         """Pin (n_buckets, id_col, band-generation params) like
@@ -443,24 +451,46 @@ class BandIndexStore(SnapshotStore):
         return self._read_files(list(man["files"]))
 
     def _local_root(self) -> str | None:
-        """Filesystem path of the root when it is local (bare path or
-        file: URI), else None — the point-lookup path opens parquet
-        footers and row groups with pyarrow, which wants OS paths."""
+        """Filesystem path of the root when it RESOLVES to the local
+        filesystem, else None — the point-lookup path opens parquet
+        footers and row groups with pyarrow, which wants OS paths.
+
+        Resolution goes through the same Hadoop FS API every other store
+        operation uses (review r10 #1): a bare '/data/bands' root on a
+        cluster whose fs.defaultFS is hdfs:// writes to HDFS, so guessing
+        'scheme-less means local' from the string would point pyarrow at
+        the driver's local disk — FileNotFoundError per batch at best,
+        silently stale candidates at worst. Cached per handle (one JVM
+        round-trip)."""
+        if self._local_root_cache is not _UNSET:
+            return self._local_root_cache
         from urllib.parse import urlparse
 
-        u = urlparse(self.root)
-        if u.scheme in ("", "file"):
-            return u.path or self.root
-        return None
+        try:
+            fs, _ = self._fs_path()
+            scheme = fs.getUri().getScheme()
+        except Exception:
+            scheme = None
+        if scheme == "file":
+            u = urlparse(self.root)
+            self._local_root_cache = u.path or self.root
+        else:
+            self._local_root_cache = None
+        return self._local_root_cache
 
     def _footer_ranges(
-        self, relpaths: list[str], local_root: str
+        self,
+        relpaths: list[str],
+        local_root: str,
+        live_files: list[str] | None = None,
     ) -> dict[str, list[tuple[int, int | None, int | None, int]]]:
         """(rel -> [(row_group, band_hash min, band_hash max, n_rows)])
         from the parquet footers, cached per immutable file. Missing
         statistics surface as (None, None) — the planner then always
         reads that row group (correct, just unpruned: e.g. files written
-        before the sorted-write change)."""
+        before the sorted-write change). ``live_files`` (the current
+        manifest's full file list, when the caller has it) drives cache
+        eviction of superseded files."""
         import os
         from concurrent.futures import ThreadPoolExecutor
 
@@ -488,7 +518,16 @@ class BandIndexStore(SnapshotStore):
             with ThreadPoolExecutor(max_workers=16) as ex:
                 for rel, ranges in ex.map(_one, missing):
                     self._footer_cache[rel] = ranges
-        return {r: self._footer_cache[r] for r in relpaths}
+        out = {r: self._footer_cache[r] for r in relpaths}
+        # evict superseded files (review r10 #5): callers always pass the
+        # live manifest's (touched) files, and folds/compactions replace
+        # the whole layout — keying the cache down to live ∪ just-asked
+        # bounds it at O(live files) across an unbounded stream
+        if live_files is not None:
+            keep = set(live_files) | set(relpaths)
+            for dead in [k for k in self._footer_cache if k not in keep]:
+                del self._footer_cache[dead]
+        return out
 
     def candidates(self, bands: DataFrame) -> DataFrame:
         """(id_new, id_stored) distinct pairs whose (band_idx, band_hash)
@@ -498,9 +537,10 @@ class BandIndexStore(SnapshotStore):
         tier over; reference analogue: the coverage-metadata point lookup,
         database_handler.py:279-283 — never scan what an index answers):
 
-        - POINT LOOKUP (batch-sized probe sets, local roots): ONE
-          model-sized distinct-collect of the incoming (id, band_idx,
-          band_hash) rows, then a driver-side plan over the cached
+        - POINT LOOKUP (batch-sized probe sets, local roots): a bucket-
+          keyed planning agg (exact distinct count + touched buckets in
+          one job) gates a model-sized distinct-collect of the incoming
+          (id, band_idx, band_hash) rows, then a driver-side plan over the cached
           parquet footers selects exactly the row groups whose band_hash
           range can contain a probe key (files are band_hash-sorted with
           ~BAND_ROWGROUP_BYTES row groups, so ranges are tight). Executors
@@ -527,21 +567,30 @@ class BandIndexStore(SnapshotStore):
         if not man or not man["files"]:
             return empty
         local_root = self._local_root()
-        probe_rows = None
-        if local_root is not None:
+        # one bucket-keyed planning agg serves BOTH strategies (review r10
+        # #9 — the old shape ran a wasted CANDIDATES_PUSHDOWN_MAX-row
+        # collect before falling back): per-bucket distinct counts sum to
+        # the EXACT global distinct count (bucket is a function of
+        # band_hash, so no row repeats across buckets), deciding the path,
+        # and their keys are the touched-bucket set the join path needs.
+        per_bucket = (
+            incoming.groupBy("bucket")
+            .agg(
+                F.count_distinct("id_new", "band_idx", "band_hash").alias("n")
+            )
+            .collect()
+        )
+        if not per_bucket:
+            return empty
+        touched = {r["bucket"] for r in per_bucket}
+        n_probe = sum(r["n"] for r in per_bucket)
+        if local_root is not None and n_probe <= self.CANDIDATES_PUSHDOWN_MAX:
             probe_rows = (
                 incoming.select("id_new", "band_idx", "band_hash", "bucket")
                 .distinct()
-                .limit(self.CANDIDATES_PUSHDOWN_MAX + 1)
                 .collect()
             )
-            if len(probe_rows) > self.CANDIDATES_PUSHDOWN_MAX:
-                probe_rows = None
-        if probe_rows is not None:
             return self._candidates_point(probe_rows, man, local_root, empty)
-        touched = {
-            r["bucket"] for r in incoming.select("bucket").distinct().collect()
-        }
         # delta runs are unpruned by bucket (batch-sized by construction —
         # a probe must always consult them)
         files = [
@@ -597,7 +646,9 @@ class BandIndexStore(SnapshotStore):
         ]
         if not touched_files:
             return empty
-        ranges = self._footer_ranges(touched_files, local_root)
+        ranges = self._footer_ranges(
+            touched_files, local_root, live_files=list(man["files"])
+        )
         hits: list[tuple[str, list[int]]] = []
         for rel in touched_files:
             keys = (
@@ -755,7 +806,10 @@ class BandIndexStore(SnapshotStore):
             return new_files, files
 
         self._commit_or_reclaim(new_files, _delta)
-        return len({self._bucket_of(f) for f in files})
+        # delta runs have no bucket directory (_bucket_of -> None); count
+        # the rewritten buckets, with a folded-runs-only rewrite as 1
+        rewritten = {self._bucket_of(f) for f in files}
+        return len(rewritten - {None}) or 1
 
     def maybe_rebucket(self, grow_factor: float = 2.0) -> bool:
         """Maintenance trigger for an auto-bucketed index grown through
@@ -808,7 +862,9 @@ class BandIndexStore(SnapshotStore):
             return False
         local_root = self._local_root()
         if local_root is not None:
-            ranges = self._footer_ranges(list(man["files"]), local_root)
+            ranges = self._footer_ranges(
+                list(man["files"]), local_root, live_files=list(man["files"])
+            )
             delta_rows = sum(
                 n for f in deltas for _g, _mn, _mx, n in ranges[f]
             )

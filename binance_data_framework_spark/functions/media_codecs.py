@@ -135,10 +135,18 @@ def decode_png(data: bytes) -> dict:
         raise ValueError("invalid compression/filter method")
     ch = _CHANNELS[color_type]
     stride = width * ch
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    # bounded inflate (review r10 #4): a crafted IDAT can expand ~1000x
+    # per stream, and decompress() materializes ALL of it before any size
+    # check could run — inside a mapInPandas worker that's an executor
+    # OOM, not a ValueError. Cap at expected+1: one extra byte is enough
+    # to distinguish "exactly right" from "too much".
+    dec = zlib.decompressobj()
+    raw = dec.decompress(bytes(idat), expected + 1)
+    if len(raw) != expected or not dec.eof or dec.unconsumed_tail:
         raise ValueError(
-            f"decompressed {len(raw)} bytes, expected {(stride + 1) * height}"
+            f"decompressed {len(raw)}{'+' if not dec.eof else ''} bytes, "
+            f"expected {expected}"
         )
     out = bytearray(stride * height)
     prev = bytes(stride)
@@ -215,7 +223,9 @@ def decode_wav(data: bytes) -> dict:
     tag, n_channels, sample_rate, _, block, bits = fmt
     if tag != 1:
         raise NotImplementedError(f"non-PCM WAV (format tag {tag})")
-    if block != n_channels * bits // 8:
+    if block != n_channels * bits // 8 or block == 0:
+        # block == 0 (n_channels=0/bits=0) would pass the consistency
+        # check as 0 == 0 and then ZeroDivide below (review r10 #8)
         raise ValueError("inconsistent block align")
     return {
         "format": "wav",

@@ -25,10 +25,12 @@ Priority (VERDICT r9 #6's spec, extended with the force tier):
   2. ``force`` (changed this round),
   3. everything else, ascending newest-green round (oldest first),
 ties broken by registration order throughout.  The window is the first
-50 by that key.  If tiers 0+1 alone overflow 50 (only possible after a
-missed round), the overflow of tier 1 spills into the carryover list —
+50 by that key.  Tiers 0-2 are all mandatory; if they overflow 50 (only
+possible after a missed round or an oversized force list), at-exactly-
+bound tier-1 and forced tier-2 entries spill into the carryover list —
 capped at window//4 by the test, so a real overflow fails loudly rather
-than silently deferring half the backlog.
+than silently deferring half the backlog — and no-row / past-bound
+entries raise.
 
 ``next_head`` is a derived REPORT (not an input): the queries that will
 be at the bound next round and are not getting a row this round, plus
@@ -72,9 +74,9 @@ def read_green_rows(evidence_dir: str) -> tuple[dict[str, int], int]:
         except (OSError, json.JSONDecodeError):
             continue
         for q, v in rows.items():
-            ok = v.get("hash_match") or (
-                v.get("err") == "no_oracle" and not v.get("hash_match")
-            )
+            # green = hash-matched, or the weaker rows-only check the
+            # driver records for by-design no-oracle queries
+            ok = v.get("hash_match") or v.get("err") == "no_oracle"
             if ok:
                 newest[q] = max(newest.get(q, 0), rnd)
     return newest, last + 1
@@ -122,13 +124,26 @@ def derive_window(
     ranked = sorted(names, key=lambda q: (tier(q), newest.get(q, 0), reg_index[q]))
     tiers = {q: tier(q) for q in names}
 
-    mandatory = [q for q in ranked if tiers[q] <= 1]
+    # tiers 0-2 are all mandatory-this-round: no-row and past-bound
+    # queries by the freshness rule, forced queries by the protocol
+    # ("changed plans get a fresh driver row" — review r10 #2: slicing
+    # ranked[:window] silently dropped forced queries once tiers 0+1
+    # crowded them out, the exact hand-rotation slip class this module
+    # exists to eliminate).
+    mandatory = [q for q in ranked if tiers[q] <= 2]
     carryover: list[str] = []
     if len(mandatory) > window:
-        # only at-EXACTLY-bound queries may legally defer one round; age
-        # past the bound (or no row at all) has no escape valve.
+        # only at-EXACTLY-bound (tier 1) and forced (tier 2) queries may
+        # legally defer one round — deferred, they surface in next_head
+        # and become tier 1 / stay forced next round; age past the bound
+        # (or no row at all) has no escape valve.
         spill = mandatory[window:]
-        hard = [q for q in spill if tiers[q] == 0 or current_round - newest[q] > bound]
+        hard = [
+            q
+            for q in spill
+            if tiers[q] == 0
+            or (tiers[q] == 1 and current_round - newest[q] > bound)
+        ]
         if hard:
             raise ValueError(
                 f"window overflow with non-deferrable queries: {hard} "

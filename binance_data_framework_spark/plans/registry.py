@@ -3638,13 +3638,21 @@ def _encoded_blobs(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     branch) or an actual PCM WAV (8-bit mono, frames = the text bytes) via
     the pure-stdlib encoders in functions/media_codecs.py. The construction
     is byte-reproducible in SQL, so the DECODER's output is exactly
-    oracle-checkable."""
+    oracle-checkable. Empty-text docs are filtered on BOTH sides (review
+    r10 #7: a 0-byte payload has no PNG shape — zero height — and the
+    cycling replication divides by len(bytes)); the sha256 construction
+    additionally assumes ASCII text (bytes == chars), which the driver
+    fixtures satisfy and check_oracles would catch drifting."""
     from binance_data_framework_spark.functions.media_codecs import (
         encode_png,
         encode_wav,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.length("text") > 0)
+    )
     schema = "blob_id bigint, modality string, data binary"
 
     def enc(batches):
@@ -3674,7 +3682,7 @@ def _encoded_blobs(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
     WITH t AS (
       SELECT doc_id, text, length(text) AS n,
              (length(text) + 31) // 32 AS h
-      FROM documents)
+      FROM documents WHERE length(text) > 0)
     SELECT doc_id AS blob_id, 'png' AS format,
            CAST(32 AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
            CAST(8 AS BIGINT) AS bit_depth, CAST(1 AS BIGINT) AS channels,
@@ -3713,7 +3721,7 @@ def q_multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(8 AS BIGINT) AS bit_depth,
            CAST(length(text) AS BIGINT) AS n_samples,
            sha256(text) AS frame_digest
-    FROM documents
+    FROM documents WHERE length(text) > 0
     """,
 )
 def q_multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:

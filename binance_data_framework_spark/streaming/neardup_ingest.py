@@ -443,6 +443,10 @@ def neardup_gate_batch(
             "dropped_vs_corpus": 0,
             "dropped_contaminated": 0,
             "drift": None,
+            # same shape as the non-empty return (review r10 #3: a
+            # consumer indexing stats["stage_sec"] must not KeyError on
+            # the first idle micro-batch)
+            "stage_sec": stage_sec,
         }
     # signatures computed ONCE and shared by both stages — the earlier
     # form ran the shingle+hash pipeline (the dedup tier's dominant cost)

@@ -40,9 +40,7 @@ def _green_rows() -> tuple[dict[str, int], int]:
         last = max(last, rnd)
         with open(f) as fh:
             for q, v in json.load(fh).items():
-                ok = v.get("hash_match") or (
-                    v.get("err") == "no_oracle" and not v.get("hash_match")
-                )
+                ok = v.get("hash_match") or v.get("err") == "no_oracle"
                 if ok:
                     newest[q] = max(newest.get(q, 0), rnd)
     return newest, last + 1
@@ -229,3 +227,12 @@ def test_derivation_force_and_overflow_semantics():
         assert False, "expected overflow with non-deferrable queries to raise"
     except ValueError as e:
         assert "non-deferrable" in str(e)
+    # review r10 #2: forced (tier-2) queries crowded out of the window by
+    # tiers 0+1 must SPILL to carryover ∪ next_head, never drop silently —
+    # the protocol says a changed plan gets a fresh row, deferred at worst
+    newest5 = {q: current - bound for q in names[:50]}  # 50 at-bound
+    newest5.update({q: current - 1 for q in names[50:]})
+    d5 = derive_window(names, newest5, current, force=["q110", "q111"])
+    assert set(d5.carryover) == {"q110", "q111"}
+    assert {"q110", "q111"} <= set(d5.next_head)
+    assert not {"q110", "q111"} & set(d5.order)

@@ -1190,18 +1190,26 @@ def test_gate_auto_rebuckets_and_compacts_band_index(spark, tmp_path):
     s = neardup_gate_batch(mk([(100, texts[0])]), store, bands)
     assert s["dropped_vs_corpus"] == 1 and s["kept"] == 0
 
-    # fold leg (r10 delta tier): batch appends land as delta runs, and
-    # with a tiny fold floor every batch crosses it, so the gate folds
-    # each run into the bucket layout — one file per bucket, no runs left
+    # fold leg (r10 delta tier): each batch appends 10 docs x 4 bands =
+    # 40 rows; target_bucket_rows=40 puts that EXACTLY at the delta
+    # threshold (append() takes the delta-run path at n_in <= target) AND
+    # at the fold floor (maybe_fold_deltas fires at delta_rows >= target),
+    # so every gate batch lands as ONE run and folds into the bucket
+    # layout the same cycle. band_compact_min_files=None makes the fold
+    # leg the ONLY folder in the gate — the one-file-per-bucket assertion
+    # below can only hold if maybe_fold_deltas really ran (review r10 #6:
+    # the old tiny target routed every append onto the bucketed path and
+    # the compact leg made the assertions pass vacuously).
     store2 = DocumentStore(spark, str(tmp_path / "store2"), n_shards=2)
-    bands2 = BandIndexStore(spark, str(tmp_path / "bands2"), n_buckets=4)
-    bands2.target_bucket_rows = 8  # fold floor below one batch's band rows
+    bands2 = BandIndexStore(
+        spark, str(tmp_path / "bands2"), n_buckets=4, target_bucket_rows=40
+    )
     for lo in range(0, 30, 10):
         neardup_gate_batch(
             mk([(i, texts[i]) for i in range(lo, lo + 10)]),
             store2,
             bands2,
-            band_compact_min_files=2,
+            band_compact_min_files=None,
         )
     files = bands2._snapshot()["files"]
     assert not any(f.startswith("delta/") for f in files)
