@@ -743,3 +743,24 @@ def test_band_delta_runs_and_fold(spark, tmp_path, monkeypatch):
     st.compact(drop_bands=drop)
     gone = {(r["id_new"], r["id_stored"]) for r in st.candidates(drop).collect()}
     assert gone == set()
+
+
+def test_footer_cache_evicts_superseded_files(spark, tmp_path):
+    """Review r10 #5: a long-lived handle's footer cache must not keep
+    entries for files a fold/compact/rebucket superseded — across an
+    unbounded stream the cache stays O(live files)."""
+    st = BandIndexStore(
+        spark, str(tmp_path / "bands"), n_buckets=4, target_bucket_rows=5_000
+    )
+    st.append(_band_rows(spark, range(200)))
+    st.append(_band_rows(spark, range(200, 400)))
+    probe = _band_rows(spark, [3, 250])
+    st.candidates(probe).count()
+    before = set(st._footer_cache)
+    assert before, "point path should have populated the cache"
+    st.compact()  # supersedes every file it rewrote
+    st.candidates(probe).count()
+    live = set(st._snapshot()["files"])
+    dead = set(st._footer_cache) - live
+    assert not dead, f"superseded files still cached: {sorted(dead)[:3]}"
+    assert set(st._footer_cache) <= live
