@@ -27,6 +27,12 @@ asserted identical to the source dir's, so load_table's dtype handling is
 exercised unchanged.
 
 Usage: python tools/make_scale_fixture.py SRC_DIR DST_DIR [FACTOR=10] [TABLES]
+       [TAG_OFFSET=0]
+
+TAG_OFFSET namespaces the documents word tags for CHAINED builds (see
+_docs_sql): chain factor-1000 then factor-10 with TAG_OFFSET=1000 on the
+second level, or the second level's re-tagged replica-0 rows collide
+byte-identically with the first level's tagged replicas.
 
 TABLES (optional, comma-separated) restricts the build to a subset —
 the doc-tier third decade (factor 1000) builds only
@@ -48,23 +54,36 @@ TABLES = ("documents", "embeddings", "events", "customer", "orders", "lineitem")
 DIM_TABLES = ("part", "supplier", "nation", "region")
 
 
-def _docs_sql(src: str, factor: int) -> str:
+def _docs_sql(src: str, factor: int, tag_offset: int = 0) -> str:
+    """``tag_offset`` namespaces the word tags for CHAINED builds (r10):
+    chaining a build with itself re-tags the UNTAGGED replica-0 rows of
+    the first level, and a second-level suffix ``~j`` makes them
+    byte-identical to the first level's replica j (``w`` + ``~9`` ==
+    ``w~9``) — the 45M gate point measured exactly that as a 100%%
+    duplicate batch. Passing an offset > the first level's max replica
+    index (e.g. 1000 when chaining a factor-1000 build) keeps every
+    level's tag vocabulary disjoint, preserving the linear pair-density
+    claim across levels."""
     parts = []
     for k in range(factor):
         if k == 0:
+            # replica 0 is always the source verbatim — a chained build's
+            # lower-id prefix must reproduce the previous level exactly so
+            # sub-range measurements stay comparable across levels
             parts.append(
                 f"SELECT doc_id, text, lang, source, n_chars FROM read_parquet('{src}')"
             )
         else:
+            tag = k + tag_offset
             parts.append(
                 f"""
                 SELECT doc_id + {k} * (1 + (SELECT max(doc_id) FROM read_parquet('{src}'))) AS doc_id,
                        array_to_string(
-                         list_transform(str_split(text, ' '), x -> x || '~{k}'),
+                         list_transform(str_split(text, ' '), x -> x || '~{tag}'),
                          ' ') AS text,
                        lang, source,
                        CAST(length(array_to_string(
-                         list_transform(str_split(text, ' '), x -> x || '~{k}'),
+                         list_transform(str_split(text, ' '), x -> x || '~{tag}'),
                          ' ')) AS BIGINT) AS n_chars
                 FROM read_parquet('{src}')"""
             )
@@ -169,6 +188,7 @@ def main() -> int:
     dst_dir = sys.argv[2] if len(sys.argv) > 2 else "_scratch/sf1"
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    tag_offset = int(sys.argv[5]) if len(sys.argv) > 5 else 0
     built = [t for t in TABLES if only is None or t in only]
     os.makedirs(dst_dir, exist_ok=True)
     con = duckdb.connect()
@@ -177,7 +197,7 @@ def main() -> int:
     con.execute(f"SET max_expression_depth TO {max(1000, 4 * factor)}")
     if "documents" in built:
         con.execute(
-            f"COPY ({_docs_sql(f'{src_dir}/documents.parquet', factor)}) "
+            f"COPY ({_docs_sql(f'{src_dir}/documents.parquet', factor, tag_offset)}) "
             f"TO '{dst_dir}/documents.parquet' (FORMAT PARQUET)"
         )
     if "events" in built:
