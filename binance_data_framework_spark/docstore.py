@@ -1458,20 +1458,22 @@ class DocumentStore(SnapshotStore):
         semi-join (large key sets)."""
         self._check_layout()
         keyed = shard_assign(keys.select(self.key_col), self.n_shards, self.key_col)
-        pairs = (
-            keyed.select(self.key_col, "shard")
-            .distinct()
-            .limit(self.READ_KEYS_PUSHDOWN_MAX + 1)
+        # one shard-keyed planning agg serves both strategies (the
+        # candidates() rule one tier down, review r10 #9): shard is a
+        # function of the key, so per-shard distinct counts sum to the
+        # EXACT global distinct count — no oversized wasted collect
+        per_shard = (
+            keyed.groupBy("shard")
+            .agg(F.count_distinct(self.key_col).alias("n"))
             .collect()
         )
-        small = len(pairs) <= self.READ_KEYS_PUSHDOWN_MAX
+        touched = {r["shard"] for r in per_shard}
+        small = sum(r["n"] for r in per_shard) <= self.READ_KEYS_PUSHDOWN_MAX
         if small:
-            probe = [r[self.key_col] for r in pairs]
-            touched = {r["shard"] for r in pairs}
-        else:
-            touched = {
-                r["shard"] for r in keyed.select("shard").distinct().collect()
-            }
+            probe = [
+                r[self.key_col]
+                for r in keyed.select(self.key_col).distinct().collect()
+            ]
         man = self._snapshot()
         if not man:
             raise ValueError(f"DocumentStore at {self.root} is empty")
