@@ -19,6 +19,13 @@ product-quantized CODES of the corpus — become committed store artifacts:
     code partitions (directory-level partition pruning), moving
     ~8-16 bytes per candidate instead of a dim*8-byte vector; full vectors
     are fetched from the source table only for the k*refine shortlist.
+``root/codes_delta/*.parquet``
+    (vec_id, variant, cell, norm, code) — LSM delta runs (r10): a
+    micro-batch append lands as ONE (variant, cell)-sorted file instead
+    of a near-empty file per touched cell (measured 28.6 s / ~1000 files
+    for a 2000-vector batch at 512 cells). Lookups consult runs alongside
+    the bucketed layout; ``maybe_fold_code_deltas`` merges them at a
+    rows-fraction trigger.
 
 Commits are full-replace snapshots through SnapshotStore (CAS manifest,
 delta log, two-commit vacuum, time travel) — a rebuild publishes a new
@@ -43,6 +50,9 @@ from pyspark.sql import functions as F
 
 from binance_data_framework_spark.operators import similarity as S
 from binance_data_framework_spark.store import SnapshotStore
+
+#: sentinel distinguishing "not resolved yet" from a resolved None
+_UNSET_LOCAL_ROOT = object()
 
 
 @dataclass
@@ -79,6 +89,11 @@ class AnnIndexStore(SnapshotStore):
         super().__init__(spark, root)
         self.id_col = id_col
         self.vec_col = vec_col
+        # footer id-range cache for the append membership probe (immutable
+        # files; evicted against the live list per sweep) and the lazily
+        # resolved local-filesystem root, both per handle
+        self._id_bounds_cache: dict = {}
+        self._local_root_cache = _UNSET_LOCAL_ROOT
 
     # -- fingerprint -------------------------------------------------------
     def _fingerprint(self, df: DataFrame) -> list[int]:
@@ -348,6 +363,209 @@ class AnnIndexStore(SnapshotStore):
     #: (ADVICE r7 #3)
     PURGE_APPEND_THRESHOLD = 4096
 
+    #: appends of at most this many vectors land as ONE delta-run file
+    #: (r10 — the band-index LSM lesson applied to the code layout: the
+    #: bucketed append writes one file per touched (variant, cell), and a
+    #: 2000-vector micro-batch into a 512-cell index measured 28.6 s,
+    #: ~1000 near-empty files — 4x the entire near-dup gate batch).
+    #: Larger appends (bulk loads) keep the bucketed write, where the
+    #: per-cell files are worth their cost.
+    CODES_DELTA_MAX_VECTORS = 100_000
+
+    #: membership probes (skip_existing / duplicate checks) collect at most
+    #: this many delta ids for the pushed-IN point scan; larger deltas keep
+    #: the column-pruned join path (an IN of ~100k literals costs more to
+    #: plan than the scan it saves)
+    APPEND_PROBE_MAX = 16_384
+
+    @staticmethod
+    def _is_code_delta(rel: str) -> bool:
+        return rel.startswith("codes_delta/")
+
+    def _local_root(self) -> str | None:
+        """OS path of the root when it resolves to the local filesystem,
+        else None (the BandIndexStore rule: resolve through the Hadoop FS
+        API, never guess from the string)."""
+        if self._local_root_cache is not _UNSET_LOCAL_ROOT:
+            return self._local_root_cache
+        from urllib.parse import urlparse
+
+        try:
+            fs, _ = self._fs_path()
+            scheme = fs.getUri().getScheme()
+        except Exception:
+            scheme = None
+        if scheme == "file":
+            u = urlparse(self.root)
+            self._local_root_cache = u.path or self.root
+        else:
+            self._local_root_cache = None
+        return self._local_root_cache
+
+    def _id_bounds(self, relpaths: list[str], local_root: str) -> dict:
+        """(rel -> (id min, id max) | None) from parquet footers, cached
+        per immutable file against the live list (the BandIndexStore
+        footer-cache rule). None = no usable stats: always scan."""
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow.parquet as pq
+
+        def _one(rel: str):
+            md = pq.ParquetFile(os.path.join(local_root, rel)).metadata
+            leaf = next(
+                (
+                    i
+                    for i in range(len(md.schema))
+                    if md.schema.column(i).name == self.id_col
+                ),
+                None,
+            )
+            if leaf is None:
+                return rel, None
+            lo = hi = None
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(leaf).statistics
+                if st is None or not st.has_min_max:
+                    return rel, None
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            return rel, (lo, hi)
+
+        missing = [r for r in relpaths if r not in self._id_bounds_cache]
+        if missing:
+            with ThreadPoolExecutor(max_workers=16) as ex:
+                for rel, b in ex.map(_one, missing):
+                    self._id_bounds_cache[rel] = b
+        keep = set(relpaths)
+        for dead in [k for k in self._id_bounds_cache if k not in keep]:
+            del self._id_bounds_cache[dead]
+        return {r: self._id_bounds_cache[r] for r in relpaths}
+
+    def _committed_ids_among(
+        self, delta: DataFrame, masked: bool
+    ) -> DataFrame | None:
+        """Delta ids already present in the committed code layout, as a
+        small broadcastable frame — or None meaning "probe set too large,
+        use the join path". Point probe (the DocumentStore.read_keys rule
+        one tier over): collect the delta's distinct ids (micro-batch-
+        sized by the append contract), prune the committed file list
+        DRIVER-SIDE against cached footer id-ranges (code files are
+        id-sorted within each (variant, cell), so the bounds are tight —
+        a batch of genuinely new ids intersects zero files), then push
+        the id list into a scan of only the hit files. The full column-
+        pruned id scan paid ~7 s of per-file open overhead across 1024
+        files per 2000-vector append; the pruned probe reads nothing when
+        nothing matches."""
+        ids = sorted(
+            {
+                r[self.id_col]
+                for r in delta.select(self.id_col)
+                .distinct()
+                .limit(self.APPEND_PROBE_MAX + 1)
+                .collect()
+            }
+        )
+        if len(ids) > self.APPEND_PROBE_MAX:
+            return None
+        man = self._snapshot()
+        files = [
+            f
+            for f in (man["files"] if man else [])
+            if f.startswith("codes/variant=pq/") or self._is_code_delta(f)
+        ]
+        local_root = self._local_root()
+        empty = (
+            delta.select(self.id_col).limit(0)
+        )
+        if not files:
+            return empty
+        if local_root is not None:
+            import bisect
+
+            bounds = self._id_bounds(files, local_root)
+            hits = []
+            for rel in files:
+                b = bounds[rel]
+                if b is None or bisect.bisect_left(ids, b[0]) < bisect.bisect_right(
+                    ids, b[1]
+                ):
+                    hits.append(rel)
+            if not hits:
+                return empty
+            files = hits
+        # two-group read (bucketed vs delta schemas differ in partition
+        # vs data columns); only the id column is needed from either
+        parts = []
+        bucketed = [f for f in files if not self._is_code_delta(f)]
+        deltas = [f for f in files if self._is_code_delta(f)]
+        if bucketed:
+            parts.append(
+                self.spark.read.option("basePath", f"{self.root}/codes")
+                .parquet(*[f"{self.root}/{f}" for f in bucketed])
+                .select(self.id_col)
+            )
+        if deltas:
+            parts.append(
+                self.spark.read.parquet(
+                    *[f"{self.root}/{f}" for f in deltas]
+                ).select(self.id_col)
+            )
+        scan = parts[0]
+        for p in parts[1:]:
+            scan = scan.unionByName(p)
+        out = (
+            scan.where(F.col(self.id_col).isin(ids))
+            .distinct()
+        )
+        if masked:
+            tomb = self._tombstones_from(man)
+            if tomb is not None:
+                out = out.join(F.broadcast(tomb), self.id_col, "left_anti")
+        return out
+
+    def _read_code_rows(
+        self, bucketed: list[str], deltas: list[str]
+    ) -> DataFrame:
+        """Committed code rows (id, variant, cell, norm, code [, chash])
+        from a mixed file list: bucketed files carry variant/cell as
+        partition directories, delta runs carry them as data columns — one
+        spark.read over both would make partition discovery and the
+        in-file schema disagree (the BandIndexStore._read_files rule)."""
+        parts = []
+        if bucketed:
+            parts.append(
+                self.spark.read.option("basePath", f"{self.root}/codes")
+                .parquet(*[f"{self.root}/{f}" for f in bucketed])
+            )
+        if deltas:
+            parts.append(
+                self.spark.read.parquet(
+                    *[f"{self.root}/{f}" for f in deltas]
+                )
+            )
+        with_chash = all("chash" in p.columns for p in parts)
+
+        def _sel(p: DataFrame) -> DataFrame:
+            # partition-column type inference makes bucketed variant/cell
+            # str-or-int by config (ADVICE r7 #1) while delta runs store
+            # them typed — normalize both sides before the union
+            cols = [
+                F.col(self.id_col),
+                F.col("variant").cast("string").alias("variant"),
+                F.col("cell").cast("int").alias("cell"),
+                F.col("norm"),
+                F.col("code"),
+            ]
+            if with_chash:
+                cols.append(F.col("chash"))
+            return p.select(*cols)
+
+        out = _sel(parts[0])
+        for p in parts[1:]:
+            out = out.unionByName(_sel(p))
+        return out
+
     # -- incremental append ------------------------------------------------
     def append(
         self,
@@ -358,11 +576,13 @@ class AnnIndexStore(SnapshotStore):
     ) -> AnnIndex:
         """Append NEW vectors to the committed index WITHOUT retraining:
         encode the delta with the committed quantizer (cell assignment,
-        residual, PQ + OPQ codes), add the new code files to the existing
-        cell partitions, and replace only the model sidecar (fingerprint
-        and n_vectors roll forward). This is the third leg of the
-        train-once story — build once / search many / APPEND often: a
-        growing 100 TB corpus encodes only its delta per ingest cycle.
+        residual, PQ + OPQ codes), commit the new codes — as ONE sorted
+        delta run for micro-batch-sized deltas (r10 LSM tier; bulk loads
+        keep the bucketed per-cell write), and replace only the model
+        sidecar (fingerprint and n_vectors roll forward). This is the
+        third leg of the train-once story — build once / search many /
+        APPEND often: a growing 100 TB corpus encodes only its delta per
+        ingest cycle.
 
         The fingerprint is a vector of SUMS (count, id-sum, content-sum),
         so the rolled-forward value is by construction EQUAL to
@@ -444,11 +664,17 @@ class AnnIndexStore(SnapshotStore):
             # the in-delta dup agg, and the encode passes — without the
             # materialization each action re-runs the committed-id
             # anti-join scan (review r7 #2).
-            delta = delta.join(
-                self.codes("pq", masked=False).select(self.id_col),
-                self.id_col,
-                "left_anti",
-            ).localCheckpoint(eager=True)
+            existing = self._committed_ids_among(delta, masked=False)
+            if existing is not None:
+                delta = delta.join(
+                    F.broadcast(existing), self.id_col, "left_anti"
+                ).localCheckpoint(eager=True)
+            else:  # oversized delta: the column-pruned join path
+                delta = delta.join(
+                    self.codes("pq", masked=False).select(self.id_col),
+                    self.id_col,
+                    "left_anti",
+                ).localCheckpoint(eager=True)
         # orig_model MUST come from the manifest idx was parsed from (its
         # version), not from a fresh _snapshot(): a rebuild landing between
         # load() and a later snapshot read would make the concurrency check
@@ -479,8 +705,11 @@ class AnnIndexStore(SnapshotStore):
             # — redundant (and skipped) when skip_existing already
             # anti-joined the same committed ids away (review r7 #2)
             if not skip_existing:
+                existing = self._committed_ids_among(delta, masked=True)
                 n_dup = (
-                    delta.select(self.id_col)
+                    existing.count()
+                    if existing is not None
+                    else delta.select(self.id_col)
                     .join(
                         self.codes("pq").select(self.id_col),
                         self.id_col,
@@ -556,19 +785,40 @@ class AnnIndexStore(SnapshotStore):
         import uuid as _uuid
 
         staging = f"_staging-{_uuid.uuid4().hex}"
-        (
+        coded = (
             coded_pq.unionByName(coded_opq)
             .withColumnRenamed("_c", "cell")
             .withColumnRenamed("_code", "code")
             .withColumnRenamed("_norm", "norm")
             .withColumnRenamed("_chash", "chash")
-            .repartition("variant", "cell")
-            .sortWithinPartitions(self.id_col)
-            .write.partitionBy("variant", "cell")
-            .option("compression", "zstd")
-            .mode("overwrite")
-            .save(f"{self.root}/{staging}/codes")
         )
+        if dfp[0] <= self.CODES_DELTA_MAX_VECTORS:
+            # delta-run write (r10): a micro-batch append lands as ONE
+            # (variant, cell)-sorted file instead of one near-empty file
+            # per touched (variant, cell) — measured 28.6 s / ~1000 files
+            # for a 2000-vector batch at 512 cells on the bucketed path.
+            # Lookups consult runs alongside the bucket layout (codes());
+            # maybe_fold_code_deltas() merges them at a rows-fraction
+            # trigger, amortizing the rewrite to O(delta) per append.
+            (
+                # repartition, NOT coalesce: coalesce(1) propagates up and
+                # single-threads the whole encode chain (measured 10.3 s
+                # of the append); the shuffle is batch-sized
+                coded.repartition(1)
+                .sortWithinPartitions("variant", "cell")
+                .write.option("compression", "zstd")
+                .mode("overwrite")
+                .save(f"{self.root}/{staging}/codes_delta")
+            )
+        else:
+            (
+                coded.repartition("variant", "cell")
+                .sortWithinPartitions(self.id_col)
+                .write.partitionBy("variant", "cell")
+                .option("compression", "zstd")
+                .mode("overwrite")
+                .save(f"{self.root}/{staging}/codes")
+            )
         new_fp = [a + b for a, b in zip(idx.fingerprint, dfp)]
         params = dict(
             dim=idx.dim,
@@ -692,13 +942,20 @@ class AnnIndexStore(SnapshotStore):
         if cells is not None:
             allowed = {f"cell={c}" for c in cells}
             files = [f for f in files if f[len(prefix):].split("/", 1)[0] in allowed]
-        if not files:
+        # delta runs (r10 LSM appends) carry variant/cell as data columns:
+        # unpruned at the file level (they are batch-sized by construction,
+        # a probe must always consult them), variant/cell-filtered in-scan
+        # (sorted writes give the row groups tight stats)
+        deltas = [f for f in man["files"] if self._is_code_delta(f)]
+        if not files and not deltas:
             raise ValueError(
                 f"no code files for variant={variant} cells={cells} at {self.root}"
             )
-        df = self.spark.read.option("basePath", f"{self.root}/codes").parquet(
-            *[f"{self.root}/{f}" for f in files]
+        df = self._read_code_rows(files, deltas).where(
+            F.col("variant") == variant
         )
+        if cells is not None:
+            df = df.where(F.col("cell").isin([int(c) for c in cells]))
         sel = [
             F.col(self.id_col),
             F.col("cell").alias("_c"),
@@ -839,9 +1096,8 @@ class AnnIndexStore(SnapshotStore):
             .localCheckpoint(eager=True)  # read BEFORE its files retire
         )
         code_files = [f for f in man["files"] if f.startswith("codes/")]
-        all_codes = self.spark.read.option(
-            "basePath", f"{self.root}/codes"
-        ).parquet(*[f"{self.root}/{f}" for f in code_files])
+        delta_files = [f for f in man["files"] if self._is_code_delta(f)]
+        all_codes = self._read_code_rows(code_files, delta_files)
         # normalize BOTH sides to (str, int): r["cell"] collects as int only
         # when partition-column type inference is on (the default) — with it
         # disabled the collected value is a string, the set intersection
@@ -869,12 +1125,18 @@ class AnnIndexStore(SnapshotStore):
             )
 
         affected = [f for f in code_files if _vc(f) in hit]
+        # a tombstoned row can also sit in a delta run (r10 LSM appends) —
+        # when any exist, rewrite them all alongside the hit cells (they
+        # are delta-fraction-bounded, and the rewrite folds them into the
+        # bucket layout as a side effect)
+        if delta_files:
+            affected_deltas = delta_files
+        else:
+            affected_deltas = []
         new_files: list[str] = []
-        if affected:
-            survivors = (
-                self.spark.read.option("basePath", f"{self.root}/codes")
-                .parquet(*[f"{self.root}/{f}" for f in affected])
-                .join(F.broadcast(tomb), self.id_col, "left_anti")
+        if affected or affected_deltas:
+            survivors = self._read_code_rows(affected, affected_deltas).join(
+                F.broadcast(tomb), self.id_col, "left_anti"
             )
             import uuid as _uuid
 
@@ -888,7 +1150,7 @@ class AnnIndexStore(SnapshotStore):
                 .save(f"{self.root}/{staging}/codes")
             )
             new_files = self._publish_staged(staging)
-        superseded = affected + tomb_files
+        superseded = affected + affected_deltas + tomb_files
         sup = set(superseded)
 
         def _delta(latest: dict | None):
@@ -905,12 +1167,16 @@ class AnnIndexStore(SnapshotStore):
 
     def compact_codes(self, min_files: int = 2) -> int:
         """Small-file maintenance for the streaming-append lifecycle:
-        every append() writes its delta as NEW file(s) into each touched
-        (variant, cell) code partition, so a cell fed by thousands of
-        micro-batches accumulates thousands of tiny files and probed-cell
-        scan cost drifts from O(codes) to O(files + codes). Rewrite every
-        cell holding >= ``min_files`` committed files into ONE sorted
-        file, retiring the fragments in a single commit.
+        bulk appends write NEW file(s) into each touched (variant, cell)
+        code partition, so a cell fed by many loads accumulates tiny
+        files and probed-cell scan cost drifts from O(codes) to
+        O(files + codes). Rewrite every cell holding >= ``min_files``
+        committed files into ONE sorted file, retiring the fragments in a
+        single commit. Any delta runs (r10 micro-batch appends) fold into
+        the bucketed layout as part of the rewrite — their rows route
+        into many cells, so a fold is the full rewrite the amortized
+        trigger (maybe_fold_code_deltas) schedules, exactly the
+        BandIndexStore.compact rule.
 
         Layout-only: row content is preserved exactly — tombstoned rows
         are NOT dropped (purge_tombstones owns physical deletion) and the
@@ -926,6 +1192,7 @@ class AnnIndexStore(SnapshotStore):
         from collections import Counter
 
         code_files = [f for f in man["files"] if f.startswith("codes/")]
+        delta_files = [f for f in man["files"] if self._is_code_delta(f)]
 
         def _vc(rel: str) -> tuple[str, str] | None:
             parts = rel.split("/")
@@ -933,12 +1200,17 @@ class AnnIndexStore(SnapshotStore):
 
         counts = Counter(vc for f in code_files if (vc := _vc(f)))
         hit = {vc for vc, n in counts.items() if n >= min_files}
-        if not hit:
+        if not hit and not delta_files:
             return 0
-        affected = [f for f in code_files if _vc(f) in hit]
-        frag = self.spark.read.option("basePath", f"{self.root}/codes").parquet(
-            *[f"{self.root}/{f}" for f in affected]
-        )
+        if delta_files:
+            # delta runs (r10 LSM appends) route rows into many cells, so
+            # folding them forces those cells' rewrite — like the band
+            # index, a fold IS the full rewrite the amortized trigger
+            # (maybe_fold_code_deltas) schedules
+            affected = list(code_files)
+        else:
+            affected = [f for f in code_files if _vc(f) in hit]
+        frag = self._read_code_rows(affected, delta_files)
         import uuid as _uuid
 
         staging = f"_staging-{_uuid.uuid4().hex}"
@@ -951,7 +1223,7 @@ class AnnIndexStore(SnapshotStore):
             .save(f"{self.root}/{staging}/codes")
         )
         new_files = self._publish_staged(staging)
-        sup = set(affected)
+        sup = set(affected) | set(delta_files)
 
         def _delta(latest: dict | None):
             live = set(latest["files"]) if latest else set()
@@ -960,10 +1232,48 @@ class AnnIndexStore(SnapshotStore):
                     "concurrent index write during compaction: an affected "
                     "code file is no longer live — retry"
                 )
-            return new_files, affected
+            return new_files, affected + delta_files
 
         self._commit_or_reclaim(new_files, _delta)
-        return len(hit)
+        # folded-deltas-only compactions still did work: report >= 1
+        return len(hit) or (1 if delta_files else 0)
+
+    def maybe_fold_code_deltas(self, max_fraction: float = 0.02) -> bool:
+        """Amortized LSM fold trigger for code delta runs (r10, pairs with
+        append()'s delta-run write — the BandIndexStore.maybe_fold_deltas
+        rule applied to the code layout): fold the runs into the bucketed
+        cell layout once their rows reach ``max_fraction`` of the
+        committed base (floor: CODES_DELTA_MAX_VECTORS rows ≈ one full
+        cell's worth, so a small index folds once runs reach what a
+        single bucketed cell file would hold). Counts are parquet-footer-bound
+        (no data scan). The fold itself is compact_codes()'s rewrite,
+        whose cost amortizes to O(delta) per append at fraction f; lookup
+        overhead between folds is bounded by the same fraction. Returns
+        True iff a fold was committed."""
+        man = self._snapshot()
+        if not man:
+            return False
+        delta_files = [f for f in man["files"] if self._is_code_delta(f)]
+        if not delta_files:
+            return False
+        delta_rows = (
+            self.spark.read.parquet(
+                *[f"{self.root}/{f}" for f in delta_files]
+            ).count()
+        )
+        bucketed = [f for f in man["files"] if f.startswith("codes/")]
+        base_rows = (
+            self.spark.read.option("basePath", f"{self.root}/codes")
+            .parquet(*[f"{self.root}/{f}" for f in bucketed])
+            .count()
+            if bucketed
+            else 0
+        )
+        # floor = one delta-append's worth (== the default target_cell):
+        # a constant, not a model read — the trigger runs every gate batch
+        if delta_rows < max(self.CODES_DELTA_MAX_VECTORS, max_fraction * base_rows):
+            return False
+        return self.compact_codes(min_files=2) > 0
 
     def maybe_rebuild(
         self, corpus: DataFrame, grow_factor: float = 2.0

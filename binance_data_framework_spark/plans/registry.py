@@ -6038,12 +6038,23 @@ from binance_data_framework_spark.plans.driver_window import derive_from_repo
 #: docstore_snapshot, corpus_drift_terms), the gate's point-lookup band
 #: candidate read + LSM delta appends (curated_index_pipeline), filtered
 #: ANN rescue-decision caching (topk_filtered_ivf + its cert).
+#: + the second r10 wave: the ANN code layout gained LSM delta runs and a
+#: footer-pruned append membership probe (ann_index.py) — every consumer
+#: of the unified codes() read gets a fresh row
 _ROUND_CHANGED = [
     "docstore_snapshot",
     "corpus_drift_terms",
     "curated_index_pipeline",
     "topk_filtered_ivf",
     "topk_recall_filtered",
+    "ann_index_build",
+    "ann_index_append",
+    "ann_index_delete",
+    "topk_similarity_ivf",
+    "topk_similarity_pq",
+    "topk_recall_ivf",
+    "topk_recall_pq",
+    "topk_recall_opq",
 ]
 
 _derived = derive_from_repo(list(QUERIES), force=_ROUND_CHANGED)

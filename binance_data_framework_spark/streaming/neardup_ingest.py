@@ -639,6 +639,13 @@ def neardup_gate_batch(
                         ),
                         grow_factor=ann_rebuild_factor,
                     )
+                # LSM fold leg (r10, mirrors the band index): micro-batch
+                # appends land as code delta runs (O(1) files per batch,
+                # not one per touched cell); fold them into the bucketed
+                # layout at the rows-fraction trigger. A rebuild just
+                # rewrote the whole layout — nothing to fold.
+                if not rebuilt:
+                    rebuilt = ann_store.maybe_fold_code_deltas()
                 if ann_compact_min_files is not None and not rebuilt:
                     # each append fragments its touched cells by one file;
                     # fold once any cell passes the threshold (a rebuild

@@ -423,15 +423,21 @@ def test_purge_is_partition_inference_config_independent(spark, tmp_path):
     assert st.codes("pq", masked=False).count() == 59
 
 
-def test_compact_codes_folds_append_fragments(spark, tmp_path):
-    """compact_codes: appends fragment each touched cell into one file per
-    append; compaction folds them to one file per (variant, cell) WITHOUT
-    changing any row — counts, search results, pending tombstones, and
-    the fingerprint all survive byte-identical. Idempotent second call."""
+def test_compact_codes_folds_append_fragments(spark, tmp_path, monkeypatch):
+    """compact_codes: BULK appends (over the delta threshold) fragment
+    each touched cell into one file per append, micro-batch appends land
+    as ONE delta run (r10 LSM tier); compaction folds both back to one
+    file per (variant, cell) WITHOUT changing any row — counts, search
+    results, pending tombstones, and the fingerprint all survive
+    byte-identical. Idempotent second call."""
     df = _emb(spark)
     st = AnnIndexStore(spark, str(tmp_path / "idx"))
     idx = st.build(df.where(F.col("vec_id") < 30), **BUILD)
+    # bulk regime: force the bucketed per-cell write
+    monkeypatch.setattr(AnnIndexStore, "CODES_DELTA_MAX_VECTORS", 0)
     st.append(df.where((F.col("vec_id") >= 30) & (F.col("vec_id") < 45)))
+    monkeypatch.undo()
+    # micro-batch regime: one delta run
     st.append(df.where(F.col("vec_id") >= 45))
     st.delete(spark.createDataFrame([(7,)], "vec_id bigint"))  # pending tomb
 
@@ -441,7 +447,9 @@ def test_compact_codes_folds_append_fragments(spark, tmp_path):
         if f.startswith("codes/"):
             parts = f.split("/")
             per_cell[(parts[1], parts[2])] = per_cell.get((parts[1], parts[2]), 0) + 1
-    assert max(per_cell.values()) >= 3  # fragmented by the two appends
+    assert max(per_cell.values()) >= 2  # fragmented by the bucketed append
+    deltas = [f for f in man["files"] if f.startswith("codes_delta/")]
+    assert len(deltas) == 1  # the micro-batch append is ONE run file
 
     def search():
         return {
@@ -459,7 +467,7 @@ def test_compact_codes_folds_append_fragments(spark, tmp_path):
     fp = st.load().fingerprint
 
     n = st.compact_codes()
-    assert n == len([vc for vc, c in per_cell.items() if c >= 2]) and n > 0
+    assert n > 0
     man2 = st._snapshot()
     per_cell2: dict[tuple, int] = {}
     for f in man2["files"]:
@@ -467,6 +475,7 @@ def test_compact_codes_folds_append_fragments(spark, tmp_path):
             parts = f.split("/")
             per_cell2[(parts[1], parts[2])] = per_cell2.get((parts[1], parts[2]), 0) + 1
     assert max(per_cell2.values()) == 1  # one file per cell now
+    assert not any(f.startswith("codes_delta/") for f in man2["files"])
 
     assert st.codes("pq").count() == n_masked
     assert st.codes("pq", masked=False).count() == n_phys
@@ -583,3 +592,64 @@ def test_filtered_search_decision_cache(spark, tmp_path, monkeypatch):
     ).toPandas()
     tent = st.filtered_cache_get("tight", idx.fingerprint)
     assert tent is not None and tent["starved"] == []
+
+
+def test_code_delta_run_lifecycle(spark, tmp_path, monkeypatch):
+    """r10 LSM tier end to end: a micro-batch append lands as ONE delta
+    run; searches/counts see its rows immediately; delete() reads the
+    chash of a delta-resident id (fingerprint rolls down); purge rewrites
+    delta files too (no physical resurrection); the fraction trigger
+    folds runs into the bucket layout; a replayed append converges via
+    skip_existing against delta-resident ids."""
+    df = _emb(spark)
+    st = AnnIndexStore(spark, str(tmp_path / "idx"))
+    st.build(df.where(F.col("vec_id") < 40), **BUILD)
+    base_files = set(st._snapshot()["files"])
+
+    st.append(df.where((F.col("vec_id") >= 40) & (F.col("vec_id") < 50)))
+    man = st._snapshot()
+    deltas = [f for f in man["files"] if f.startswith("codes_delta/")]
+    assert len(deltas) == 1
+    # no bucketed code file was written or superseded by the append
+    assert {f for f in man["files"] if f.startswith("codes/")} == {
+        f for f in base_files if f.startswith("codes/")
+    }
+    assert st.codes("pq").count() == 50
+    assert st.codes("opq").count() == 50
+    # cell-pruned read still sees delta rows of those cells: the union of
+    # all cells equals the full view
+    idx = st.load()
+    all_cells = sorted(
+        {r["_c"] for r in st.codes("pq").select("_c").distinct().collect()}
+    )
+    assert st.codes("pq", cells=all_cells).count() == 50
+
+    # replayed append converges (ids 40-49 found in the DELTA run)
+    st.append(df.where((F.col("vec_id") >= 40) & (F.col("vec_id") < 50)),
+              skip_existing=True)
+    assert st.codes("pq", masked=False).count() == 50
+
+    # delete a delta-resident id: chash comes from the run; masked reads
+    # exclude it immediately
+    fp_before = st.load().fingerprint
+    st.delete(spark.createDataFrame([(45,)], "vec_id bigint"))
+    assert st.codes("pq").count() == 49
+    assert st.codes("pq", masked=False).count() == 50
+    assert st.load().fingerprint != fp_before
+
+    # purge rewrites the run (a tombstoned row must not survive in it)
+    assert st.purge_tombstones() == 1
+    man2 = st._snapshot()
+    assert not any(f.startswith("codes_delta/") for f in man2["files"])
+    assert st.codes("pq", masked=False).count() == 49
+
+    # fold trigger: another run, floor dropped to 1 row -> fold fires
+    st.append(df.where(F.col("vec_id") >= 50))
+    assert any(f.startswith("codes_delta/") for f in st._snapshot()["files"])
+    monkeypatch.setattr(AnnIndexStore, "CODES_DELTA_MAX_VECTORS", 1)
+    assert st.maybe_fold_code_deltas() is True
+    man3 = st._snapshot()
+    assert not any(f.startswith("codes_delta/") for f in man3["files"])
+    assert st.codes("pq", masked=False).count() == 59
+    # trigger is quiet with no runs
+    assert st.maybe_fold_code_deltas() is False

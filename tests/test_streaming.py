@@ -929,15 +929,20 @@ def test_gated_ingest_rebuilds_outgrown_ann_index(spark, tmp_path):
     assert ann2.load().n_centroids == 16 and ann2.load().n_vectors == 70
 
 
-def test_gated_ingest_auto_compacts_fragmented_cells(spark, tmp_path):
-    """ann_compact_min_files: appends fragment touched cells one file per
-    batch; once a cell passes the threshold the gate folds the layout back
-    to one file per cell, with counts and the fingerprint unchanged."""
+def test_gated_ingest_auto_compacts_fragmented_cells(spark, tmp_path, monkeypatch):
+    """ann_compact_min_files, BULK regime (delta threshold forced to 0 so
+    every append takes the bucketed per-cell write — micro-batch appends
+    land as delta runs since r10, covered by the fold test below):
+    appends fragment touched cells one file per batch; once a cell passes
+    the threshold the gate folds the layout back to one file per cell,
+    with counts and the fingerprint unchanged."""
     from binance_data_framework_spark.ann_index import AnnIndexStore
     from binance_data_framework_spark.docstore import BandIndexStore, DocumentStore
     from binance_data_framework_spark.streaming.neardup_ingest import (
         neardup_gate_batch,
     )
+
+    monkeypatch.setattr(AnnIndexStore, "CODES_DELTA_MAX_VECTORS", 0)
 
     store = DocumentStore(spark, str(tmp_path / "store"), n_shards=2)
     bands = BandIndexStore(spark, str(tmp_path / "bands"), n_buckets=4)
@@ -987,6 +992,71 @@ def test_gated_ingest_auto_compacts_fragmented_cells(spark, tmp_path):
         ann.load(validate_against=store.read().select("doc_id", "embedding"))
         is not None
     )
+
+
+def test_gated_ingest_folds_code_delta_runs(spark, tmp_path, monkeypatch):
+    """r10 LSM tier through the gate: micro-batch appends land as ONE
+    code delta run each (no cell fragmentation), lookups see delta rows
+    immediately, and the gate's maybe_fold_code_deltas leg folds runs
+    into the bucketed layout once they cross the floor — counts and the
+    validated fingerprint unchanged."""
+    from binance_data_framework_spark.ann_index import AnnIndexStore
+    from binance_data_framework_spark.docstore import BandIndexStore, DocumentStore
+    from binance_data_framework_spark.streaming.neardup_ingest import (
+        neardup_gate_batch,
+    )
+
+    # 6 docs/batch: <= 6 takes the delta write AND 12 delta code rows
+    # >= the floor of 6 trips the fold — both roles of the constant
+    monkeypatch.setattr(AnnIndexStore, "CODES_DELTA_MAX_VECTORS", 6)
+    store = DocumentStore(spark, str(tmp_path / "store"), n_shards=2)
+    bands = BandIndexStore(spark, str(tmp_path / "bands"), n_buckets=4)
+    ann = AnnIndexStore(
+        spark, str(tmp_path / "ann"), id_col="doc_id", vec_col="embedding"
+    )
+
+    def batch(lo, hi):
+        rows = [
+            (
+                i,
+                f"body {i} w{i}a w{i}b w{i}c w{i}d w{i}e",
+                [0.5 * i + float(j) for j in range(8)],
+            )
+            for i in range(lo, hi)
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id bigint, text string, embedding array<double>"
+        )
+
+    def files(prefix):
+        return [
+            f for f in ann._snapshot()["files"] if f.startswith(prefix)
+        ]
+
+    kw = dict(
+        threshold=0.9,
+        ann_store=ann,
+        ann_build_kwargs=dict(dim=8, n_centroids=2, m_sub=4, ksub=4),
+        ann_compact_min_files=None,
+    )
+    neardup_gate_batch(batch(0, 6), store, bands, **kw)  # build (bucketed)
+    n_bucketed = len(files("codes/"))
+    neardup_gate_batch(batch(6, 12), store, bands, **kw)
+    # the append landed as a run and the SAME batch's fold leg merged it
+    # (12 delta rows >= floor 6): no runs left, layout rewritten once
+    assert not files("codes_delta/")
+    assert ann.codes("pq").count() == 12
+    # raise the floor so the next run SURVIVES the fold leg: lookups must
+    # consult it un-folded
+    monkeypatch.setattr(AnnIndexStore, "CODES_DELTA_MAX_VECTORS", 1000)
+    neardup_gate_batch(batch(12, 18), store, bands, **kw)
+    assert len(files("codes_delta/")) == 1
+    assert ann.codes("pq").count() == 18
+    assert (
+        ann.load(validate_against=store.read().select("doc_id", "embedding"))
+        is not None
+    )
+    assert n_bucketed >= 1  # the build's bucketed layout is still the base
 
 
 def test_streaming_full_stack_gate(spark, tmp_path):
