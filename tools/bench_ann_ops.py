@@ -13,10 +13,17 @@ the corpus (training + full encode); everything after it should be
 neardup_gate flat-batch-cost point, for the index tier.
 
 Known corpus-sized terms at fixture scale (documented, not hidden):
-append's duplicate-id guard and delete's chash lookup are column-pruned
-scans of the committed id column — bytes proportional to the index's id
-column, not its vectors; purge reads only the (variant, cell)
-partitions holding tombstoned rows.
+append's duplicate-id guard is footer-pruned since r10 (driver-side id-
+range intersection — a disjoint delta scans zero files; see
+AnnIndexStore._committed_ids_among) but still pays the footer sweep;
+delete's chash lookup is a column-pruned scan of the committed id
+column; purge reads only the (variant, cell) partitions holding
+tombstoned rows; search candidates grow with probed cells x occupancy
+(occupancy capped by target_cell — the auto_centroids contract).
+r10 note: micro-batch appends write ONE delta run instead of one file
+per touched cell — at these fixtures' derived cell counts (2-20) the
+file-count term was small; the 512-cell measurement in PLANS.md r10
+(28.6 -> ~8 s) is where the structural change shows.
 
 Usage: python tools/bench_ann_ops.py [sf_dir ...] [runs]
 (defaults: /root/testdata/sf0.1 _scratch/sf10, runs=2; points are keyed
