@@ -51,9 +51,6 @@ from pyspark.sql import functions as F
 from binance_data_framework_spark.operators import similarity as S
 from binance_data_framework_spark.store import SnapshotStore
 
-#: sentinel distinguishing "not resolved yet" from a resolved None
-_UNSET_LOCAL_ROOT = object()
-
 
 @dataclass
 class AnnIndex:
@@ -89,11 +86,10 @@ class AnnIndexStore(SnapshotStore):
         super().__init__(spark, root)
         self.id_col = id_col
         self.vec_col = vec_col
-        # footer id-range cache for the append membership probe (immutable
-        # files; evicted against the live list per sweep) and the lazily
-        # resolved local-filesystem root, both per handle
+        # footer id-range/row-count cache for the append membership probe
+        # and fold trigger (immutable files; evicted against the live
+        # list per sweep), per handle
         self._id_bounds_cache: dict = {}
-        self._local_root_cache = _UNSET_LOCAL_ROOT
 
     # -- fingerprint -------------------------------------------------------
     def _fingerprint(self, df: DataFrame) -> list[int]:
@@ -382,37 +378,27 @@ class AnnIndexStore(SnapshotStore):
     def _is_code_delta(rel: str) -> bool:
         return rel.startswith("codes_delta/")
 
-    def _local_root(self) -> str | None:
-        """OS path of the root when it resolves to the local filesystem,
-        else None (the BandIndexStore rule: resolve through the Hadoop FS
-        API, never guess from the string)."""
-        if self._local_root_cache is not _UNSET_LOCAL_ROOT:
-            return self._local_root_cache
-        from urllib.parse import urlparse
-
-        try:
-            fs, _ = self._fs_path()
-            scheme = fs.getUri().getScheme()
-        except Exception:
-            scheme = None
-        if scheme == "file":
-            u = urlparse(self.root)
-            self._local_root_cache = u.path or self.root
-        else:
-            self._local_root_cache = None
-        return self._local_root_cache
+    # _local_root() is inherited from SnapshotStore (hoisted in review
+    # r10 round 2)
 
     def _id_bounds(self, relpaths: list[str], local_root: str) -> dict:
-        """(rel -> (id min, id max) | None) from parquet footers, cached
-        per immutable file against the live list (the BandIndexStore
-        footer-cache rule). None = no usable stats: always scan."""
+        """(rel -> (id min | None, id max | None, n_rows | None)) from
+        parquet footers, cached per immutable file against the live list
+        (the BandIndexStore footer-cache rule). None bounds = no usable
+        stats: always scan that file. None rows = footer unreadable
+        (e.g. a concurrent writer's vacuum raced the sweep — review r10
+        round 2 #4): the caller degrades to the scan path instead of
+        crashing the append."""
         import os
         from concurrent.futures import ThreadPoolExecutor
 
         import pyarrow.parquet as pq
 
         def _one(rel: str):
-            md = pq.ParquetFile(os.path.join(local_root, rel)).metadata
+            try:
+                md = pq.ParquetFile(os.path.join(local_root, rel)).metadata
+            except Exception:
+                return rel, (None, None, None)
             leaf = next(
                 (
                     i
@@ -422,25 +408,31 @@ class AnnIndexStore(SnapshotStore):
                 None,
             )
             if leaf is None:
-                return rel, None
+                return rel, (None, None, md.num_rows)
             lo = hi = None
             for g in range(md.num_row_groups):
                 st = md.row_group(g).column(leaf).statistics
                 if st is None or not st.has_min_max:
-                    return rel, None
+                    return rel, (None, None, md.num_rows)
                 lo = st.min if lo is None else min(lo, st.min)
                 hi = st.max if hi is None else max(hi, st.max)
-            return rel, (lo, hi)
+            return rel, (lo, hi, md.num_rows)
 
         missing = [r for r in relpaths if r not in self._id_bounds_cache]
         if missing:
             with ThreadPoolExecutor(max_workers=16) as ex:
                 for rel, b in ex.map(_one, missing):
-                    self._id_bounds_cache[rel] = b
+                    # don't cache unreadable footers — the file may become
+                    # readable (or vanish from the live list) next sweep
+                    if b[2] is not None:
+                        self._id_bounds_cache[rel] = b
         keep = set(relpaths)
         for dead in [k for k in self._id_bounds_cache if k not in keep]:
             del self._id_bounds_cache[dead]
-        return {r: self._id_bounds_cache[r] for r in relpaths}
+        return {
+            r: self._id_bounds_cache.get(r, (None, None, None))
+            for r in relpaths
+        }
 
     def _committed_ids_among(
         self, delta: DataFrame, masked: bool
@@ -486,9 +478,11 @@ class AnnIndexStore(SnapshotStore):
             bounds = self._id_bounds(files, local_root)
             hits = []
             for rel in files:
-                b = bounds[rel]
-                if b is None or bisect.bisect_left(ids, b[0]) < bisect.bisect_right(
-                    ids, b[1]
+                lo, hi, _n = bounds[rel]
+                if (
+                    lo is None
+                    or hi is None
+                    or bisect.bisect_left(ids, lo) < bisect.bisect_right(ids, hi)
                 ):
                     hits.append(rel)
             if not hits:
@@ -1126,13 +1120,10 @@ class AnnIndexStore(SnapshotStore):
 
         affected = [f for f in code_files if _vc(f) in hit]
         # a tombstoned row can also sit in a delta run (r10 LSM appends) —
-        # when any exist, rewrite them all alongside the hit cells (they
-        # are delta-fraction-bounded, and the rewrite folds them into the
-        # bucket layout as a side effect)
-        if delta_files:
-            affected_deltas = delta_files
-        else:
-            affected_deltas = []
+        # rewrite them all alongside the hit cells (they are delta-
+        # fraction-bounded, and the rewrite folds them into the bucket
+        # layout as a side effect)
+        affected_deltas = delta_files
         new_files: list[str] = []
         if affected or affected_deltas:
             survivors = self._read_code_rows(affected, affected_deltas).join(
@@ -1165,18 +1156,19 @@ class AnnIndexStore(SnapshotStore):
         self._commit_or_reclaim(new_files, _delta)
         return tomb.count()
 
-    def compact_codes(self, min_files: int = 2) -> int:
+    def compact_codes(self, min_files: int = 2, fold_deltas: bool = False) -> int:
         """Small-file maintenance for the streaming-append lifecycle:
         bulk appends write NEW file(s) into each touched (variant, cell)
         code partition, so a cell fed by many loads accumulates tiny
         files and probed-cell scan cost drifts from O(codes) to
         O(files + codes). Rewrite every cell holding >= ``min_files``
         committed files into ONE sorted file, retiring the fragments in a
-        single commit. Any delta runs (r10 micro-batch appends) fold into
-        the bucketed layout as part of the rewrite — their rows route
-        into many cells, so a fold is the full rewrite the amortized
-        trigger (maybe_fold_code_deltas) schedules, exactly the
-        BandIndexStore.compact rule.
+        single commit. With ``fold_deltas=True``, delta runs (r10
+        micro-batch appends) also fold into the bucketed layout — their
+        rows route into many cells, so that IS a full-layout rewrite,
+        reserved for the amortized trigger (maybe_fold_code_deltas) and
+        explicit OPTIMIZE calls; the default keeps this op at its
+        O(fragmented cells) contract even while runs are live.
 
         Layout-only: row content is preserved exactly — tombstoned rows
         are NOT dropped (purge_tombstones owns physical deletion) and the
@@ -1200,17 +1192,22 @@ class AnnIndexStore(SnapshotStore):
 
         counts = Counter(vc for f in code_files if (vc := _vc(f)))
         hit = {vc for vc, n in counts.items() if n >= min_files}
-        if not hit and not delta_files:
+        folding = fold_deltas and bool(delta_files)
+        if not hit and not folding:
             return 0
-        if delta_files:
+        if folding:
             # delta runs (r10 LSM appends) route rows into many cells, so
             # folding them forces those cells' rewrite — like the band
             # index, a fold IS the full rewrite the amortized trigger
-            # (maybe_fold_code_deltas) schedules
+            # (maybe_fold_code_deltas) schedules. Without fold_deltas the
+            # O(fragmented cells) contract holds even while runs are live
+            # (review r10 round 2 #1: the gate's per-cell fragment leg
+            # must not silently become an O(index) rewrite).
             affected = list(code_files)
         else:
             affected = [f for f in code_files if _vc(f) in hit]
-        frag = self._read_code_rows(affected, delta_files)
+        folded_deltas = delta_files if folding else []
+        frag = self._read_code_rows(affected, folded_deltas)
         import uuid as _uuid
 
         staging = f"_staging-{_uuid.uuid4().hex}"
@@ -1223,7 +1220,7 @@ class AnnIndexStore(SnapshotStore):
             .save(f"{self.root}/{staging}/codes")
         )
         new_files = self._publish_staged(staging)
-        sup = set(affected) | set(delta_files)
+        sup = set(affected) | set(folded_deltas)
 
         def _delta(latest: dict | None):
             live = set(latest["files"]) if latest else set()
@@ -1232,48 +1229,70 @@ class AnnIndexStore(SnapshotStore):
                     "concurrent index write during compaction: an affected "
                     "code file is no longer live — retry"
                 )
-            return new_files, affected + delta_files
+            return new_files, affected + folded_deltas
 
         self._commit_or_reclaim(new_files, _delta)
         # folded-deltas-only compactions still did work: report >= 1
-        return len(hit) or (1 if delta_files else 0)
+        return len(hit) or (1 if folded_deltas else 0)
+
+    #: fold regardless of row fraction once this many delta-run FILES are
+    #: live — without a file-count arm, a stream of tiny batches could
+    #: park thousands of runs below the row floor and every lookup would
+    #: pay O(runs) file overhead again (review r10 round 2 #2)
+    DELTA_FOLD_MAX_FILES = 64
 
     def maybe_fold_code_deltas(self, max_fraction: float = 0.02) -> bool:
         """Amortized LSM fold trigger for code delta runs (r10, pairs with
         append()'s delta-run write — the BandIndexStore.maybe_fold_deltas
         rule applied to the code layout): fold the runs into the bucketed
         cell layout once their rows reach ``max_fraction`` of the
-        committed base (floor: CODES_DELTA_MAX_VECTORS rows ≈ one full
-        cell's worth, so a small index folds once runs reach what a
-        single bucketed cell file would hold). Counts are parquet-footer-bound
-        (no data scan). The fold itself is compact_codes()'s rewrite,
-        whose cost amortizes to O(delta) per append at fraction f; lookup
-        overhead between folds is bounded by the same fraction. Returns
-        True iff a fold was committed."""
+        committed base (row floor: 2*CODES_DELTA_MAX_VECTORS code rows =
+        one maximal delta-append's worth, pq+opq), or once
+        DELTA_FOLD_MAX_FILES runs are live regardless of rows. Counts
+        come from the cached footer sweep on local roots (driver-side, no
+        Spark job — the trigger runs every gate batch) and fall back to
+        footer-bound Spark counts elsewhere. The fold itself is
+        compact_codes(fold_deltas=True)'s full rewrite, whose cost
+        amortizes to O(delta) per append at fraction f; lookup overhead
+        between folds is bounded by the same fraction plus the file cap.
+        Returns True iff a fold was committed."""
         man = self._snapshot()
         if not man:
             return False
         delta_files = [f for f in man["files"] if self._is_code_delta(f)]
         if not delta_files:
             return False
-        delta_rows = (
-            self.spark.read.parquet(
-                *[f"{self.root}/{f}" for f in delta_files]
-            ).count()
-        )
         bucketed = [f for f in man["files"] if f.startswith("codes/")]
-        base_rows = (
-            self.spark.read.option("basePath", f"{self.root}/codes")
-            .parquet(*[f"{self.root}/{f}" for f in bucketed])
-            .count()
-            if bucketed
-            else 0
-        )
-        # floor = one delta-append's worth (== the default target_cell):
-        # a constant, not a model read — the trigger runs every gate batch
-        if delta_rows < max(self.CODES_DELTA_MAX_VECTORS, max_fraction * base_rows):
-            return False
-        return self.compact_codes(min_files=2) > 0
+        if len(delta_files) < self.DELTA_FOLD_MAX_FILES:
+            local_root = self._local_root()
+            delta_rows = base_rows = 0
+            if local_root is not None:
+                bounds = self._id_bounds(
+                    delta_files + bucketed, local_root
+                )
+                counts = [b[2] for b in bounds.values()]
+                if all(n is not None for n in counts):
+                    delta_rows = sum(
+                        bounds[f][2] for f in delta_files
+                    )
+                    base_rows = sum(bounds[f][2] for f in bucketed)
+                else:
+                    local_root = None  # unreadable footer: Spark fallback
+            if local_root is None:
+                delta_rows = self.spark.read.parquet(
+                    *[f"{self.root}/{f}" for f in delta_files]
+                ).count()
+                base_rows = (
+                    self.spark.read.option("basePath", f"{self.root}/codes")
+                    .parquet(*[f"{self.root}/{f}" for f in bucketed])
+                    .count()
+                    if bucketed
+                    else 0
+                )
+            floor = 2 * self.CODES_DELTA_MAX_VECTORS
+            if delta_rows < max(floor, max_fraction * base_rows):
+                return False
+        return self.compact_codes(min_files=2, fold_deltas=True) > 0
 
     def maybe_rebuild(
         self, corpus: DataFrame, grow_factor: float = 2.0

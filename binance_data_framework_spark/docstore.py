@@ -46,10 +46,6 @@ from binance_data_framework_spark.operators.curation import shard_assign
 from binance_data_framework_spark.store import SnapshotStore
 
 
-#: sentinel distinguishing "not computed yet" from a computed None
-_UNSET = object()
-
-
 def _content_tiebreak(df: DataFrame, exclude: tuple[str, ...] = ()):
     """Deterministic total-order key for one-survivor windows: xxhash64
     over every data column (sorted by name, bookkeeping columns excluded),
@@ -199,7 +195,6 @@ class BandIndexStore(SnapshotStore):
         # stream, and "just stop being asked for" leaked them all).
         # Rebuildable any time — losing it costs one footer sweep.
         self._footer_cache: dict[str, list[tuple[int, int | None, int | None]]] = {}
-        self._local_root_cache = _UNSET
 
     def _check_layout(self) -> None:
         """Pin (n_buckets, id_col, band-generation params) like
@@ -450,33 +445,8 @@ class BandIndexStore(SnapshotStore):
             )
         return self._read_files(list(man["files"]))
 
-    def _local_root(self) -> str | None:
-        """Filesystem path of the root when it RESOLVES to the local
-        filesystem, else None — the point-lookup path opens parquet
-        footers and row groups with pyarrow, which wants OS paths.
-
-        Resolution goes through the same Hadoop FS API every other store
-        operation uses (review r10 #1): a bare '/data/bands' root on a
-        cluster whose fs.defaultFS is hdfs:// writes to HDFS, so guessing
-        'scheme-less means local' from the string would point pyarrow at
-        the driver's local disk — FileNotFoundError per batch at best,
-        silently stale candidates at worst. Cached per handle (one JVM
-        round-trip)."""
-        if self._local_root_cache is not _UNSET:
-            return self._local_root_cache
-        from urllib.parse import urlparse
-
-        try:
-            fs, _ = self._fs_path()
-            scheme = fs.getUri().getScheme()
-        except Exception:
-            scheme = None
-        if scheme == "file":
-            u = urlparse(self.root)
-            self._local_root_cache = u.path or self.root
-        else:
-            self._local_root_cache = None
-        return self._local_root_cache
+    # _local_root() is inherited from SnapshotStore (hoisted in review
+    # r10 round 2 — three stores grew near-identical copies)
 
     def _footer_ranges(
         self,

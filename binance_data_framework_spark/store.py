@@ -90,6 +90,8 @@ _SCHEMA = (
 _MANIFEST_DIR = "_manifests"
 _CHECKPOINT_EVERY = 8  # every Nth manifest embeds the full file list
 _COMMIT_RETRIES = 5
+#: sentinel distinguishing "local root not resolved yet" from a resolved None
+_UNSET_LOCAL_ROOT = object()
 
 # One commit lock per store ROOT, shared by every OhlcvStore instance of that
 # root in this process (ADVICE r3: a per-instance lock let two instances on
@@ -155,8 +157,34 @@ class SnapshotStore:
         # compose instead of losing updates; the Spark write jobs themselves
         # still run in parallel outside the lock
         self._commit_lock = _root_commit_lock(self.root)
+        self._local_root_cache = _UNSET_LOCAL_ROOT
 
     # -- filesystem helpers ----------------------------------------------
+    def _local_root(self) -> str | None:
+        """OS path of the root when it RESOLVES to the local filesystem,
+        else None — for store tiers that open parquet footers/row groups
+        with pyarrow (point-lookup planning). Resolution goes through the
+        same Hadoop FS API as every other store op (review r10 #1: a bare
+        '/data/x' root on a cluster whose fs.defaultFS is remote writes to
+        that remote FS — guessing 'scheme-less means local' from the
+        string would point pyarrow at the driver's local disk). Cached per
+        handle (one JVM round-trip)."""
+        if self._local_root_cache is not _UNSET_LOCAL_ROOT:
+            return self._local_root_cache
+        from urllib.parse import urlparse
+
+        try:
+            fs, _ = self._fs_path()
+            scheme = fs.getUri().getScheme()
+        except Exception:
+            scheme = None
+        if scheme == "file":
+            u = urlparse(self.root)
+            self._local_root_cache = u.path or self.root
+        else:
+            self._local_root_cache = None
+        return self._local_root_cache
+
     def _fs_path(self, *segments: str):
         """(FileSystem, Path) for root/segments via the Hadoop FS API —
         works identically for file://, hdfs://, s3a:// roots."""

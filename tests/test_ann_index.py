@@ -466,7 +466,10 @@ def test_compact_codes_folds_append_fragments(spark, tmp_path, monkeypatch):
     n_phys = st.codes("pq", masked=False).count()
     fp = st.load().fingerprint
 
-    n = st.compact_codes()
+    # min_files alone must NOT touch the delta run (the O(fragmented
+    # cells) contract, review r10 round 2 #1) — the run survives and the
+    # fragmented cell folds only under fold_deltas=True
+    n = st.compact_codes(fold_deltas=True)
     assert n > 0
     man2 = st._snapshot()
     per_cell2: dict[tuple, int] = {}
@@ -486,6 +489,14 @@ def test_compact_codes_folds_append_fragments(spark, tmp_path, monkeypatch):
     assert st.purge_tombstones() == 1
     # idempotent
     assert st.compact_codes() == 0
+    # a fresh delta run with single-file cells: the default (min_files
+    # contract) must return 0 AND leave the run alone — only fold_deltas
+    # may trigger the full-layout rewrite (review r10 round 2 #1)
+    st.append(_emb(spark, n=70).where(F.col("vec_id") >= 60))
+    assert st.compact_codes() == 0
+    assert any(
+        f.startswith("codes_delta/") for f in st._snapshot()["files"]
+    )
 
 
 def test_maybe_rebuild_rederives_cells_on_grown_corpus(spark, tmp_path):

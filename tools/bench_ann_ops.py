@@ -82,14 +82,14 @@ def run_point(spark, sf_dir: str, root: str) -> dict:
     idx = st.append(delta)
     times["append_sec"] = time.perf_counter() - t0
 
-    # small-file maintenance right after the fragmenting append (purge
-    # below would consolidate its hit cells as a side effect): fold the
-    # per-cell fragments back to one file per (variant, cell) —
-    # O(fragmented cells), like purge
+    # maintenance right after the append. r10: a 2000-vector append lands
+    # as ONE delta run (no cell fragmentation), so the measured op is the
+    # delta FOLD — the full-layout rewrite the amortized trigger
+    # schedules, and the op whose cost the fold fraction bounds per-append
     t0 = time.perf_counter()
-    n_compacted = st.compact_codes()
+    n_compacted = st.compact_codes(fold_deltas=True)
     times["compact_sec"] = time.perf_counter() - t0
-    assert n_compacted > 0, "append should have fragmented at least one cell"
+    assert n_compacted > 0, "append should have left a delta run to fold"
 
     doomed = emb.orderBy("vec_id").limit(DELETE_IDS).select("vec_id")
     t0 = time.perf_counter()
