@@ -140,6 +140,22 @@ def main() -> None:
         payload["sweep_build"] = sweep_build
         payload["sweep_build_total_sec"] = round(sum(sweep_build.values()), 3)
     print(json.dumps(payload))
+    # Compact machine-first summary printed LAST: the driver records only a
+    # ~2 KB stdout tail, and the full payload line outgrew it at r4 (every
+    # BENCH_r4..r10 has `parsed: null`). This line is <200 bytes and is the
+    # final line of output, so any tail window contains a complete,
+    # parseable JSON object with the headline number (VERDICT r10 item 3).
+    summary = {
+        "metric": payload["metric"],
+        "value": payload["value"],
+        "unit": payload["unit"],
+        "sf": payload["sf"],
+        "n_queries": len(QUERIES),
+    }
+    for k in ("sweep_total_sec", "sweep_build_total_sec"):
+        if k in payload:
+            summary[k] = payload[k]
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

