@@ -90,6 +90,12 @@ class AnnIndexStore(SnapshotStore):
         # and fold trigger (immutable files; evicted against the live
         # list per sweep), per handle
         self._id_bounds_cache: dict = {}
+        # remote-root fold-trigger base_rows, keyed by the bucketed code
+        # file list — the bucketed layout only changes when a commit
+        # rewrites codes/, so between folds the trigger stays metadata-
+        # only instead of re-counting the whole layout per gate batch
+        # (ADVICE r10 #4)
+        self._base_rows_cache: tuple[tuple, int] | None = None
 
     # -- fingerprint -------------------------------------------------------
     def _fingerprint(self, df: DataFrame) -> list[int]:
@@ -381,14 +387,27 @@ class AnnIndexStore(SnapshotStore):
     # _local_root() is inherited from SnapshotStore (hoisted in review
     # r10 round 2)
 
-    def _id_bounds(self, relpaths: list[str], local_root: str) -> dict:
+    def _id_bounds(
+        self,
+        relpaths: list[str],
+        local_root: str,
+        live_files: list[str] | None = None,
+    ) -> dict:
         """(rel -> (id min | None, id max | None, n_rows | None)) from
         parquet footers, cached per immutable file against the live list
         (the BandIndexStore footer-cache rule). None bounds = no usable
         stats: always scan that file. None rows = footer unreadable
         (e.g. a concurrent writer's vacuum raced the sweep — review r10
         round 2 #4): the caller degrades to the scan path instead of
-        crashing the append."""
+        crashing the append.
+
+        ``live_files`` is the manifest's full file list: eviction keeps
+        every live file's entry, not just this call's subset. Call sites
+        pass different subsets (_committed_ids_among probes only pq codes
+        + deltas; maybe_fold_code_deltas sweeps all codes + deltas), and
+        in the gate both run every micro-batch — evicting against the
+        per-call subset made each caller flush the other's entries,
+        re-opening O(index) footers per batch (ADVICE r10 #1)."""
         import os
         from concurrent.futures import ThreadPoolExecutor
 
@@ -426,7 +445,7 @@ class AnnIndexStore(SnapshotStore):
                     # readable (or vanish from the live list) next sweep
                     if b[2] is not None:
                         self._id_bounds_cache[rel] = b
-        keep = set(relpaths)
+        keep = set(relpaths) | set(live_files or ())
         for dead in [k for k in self._id_bounds_cache if k not in keep]:
             del self._id_bounds_cache[dead]
         return {
@@ -475,7 +494,9 @@ class AnnIndexStore(SnapshotStore):
         if local_root is not None:
             import bisect
 
-            bounds = self._id_bounds(files, local_root)
+            bounds = self._id_bounds(
+                files, local_root, live_files=man["files"] if man else None
+            )
             hits = []
             for rel in files:
                 lo, hi, _n = bounds[rel]
@@ -932,22 +953,36 @@ class AnnIndexStore(SnapshotStore):
         if not man:
             raise ValueError(f"AnnIndexStore at {self.root} is empty")
         prefix = f"codes/variant={variant}/"
-        files = [f for f in man["files"] if f.startswith(prefix)]
-        if cells is not None:
-            allowed = {f"cell={c}" for c in cells}
-            files = [f for f in files if f[len(prefix):].split("/", 1)[0] in allowed]
+        variant_files = [f for f in man["files"] if f.startswith(prefix)]
         # delta runs (r10 LSM appends) carry variant/cell as data columns:
         # unpruned at the file level (they are batch-sized by construction,
         # a probe must always consult them), variant/cell-filtered in-scan
         # (sorted writes give the row groups tight stats)
         deltas = [f for f in man["files"] if self._is_code_delta(f)]
-        if not files and not deltas:
+        # error contract is maintenance-state-independent (ADVICE r10 #3):
+        # a variant absent from the committed layout raises whether or not
+        # a delta run happens to be live; a cell prune that hits nothing
+        # returns an empty frame (never raises) on both sides of a fold
+        # boundary.
+        if not variant_files and not deltas:
             raise ValueError(
-                f"no code files for variant={variant} cells={cells} at {self.root}"
+                f"no code files for variant={variant} at {self.root}"
             )
-        df = self._read_code_rows(files, deltas).where(
-            F.col("variant") == variant
-        )
+        files = variant_files
+        if cells is not None:
+            allowed = {f"cell={c}" for c in cells}
+            files = [f for f in files if f[len(prefix):].split("/", 1)[0] in allowed]
+        if not files and not deltas:
+            # cell prune matched nothing and no delta runs are live:
+            # empty frame with the committed schema (one footer read,
+            # F.lit(False) prunes every row group — no data scan)
+            df = self._read_code_rows(variant_files[:1], []).where(
+                F.lit(False)
+            )
+        else:
+            df = self._read_code_rows(files, deltas).where(
+                F.col("variant") == variant
+            )
         if cells is not None:
             df = df.where(F.col("cell").isin([int(c) for c in cells]))
         sel = [
@@ -1268,7 +1303,8 @@ class AnnIndexStore(SnapshotStore):
             delta_rows = base_rows = 0
             if local_root is not None:
                 bounds = self._id_bounds(
-                    delta_files + bucketed, local_root
+                    delta_files + bucketed, local_root,
+                    live_files=man["files"],
                 )
                 counts = [b[2] for b in bounds.values()]
                 if all(n is not None for n in counts):
@@ -1279,16 +1315,33 @@ class AnnIndexStore(SnapshotStore):
                 else:
                     local_root = None  # unreadable footer: Spark fallback
             if local_root is None:
+                # remote roots (hdfs/s3a): the delta count scans O(delta
+                # runs) — batch-sized by the append contract — every
+                # trigger, but base_rows over the ENTIRE bucketed layout
+                # is cached against the file list, which only changes
+                # when a fold/compact/build commit rewrites codes/
+                # (ADVICE r10 #4: this was a per-micro-batch O(index)
+                # count job for an 'O(1) driver-side check')
                 delta_rows = self.spark.read.parquet(
                     *[f"{self.root}/{f}" for f in delta_files]
                 ).count()
-                base_rows = (
-                    self.spark.read.option("basePath", f"{self.root}/codes")
-                    .parquet(*[f"{self.root}/{f}" for f in bucketed])
-                    .count()
-                    if bucketed
-                    else 0
-                )
+                base_key = tuple(sorted(bucketed))
+                if (
+                    self._base_rows_cache is not None
+                    and self._base_rows_cache[0] == base_key
+                ):
+                    base_rows = self._base_rows_cache[1]
+                else:
+                    base_rows = (
+                        self.spark.read.option(
+                            "basePath", f"{self.root}/codes"
+                        )
+                        .parquet(*[f"{self.root}/{f}" for f in bucketed])
+                        .count()
+                        if bucketed
+                        else 0
+                    )
+                    self._base_rows_cache = (base_key, base_rows)
             floor = 2 * self.CODES_DELTA_MAX_VECTORS
             if delta_rows < max(floor, max_fraction * base_rows):
                 return False

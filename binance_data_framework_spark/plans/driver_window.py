@@ -177,15 +177,55 @@ def derive_window(
     )
 
 
+#: persisted carryover sidecar (ADVICE r10 #2): ``force`` is a per-round
+#: caller input (_ROUND_CHANGED is re-authored each round), so a tier-2
+#: forced query spilled to carryover would silently lose its "changed
+#: plan gets a fresh row" guarantee if next round's force list dropped
+#: it. derive_from_repo therefore persists the carryover next to the
+#: evidence files and unions the prior round's entries into the force
+#: set. Within a round this is a fixed point (carryover entries are
+#: already tier<=2, so re-forcing them cannot change the derivation);
+#: across rounds it re-enqueues exactly the deferred set.
+CARRYOVER_FILE = "DRIVER_CARRYOVER.json"
+
+
 def derive_from_repo(
     registered: Sequence[str],
     force: Iterable[str] = (),
     repo_root: str | None = None,
     window: int = WINDOW,
+    persist_carryover: bool = True,
 ) -> DerivedWindow:
     if repo_root is None:
         repo_root = os.path.dirname(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         )
+    carry_path = os.path.join(repo_root, CARRYOVER_FILE)
+    prior: list[str] = []
+    try:
+        with open(carry_path) as fh:
+            prior = [q for q in json.load(fh).get("carryover", [])]
+    except (OSError, json.JSONDecodeError, AttributeError):
+        prior = []
+    # a carryover query may have been unregistered since — drop silently
+    prior = [q for q in prior if q in set(registered)]
     newest, current = read_green_rows(repo_root)
-    return derive_window(registered, newest, current, force=force, window=window)
+    dw = derive_window(
+        registered, newest, current,
+        force=set(force) | set(prior), window=window,
+    )
+    if persist_carryover:
+        payload = {"round": current, "carryover": dw.carryover}
+        try:
+            old = None
+            try:
+                with open(carry_path) as fh:
+                    old = json.load(fh)
+            except (OSError, json.JSONDecodeError):
+                pass
+            if old != payload:
+                with open(carry_path, "w") as fh:
+                    json.dump(payload, fh, indent=1)
+        except OSError:
+            pass  # read-only install: the in-memory union still holds
+    return dw

@@ -664,3 +664,89 @@ def test_code_delta_run_lifecycle(spark, tmp_path, monkeypatch):
     assert st.codes("pq", masked=False).count() == 59
     # trigger is quiet with no runs
     assert st.maybe_fold_code_deltas() is False
+
+
+def test_id_bounds_cache_survives_subset_calls(spark, tmp_path):
+    """ADVICE r10 #1: _id_bounds evicts against the LIVE manifest list,
+    not the per-call subset — in the gate the append probe (pq codes +
+    deltas) and the fold trigger (all codes + deltas) alternate every
+    micro-batch, and per-call eviction made each flush the other's
+    footer entries (O(index) footer re-opens per batch)."""
+    df = _emb(spark)
+    st = AnnIndexStore(spark, str(tmp_path / "idx"))
+    st.build(df.where(F.col("vec_id") < 40), **BUILD)
+    st.append(df.where(F.col("vec_id") >= 40))
+    man = st._snapshot()
+    local_root = st._local_root()
+    assert local_root is not None
+    all_code = [
+        f
+        for f in man["files"]
+        if f.startswith("codes/") or f.startswith("codes_delta/")
+    ]
+    st._id_bounds(all_code, local_root, live_files=man["files"])
+    opq = [f for f in all_code if f.startswith("codes/variant=opq/")]
+    assert opq and all(f in st._id_bounds_cache for f in opq)
+    # the append-probe subset (pq + deltas) must NOT evict opq entries
+    pq_subset = [f for f in all_code if not f.startswith("codes/variant=opq/")]
+    st._id_bounds(pq_subset, local_root, live_files=man["files"])
+    assert all(f in st._id_bounds_cache for f in opq)
+    # but a file live in neither the call nor the manifest IS evicted
+    st._id_bounds_cache["ghost/file.parquet"] = (0, 0, 0)
+    st._id_bounds(pq_subset, local_root, live_files=man["files"])
+    assert "ghost/file.parquet" not in st._id_bounds_cache
+
+
+def test_codes_cell_prune_contract_stable_across_fold(spark, tmp_path,
+                                                      monkeypatch):
+    """ADVICE r10 #3: a cell prune that matches nothing returns an EMPTY
+    frame on both sides of a fold boundary (it used to raise once the
+    delta runs folded away), and an unknown variant raises regardless of
+    maintenance state."""
+    df = _emb(spark)
+    st = AnnIndexStore(spark, str(tmp_path / "idx"))
+    st.build(df.where(F.col("vec_id") < 40), **BUILD)
+    st.append(df.where(F.col("vec_id") >= 40))
+    assert any(
+        f.startswith("codes_delta/") for f in st._snapshot()["files"]
+    )
+    with pytest.raises(ValueError, match="unknown codes variant"):
+        st.codes("xyz")
+    assert st.codes("pq", cells=[999_999]).count() == 0  # deltas live
+    monkeypatch.setattr(AnnIndexStore, "CODES_DELTA_MAX_VECTORS", 1)
+    assert st.maybe_fold_code_deltas() is True
+    assert not any(
+        f.startswith("codes_delta/") for f in st._snapshot()["files"]
+    )
+    out = st.codes("pq", cells=[999_999])  # no deltas: same contract
+    assert out.count() == 0
+    assert "_code" in out.columns
+    with pytest.raises(ValueError, match="unknown codes variant"):
+        st.codes("xyz")
+
+
+def test_remote_root_fold_trigger_caches_base_rows(spark, tmp_path,
+                                                   monkeypatch):
+    """ADVICE r10 #4: on non-local roots the fold trigger's base_rows
+    (a count over the ENTIRE bucketed layout) is cached against the
+    bucketed file list — proven by poisoning the cache with a huge count
+    and observing the trigger trust it (a recount would fold)."""
+    df = _emb(spark)
+    st = AnnIndexStore(spark, str(tmp_path / "idx"))
+    st.build(df.where(F.col("vec_id") < 40), **BUILD)
+    st.append(df.where(F.col("vec_id") >= 40))
+    monkeypatch.setattr(st, "_local_root", lambda: None)  # simulate s3a
+    monkeypatch.setattr(AnnIndexStore, "CODES_DELTA_MAX_VECTORS", 1)
+    man = st._snapshot()
+    key = tuple(sorted(f for f in man["files"] if f.startswith("codes/")))
+    # poisoned cache: base so large the fraction floor can't be met — a
+    # trigger that recounted the layout would see the real ~80 rows and
+    # fold; one that trusts the cache stays quiet
+    st._base_rows_cache = (key, 10**7)
+    assert st.maybe_fold_code_deltas() is False
+    # cache cleared -> recount happens, cache repopulates, fold fires
+    st._base_rows_cache = None
+    assert st.maybe_fold_code_deltas() is True
+    assert not any(
+        f.startswith("codes_delta/") for f in st._snapshot()["files"]
+    )

@@ -236,3 +236,56 @@ def test_derivation_force_and_overflow_semantics():
     assert set(d5.carryover) == {"q110", "q111"}
     assert {"q110", "q111"} <= set(d5.next_head)
     assert not {"q110", "q111"} & set(d5.order)
+
+
+def test_carryover_persists_across_rounds(tmp_path):
+    """ADVICE r10 #2: a forced (tier-2) query spilled to carryover must be
+    re-enqueued next round even though force is a per-round caller input
+    that is re-authored from scratch — derive_from_repo persists the
+    carryover next to the evidence files and unions it into the next
+    derivation's force set."""
+    from binance_data_framework_spark.plans.driver_window import (
+        CARRYOVER_FILE,
+        derive_from_repo,
+    )
+
+    names = [f"q{i:03d}" for i in range(120)]  # bound = ceil(120/50) = 3
+    root = str(tmp_path)
+
+    def _write(rnd, green):
+        with open(os.path.join(root, f"CORRECTNESS_r{rnd}.json"), "w") as fh:
+            json.dump({q: {"hash_match": True} for q in green}, fh)
+
+    # rounds 1-3: 50 queries last green in r1 (age 3 = at-bound in round
+    # 4), the rest green in r3
+    stale = names[:50]
+    _write(1, stale)
+    _write(3, names[50:])
+
+    forced = names[110:115]
+    d = derive_from_repo(names, force=forced, repo_root=root)
+    assert d.current_round == 4
+    # 50 at-bound + 5 forced = 55 mandatory: the forced five spill
+    assert d.carryover == forced
+    assert set(d.order) == set(stale)
+    sidecar = json.load(open(os.path.join(root, CARRYOVER_FILE)))
+    assert sidecar == {"round": 4, "carryover": forced}
+
+    # the driver records round 4 (greens the window), and round 5's force
+    # list is re-authored WITHOUT the deferred five — the sidecar must
+    # still force them into round 5's window
+    _write(4, d.order)
+    d2 = derive_from_repo(names, force=[], repo_root=root)
+    assert d2.current_round == 5
+    for q in forced:
+        assert q in d2.order, f"deferred forced query {q} lost its row"
+        assert d2.tiers[q] == 2
+    # and the sidecar now reflects round 5's (empty) carryover
+    sidecar2 = json.load(open(os.path.join(root, CARRYOVER_FILE)))
+    assert sidecar2 == {"round": 5, "carryover": []}
+
+    # unregistered carryover entries are dropped, not an error
+    with open(os.path.join(root, CARRYOVER_FILE), "w") as fh:
+        json.dump({"round": 5, "carryover": ["gone_query"]}, fh)
+    d3 = derive_from_repo(names, force=[], repo_root=root)
+    assert "gone_query" not in d3.order
