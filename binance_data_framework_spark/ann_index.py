@@ -215,6 +215,15 @@ class AnnIndexStore(SnapshotStore):
         )
 
     # -- build -------------------------------------------------------------
+
+    #: quantizer training points per IVF centroid (the FAISS-class rule of
+    #: thumb: a few hundred points place a centroid; more only slows Lloyd
+    #: down). Training sample cap = max(MIN, PER_CENTROID * n_centroids).
+    TRAIN_SAMPLE_PER_CENTROID = 256
+    #: training sample floor — PQ/OPQ codebooks (m_sub * ksub entries) and
+    #: the OPQ rotation want enough residual mass even at low cell counts
+    TRAIN_SAMPLE_MIN = 65_536
+
     def build(
         self,
         df: DataFrame,
@@ -243,7 +252,13 @@ class AnnIndexStore(SnapshotStore):
 
         One build = IVF k-means + plain-PQ codebooks + OPQ (rotation +
         codebooks) + two vectorized encode passes writing the
-        cell-partitioned code layout + one commit."""
+        cell-partitioned code layout + one commit. Past
+        max(TRAIN_SAMPLE_MIN, TRAIN_SAMPLE_PER_CENTROID * n_centroids)
+        vectors, ALL training runs on a deterministic id-hash sample of
+        that size (S.train_sample) and only the assign/encode passes
+        touch the full corpus — the sub-linear-training story (VERDICT
+        r10 #1); at or below the cap the models are bit-identical to
+        full-corpus training."""
         fp = self._fingerprint(df)
         auto_cells = n_centroids is None
         if n_centroids is None:
@@ -257,6 +272,12 @@ class AnnIndexStore(SnapshotStore):
             # count was derived, and under which occupancy target
             auto_cells=auto_cells,
             target_cell=target_cell,
+            # provenance only (not part of the idempotence identity):
+            # the sampled-training cap this model was fitted under (r11)
+            train_sample_cap=max(
+                self.TRAIN_SAMPLE_MIN,
+                self.TRAIN_SAMPLE_PER_CENTROID * n_centroids,
+            ),
         )
         if not force:
             existing = self.load(validate_against=None)
@@ -274,8 +295,26 @@ class AnnIndexStore(SnapshotStore):
                 return existing
 
         sub_dim = dim // m_sub
+        # Sampled training (VERDICT r10 #1): Lloyd iterations only need
+        # ~TRAIN_SAMPLE_PER_CENTROID points per centroid to place cells /
+        # codebooks — training on the full corpus made build the one ANN
+        # tier whose cost grew with EVERY pass over 100 TB. The sample is
+        # a deterministic id-hash filter (S.train_sample: portable Knuth
+        # mix, no RNG state), materialized ONCE as a sample-sized
+        # checkpoint that all three trainings iterate over; the full
+        # corpus is still assigned + encoded exactly once below. Corpora
+        # at or below the cap train on everything — bit-identical models
+        # to the unsampled path, so fixture indexes, recall certificates
+        # and the oracle rows are untouched.
+        train_df, train_frac = S.train_sample(
+            df, fp[0], params["train_sample_cap"], self.id_col
+        )
+        if train_frac < 1.0:
+            train_df = train_df.select(
+                self.id_col, self.vec_col
+            ).localCheckpoint(eager=False)
         centroids = S.kmeans_fit(
-            df, n_centroids, 3, self.id_col, self.vec_col, dim
+            train_df, n_centroids, 3, self.id_col, self.vec_col, dim
         )
         # _chash = this vector's contribution to the fingerprint's
         # content_sum, stored PER CODE ROW so delete() can subtract exactly
@@ -295,8 +334,29 @@ class AnnIndexStore(SnapshotStore):
             "_chash",
             S._residual_udf(centroids)(F.col("_v"), F.col("_c")).alias("_r"),
         )
-        pq_books = S.pq_train(resid, m_sub, ksub, 2, dim, self.id_col)
-        rotation, opq_books = S.opq_train(resid, m_sub, ksub, 2, 2, dim, self.id_col)
+        if train_frac < 1.0:
+            # sample-sized residual lineage rooted at the sample
+            # checkpoint: the ~10 training actions inside pq/opq iterate
+            # over O(sample) rows instead of re-filtering the full-corpus
+            # checkpoint per action
+            train_resid = train_df.select(
+                self.id_col,
+                F.transform(
+                    F.col(self.vec_col), lambda x: x.cast("double")
+                ).alias("_v"),
+            )
+            train_resid = train_resid.select(
+                self.id_col,
+                S._residual_udf(centroids)(
+                    F.col("_v"), S._assign_udf(centroids)(F.col("_v"))
+                ).alias("_r"),
+            ).localCheckpoint(eager=False)
+        else:
+            train_resid = resid
+        pq_books = S.pq_train(train_resid, m_sub, ksub, 2, dim, self.id_col)
+        rotation, opq_books = S.opq_train(
+            train_resid, m_sub, ksub, 2, 2, dim, self.id_col
+        )
 
         import numpy as np
 

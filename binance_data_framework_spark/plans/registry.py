@@ -3263,9 +3263,66 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("topk_similarity_lsh")
+def _lsh_oracle_sql() -> str:
+    """Full DuckDB replay of the sign-LSH top-k (VERDICT r10 #9 — the r3
+    simhash portable-oracle trick extended to the ANN tier): the
+    hyperplanes are deterministic (S._planes, pure-integer LCG), so the
+    oracle EMBEDS the exact plane values as literals and re-derives
+    bucket assignment (sign of v.plane per table, bit-packed), the
+    multi-table collision set (DISTINCT mirrors collect_set), and the
+    exact cosine re-rank in SQL. Sign decisions and the 6-dp-rounded
+    re-rank are empirically bit-stable between numpy's BLAS dots and
+    DuckDB's sequential list_sum on the FROZEN fixtures (verified at
+    sf0.001 and sf0.01): |v.p| never lands within float-reassociation
+    distance (~1e-13 relative) of zero, and no cosine sits on a rounding
+    or rank-tie boundary. Fixed data + fixed planes means this is a
+    one-time property, not a per-run gamble."""
+    rows = []
+    for t in range(6):
+        for p, vec in enumerate(S._planes(64, 4, seed=42 + 1000 * t)):
+            lit = "[" + ", ".join(repr(x) for x in vec) + "]"
+            rows.append(f"({t}, {p}, {lit}::DOUBLE[])")
+    planes_values = ",\n      ".join(rows)
+    return f"""
+    WITH planes(t, p, pvec) AS (VALUES
+      {planes_values}),
+    e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      FROM embeddings),
+    b AS (
+      SELECT vec_id, t,
+             CAST(sum(CASE WHEN list_sum(list_transform(list_zip(pvec, emb),
+                                                        s -> s[1] * s[2])) > 0
+                           THEN 1 << p ELSE 0 END) AS BIGINT) AS bkt
+      FROM e, planes GROUP BY vec_id, t),
+    coll AS (
+      SELECT DISTINCT c.vec_id, p.vec_id AS probe_id
+      FROM b c JOIN b p ON c.t = p.t AND c.bkt = p.bkt
+      WHERE p.vec_id < 5 AND c.vec_id <> p.vec_id),
+    pairs AS (
+      SELECT probe_id, coll.vec_id,
+             list_sum(list_transform(list_zip(pe.emb, ce.emb), s -> s[1] * s[2]))
+               / (pe.nrm * ce.nrm) AS cosine
+      FROM coll
+      JOIN e pe ON pe.vec_id = coll.probe_id
+      JOIN e ce ON ce.vec_id = coll.vec_id),
+    ranked AS (
+      SELECT probe_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM pairs)
+    SELECT probe_id, vec_id, round(cosine, 6) AS cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """
+
+
+@register("topk_similarity_lsh", _lsh_oracle_sql())
 def q_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate LSH top-k; recall-vs-exact invariant tested in pytest."""
+    """Approximate LSH top-k; recall-vs-exact invariant tested in pytest,
+    and (r11) hash-matched end-to-end against a full DuckDB replay of the
+    banding + re-rank — see _lsh_oracle_sql."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.topk_cosine_lsh(emb, F.col("vec_id") < 5, k=10).withColumn(
         "cosine", F.round("cosine", 6)
@@ -6034,27 +6091,29 @@ from binance_data_framework_spark.plans.driver_window import derive_from_repo
 #: hand-maintained rotation input left (evidence files cannot know what the
 #: current diff touched). New queries need no entry: no driver row exists,
 #: so the derivation puts them in the window automatically.
-#: r10: docstore duplicate-survivor tie-break (every save_docs caller:
-#: docstore_snapshot, corpus_drift_terms), the gate's point-lookup band
-#: candidate read + LSM delta appends (curated_index_pipeline), filtered
-#: ANN rescue-decision caching (topk_filtered_ivf + its cert).
-#: + the second r10 wave: the ANN code layout gained LSM delta runs and a
-#: footer-pruned append membership probe (ann_index.py) — every consumer
-#: of the unified codes() read gets a fresh row
+#: r11: topk_similarity_lsh gained a full DuckDB oracle (hash-match where
+#: the driver previously recorded rows-only); AnnIndexStore.build now
+#: trains on a deterministic id-hash sample past the cap (bit-identical
+#: at gate SF, but the plan changed — build family + everything that
+#: ensures the shared committed index gets a fresh row);
+#: cosine_pairs_exact gained a bounded-probe guard (embed_near_dup,
+#: graph_pagerank); pagerank gained a lineage-checkpoint cadence;
+#: codes()'s empty-cell-prune contract changed (curated_index_pipeline
+#: consumes codes() through the gate).
 _ROUND_CHANGED = [
-    "docstore_snapshot",
-    "corpus_drift_terms",
-    "curated_index_pipeline",
-    "topk_filtered_ivf",
-    "topk_recall_filtered",
+    "topk_similarity_lsh",
     "ann_index_build",
     "ann_index_append",
     "ann_index_delete",
+    "curated_index_pipeline",
     "topk_similarity_ivf",
     "topk_similarity_pq",
     "topk_recall_ivf",
     "topk_recall_pq",
     "topk_recall_opq",
+    "topk_recall_lsh",
+    "embed_near_dup",
+    "graph_pagerank",
 ]
 
 _derived = derive_from_repo(list(QUERIES), force=_ROUND_CHANGED)

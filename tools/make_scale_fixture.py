@@ -108,39 +108,54 @@ def _events_sql(src: str, factor: int) -> str:
 
 
 def _scale_embeddings(src: str, dst: str, factor: int) -> None:
+    """Streams one replica per row group through a ParquetWriter — the
+    all-replicas-in-memory pylist form peaked at ~3 GB per million source
+    rows and could not produce the r11 20M-vector (10x sf100) point."""
     t = pq.read_table(src)
     vec_type = t.schema.field("embedding").type
-    v = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
-    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
-    labels = np.asarray(t["label"].to_pylist())
-    n, dim = v.shape
+    col = t["embedding"].combine_chunks()
+    flat = np.asarray(col.flatten())
+    n = len(col)
+    dim = flat.size // n
+    v = flat.reshape(n, dim).astype(np.float64)
+    ids = np.asarray(t["vec_id"].to_numpy(), dtype=np.int64)
+    labels = t["label"].combine_chunks()
     offset = int(ids.max()) + 1
-    all_ids, all_vecs, all_labels = [], [], []
-    for k in range(factor):
-        if k == 0:
-            vk = v
-        else:
-            rng = np.random.default_rng(42 + k)
-            u = rng.standard_normal(size=(n, dim))
-            u /= np.linalg.norm(u, axis=1, keepdims=True)
-            norms = np.linalg.norm(v, axis=1, keepdims=True)
-            vk = v + 0.6 * norms * u
-        all_ids.append(ids + k * offset)
-        all_vecs.append(vk)
-        all_labels.append(labels)
-    out = pa.table(
-        {
-            "vec_id": pa.array(np.concatenate(all_ids), type=t.schema.field("vec_id").type),
-            "embedding": pa.array(
-                [row for blk in all_vecs for row in blk.astype(np.float32).tolist()],
-                type=vec_type,
-            ),
-            "label": pa.array(
-                np.concatenate(all_labels), type=t.schema.field("label").type
-            ),
-        }
-    )
-    pq.write_table(out, dst)
+    norms = np.linalg.norm(v, axis=1, keepdims=True)
+    writer = pq.ParquetWriter(dst, t.schema)
+    try:
+        for k in range(factor):
+            if k == 0:
+                vk = v
+            else:
+                rng = np.random.default_rng(42 + k)
+                u = rng.standard_normal(size=(n, dim))
+                u /= np.linalg.norm(u, axis=1, keepdims=True)
+                vk = v + 0.6 * norms * u
+            flat32 = pa.array(vk.astype(np.float32).ravel())
+            try:
+                vec_arr = pa.FixedSizeListArray.from_arrays(flat32, dim).cast(
+                    vec_type
+                )
+            except (pa.ArrowInvalid, pa.ArrowNotImplementedError):
+                vec_arr = pa.array(
+                    vk.astype(np.float32).tolist(), type=vec_type
+                )
+            writer.write_table(
+                pa.table(
+                    {
+                        "vec_id": pa.array(
+                            ids + k * offset,
+                            type=t.schema.field("vec_id").type,
+                        ),
+                        "embedding": vec_arr,
+                        "label": labels,
+                    },
+                    schema=t.schema,
+                )
+            )
+    finally:
+        writer.close()
 
 
 def _tpch_sql(src_dir: str, table: str, factor: int) -> str:
