@@ -699,6 +699,16 @@ class AnnIndexStore(SnapshotStore):
         search path reads codes() masked."""
         if purge not in ("auto", "always", "never"):
             raise ValueError(f"append: unknown purge mode {purge!r}")
+        # The delta plan feeds up to five separate ACTIONS below (re-add
+        # check, fingerprint, in-delta dup agg, membership probe, encode +
+        # write) — materialize it ONCE. Without this every action re-runs
+        # the caller's upstream plan, which is NOT batch-sized in general:
+        # the r11 20M-vector ann_ops point measured a fixed 2000-row
+        # append at 85 s because its sort-limit delta plan re-scanned the
+        # 20M-row corpus per action (14.6 s at 2M); with the checkpoint
+        # the op is O(delta plan once + batch work). Bulk-load deltas
+        # spill to disk via the default MEMORY_AND_DISK blocks.
+        delta = delta.localCheckpoint(eager=True)
         tomb0 = self._tombstones_from(self._snapshot())
         if tomb0 is not None:
             if purge == "always":

@@ -684,6 +684,7 @@ def topk_cosine_ivfpq(
         centroids = kmeans_fit(df, n_centroids, 3, id_col, vec_col, dim)
     sub_dim = dim // m_sub
 
+    persisted = coded is not None
     if coded is None:
         base = with_norm(df, vec_col).withColumn(
             "_c", _assign_udf(centroids)(F.col("_v"))
@@ -744,8 +745,31 @@ def topk_cosine_ivfpq(
         .where(F.col("_sr") <= k * refine)
         .select("probe_id", id_col)
     )
-    # exact re-rank: ONLY the shortlist pulls full vectors
-    cand = base.select(id_col, F.col("_v").alias("_cv"), F.col("_norm").alias("_cnorm"))
+    # exact re-rank: ONLY the shortlist pulls full vectors. On the
+    # persisted-index path the corpus scan is GATED by a broadcast
+    # semi-join on the (checkpointed, shortlist-sized) id set BEFORE the
+    # norm projection — with_norm over the un-joined corpus was the one
+    # corpus-sized compute left in this path (r11: the 20M-vector ann_ops
+    # point measured a 5-probe search at 94 s, most of it the interpreted
+    # HOF norm over 20M rows the join then discarded; gated, the re-rank
+    # touches O(k*refine*probes) rows). The in-plan path keeps reading its
+    # corpus checkpoint: the norms there are already materialized.
+    if persisted:
+        short = short.localCheckpoint(eager=False)
+        cand = with_norm(
+            df.join(
+                broadcast(short.select(id_col).distinct()),
+                on=id_col,
+                how="left_semi",
+            ),
+            vec_col,
+        ).select(
+            id_col, F.col("_v").alias("_cv"), F.col("_norm").alias("_cnorm")
+        )
+    else:
+        cand = base.select(
+            id_col, F.col("_v").alias("_cv"), F.col("_norm").alias("_cnorm")
+        )
     dot2 = _pair_dot_udf()
     rer = (
         short.join(cand, on=id_col)

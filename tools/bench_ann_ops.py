@@ -28,6 +28,13 @@ file-count term was small; the 512-cell measurement in PLANS.md r10
 Usage: python tools/bench_ann_ops.py [sf_dir ...] [runs]
 (defaults: /root/testdata/sf0.1 _scratch/sf10, runs=2; points are keyed
 by the sf dir's basename)
+
+The fourth decade (_scratch/sf1000, 20M vectors — r11) needs the same
+env the factor-1000 query tier runs with: SPARK_GRAFT_DRIVER_MEM=64g
+SPARK_GRAFT_SHUFFLE_PARTITIONS=128 — the build's corpus checkpoint
+(~25 GB of encode-side columns) evicts under the 8g default local-mode
+JVM and lazy-checkpoint blocks cannot be recomputed (lineage truncated),
+so tasks die with 'Block rdd_N not found'.
 """
 
 from __future__ import annotations
@@ -163,6 +170,10 @@ def main() -> int:
         "BENCH_SCALING.json",
     )
     doc = json.load(open(path)) if os.path.exists(path) else {}
+    # merge with previously recorded points: a partial rerun (one decade,
+    # e.g. the 20M point under its bigger-JVM env) must not drop the rest
+    prior = doc.get("ann_ops", {}).get("points", {})
+    points = {**prior, **points}
     doc["ann_ops"] = {
         "method": (
             "full index lifecycle against a FRESH root per run, best-of-"
