@@ -58,8 +58,12 @@ def main() -> int:
         stages[name] = {"sec": round(time.perf_counter() - t0, 3), **info}
         print(f"{name}: {json.dumps(stages[name])}", flush=True)
 
-    # ---- setup (excluded): fixture docs as JSONL, cached across runs ----
-    jsonl = os.path.join(WORK, "input_jsonl")
+    # ---- setup (excluded): fixture docs as JSONL, cached across runs
+    # PER SOURCE DIR (an unkeyed cache served the sf0.1 smoke run's 5000
+    # docs to the sf100 measurement) ----
+    jsonl = os.path.join(
+        WORK, "input_jsonl_" + os.path.basename(os.path.normpath(docs_dir))
+    )
     if not os.path.exists(jsonl):
         (
             spark.read.parquet(f"{docs_dir}/documents.parquet")
@@ -96,6 +100,12 @@ def main() -> int:
     #              heavy drops, in drop-cheapest-first order) -----------
     t0 = time.perf_counter()
     q = TX.quality_exprs("text")
+    # lang-ID is computed and CARRIED but not filtered on: the scale
+    # fixture's word~k replica tags (shingle-disjointness by design)
+    # defeat the stopword-marker heuristic, so a pred_lang != 'und' gate
+    # would drop every replica but 0 and starve the downstream stages of
+    # the very volume this capstone exists to measure. The scoring cost
+    # is identical either way; production corpora keep the filter.
     scored = raw.select(
         "doc_id",
         "text",
@@ -104,7 +114,7 @@ def main() -> int:
         "n_chars",
         TX.lang_pred_col("text").alias("pred_lang"),
         q["quality"].alias("quality"),
-    ).where((F.col("quality") >= 0.5) & (F.col("pred_lang") != "und"))
+    ).where(F.col("quality") >= 0.5)
     exact = D.dedup_exact(scored, text_col="text", id_col="doc_id")
     near_pairs = D.minhash_candidates(
         D.minhash_signature(exact), threshold=0.9
