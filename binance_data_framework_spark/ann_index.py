@@ -324,16 +324,20 @@ class AnnIndexStore(SnapshotStore):
             .withColumn("_c", S._assign_udf(centroids)(F.col("_v")))
             .withColumn("_chash", self._content_hash())
         )
-        # referenced by the residual/encode passes for BOTH variants and by
-        # both trainings: one corpus materialization instead of ~5
-        base = base.localCheckpoint(eager=False)
+        # One corpus materialization, placed AFTER the residual projection
+        # (r11): every downstream consumer — both encode passes and (on
+        # at-or-below-cap corpora) both trainings — needs only
+        # (id, cell, norm, chash, residual). Checkpointing BEFORE the
+        # residual (the r10 layout) stored embedding + _v (two full vector
+        # payloads per row, ~2.5x this checkpoint's bytes) and re-ran the
+        # residual UDF on every scan of it.
         resid = base.select(
             self.id_col,
             "_c",
             "_norm",
             "_chash",
             S._residual_udf(centroids)(F.col("_v"), F.col("_c")).alias("_r"),
-        )
+        ).localCheckpoint(eager=False)
         if train_frac < 1.0:
             # sample-sized residual lineage rooted at the sample
             # checkpoint: the ~10 training actions inside pq/opq iterate
