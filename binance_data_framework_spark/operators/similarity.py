@@ -948,6 +948,78 @@ def topk_cosine_filtered_ivfpq(
     return ranked.where(~F.col("probe_id").isin(starved)).unionByName(rescue)
 
 
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 6,
+    dim: int = 64,
+) -> DataFrame:
+    """SemDeDup-style embedding-cluster dedup (r11): vectors whose cosine
+    similarity reaches ``threshold`` are clustered (connected components)
+    and each cluster keeps ONE representative — the min id. Returns one
+    row per RETAINED vector: (id, n_members), n_members = its cluster's
+    size (1 for non-duplicates). This is the embedding-space analogue of
+    dedup_keep_representative: MinHash sees token overlap, this sees
+    paraphrase/translation-grade semantic duplication.
+
+    Scale shape — banded, never all-pairs: candidates come from the
+    multi-table sign-LSH self-join (the knn_self_lsh corpus-vs-itself
+    shape: explode to (table, bucket) keys, equi-join, no broadcast
+    side), the exact-cosine verify runs only on candidate pairs
+    (output-sized at tuned plane counts), and the components step is the
+    contracting min-label propagation (dedup.cluster_min_label —
+    duplicate-graph-sized, O(log D) squarings). Recall is bounded by LSH
+    bucket recall exactly as in topk_cosine_lsh; raise n_tables for
+    higher recall at linear candidate cost.
+
+    The verify cosine uses the sequential `_dot` (bit-reproducible), and
+    the hyperplanes are the deterministic LCG `_planes` — so the WHOLE
+    operator replays in an external engine (the registry oracle embeds
+    the planes and recomputes banding + verify + components in SQL)."""
+    from binance_data_framework_spark.operators.dedup import cluster_min_label
+
+    planes_all = [
+        _planes(dim, n_planes, seed=42 + 1000 * t) for t in range(n_tables)
+    ]
+    base = with_norm(df, vec_col).withColumn(
+        "_tb", _lsh_buckets_udf(planes_all)(F.col("_v"))
+    )
+    # referenced by the candidate join (twice) and both verify sides
+    base = base.localCheckpoint(eager=False)
+    expl = base.select(id_col, F.posexplode("_tb").alias("_t", "_b"))
+    cand = (
+        expl.select(F.col(id_col).alias("id_a"), "_t", "_b")
+        .join(expl.select(F.col(id_col).alias("id_b"), "_t", "_b"), ["_t", "_b"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_v").alias("_va"),
+        F.col("_norm").alias("_na"),
+    )
+    vb = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_v").alias("_vb"),
+        F.col("_norm").alias("_nb"),
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    pairs = (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .where(cos >= F.lit(threshold))
+        .select("id_a", "id_b")
+    )
+    labels = cluster_min_label(pairs, df.select(id_col), id_col)
+    return labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    ).select(F.col("cluster_id").alias(id_col), "n_members")
+
+
 #: cosine_pairs_exact collects the probe side into a driver matrix — that
 #: is only probe-sized if the caller's probe_filter is actually narrow. A
 #: broad filter would silently build an O(probes x dim) driver array, so

@@ -3263,6 +3263,18 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_planes_values(n_tables: int = 6, n_planes: int = 4, dim: int = 64) -> str:
+    """The deterministic sign-LSH hyperplanes (S._planes, pure-integer
+    LCG) as a DuckDB VALUES body — shared by every oracle that replays
+    the banding (topk_similarity_lsh, dedup_semantic)."""
+    rows = []
+    for t in range(n_tables):
+        for p, vec in enumerate(S._planes(dim, n_planes, seed=42 + 1000 * t)):
+            lit = "[" + ", ".join(repr(x) for x in vec) + "]"
+            rows.append(f"({t}, {p}, {lit}::DOUBLE[])")
+    return ",\n      ".join(rows)
+
+
 def _lsh_oracle_sql() -> str:
     """Full DuckDB replay of the sign-LSH top-k (VERDICT r10 #9 — the r3
     simhash portable-oracle trick extended to the ANN tier): the
@@ -3277,12 +3289,7 @@ def _lsh_oracle_sql() -> str:
     distance (~1e-13 relative) of zero, and no cosine sits on a rounding
     or rank-tie boundary. Fixed data + fixed planes means this is a
     one-time property, not a per-run gamble."""
-    rows = []
-    for t in range(6):
-        for p, vec in enumerate(S._planes(64, 4, seed=42 + 1000 * t)):
-            lit = "[" + ", ".join(repr(x) for x in vec) + "]"
-            rows.append(f"({t}, {p}, {lit}::DOUBLE[])")
-    planes_values = ",\n      ".join(rows)
+    planes_values = _lsh_planes_values()
     return f"""
     WITH planes(t, p, pvec) AS (VALUES
       {planes_values}),
@@ -3326,6 +3333,94 @@ def q_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.topk_cosine_lsh(emb, F.col("vec_id") < 5, k=10).withColumn(
         "cosine", F.round("cosine", 6)
+    )
+
+
+def _semantic_dedup_oracle_sql(threshold: float = 0.35) -> str:
+    """Full DuckDB replay of semantic_dedup: embedded planes -> banding ->
+    collision pairs -> exact-cosine verify -> recursive connected
+    components (the dedup_clusters fixpoint formulation) -> one row per
+    retained representative with its cluster size."""
+    return f"""
+    WITH RECURSIVE planes(t, p, pvec) AS (VALUES
+      {_lsh_planes_values()}),
+    e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      FROM embeddings),
+    b AS (
+      SELECT vec_id, t,
+             CAST(sum(CASE WHEN list_sum(list_transform(list_zip(pvec, emb),
+                                                        s -> s[1] * s[2])) > 0
+                           THEN 1 << p ELSE 0 END) AS BIGINT) AS bkt
+      FROM e, planes GROUP BY vec_id, t),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM b a JOIN b c ON a.t = c.t AND a.bkt = c.bkt
+      WHERE a.vec_id < c.vec_id),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM cand
+      JOIN e ea ON ea.vec_id = cand.id_a
+      JOIN e eb ON eb.vec_id = cand.id_b
+      WHERE list_sum(list_transform(list_zip(ea.emb, eb.emb), s -> s[1] * s[2]))
+              / (ea.nrm * eb.nrm) >= {threshold}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM pairs),
+    reach AS (
+      SELECT src, src AS dst FROM (SELECT DISTINCT src FROM edges) n
+      UNION
+      SELECT r.src, g.dst FROM reach r JOIN edges g ON r.dst = g.src),
+    labels AS (SELECT src, min(dst) AS cluster_id FROM reach GROUP BY src),
+    alld AS (
+      SELECT em.vec_id,
+             CAST(coalesce(l.cluster_id, em.vec_id) AS BIGINT) AS cluster_id
+      FROM (SELECT vec_id FROM embeddings) em
+      LEFT JOIN labels l ON l.src = em.vec_id)
+    SELECT cluster_id AS vec_id, CAST(count(*) AS BIGINT) AS n_members
+    FROM alld GROUP BY 1
+    """
+
+
+@register("dedup_semantic", _semantic_dedup_oracle_sql())
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style embedding-cluster dedup (similarity.semantic_dedup,
+    r11): sign-LSH banded candidate pairs (the knn corpus-vs-itself shape
+    — never all-pairs), exact sequential-`_dot` cosine verify at 0.35,
+    contracting min-label connected components, one retained
+    representative (min id) per cluster with its size. The embedding
+    analogue of dedup_keep_representative; hash-matched end-to-end
+    against a DuckDB replay (embedded planes + recursive-reachability
+    components — the dedup_clusters adjudication applied to the
+    embedding tier)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.semantic_dedup(emb, threshold=0.35)
+
+
+@register(
+    "multimodal_dedup_bytes",
+    """
+    SELECT sha256(text) AS digest,
+           CAST(min(doc_id) AS BIGINT) AS blob_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def q_multimodal_dedup_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-exact multimodal dedup (r11): group the opaque binary payload
+    column by its sha-256 digest, keep the lowest blob_id per distinct
+    payload with the copy count — the image/audio analogue of
+    dedup_exact (crawled media dedupes on bytes before any decode). One
+    hash-partitioned aggregate over (digest), no payload shuffle beyond
+    the digest's 32 bytes + min/count partials; the digest computes in
+    JVM codegen (F.sha2), no Python. Oracle: DuckDB sha256 over the same
+    payload bytes (the multimodal_features digest-parity trick)."""
+    blobs = _doc_blobs(spark, sf_dir)
+    return blobs.groupBy(F.sha2(F.col("data"), 256).alias("digest")).agg(
+        F.min("blob_id").cast("long").alias("blob_id"),
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
     )
 
 

@@ -1094,3 +1094,22 @@ def test_pagerank_deep_iteration_bounded_plan(spark):
     assert max(abs(ranks[k] - ranks21[k]) for k in ranks) < 1e-4
     # analysis cost stays bounded (pre-fix: minutes of quadratic plan work)
     assert elapsed < 120, f"n_iter=20 took {elapsed:.0f}s — lineage unbounded?"
+
+
+def test_semantic_dedup_invariants(spark, sf_dir):
+    """r11 SemDeDup operator: output is one representative per cluster —
+    representatives are unique, cluster sizes partition the corpus, and a
+    planted exact duplicate (cosine 1.0, same LSH buckets in every table)
+    always collapses onto the original's cluster."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    out = S.semantic_dedup(emb, threshold=0.35).toPandas()
+    assert out["vec_id"].is_unique
+    assert int(out["n_members"].sum()) == n
+    assert (out["n_members"] >= 1).all()
+    dup = emb.where(F.col("vec_id") == 0).withColumn(
+        "vec_id", F.lit(10_000_000)
+    )
+    out2 = S.semantic_dedup(emb.unionByName(dup), threshold=0.35)
+    ids = {r["vec_id"] for r in out2.select("vec_id").collect()}
+    assert 0 in ids and 10_000_000 not in ids
