@@ -948,6 +948,96 @@ def topk_cosine_filtered_ivfpq(
     return ranked.where(~F.col("probe_id").isin(starved)).unionByName(rescue)
 
 
+def mmr_diversify(
+    df: DataFrame,
+    probe_filter: Column,
+    k: int = 10,
+    m: int = 5,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking of the exact top-k (r11):
+    from each probe's k nearest neighbors, greedily select m results
+    balancing relevance against redundancy —
+    score(c) = lam * rel(c) - (1 - lam) * max_{s in selected} sim(c, s),
+    ties broken by id. The standard retrieval-diversity step (Carbonell
+    & Goldstein 1998) between vector search and a RAG/labeling consumer:
+    top-k alone returns near-duplicate clusters, MMR spends the m slots
+    on distinct regions.
+
+    Scale shape: the shortlist is k rows per probe (bounded); the greedy
+    loop runs per probe inside ONE applyInPandas over shortlist-sized
+    input — O(m * k * dim) Python work per probe, never corpus-touching.
+    The candidate-candidate similarities use a SEQUENTIAL left-to-right
+    float64 dot (bounded work), so every score is bit-identical to an
+    external SQL replay — the registry oracle unrolls the m greedy steps
+    as plain SQL and hash-matches end-to-end.
+
+    Returns (probe_id, id, mmr_rank, relevance, mmr_score); mmr_score of
+    the first pick is lam * rel (maxsim = 0)."""
+    import pandas as pd
+
+    top = topk_cosine(df, probe_filter, k=k, id_col=id_col, vec_col=vec_col)
+    base = df.select(
+        F.col(id_col).alias("_cid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_cv"),
+    )
+    short = top.join(base, top[id_col] == base["_cid"]).select(
+        "probe_id", id_col, "cosine", "_cv"
+    )
+
+    out_schema = (
+        f"probe_id long, {id_col} long, mmr_rank long, "
+        f"relevance double, mmr_score double"
+    )
+
+    def _seq_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        cands = [
+            (
+                int(r[id_col]),
+                float(r["cosine"]),
+                [float(x) for x in r["_cv"]],
+            )
+            for r in pdf.sort_values(id_col).to_dict("records")
+        ]
+        norms = {c[0]: math.sqrt(_seq_dot(c[2], c[2])) for c in cands}
+        probe = int(pdf["probe_id"].iloc[0])
+        selected: list[tuple] = []
+        rows = []
+        for step in range(min(m, len(cands))):
+            best = None
+            for cid, rel, vec in cands:
+                if any(s[0] == cid for s in selected):
+                    continue
+                maxsim = 0.0
+                for sid, _srel, svec in selected:
+                    sim = _seq_dot(vec, svec) / (norms[cid] * norms[sid])
+                    if sim > maxsim:
+                        maxsim = sim
+                score = lam * rel - (1.0 - lam) * maxsim
+                if best is None or score > best[0] or (
+                    score == best[0] and cid < best[1]
+                ):
+                    best = (score, cid, rel, vec)
+            selected.append((best[1], best[2], best[3]))
+            rows.append((probe, best[1], step + 1, best[2], best[0]))
+        return pd.DataFrame(
+            rows,
+            columns=["probe_id", id_col, "mmr_rank", "relevance", "mmr_score"],
+        )
+
+    return short.groupBy("probe_id").applyInPandas(greedy, out_schema)
+
+
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.5,

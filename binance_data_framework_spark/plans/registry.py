@@ -3336,6 +3336,92 @@ def q_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mmr_oracle_sql(k: int = 10, m: int = 5, lam: float = 0.7) -> str:
+    """Full DuckDB replay of mmr_diversify: the m greedy steps UNROLLED as
+    plain SQL (m is a fixed parameter, so no recursion is needed — each
+    step is one window argmax over the shortlist with the accumulated
+    max-similarity penalty). Every float op mirrors the operator exactly:
+    relevance is the exact-top-k cosine, candidate-candidate sims are the
+    same left-to-right list_sum fold over the same doubles, the penalty
+    is greatest(0, sims), and the coefficient literals are repr()'d so
+    1-lam is the identical IEEE double on both sides."""
+    la, lb = repr(lam), repr(1.0 - lam)
+    parts = [
+        f"WITH {_TOPK_EXACT_CTE},",
+        f"""
+    short AS (
+      SELECT r.probe_id, r.vec_id, r.cosine, e.emb, e.nrm
+      FROM ranked r JOIN e ON e.vec_id = r.vec_id
+      WHERE r.rank <= {k}),
+    s1 AS (
+      SELECT probe_id, vec_id, cosine, emb, nrm, {la} * cosine AS score
+      FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                      ORDER BY {la} * cosine DESC, vec_id) AS rn
+            FROM short)
+      WHERE rn = 1),""",
+    ]
+    for i in range(2, m + 1):
+        sims = ", ".join(
+            f"list_sum(list_transform(list_zip(c.emb, s{j}.emb),"
+            f" s -> s[1] * s[2])) / (c.nrm * s{j}.nrm)"
+            for j in range(1, i)
+        )
+        joins = " ".join(
+            f"JOIN s{j} ON s{j}.probe_id = c.probe_id" for j in range(1, i)
+        )
+        notin = " AND ".join(f"c.vec_id <> s{j}.vec_id" for j in range(1, i))
+        parts.append(
+            f"""
+    c{i} AS (
+      SELECT c.probe_id, c.vec_id, c.cosine, c.emb, c.nrm,
+             {la} * c.cosine - {lb} * greatest(0.0, {sims}) AS score
+      FROM short c {joins}
+      WHERE {notin}),
+    s{i} AS (
+      SELECT probe_id, vec_id, cosine, emb, nrm, score
+      FROM (SELECT *, row_number() OVER (PARTITION BY probe_id
+                      ORDER BY score DESC, vec_id) AS rn
+            FROM c{i})
+      WHERE rn = 1),""",
+        )
+    union = "\n      UNION ALL\n      ".join(
+        f"SELECT probe_id, vec_id, CAST({i} AS BIGINT) AS mmr_rank,"
+        f" cosine AS relevance, score AS mmr_score FROM s{i}"
+        for i in range(1, m + 1)
+    )
+    parts.append(
+        f"""
+    allsel AS (
+      {union})
+    SELECT probe_id, vec_id, mmr_rank,
+           round(relevance, 6) AS relevance, round(mmr_score, 6) AS mmr_score
+    FROM allsel"""
+    )
+    return "".join(parts)
+
+
+@register("mmr_diversify", _mmr_oracle_sql())
+def q_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversity re-ranking of the exact top-k
+    (similarity.mmr_diversify, r11): per probe, 5 of the 10 nearest
+    neighbors selected greedily by lam*relevance minus (1-lam)*max
+    similarity to already-selected results — the retrieval-diversity
+    step between vector search and a RAG consumer. The greedy loop runs
+    per probe in one applyInPandas over the shortlist (bounded
+    O(m*k*dim) per probe, sequential float64 dots), and the oracle
+    unrolls the same five steps as plain SQL — hash-matched end to
+    end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.mmr_diversify(emb, F.col("vec_id") < 5, k=10, m=5, lam=0.7)
+    return out.select(
+        "probe_id",
+        "vec_id",
+        "mmr_rank",
+        F.round("relevance", 6).alias("relevance"),
+        F.round("mmr_score", 6).alias("mmr_score"),
+    )
+
+
 def _semantic_dedup_oracle_sql(threshold: float = 0.35) -> str:
     """Full DuckDB replay of semantic_dedup: embedded planes -> banding ->
     collision pairs -> exact-cosine verify -> recursive connected

@@ -834,3 +834,77 @@ def test_sampled_build_deterministic_and_encodes_full_corpus(
         coded=st.codes("pq"),
     )
     assert hits.groupBy("probe_id").count().count() == 3
+
+
+def test_stream_ann_serve_matches_batch_and_hot_reloads(spark, tmp_path):
+    """r11 streaming serving leg: (a) per-batch results over the probe
+    stream are row-identical to the batch committed-index search for the
+    same probes; (b) an index APPEND landing between micro-batches is
+    served from the next reload on (results stamped with the new
+    version); (c) replayed determinism is implied by (a) — the search
+    reads one pinned snapshot per batch."""
+    import pandas as pd
+
+    from binance_data_framework_spark.streaming.ann_serve import (
+        serve_batch,
+        stream_ann_serve,
+    )
+
+    df = _emb(spark, n=50)
+    st = AnnIndexStore(spark, str(tmp_path / "idx"))
+    idx = st.build(df, **BUILD)
+
+    # external probes: fresh ids, vectors copied from corpus rows 0-2
+    probe_rows = [
+        (1000 + r["vec_id"], list(r["embedding"]))
+        for r in df.where(F.col("vec_id") < 3).collect()
+    ]
+    src = tmp_path / "probes"
+    src.mkdir()
+    pdf = pd.DataFrame(probe_rows, columns=["vec_id", "embedding"])
+    pdf.to_parquet(f"{src}/batch0.parquet", index=False)
+
+    probes = spark.readStream.schema(
+        "vec_id bigint, embedding array<double>"
+    ).parquet(str(src))
+    results = str(tmp_path / "results")
+    q = stream_ann_serve(
+        probes, st, df, results, str(tmp_path / "ckpt"), k=5
+    )
+    q.awaitTermination(180)
+
+    got = spark.read.parquet(results)
+    batch_probes = spark.createDataFrame(
+        probe_rows, "vec_id bigint, embedding array<double>"
+    )
+    want = serve_batch(batch_probes, st, idx, df, k=5)
+    g = {
+        (r["probe_id"], r["vec_id"], round(r["cosine"], 9), r["rank"])
+        for r in got.select("probe_id", "vec_id", "cosine", "rank").collect()
+    }
+    w = {
+        (r["probe_id"], r["vec_id"], round(r["cosine"], 9), r["rank"])
+        for r in want.collect()
+    }
+    assert g == w and g
+    assert {r["index_version"] for r in got.select("index_version").collect()} == {
+        idx.version
+    }
+
+    # hot reload: append new vectors, stream a second batch, new version
+    delta = _emb(spark, n=5, offset=7).select(
+        (F.col("vec_id") + 500).alias("vec_id"), "embedding"
+    )
+    idx2 = st.append(delta)
+    assert idx2.version > idx.version
+    pdf.to_parquet(f"{src}/batch1.parquet", index=False)
+    q2 = stream_ann_serve(
+        probes, st, df.unionByName(delta), results,
+        str(tmp_path / "ckpt"), k=5,
+    )
+    q2.awaitTermination(180)
+    versions = {
+        r["index_version"]
+        for r in spark.read.parquet(results).select("index_version").collect()
+    }
+    assert versions == {idx.version, idx2.version}

@@ -1113,3 +1113,40 @@ def test_semantic_dedup_invariants(spark, sf_dir):
     out2 = S.semantic_dedup(emb.unionByName(dup), threshold=0.35)
     ids = {r["vec_id"] for r in out2.select("vec_id").collect()}
     assert 0 in ids and 10_000_000 not in ids
+
+
+def test_mmr_diversify_invariants(spark, sf_dir):
+    """r11 MMR: selected ids are a subset of the exact top-k, ranks are
+    1..m, the first pick is the relevance argmax, and planting an exact
+    duplicate of the top hit demotes it below a diverse pick (the whole
+    point — plain top-m would return both copies back to back)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = F.col("vec_id") == 3
+    top = {
+        r["vec_id"]: r
+        for r in S.topk_cosine(emb, probe, k=10).collect()
+    }
+    out = S.mmr_diversify(emb, probe, k=10, m=5, lam=0.7).collect()
+    assert [r["mmr_rank"] for r in sorted(out, key=lambda r: r["mmr_rank"])] == [
+        1, 2, 3, 4, 5,
+    ]
+    assert all(r["vec_id"] in top for r in out)
+    first = min(out, key=lambda r: r["mmr_rank"])
+    best_rel = min(
+        (r for r in top.values() if r["rank"] == 1), key=lambda r: r["vec_id"]
+    )
+    assert first["vec_id"] == best_rel["vec_id"]
+
+    # plant an exact copy of the top hit under a new id: relevance-only
+    # ranking would select both copies at ranks 1-2; MMR must not
+    dup = emb.where(F.col("vec_id") == best_rel["vec_id"]).withColumn(
+        "vec_id", F.lit(20_000_000)
+    )
+    out2 = sorted(
+        S.mmr_diversify(emb.unionByName(dup), probe, k=10, m=5, lam=0.7).collect(),
+        key=lambda r: r["mmr_rank"],
+    )
+    picked = [r["vec_id"] for r in out2]
+    assert not (
+        {best_rel["vec_id"], 20_000_000} <= set(picked[:2])
+    ), "MMR returned the duplicate pair back to back"

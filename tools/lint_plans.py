@@ -63,6 +63,10 @@ BNLJ_OK = {
     # is topk_filtered_ivf — equi-join, not allowlisted)
     "topk_filtered",
     "topk_recall_filtered",  # runs the exact filtered baseline above
+    # MMR re-ranks the exact top-k shortlist: its relevance stage IS
+    # topk_similarity's broadcast-probe x corpus nested loop; the greedy
+    # selection itself is shortlist-sized applyInPandas (r11)
+    "mmr_diversify",
     # embed_near_dup / graph_pagerank moved OFF the nested-loop form in r6
     # (BLAS-screen + certify kernel) — deliberately not allowlisted so a
     # regression back to BNLJ is caught
