@@ -1043,9 +1043,10 @@ def semantic_dedup(
     threshold: float = 0.5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 4,
+    n_planes: int | None = None,
     n_tables: int = 6,
     dim: int = 64,
+    target_bucket: int = 250,
 ) -> DataFrame:
     """SemDeDup-style embedding-cluster dedup (r11): vectors whose cosine
     similarity reaches ``threshold`` are clustered (connected components)
@@ -1065,28 +1066,81 @@ def semantic_dedup(
     bucket recall exactly as in topk_cosine_lsh; raise n_tables for
     higher recall at linear candidate cost.
 
+    n_planes=None (the default) derives the plane count from the corpus
+    size (auto_planes — the same rule that keeps knn_self_lsh's
+    candidate volume ~linear): a FIXED plane count certified at one
+    scale makes per-table candidates n * n / 2^planes quadratic at the
+    next. The one count() action is model-sized orchestration. Pass an
+    explicit value to pin a certified setting (the registry oracle pins
+    4: its embedded-plane SQL replay needs a static plane set).
+
     The verify cosine uses the sequential `_dot` (bit-reproducible), and
     the hyperplanes are the deterministic LCG `_planes` — so the WHOLE
     operator replays in an external engine (the registry oracle embeds
     the planes and recomputes banding + verify + components in SQL)."""
     from binance_data_framework_spark.operators.dedup import cluster_min_label
 
+    if n_planes is None:
+        n_planes = auto_planes(df.count(), target_bucket)
     planes_all = [
         _planes(dim, n_planes, seed=42 + 1000 * t) for t in range(n_tables)
     ]
     base = with_norm(df, vec_col).withColumn(
         "_tb", _lsh_buckets_udf(planes_all)(F.col("_v"))
     )
-    # referenced by the candidate join (twice) and both verify sides
+    # referenced by the screen (exploded) and both certify sides
     base = base.localCheckpoint(eager=False)
-    expl = base.select(id_col, F.posexplode("_tb").alias("_t", "_b"))
+    expl = base.select(
+        id_col, "_v", "_norm", F.posexplode("_tb").alias("_t", "_b")
+    )
+
+    # Per-bucket BLAS SCREEN (the knn_self_lsh blocked kernel crossed
+    # with cosine_pairs_exact's screen+certify): each (table, bucket)
+    # group is scored as chunked matmuls and emits only the (id_a, id_b)
+    # pairs whose BLAS cosine clears threshold - margin — a strict
+    # superset of the true pair set (the margin dominates BLAS-vs-
+    # sequential float reassociation, ~1e-13 at these dims). Vectors
+    # cross the wire once per table; the first formulation joined full
+    # vectors onto every CANDIDATE pair and measured 316 s / ~120 GB of
+    # pair-vector shuffle at 200k vectors — the screen emits bare id
+    # pairs, output-sized plus boundary slack.
+    floor = threshold - 1e-6
+
+    def _bucket_screen(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        pdf = pdf.sort_values(id_col, kind="mergesort")
+        ids = pdf[id_col].to_numpy()
+        M = np.vstack(pdf["_v"].to_numpy())
+        nr = pdf["_norm"].to_numpy()
+        out_a, out_b = [], []
+        chunk = 256
+        for lo in range(0, len(ids), chunk):
+            hi = min(lo + chunk, len(ids))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                Cb = (M[lo:hi] @ M.T) / (nr[lo:hi, None] * nr[None, :])
+            keep = (Cb >= floor) & (ids[lo:hi, None] < ids[None, :])
+            bi, bj = np.nonzero(keep)
+            if len(bi):
+                out_a.append(ids[lo:hi][bi])
+                out_b.append(ids[bj])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+
+    id_type = df.schema[id_col].dataType.simpleString()
     cand = (
-        expl.select(F.col(id_col).alias("id_a"), "_t", "_b")
-        .join(expl.select(F.col(id_col).alias("id_b"), "_t", "_b"), ["_t", "_b"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        expl.groupBy("_t", "_b")
+        .applyInPandas(_bucket_screen, f"id_a {id_type}, id_b {id_type}")
         .distinct()
     )
+
+    # CERTIFY: survivors (output-sized) join their vectors back; the
+    # final >= threshold decision is the sequential left-to-right `_dot`
+    # — bit-identical to the oracle's list_sum fold, so the screen's
+    # reduction order never decides membership.
     va = base.select(
         F.col(id_col).alias("id_a"),
         F.col("_v").alias("_va"),

@@ -3482,7 +3482,9 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     components — the dedup_clusters adjudication applied to the
     embedding tier)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.semantic_dedup(emb, threshold=0.35)
+    # planes PINNED at 4 — the oracle's embedded-plane replay needs a
+    # static plane set; production callers take the auto_planes default
+    return S.semantic_dedup(emb, threshold=0.35, n_planes=4)
 
 
 @register(

@@ -58,6 +58,13 @@ HEAVY = [
     "decontaminate_neardup",
     "topk_filtered_ivf",
     "corpus_drift_terms",
+    # r11 addition: MMR re-rank (fixed probe set, shortlist-bounded
+    # greedy — expected ~flat beyond the top-k scan). dedup_semantic is
+    # deliberately NOT here: the registry form pins 4 planes for its
+    # embedded-plane oracle, which is quadratic-by-design beyond fixture
+    # scale — the scale-correct auto_planes form is measured separately
+    # (PLANS.md r11).
+    "mmr_diversify",
 ]
 
 
