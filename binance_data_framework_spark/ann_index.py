@@ -1008,6 +1008,7 @@ class AnnIndexStore(SnapshotStore):
         variant: str = "opq",
         cells: list[int] | None = None,
         masked: bool = True,
+        version: int | None = None,
     ) -> DataFrame:
         """The persisted code layout of the latest snapshot, optionally
         pruned to the given IVF cells. The prune is PHYSICAL: the committed
@@ -1020,10 +1021,20 @@ class AnnIndexStore(SnapshotStore):
         every search path automatically stops returning deleted vectors
         the moment a delete() commits — purge is a cost optimization, not
         a correctness requirement. ``masked=False`` is the maintenance
-        view (purge, audits of the physical layout)."""
+        view (purge, audits of the physical layout).
+
+        ``version`` (default latest) pins the read to one committed
+        manifest version — a searcher holding an AnnIndex handle passes
+        ``version=idx.version`` so the codes it decodes were written by
+        the SAME model snapshot as the centroids/codebooks it decodes
+        them with (a rebuild committing between load() and codes() must
+        not mix new codes with stale books — ADVICE r11 #1). The vacuum
+        retention window (two snapshots) bounds how stale a pinned
+        handle may be; a handle older than that raises on the manifest
+        read, which is the correct 'reload and retry' signal."""
         if variant not in ("pq", "opq"):
             raise ValueError(f"unknown codes variant {variant!r}")
-        man = self._snapshot()
+        man = self._snapshot() if version is None else self._resolve(int(version))
         if not man:
             raise ValueError(f"AnnIndexStore at {self.root} is empty")
         prefix = f"codes/variant={variant}/"

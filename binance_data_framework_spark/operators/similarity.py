@@ -987,8 +987,11 @@ def mmr_diversify(
         "probe_id", id_col, "cosine", "_cv"
     )
 
+    # derive the id type from the input schema (ADVICE r11: a non-bigint
+    # id column must not be silently cast through a hardcoded 'long')
+    id_type = df.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"probe_id long, {id_col} long, mmr_rank long, "
+        f"probe_id {id_type}, {id_col} {id_type}, mmr_rank long, "
         f"relevance double, mmr_score double"
     )
 
@@ -1003,14 +1006,14 @@ def mmr_diversify(
 
         cands = [
             (
-                int(r[id_col]),
+                r[id_col],
                 float(r["cosine"]),
                 [float(x) for x in r["_cv"]],
             )
             for r in pdf.sort_values(id_col).to_dict("records")
         ]
         norms = {c[0]: math.sqrt(_seq_dot(c[2], c[2])) for c in cands}
-        probe = int(pdf["probe_id"].iloc[0])
+        probe = pdf["probe_id"].iloc[0]
         selected: list[tuple] = []
         rows = []
         for step in range(min(m, len(cands))):
@@ -1020,7 +1023,11 @@ def mmr_diversify(
                     continue
                 maxsim = 0.0
                 for sid, _srel, svec in selected:
-                    sim = _seq_dot(vec, svec) / (norms[cid] * norms[sid])
+                    # zero-norm vectors get similarity 0.0 (ADVICE r11:
+                    # match the NULL/NaN-tolerant SQL cosine paths instead
+                    # of raising ZeroDivisionError mid-greedy-loop)
+                    denom = norms[cid] * norms[sid]
+                    sim = _seq_dot(vec, svec) / denom if denom else 0.0
                     if sim > maxsim:
                         maxsim = sim
                 score = lam * rel - (1.0 - lam) * maxsim

@@ -183,9 +183,16 @@ def derive_window(
 #: plan gets a fresh row" guarantee if next round's force list dropped
 #: it. derive_from_repo therefore persists the carryover next to the
 #: evidence files and unions the prior round's entries into the force
-#: set. Within a round this is a fixed point (carryover entries are
-#: already tier<=2, so re-forcing them cannot change the derivation);
-#: across rounds it re-enqueues exactly the deferred set.
+#: set.
+#:
+#: Round-idempotence (ADVICE r11 #2): the sidecar is stamped with the
+#: round it was rolled forward FOR, and carries the full force union
+#: that roll-forward used. Any later process in the SAME round (pytest
+#: import, the driver, a bench run — import order is arbitrary) replays
+#: that stored union instead of re-consuming a prior-round carryover
+#: that is no longer there, so every process in a round derives the
+#: identical window. The file is rewritten only when its payload
+#: actually changes — i.e. once per round boundary, not on every import.
 CARRYOVER_FILE = "DRIVER_CARRYOVER.json"
 
 
@@ -201,29 +208,40 @@ def derive_from_repo(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         )
     carry_path = os.path.join(repo_root, CARRYOVER_FILE)
-    prior: list[str] = []
+    stored: dict = {}
     try:
         with open(carry_path) as fh:
-            prior = [q for q in json.load(fh).get("carryover", [])]
-    except (OSError, json.JSONDecodeError, AttributeError):
-        prior = []
-    # a carryover query may have been unregistered since — drop silently
-    prior = [q for q in prior if q in set(registered)]
+            stored = json.load(fh) or {}
+    except (OSError, json.JSONDecodeError):
+        stored = {}
+    if not isinstance(stored, dict):
+        stored = {}
     newest, current = read_green_rows(repo_root)
+    reg = set(registered)
+    if stored.get("round") == current:
+        # same round, already rolled forward by an earlier process: replay
+        # the exact force union that process used (never re-read the
+        # consumed prior-round carryover — it was folded into "forced")
+        prior = [q for q in stored.get("forced", []) if q in reg]
+    elif stored.get("round") == current - 1:
+        # deferrals produced by last round: re-enqueue them this round
+        prior = [q for q in stored.get("carryover", []) if q in reg]
+    else:
+        # stale (missed rounds) or absent sidecar: nothing to replay —
+        # past-bound queries are tier 1 by age anyway
+        prior = []
+    full_force = sorted(set(force) | set(prior))
     dw = derive_window(
-        registered, newest, current,
-        force=set(force) | set(prior), window=window,
+        registered, newest, current, force=full_force, window=window
     )
     if persist_carryover:
-        payload = {"round": current, "carryover": dw.carryover}
+        payload = {
+            "round": current,
+            "carryover": dw.carryover,
+            "forced": full_force,
+        }
         try:
-            old = None
-            try:
-                with open(carry_path) as fh:
-                    old = json.load(fh)
-            except (OSError, json.JSONDecodeError):
-                pass
-            if old != payload:
+            if stored != payload:
                 with open(carry_path, "w") as fh:
                     json.dump(payload, fh, indent=1)
         except OSError:

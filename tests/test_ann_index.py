@@ -908,3 +908,80 @@ def test_stream_ann_serve_matches_batch_and_hot_reloads(spark, tmp_path):
         for r in spark.read.parquet(results).select("index_version").collect()
     }
     assert versions == {idx.version, idx2.version}
+
+    # replay idempotence (ADVICE r11 #5): wipe the checkpoint so BOTH
+    # batches reprocess against the same results dir — dynamic partition
+    # overwrite must REPLACE each batch's partition, never duplicate it
+    import shutil
+
+    before = spark.read.parquet(results).count()
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    q3 = stream_ann_serve(
+        probes, st, df.unionByName(delta), results,
+        str(tmp_path / "ckpt"), k=5,
+    )
+    q3.awaitTermination(180)
+    after = spark.read.parquet(results)
+    assert after.count() == before
+    dupes = (
+        after.groupBy("batch_id", "probe_id", "rank")
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert dupes == 0
+
+
+def test_serve_probe_cap_raises(spark, tmp_path, monkeypatch):
+    """VERDICT r11 #1: an unbounded micro-batch must hit SERVE_PROBE_MAX
+    instead of silently building an O(probes x dim) driver matrix — the
+    same bounded-collect contract as PAIRS_PROBE_MAX / the append cap."""
+    from binance_data_framework_spark.streaming import ann_serve as AS
+
+    df = _emb(spark, n=30)
+    st = AnnIndexStore(spark, str(tmp_path / "idx"))
+    idx = st.build(df, **BUILD)
+    probes = spark.createDataFrame(
+        [(1000 + i, [float(j) for j in range(DIM)]) for i in range(6)],
+        "vec_id bigint, embedding array<double>",
+    )
+    monkeypatch.setattr(AS, "SERVE_PROBE_MAX", 5)
+    with pytest.raises(ValueError, match="SERVE_PROBE_MAX"):
+        AS.serve_batch(probes, st, idx, df, k=3)
+    # exactly at the cap: serves normally
+    monkeypatch.setattr(AS, "SERVE_PROBE_MAX", 6)
+    out = AS.serve_batch(probes, st, idx, df, k=3)
+    assert out.groupBy("probe_id").count().count() == 6
+
+
+def test_serve_batch_reads_version_consistent_codes(spark, tmp_path):
+    """ADVICE r11 #1: a rebuild committing between load() and the batch's
+    code read must NOT mix new codes with the stale handle's codebooks —
+    serve_batch pins codes() to the handle's manifest version, so a stale
+    handle serves the consistent OLD snapshot (same rows as before the
+    rebuild)."""
+    from binance_data_framework_spark.streaming.ann_serve import serve_batch
+
+    df = _emb(spark, n=40)
+    st = AnnIndexStore(spark, str(tmp_path / "idx"))
+    idx_v1 = st.build(df, **BUILD)
+    probes = spark.createDataFrame(
+        [
+            (1000 + r["vec_id"], list(r["embedding"]))
+            for r in df.where(F.col("vec_id") < 2).collect()
+        ],
+        "vec_id bigint, embedding array<double>",
+    )
+    want = {
+        (r["probe_id"], r["vec_id"], round(r["cosine"], 9), r["rank"])
+        for r in serve_batch(probes, st, idx_v1, df, k=4).collect()
+    }
+    # a DIFFERENT corpus rebuild commits while the old handle is held
+    df2 = _emb(spark, n=40, offset=13)
+    idx_v2 = st.build(df2, force=True, **BUILD)
+    assert idx_v2.version > idx_v1.version
+    got = {
+        (r["probe_id"], r["vec_id"], round(r["cosine"], 9), r["rank"])
+        for r in serve_batch(probes, st, idx_v1, df, k=4).collect()
+    }
+    assert got == want and got

@@ -269,7 +269,9 @@ def test_carryover_persists_across_rounds(tmp_path):
     assert d.carryover == forced
     assert set(d.order) == set(stale)
     sidecar = json.load(open(os.path.join(root, CARRYOVER_FILE)))
-    assert sidecar == {"round": 4, "carryover": forced}
+    assert sidecar == {
+        "round": 4, "carryover": forced, "forced": sorted(forced)
+    }
 
     # the driver records round 4 (greens the window), and round 5's force
     # list is re-authored WITHOUT the deferred five — the sidecar must
@@ -280,12 +282,33 @@ def test_carryover_persists_across_rounds(tmp_path):
     for q in forced:
         assert q in d2.order, f"deferred forced query {q} lost its row"
         assert d2.tiers[q] == 2
-    # and the sidecar now reflects round 5's (empty) carryover
+    # and the sidecar now reflects round 5's (empty) carryover, plus the
+    # force union that produced round 5's window
     sidecar2 = json.load(open(os.path.join(root, CARRYOVER_FILE)))
-    assert sidecar2 == {"round": 5, "carryover": []}
+    assert sidecar2 == {
+        "round": 5, "carryover": [], "forced": sorted(forced)
+    }
+
+    # ADVICE r11 #2: a SECOND derivation in the same round (different
+    # process, arbitrary import order) must produce the identical window —
+    # the first call consumed the prior-round carryover, so the replay
+    # comes from the sidecar's stored force union, not the (now gone)
+    # carryover entry. The sidecar payload is unchanged, so no rewrite.
+    mtime = os.path.getmtime(os.path.join(root, CARRYOVER_FILE))
+    d2b = derive_from_repo(names, force=[], repo_root=root)
+    assert d2b.order == d2.order
+    for q in forced:
+        assert q in d2b.order and d2b.tiers[q] == 2
+    assert os.path.getmtime(os.path.join(root, CARRYOVER_FILE)) == mtime
 
     # unregistered carryover entries are dropped, not an error
     with open(os.path.join(root, CARRYOVER_FILE), "w") as fh:
-        json.dump({"round": 5, "carryover": ["gone_query"]}, fh)
+        json.dump({"round": 4, "carryover": ["gone_query"]}, fh)
     d3 = derive_from_repo(names, force=[], repo_root=root)
     assert "gone_query" not in d3.order
+
+    # a sidecar from two-or-more rounds back is stale: nothing to replay
+    with open(os.path.join(root, CARRYOVER_FILE), "w") as fh:
+        json.dump({"round": 2, "carryover": [names[119]]}, fh)
+    d4 = derive_from_repo(names, force=[], repo_root=root)
+    assert d4.tiers.get(names[119], 3) != 2
