@@ -2243,6 +2243,387 @@ def q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_kmeans_ctes(n_cent: int = 16, n_iter: int = 3, dim: int = 64) -> tuple[str, str]:
+    """DuckDB CTEs replaying the IVF coarse quantizer's TRAINING
+    (S.kmeans_fit: init = the n_cent lowest-id vectors, then n_iter Lloyd
+    rounds of argmin-L2 assignment + per-(cell, component) mean, empty
+    cells keeping their previous centroid) — the r11 LSH-plane-replay
+    technique (VERDICT r11 #1) extended to a DATA-DEPENDENT model: the
+    committed index is retrained per fixture, so the oracle cannot embed
+    its values as literals; instead it re-derives them from the same
+    frozen data with the same deterministic arithmetic. Returns
+    (cte_body, final_centroid_cte_name); the final CTE is (c, cvec).
+
+    Float parity: the replay agrees with the persisted Spark model to the
+    last bit at both gate fixtures (measured — numpy BLAS vs DuckDB
+    sequential list folds land on identical doubles here), and the
+    decisions the model feeds (argmin cell, argsort probe cells, ADC
+    shortlist ranks) have margins ~1e-3, ten orders above float-
+    reassociation noise (~1e-13), so this is a frozen-fixture property in
+    the same sense as _lsh_oracle_sql's sign-decision argument. Every CTE
+    is MATERIALIZED: the chain is self-referential (c3 <- a3 <- c2 <- ...)
+    and plain CTE inlining re-evaluates the whole training prefix per
+    reference (measured 112 s -> 0.6 s on the filtered search oracle).
+
+    Valid while the fixture's auto-derived cell count resolves to
+    ``n_cent`` (S.auto_centroids: 16 for every corpus up to 1.6M vectors —
+    all current gate fixtures are far below)."""
+    parts = [f"""
+    e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      FROM embeddings),
+    c0 AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS c, emb AS cvec
+      FROM e QUALIFY row_number() OVER (ORDER BY vec_id) <= {n_cent})"""]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(f"""
+    a{i} AS MATERIALIZED (
+      SELECT vec_id, c FROM (
+        SELECT e.vec_id, cc.c,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(cc.cvec, x -> x * x))
+                 - 2 * list_sum(list_transform(list_zip(cc.cvec, e.emb), s -> s[1] * s[2])),
+                 cc.c) AS rn
+        FROM e, c{p} cc) WHERE rn = 1),
+    m{i} AS MATERIALIZED (
+      SELECT a.c, p.pos, avg(e.emb[p.pos]) AS mx
+      FROM a{i} a JOIN e ON e.vec_id = a.vec_id, range(1, {dim} + 1) p(pos)
+      GROUP BY a.c, p.pos),
+    c{i} AS MATERIALIZED (
+      SELECT prev.c, coalesce(n.cvec, prev.cvec) AS cvec
+      FROM c{p} prev LEFT JOIN (
+        SELECT c, list(mx ORDER BY pos) AS cvec FROM m{i} GROUP BY c) n
+      ON n.c = prev.c)""")
+    return ",".join(parts), f"c{n_iter}"
+
+
+def _ann_pq_ctes(
+    cfin: str, m_sub: int = 8, ksub: int = 16, n_iter: int = 2, dim: int = 64
+) -> tuple[str, str]:
+    """DuckDB CTEs replaying PQ codebook training + corpus encoding over
+    the residuals vs the replayed coarse quantizer ``cfin`` (S.pq_train +
+    S._pq_codes_udf: per-subspace Lloyd with lowest-id init, argmin
+    encoding with lowest-code ties). Emits fassign(vec_id, c) — the FINAL
+    cell assignment the build's encode pass uses — plus
+    pcodes(vec_id, m, code) and the final books CTE (m, code, bvec);
+    returns (cte_body, final_books_cte_name). Same float-parity and
+    MATERIALIZED arguments as _ann_kmeans_ctes."""
+    sub = dim // m_sub
+    parts = [f"""
+    fassign AS MATERIALIZED (
+      SELECT vec_id, c FROM (
+        SELECT e.vec_id, cc.c,
+               row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                 list_sum(list_transform(cc.cvec, x -> x * x))
+                 - 2 * list_sum(list_transform(list_zip(cc.cvec, e.emb), s -> s[1] * s[2])),
+                 cc.c) AS rn
+        FROM e, {cfin} cc) WHERE rn = 1),
+    resid AS MATERIALIZED (
+      SELECT e.vec_id, fa.c,
+             list_transform(list_zip(e.emb, cc.cvec), s -> s[1] - s[2]) AS r
+      FROM e JOIN fassign fa ON fa.vec_id = e.vec_id
+      JOIN {cfin} cc ON cc.c = fa.c),
+    subs AS MATERIALIZED (
+      SELECT vec_id, m.m, r[m.m * {sub} + 1 : m.m * {sub} + {sub}] AS s
+      FROM resid, range(0, {m_sub}) m(m)),
+    b0 AS MATERIALIZED (
+      SELECT m, CAST(rn - 1 AS INT) AS code, s AS bvec FROM (
+        SELECT m, s, row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rn
+        FROM subs) WHERE rn <= {ksub})"""]
+    for i in range(1, n_iter + 1):
+        p = i - 1
+        parts.append(f"""
+    pa{i} AS MATERIALIZED (
+      SELECT vec_id, m, code FROM (
+        SELECT sb.vec_id, sb.m, bb.code,
+               row_number() OVER (PARTITION BY sb.vec_id, sb.m ORDER BY
+                 list_sum(list_transform(bb.bvec, x -> x * x))
+                 - 2 * list_sum(list_transform(list_zip(bb.bvec, sb.s), z -> z[1] * z[2])),
+                 bb.code) AS rn
+        FROM subs sb JOIN b{p} bb ON bb.m = sb.m) WHERE rn = 1),
+    pm{i} AS MATERIALIZED (
+      SELECT a.m, a.code, p.pos, avg(sb.s[p.pos]) AS mx
+      FROM pa{i} a JOIN subs sb ON sb.vec_id = a.vec_id AND sb.m = a.m,
+           range(1, {sub} + 1) p(pos)
+      GROUP BY a.m, a.code, p.pos),
+    b{i} AS MATERIALIZED (
+      SELECT prev.m, prev.code, coalesce(n.bvec, prev.bvec) AS bvec
+      FROM b{p} prev LEFT JOIN (
+        SELECT m, code, list(mx ORDER BY pos) AS bvec FROM pm{i} GROUP BY m, code) n
+      ON n.m = prev.m AND n.code = prev.code)""")
+    parts.append(f"""
+    pcodes AS MATERIALIZED (
+      SELECT vec_id, m, code FROM (
+        SELECT sb.vec_id, sb.m, bb.code,
+               row_number() OVER (PARTITION BY sb.vec_id, sb.m ORDER BY
+                 list_sum(list_transform(bb.bvec, x -> x * x))
+                 - 2 * list_sum(list_transform(list_zip(bb.bvec, sb.s), z -> z[1] * z[2])),
+                 bb.code) AS rn
+        FROM subs sb JOIN b{n_iter} bb ON bb.m = sb.m) WHERE rn = 1)""")
+    return ",".join(parts), f"b{n_iter}"
+
+
+def _ivf_oracle_sql(k: int = 10, nprobe: int = 4) -> str:
+    """Full DuckDB replay of topk_similarity_ivf (VERDICT r11 #1): replayed
+    k-means training -> final cell assignment -> per-probe nprobe nearest
+    cells -> exact cosine re-rank of the probed cells' members."""
+    ctes, cfin = _ann_kmeans_ctes()
+    return f"""
+    WITH {ctes},
+    dist AS MATERIALIZED (
+      SELECT e.vec_id, cc.c,
+             list_sum(list_transform(cc.cvec, x -> x * x))
+             - 2 * list_sum(list_transform(list_zip(cc.cvec, e.emb), s -> s[1] * s[2])) AS d
+      FROM e, {cfin} cc),
+    assign AS (
+      SELECT vec_id, c FROM (
+        SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+        FROM dist) WHERE rn = 1),
+    pcells AS (
+      SELECT vec_id AS probe_id, c FROM (
+        SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+        FROM dist WHERE vec_id < 5) WHERE rn <= {nprobe}),
+    pairs AS (
+      SELECT p.probe_id, a.vec_id,
+             list_sum(list_transform(list_zip(pe.emb, ce.emb), s -> s[1] * s[2]))
+               / (pe.nrm * ce.nrm) AS cosine
+      FROM pcells p
+      JOIN assign a ON a.c = p.c AND a.vec_id <> p.probe_id
+      JOIN e pe ON pe.vec_id = p.probe_id
+      JOIN e ce ON ce.vec_id = a.vec_id),
+    ranked AS (
+      SELECT probe_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM pairs)
+    SELECT probe_id, vec_id, round(cosine, 6) AS cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+def _ivfpq_oracle_sql(
+    k: int = 10, nprobe: int = 4, refine: int = 4, m_sub: int = 8, dim: int = 64
+) -> str:
+    """Full DuckDB replay of topk_similarity_pq (VERDICT r11 #1): replayed
+    IVF + PQ training -> persisted-code-equivalent encoding -> ADC
+    shortlist (dot(probe, cell centroid) + per-subspace codebook table
+    lookups, exactly S._adc_udf's decomposition) of k*refine per probe ->
+    exact cosine re-rank."""
+    sub = dim // m_sub
+    km, cfin = _ann_kmeans_ctes()
+    pq, bfin = _ann_pq_ctes(cfin)
+    return f"""
+    WITH {km},{pq},
+    pdist AS MATERIALIZED (
+      SELECT e.vec_id, cc.c,
+             list_sum(list_transform(cc.cvec, x -> x * x))
+             - 2 * list_sum(list_transform(list_zip(cc.cvec, e.emb), s -> s[1] * s[2])) AS d
+      FROM e, {cfin} cc WHERE e.vec_id < 5),
+    pcells AS MATERIALIZED (
+      SELECT vec_id AS probe_id, c FROM (
+        SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+        FROM pdist) WHERE rn <= {nprobe}),
+    adc AS MATERIALIZED (
+      SELECT p.probe_id, fa.vec_id,
+             first(list_sum(list_transform(list_zip(cc.cvec, pe.emb), s -> s[1] * s[2])))
+             + sum(list_sum(list_transform(
+                 list_zip(bb.bvec, pe.emb[pc.m * {sub} + 1 : pc.m * {sub} + {sub}]),
+                 z -> z[1] * z[2]))) AS score
+      FROM pcells p
+      JOIN fassign fa ON fa.c = p.c AND fa.vec_id <> p.probe_id
+      JOIN {cfin} cc ON cc.c = fa.c
+      JOIN e pe ON pe.vec_id = p.probe_id
+      JOIN pcodes pc ON pc.vec_id = fa.vec_id
+      JOIN {bfin} bb ON bb.m = pc.m AND bb.code = pc.code
+      GROUP BY p.probe_id, fa.vec_id),
+    short AS (
+      SELECT probe_id, vec_id FROM (
+        SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, vec_id) AS sr
+        FROM adc) WHERE sr <= {k * refine}),
+    rer AS (
+      SELECT s.probe_id, s.vec_id,
+             list_sum(list_transform(list_zip(pe.emb, ce.emb), z -> z[1] * z[2]))
+               / (pe.nrm * ce.nrm) AS cosine
+      FROM short s
+      JOIN e pe ON pe.vec_id = s.probe_id
+      JOIN e ce ON ce.vec_id = s.vec_id),
+    ranked AS (
+      SELECT probe_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM rer)
+    SELECT probe_id, vec_id, round(cosine, 6) AS cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+def _filtered_ivf_oracle_sql(
+    k: int = 10,
+    base_nprobe: int = 4,
+    base_overfetch: int = 8,
+    refine: int = 4,
+    target_factor: float = 2.0,
+    max_nprobe: int = 16,
+    m_sub: int = 8,
+    dim: int = 64,
+) -> str:
+    """Full DuckDB replay of topk_filtered_ivf (VERDICT r11 #1), including
+    the SELECTIVITY GATE and the PER-PROBE RESCUE: measured s from the
+    predicate counts -> nprobe = min(n_centroids, ceil(base_nprobe / s)),
+    overfetch = max(base, ceil(target_factor / s)) (the same IEEE double
+    division both engines compute) -> k*overfetch unfiltered ADC+re-rank
+    fetch -> post-filter -> probes with < k survivors re-run on the exact
+    filtered path (the identical topk_cosine semantics), everyone else
+    keeps the index answer. The at-fixture strategy is the index path
+    (s ~ 0.5); the exact-fallback branch of the gate is covered by the
+    topk_recall_filtered certificate's 0.5% fixture."""
+    sub = dim // m_sub
+    km, cfin = _ann_kmeans_ctes()
+    pq, bfin = _ann_pq_ctes(cfin)
+    return f"""
+    WITH {km},{pq},
+    sel AS MATERIALIZED (
+      SELECT (sum(CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)) AS s
+      FROM embeddings),
+    knobs AS MATERIALIZED (
+      SELECT least({max_nprobe}, CAST(ceil({base_nprobe} / s) AS INT)) AS nprobe,
+             greatest({base_overfetch}, CAST(ceil({target_factor} / s) AS INT)) AS ovf
+      FROM sel),
+    pdist AS MATERIALIZED (
+      SELECT e.vec_id, cc.c,
+             list_sum(list_transform(cc.cvec, x -> x * x))
+             - 2 * list_sum(list_transform(list_zip(cc.cvec, e.emb), s -> s[1] * s[2])) AS d
+      FROM e, {cfin} cc WHERE e.vec_id < 5),
+    pcells AS MATERIALIZED (
+      SELECT vec_id AS probe_id, c FROM (
+        SELECT vec_id, c, row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+        FROM pdist) WHERE rn <= (SELECT nprobe FROM knobs)),
+    adc AS MATERIALIZED (
+      SELECT p.probe_id, fa.vec_id,
+             first(list_sum(list_transform(list_zip(cc.cvec, pe.emb), s -> s[1] * s[2])))
+             + sum(list_sum(list_transform(
+                 list_zip(bb.bvec, pe.emb[pc.m * {sub} + 1 : pc.m * {sub} + {sub}]),
+                 z -> z[1] * z[2]))) AS score
+      FROM pcells p
+      JOIN fassign fa ON fa.c = p.c AND fa.vec_id <> p.probe_id
+      JOIN {cfin} cc ON cc.c = fa.c
+      JOIN e pe ON pe.vec_id = p.probe_id
+      JOIN pcodes pc ON pc.vec_id = fa.vec_id
+      JOIN {bfin} bb ON bb.m = pc.m AND bb.code = pc.code
+      GROUP BY p.probe_id, fa.vec_id),
+    short AS MATERIALIZED (
+      SELECT probe_id, vec_id FROM (
+        SELECT probe_id, vec_id,
+               row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, vec_id) AS sr
+        FROM adc) WHERE sr <= {k} * (SELECT ovf FROM knobs) * {refine}),
+    fetched AS MATERIALIZED (
+      SELECT probe_id, vec_id, cosine FROM (
+        SELECT s.probe_id, s.vec_id,
+               list_sum(list_transform(list_zip(pe.emb, ce.emb), z -> z[1] * z[2]))
+                 / (pe.nrm * ce.nrm) AS cosine,
+               row_number() OVER (PARTITION BY s.probe_id
+                                  ORDER BY list_sum(list_transform(list_zip(pe.emb, ce.emb), z -> z[1] * z[2]))
+                                           / (pe.nrm * ce.nrm) DESC, s.vec_id) AS rank
+        FROM short s
+        JOIN e pe ON pe.vec_id = s.probe_id
+        JOIN e ce ON ce.vec_id = s.vec_id)
+      WHERE rank <= {k} * (SELECT ovf FROM knobs)),
+    filt AS MATERIALIZED (
+      SELECT f.probe_id, f.vec_id, f.cosine,
+             row_number() OVER (PARTITION BY f.probe_id
+                                ORDER BY f.cosine DESC, f.vec_id) AS rank
+      FROM fetched f
+      JOIN embeddings mb ON mb.vec_id = f.vec_id AND mb.label % 2 = 1),
+    ranked AS MATERIALIZED (SELECT * FROM filt WHERE rank <= {k}),
+    starved AS MATERIALIZED (
+      SELECT p.vec_id AS probe_id
+      FROM embeddings p
+      LEFT JOIN (SELECT probe_id, count(*) AS nn FROM ranked GROUP BY probe_id) r
+        ON r.probe_id = p.vec_id
+      WHERE p.vec_id < 5 AND coalesce(r.nn, 0) < {k}),
+    rescue AS (
+      SELECT probe_id, vec_id, cosine,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY cosine DESC, vec_id) AS rank
+      FROM (
+        SELECT st.probe_id, cd.vec_id,
+               list_sum(list_transform(list_zip(pe.emb, ce.emb), z -> z[1] * z[2]))
+                 / (pe.nrm * ce.nrm) AS cosine
+        FROM starved st
+        JOIN e pe ON pe.vec_id = st.probe_id
+        JOIN embeddings cd ON cd.label % 2 = 1 AND cd.vec_id <> st.probe_id
+        JOIN e ce ON ce.vec_id = cd.vec_id)),
+    final AS (
+      SELECT * FROM ranked WHERE probe_id NOT IN (SELECT probe_id FROM starved)
+      UNION ALL
+      SELECT * FROM rescue WHERE rank <= {k})
+    SELECT probe_id, vec_id, round(cosine, 6) AS cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM final
+    """
+
+
+def _knn_join_oracle_sql(
+    k: int = 5, n_tables: int = 12, target_bucket: int = 250, max_planes: int = 8
+) -> str:
+    """Full DuckDB replay of knn_join_lsh (VERDICT r11 #1): the embedded-
+    plane bucket replay (_lsh_oracle_sql's technique) applied to the
+    all-pairs self-join. The plane count is corpus-derived
+    (S.auto_planes), so the oracle embeds ``max_planes`` planes per table
+    — S._planes generates rows from one rolling LCG state, so plane p is
+    the same whatever the requested count; the SQL computes n_planes from
+    count(*) (knn_lsh_build's exact formula) and uses the first n_planes
+    of each table. Valid while n <= target_bucket * 2^max_planes (64k
+    vectors at the defaults; gate fixtures hold 500-2000). Candidates =
+    DISTINCT same-(table, bucket) pairs; the per-bucket blocked top-k is
+    provably identical to the global top-k over that candidate set (see
+    S.knn_self_lsh), which is what this replays."""
+    pv = _lsh_planes_values(n_tables=n_tables, n_planes=max_planes)
+    return f"""
+    WITH planes(t, p, pvec) AS (VALUES
+      {pv}),
+    np AS (
+      SELECT least(16, greatest(2, CAST(ceil(log2(count(*) / {target_bucket}.0)) AS INT))) AS n_planes
+      FROM embeddings),
+    e AS MATERIALIZED (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+      FROM embeddings),
+    asg AS MATERIALIZED (
+      SELECT vec_id, t,
+             CAST(sum(CASE WHEN list_sum(list_transform(list_zip(pvec, emb),
+                                                        s -> s[1] * s[2])) > 0
+                           THEN 1 << p ELSE 0 END) AS BIGINT) AS bkt
+      FROM e, planes
+      WHERE p < (SELECT n_planes FROM np)
+      GROUP BY vec_id, t),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM asg a JOIN asg b ON a.t = b.t AND a.bkt = b.bkt
+      WHERE a.vec_id <> b.vec_id),
+    pairs AS (
+      SELECT c.id_a, c.id_b,
+             list_sum(list_transform(list_zip(ea.emb, eb.emb), s -> s[1] * s[2]))
+               / (ea.nrm * eb.nrm) AS cosine
+      FROM cand c
+      JOIN e ea ON ea.vec_id = c.id_a
+      JOIN e eb ON eb.vec_id = c.id_b),
+    ranked AS (
+      SELECT id_a, id_b, cosine,
+             row_number() OVER (PARTITION BY id_a
+                                ORDER BY cosine DESC, id_b) AS rank
+      FROM pairs)
+    SELECT id_a, id_b, round(cosine, 6) AS cosine, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+
 # ===========================================================================
 # extension operators (SURVEY §2b)
 # ===========================================================================
@@ -2459,7 +2840,7 @@ def q_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("cosine", F.round("cosine", 6))
 
 
-@register("topk_filtered_ivf")
+@register("topk_filtered_ivf", _filtered_ivf_oracle_sql())
 def q_topk_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-filtered approximate top-k over the PERSISTED IVF-PQ index
     (similarity.topk_cosine_filtered_ivfpq): fetch k*overfetch unfiltered
@@ -2469,13 +2850,14 @@ def q_topk_filtered_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECTIVITY-GATED (_ann_filtered_search, VERDICT r8 #2) — one
     measured predicate count scales nprobe and overfetch by 1/s, and
     very selective predicates take the exact filtered path over the
-    matching slice instead of a collapsed shortlist. rows-only by design
-    (the survivor set depends on index shortlisting); quality is
-    adjudicated by the hash-matched 3-fixture topk_recall_filtered
-    certificate."""
+    matching slice instead of a collapsed shortlist. r12 (VERDICT r11
+    #1): hash-matched against a full DuckDB replay of training + gated
+    fetch + post-filter + per-probe rescue (_filtered_ivf_oracle_sql);
+    the 3-fixture topk_recall_filtered certificate keeps adjudicating
+    quality across the selectivity range."""
     return _ann_filtered_search(
         spark, sf_dir, "sel50", (F.col("label") % 2) == 1
-    )
+    ).withColumn("cosine", F.round("cosine", 6))
 
 
 @register(
@@ -3663,12 +4045,15 @@ def q_topk_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("o_orderpriority", "o_orderkey", "o_totalprice", "rank")
 
 
-@register("topk_similarity_ivf")
+@register("topk_similarity_ivf", _ivf_oracle_sql())
 def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate IVF (k-means inverted-file) top-k; recall-vs-exact
-    invariant tested in pytest. Data-adaptive counterpart of the sign-LSH
-    path — each probe searches nprobe coarse cells only. Search-side of
-    the index split: reads the PERSISTED coarse quantizer (ann_index)."""
+    invariant tested in pytest, and (r12) hash-matched against a full
+    DuckDB replay of the k-means TRAINING + cell-pruned search
+    (_ivf_oracle_sql — VERDICT r11 #1). Data-adaptive counterpart of the
+    sign-LSH path — each probe searches nprobe coarse cells only.
+    Search-side of the index split: reads the PERSISTED coarse quantizer
+    (ann_index)."""
     emb = load_table(spark, sf_dir, "embeddings")
     _, idx = _ann_index(spark, sf_dir)
     return S.topk_cosine_ivf(
@@ -3676,17 +4061,19 @@ def q_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("cosine", F.round("cosine", 6))
 
 
-@register("topk_similarity_pq")
+@register("topk_similarity_pq", _ivfpq_oracle_sql())
 def q_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-k (operators/similarity.topk_cosine_ivfpq): product-
     quantized ADC shortlist (8-byte codes instead of 512-byte vectors inside
     the probed cells — the 100 TB ANN memory path) + exact cosine re-rank of
-    k*refine candidates. Rows-only by design (approximate candidate
-    selection); recall-vs-exact, exactness-of-reported-scores, and
-    determinism invariants are pytest-verified (tests/test_extensions.py).
-    Search-side of the index split: reads the persisted centroids, PQ
-    codebooks, and probed-cell code partitions — zero training, zero
-    corpus encode pass per query."""
+    k*refine candidates. r12 (VERDICT r11 #1): hash-matched against a full
+    DuckDB replay of IVF + PQ training, persisted-code-equivalent encoding,
+    the ADC shortlist, and the exact re-rank (_ivfpq_oracle_sql) — what the
+    driver previously recorded rows-only. Recall-vs-exact, exactness-of-
+    reported-scores, and determinism invariants remain pytest-verified
+    (tests/test_extensions.py). Search-side of the index split: reads the
+    persisted centroids, PQ codebooks, and probed-cell code partitions —
+    zero training, zero corpus encode pass per query."""
     emb = load_table(spark, sf_dir, "embeddings")
     st, idx = _ann_index(spark, sf_dir)
     return S.topk_cosine_ivfpq(
@@ -4811,7 +5198,7 @@ def q_knn_lsh_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_join_lsh")
+@register("knn_join_lsh", _knn_join_oracle_sql())
 def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate all-pairs k-NN (5 neighbors per vector) via multi-table
     sign-LSH self-join — the corpus-vs-itself shape (embedding-graph /
@@ -4824,8 +5211,9 @@ def q_knn_join_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     reads the PERSISTED bucketed assignment table (_knn_lsh_table,
     VERDICT r8 #4) — plane seeds are fixed, so the output is identical
     to the in-plan path, minus its projection/explode/exchange.
-    Approximate by design -> rows-only driver check + the hash-matched
-    certificate row."""
+    r12 (VERDICT r11 #1): hash-matched against the embedded-plane DuckDB
+    replay (_knn_join_oracle_sql); the knn_recall_self certificate keeps
+    adjudicating quality."""
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, n, _ = _knn_lsh_table(spark, sf_dir, n_tables=12)
     out = S.knn_self_lsh(emb, k=5, n_tables=12, assigned=assigned, n=n)
@@ -6274,29 +6662,17 @@ from binance_data_framework_spark.plans.driver_window import derive_from_repo
 #: hand-maintained rotation input left (evidence files cannot know what the
 #: current diff touched). New queries need no entry: no driver row exists,
 #: so the derivation puts them in the window automatically.
-#: r11: topk_similarity_lsh gained a full DuckDB oracle (hash-match where
-#: the driver previously recorded rows-only); AnnIndexStore.build now
-#: trains on a deterministic id-hash sample past the cap (bit-identical
-#: at gate SF, but the plan changed — build family + everything that
-#: ensures the shared committed index gets a fresh row);
-#: cosine_pairs_exact gained a bounded-probe guard (embed_near_dup,
-#: graph_pagerank); pagerank gained a lineage-checkpoint cadence;
-#: codes()'s empty-cell-prune contract changed (curated_index_pipeline
-#: consumes codes() through the gate).
+#: r12: the four committed-model ANN searches gained full DuckDB oracles
+#: (VERDICT r11 #1 — training-replay technique): topk_similarity_ivf,
+#: topk_similarity_pq, topk_filtered_ivf (also now rounds its cosine to
+#: 6 dp, a plan change), knn_join_lsh; mmr_diversify derives its id type
+#: from the schema and guards zero norms (plan change).
 _ROUND_CHANGED = [
-    "topk_similarity_lsh",
-    "ann_index_build",
-    "ann_index_append",
-    "ann_index_delete",
-    "curated_index_pipeline",
     "topk_similarity_ivf",
     "topk_similarity_pq",
-    "topk_recall_ivf",
-    "topk_recall_pq",
-    "topk_recall_opq",
-    "topk_recall_lsh",
-    "embed_near_dup",
-    "graph_pagerank",
+    "topk_filtered_ivf",
+    "knn_join_lsh",
+    "mmr_diversify",
 ]
 
 _derived = derive_from_repo(list(QUERIES), force=_ROUND_CHANGED)
