@@ -2645,6 +2645,36 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_exact_norm",
+    f"""
+    SELECT doc_id, lang, source, n_chars FROM (
+      SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (
+               PARTITION BY sha256(trim(regexp_replace(regexp_replace(
+                 regexp_replace(lower(text), '[0-9]', '0', 'g'),
+                 '{D.NORM_PUNCT_CLASS}', '', 'g'),
+                 '{D.NORM_WS_CLASS}', ' ', 'g')))
+               ORDER BY doc_id) AS rn
+      FROM documents)
+    WHERE rn = 1
+    """,
+)
+def q_dedup_exact_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized exact dedup (VERDICT r11 #5 — the CCNet/Dolma-style
+    first pass of LLM-pipeline prep): lowercase, digit-fold, ASCII-punct
+    strip, Unicode-whitespace collapse BEFORE content hashing, so
+    trivially-reformatted duplicates collapse where dedup_exact's raw
+    hash keeps them. Same plan shape: one narrow normalize projection
+    (regexp chain, codegen, no UDF) + the hash-keyed window; the oracle
+    replays the identical character classes (imported from dedup.py, so
+    they cannot drift) through DuckDB's regexp engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_exact_norm(docs).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@register(
     "text_stats",
     """
     SELECT doc_id,

@@ -1,0 +1,216 @@
+"""Streaming SEMANTIC-duplicate-gated ingest: the embedding analogue of
+the MinHash band gate (VERDICT r11 #6 — compose the batch tier's
+semantic_dedup with the committed-ANN-index serving leg into the
+incremental form).
+
+neardup_ingest answers "does this batch near-duplicate the accepted
+corpus" by TOKEN overlap (MinHash bands -> band-index lookup ->
+signature verify); this gate answers the same question in EMBEDDING
+space — paraphrase/translation-grade duplication that shares few
+tokens. The composition mirrors the band gate stage for stage:
+
+1. in-batch self-dedup: the batch tier's semantic_dedup runs on the
+   micro-batch itself (banded sign-LSH candidates, exact-cosine verify,
+   connected components, lowest-id representative) — batch and
+   streaming agree on what "semantic duplicate" means by construction;
+2. redelivery check: batch ids already in the vector store are
+   checkpoint REDELIVERIES, not duplicates — detected with a
+   shard-pruned point read (DocumentStore.read_keys), the same rule
+   the band gate applies to same-id collisions;
+3. corpus check: the remaining rows probe the COMMITTED ANN index
+   (ann_serve.serve_batch — physically cell-pruned code read pinned
+   to one manifest version, exact-cosine re-rank from the stored
+   vector table) and drop at top-1 cosine >= threshold. The reported
+   cosines are exact; like the band gate, the gate's false-ACCEPT
+   rate is the candidate tier's recall (here: IVF-PQ probed-cell
+   recall, certificate-monitored), never a new approximation;
+4. survivors: vector store append (add-only, on_existing="skip") then
+   index append (skip_existing) — the same two-commit cadence as the
+   band gate, convergent under checkpoint replay for the same reasons.
+
+Scale shape per batch: O(batch) banding + verify for stage 1, one
+shard-pruned point read for stage 2, one probed-cell ADC scan +
+shortlist re-rank for stage 3 (probe side bounded by SERVE_PROBE_MAX),
+and batch-sized add-only commits for stage 4 — nothing rescans the
+corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from binance_data_framework_spark.operators import similarity as S
+from binance_data_framework_spark.streaming.ann_serve import serve_batch
+
+
+def semantic_gate_batch(
+    batch_df: DataFrame,
+    vec_store,
+    ann_store,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    nprobe: int = 4,
+    ann_build_kwargs: dict | None = None,
+) -> dict:
+    """Run one micro-batch through the semantic gate (module docstring).
+    ``vec_store`` is a DocumentStore keyed on ``id_col`` holding the
+    accepted vectors (the re-rank source the index's codes point at);
+    ``ann_store`` the AnnIndexStore over the same corpus. Returns pinned
+    gate stats — ``arrived == kept + dropped_in_batch +
+    dropped_vs_corpus + redelivered`` always holds (pytest-enforced) —
+    plus the served/committed ``index_version``. Mutates both stores.
+
+    First accepted batch TRAINS the index (``ann_build_kwargs`` ->
+    build()); later batches append with the committed quantizer. A
+    checkpoint-replayed batch re-derives the same decisions (stage 1 is
+    deterministic, stages 2-3 see the rows its first delivery stored)
+    and converges to a no-op through the skip paths."""
+    batch_df = batch_df.localCheckpoint(eager=True)  # micro-batch sized
+    n_arrived = batch_df.count()
+    if n_arrived == 0:
+        idx = ann_store.load()
+        return {
+            "arrived": 0,
+            "kept": 0,
+            "dropped_in_batch": 0,
+            "dropped_vs_corpus": 0,
+            "redelivered": 0,
+            "index_version": idx.version if idx else None,
+        }
+
+    # 1. in-batch self-dedup — the batch tier's operator verbatim
+    reps = S.semantic_dedup(
+        batch_df, threshold=threshold, id_col=id_col, vec_col=vec_col, dim=dim
+    ).select(id_col)
+    kept_batch = batch_df.join(
+        F.broadcast(reps), on=id_col, how="left_semi"
+    ).localCheckpoint(eager=True)
+    n_after_batch = kept_batch.count()
+    dropped_in_batch = n_arrived - n_after_batch
+
+    # 2. redelivery check — shard-pruned point read, same-id rows are
+    # already stored (first-write-wins, like the band gate's append_new).
+    # An empty store (nothing accepted yet) trivially has no redeliveries
+    # — same manifest-sidecar emptiness probe the band gate uses.
+    man = vec_store._snapshot()
+    if man and man["files"]:
+        stored_ids = (
+            vec_store.read_keys(kept_batch.select(id_col))
+            .select(id_col)
+            .distinct()
+        )
+        fresh = kept_batch.join(
+            F.broadcast(stored_ids), on=id_col, how="left_anti"
+        ).localCheckpoint(eager=True)
+        n_fresh = fresh.count()
+    else:
+        fresh, n_fresh = kept_batch, n_after_batch
+    redelivered = n_after_batch - n_fresh
+
+    # 3. corpus check — committed-index probe, exact-cosine verify at k=1
+    # (any stored neighbor >= threshold implies the max is)
+    idx = ann_store.load()
+    if idx is not None and n_fresh > 0:
+        hits = serve_batch(
+            fresh,
+            ann_store,
+            idx,
+            vec_store.read().select(id_col, vec_col),
+            k=1,
+            nprobe=nprobe,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        dup_ids = (
+            hits.where(F.col("cosine") >= F.lit(float(threshold)))
+            .select(F.col("probe_id").alias(id_col))
+            .distinct()
+        )
+        survivors = fresh.join(
+            F.broadcast(dup_ids), on=id_col, how="left_anti"
+        ).localCheckpoint(eager=True)
+    else:
+        survivors = fresh
+    n_kept = survivors.count()
+    dropped_vs_corpus = n_fresh - n_kept
+
+    # 4. commit survivors: vectors first, then the index (replaying a
+    # crash between the commits converges via the skip paths)
+    if n_kept > 0:
+        vec_store.append_docs(survivors, on_existing="skip")
+        if idx is None:
+            idx = ann_store.build(
+                vec_store.read().select(id_col, vec_col),
+                **(ann_build_kwargs or {}),
+            )
+        else:
+            idx = ann_store.append(
+                survivors.select(id_col, vec_col), skip_existing=True
+            )
+
+    return {
+        "arrived": n_arrived,
+        "kept": n_kept,
+        "dropped_in_batch": dropped_in_batch,
+        "dropped_vs_corpus": dropped_vs_corpus,
+        "redelivered": redelivered,
+        "index_version": idx.version if idx else None,
+    }
+
+
+def stream_semantic_ingest(
+    vectors: DataFrame,
+    vec_store,
+    ann_store,
+    checkpoint_dir: str,
+    stats_path: str | None = None,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    nprobe: int = 4,
+    ann_build_kwargs: dict | None = None,
+    trigger_available_now: bool = True,
+):
+    """Attach the semantic gate as a foreachBatch sink on an embedding
+    stream. Per-batch stats optionally land at ``stats_path`` as one
+    JSON line per batch keyed by batch_id (dynamic partition overwrite —
+    replayed batches replace their own stats row)."""
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        stats = semantic_gate_batch(
+            batch_df,
+            vec_store,
+            ann_store,
+            threshold=threshold,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+            nprobe=nprobe,
+            ann_build_kwargs=ann_build_kwargs,
+        )
+        if stats_path is not None:
+            spark = vec_store.spark
+            (
+                spark.createDataFrame(
+                    [
+                        {
+                            "batch_id": batch_id,
+                            **{k: v for k, v in stats.items()},
+                        }
+                    ]
+                )
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
+                .json(stats_path)
+            )
+
+    writer = vectors.writeStream.foreachBatch(gate).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1531,3 +1531,140 @@ def test_build_eval_index_band_crash_window_completes(spark, tmp_path):
         eval_band_store=ev_bands,
     )
     assert s["dropped_contaminated"] == 1
+
+
+def test_semantic_gate_batch_stats_and_stages(spark, tmp_path):
+    """VERDICT r11 #6 — the streaming SEMANTIC gate (embedding analogue of
+    the MinHash band gate): (a) first batch accepts everything distinct
+    and trains the index; (b) an in-batch exact-copy collapses to the
+    lowest id; (c) a later batch's copy of a STORED vector drops against
+    the corpus via the committed-index lookup; (d) a redelivered id is a
+    redelivery, not a duplicate; (e) a full batch replay converges to
+    kept=0 with the stores unchanged. The stats identity
+    arrived == kept + dropped_in_batch + dropped_vs_corpus + redelivered
+    is pinned at every stage."""
+    import numpy as np
+
+    from binance_data_framework_spark.ann_index import AnnIndexStore
+    from binance_data_framework_spark.docstore import DocumentStore
+    from binance_data_framework_spark.streaming.semantic_ingest import (
+        semantic_gate_batch,
+    )
+
+    DIM, THRESH = 8, 0.95
+    rng = np.random.RandomState(0)
+    X = rng.randn(40, DIM)
+    # precondition: the distinct fixture rows are NOT semantic duplicates
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = Xn @ Xn.T
+    np.fill_diagonal(C, -1.0)
+    assert C.max() < THRESH, "fixture precondition violated"
+
+    def frame(pairs):
+        return spark.createDataFrame(
+            [(int(i), [float(x) for x in v]) for i, v in pairs],
+            "vec_id long, embedding array<double>",
+        )
+
+    vec_store = DocumentStore(
+        spark, str(tmp_path / "vecs"), key_col="vec_id", n_shards=4
+    )
+    ann_store = AnnIndexStore(spark, str(tmp_path / "idx"))
+    kw = dict(
+        threshold=THRESH,
+        dim=DIM,
+        ann_build_kwargs=dict(dim=DIM, n_centroids=4, m_sub=4, ksub=4),
+    )
+
+    def pinned(stats):
+        assert stats["arrived"] == (
+            stats["kept"]
+            + stats["dropped_in_batch"]
+            + stats["dropped_vs_corpus"]
+            + stats["redelivered"]
+        ), stats
+        return stats
+
+    # batch 1: rows 0..29 plus an in-batch exact copy of row 0 under id 100
+    b1 = frame([(i, X[i]) for i in range(30)] + [(100, X[0])])
+    s1 = pinned(semantic_gate_batch(b1, vec_store, ann_store, **kw))
+    assert s1["arrived"] == 31 and s1["dropped_in_batch"] == 1
+    assert s1["kept"] == 30 and s1["dropped_vs_corpus"] == 0
+    assert s1["redelivered"] == 0 and s1["index_version"] == 1
+    assert vec_store.read().count() == 30
+    assert 100 not in {r["vec_id"] for r in vec_store.read().collect()}
+
+    # batch 2: 3 new rows, one copy of STORED row 5 (new id 200), one
+    # redelivery of row 7 (same id, same vector)
+    b2 = frame(
+        [(i, X[i]) for i in range(30, 33)] + [(200, X[5]), (7, X[7])]
+    )
+    s2 = pinned(semantic_gate_batch(b2, vec_store, ann_store, **kw))
+    assert s2["arrived"] == 5 and s2["dropped_in_batch"] == 0
+    assert s2["redelivered"] == 1 and s2["dropped_vs_corpus"] == 1
+    assert s2["kept"] == 3
+    assert vec_store.read().count() == 33
+    assert ann_store.load().n_vectors == 33
+
+    # batch 2 replayed verbatim (checkpoint redelivery): the 3 accepted
+    # rows are now redeliveries, the corpus dup still drops, nothing lands
+    s3 = pinned(semantic_gate_batch(b2, vec_store, ann_store, **kw))
+    assert s3["kept"] == 0 and s3["redelivered"] == 4
+    assert s3["dropped_vs_corpus"] == 1 and s3["dropped_in_batch"] == 0
+    assert vec_store.read().count() == 33
+    assert ann_store.load().n_vectors == 33
+    assert ann_store.load().version == s2["index_version"]
+
+
+def test_stream_semantic_ingest_wrapper(spark, tmp_path):
+    """The foreachBatch wrapper: an availableNow pass over a file-source
+    embedding stream lands survivors in both stores and writes one pinned
+    stats row per batch (replayable — partitioned by batch_id)."""
+    import json as _json
+    import numpy as np
+    import pandas as pd
+
+    from binance_data_framework_spark.ann_index import AnnIndexStore
+    from binance_data_framework_spark.docstore import DocumentStore
+    from binance_data_framework_spark.streaming.semantic_ingest import (
+        stream_semantic_ingest,
+    )
+
+    DIM = 8
+    rng = np.random.RandomState(0)
+    X = rng.randn(20, DIM)
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame(
+        {"vec_id": range(20), "embedding": [list(map(float, v)) for v in X]}
+    ).to_parquet(f"{src}/b0.parquet", index=False)
+
+    vec_store = DocumentStore(
+        spark, str(tmp_path / "vecs"), key_col="vec_id", n_shards=4
+    )
+    ann_store = AnnIndexStore(spark, str(tmp_path / "idx"))
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<double>"
+    ).parquet(str(src))
+    q = stream_semantic_ingest(
+        stream,
+        vec_store,
+        ann_store,
+        str(tmp_path / "ckpt"),
+        stats_path=str(tmp_path / "stats"),
+        threshold=0.95,
+        dim=DIM,
+        ann_build_kwargs=dict(dim=DIM, n_centroids=4, m_sub=4, ksub=4),
+    )
+    q.awaitTermination(300)
+
+    assert vec_store.read().count() == 20
+    assert ann_store.load().n_vectors == 20
+    stats = spark.read.json(str(tmp_path / "stats")).collect()
+    assert len(stats) == 1
+    s = stats[0].asDict()
+    assert s["arrived"] == 20 and s["kept"] == 20
+    assert s["arrived"] == (
+        s["kept"] + s["dropped_in_batch"] + s["dropped_vs_corpus"]
+        + s["redelivered"]
+    )
