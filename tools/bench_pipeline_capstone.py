@@ -73,6 +73,8 @@ def main() -> int:
         )
     for d in (
         "docs_raw",
+        "docs_scored",
+        "docs_exact",
         "docs_clean",
         "curated",
         "packed_manifest",
@@ -97,8 +99,21 @@ def main() -> int:
 
     # ---- 2. gate: lang/quality filter + exact dedup + near-dup +
     #              decontaminate (the corpus_curation chain + the two
-    #              heavy drops, in drop-cheapest-first order) -----------
+    #              heavy drops, in drop-cheapest-first order). Each
+    #              SUB-stage materializes its handoff and reports its own
+    #              seconds (VERDICT r11 #4 — the r11 gate was one 96.9 s
+    #              number; attribution now itemizes it the way
+    #              neardup_gate.points itemizes the streaming gate), so
+    #              each sub-stage adjudicates against ITS tier's factor
+    #              curve (quality exprs / dedup_exact / dedup_near_minhash
+    #              / decontaminate). ------------------------------------
     t0 = time.perf_counter()
+    gate_sub: dict[str, dict] = {}
+
+    def sub(name: str, t: float, **info) -> None:
+        gate_sub[name] = {"sec": round(time.perf_counter() - t, 3), **info}
+        print(f"gate.{name}: {json.dumps(gate_sub[name])}", flush=True)
+
     q = TX.quality_exprs("text")
     # lang-ID is computed and CARRIED but not filtered on: the scale
     # fixture's word~k replica tags (shingle-disjointness by design)
@@ -106,6 +121,7 @@ def main() -> int:
     # would drop every replica but 0 and starve the downstream stages of
     # the very volume this capstone exists to measure. The scoring cost
     # is identical either way; production corpora keep the filter.
+    ts = time.perf_counter()
     scored = raw.select(
         "doc_id",
         "text",
@@ -115,26 +131,50 @@ def main() -> int:
         TX.lang_pred_col("text").alias("pred_lang"),
         q["quality"].alias("quality"),
     ).where(F.col("quality") >= 0.5)
+    scored.write.mode("overwrite").option("compression", "zstd").parquet(
+        os.path.join(WORK, "docs_scored")
+    )
+    scored = spark.read.parquet(os.path.join(WORK, "docs_scored"))
+    sub("score_filter", ts, rows_out=scored.count())
+
+    ts = time.perf_counter()
     exact = D.dedup_exact(scored, text_col="text", id_col="doc_id")
+    exact.write.mode("overwrite").option("compression", "zstd").parquet(
+        os.path.join(WORK, "docs_exact")
+    )
+    exact = spark.read.parquet(os.path.join(WORK, "docs_exact"))
+    sub("exact_dedup", ts, rows_out=exact.count())
+
+    ts = time.perf_counter()
     near_pairs = D.minhash_candidates(
         D.minhash_signature(exact), threshold=0.9
     ).select(F.col("id_b").alias("doc_id"))  # drop the higher id of a pair
+    near_ids = near_pairs.distinct().localCheckpoint(eager=True)
+    sub("near_dup", ts, drop_ids=near_ids.count())
+
+    ts = time.perf_counter()
     bench = raw.where(F.col("doc_id") % 97 == 0).select("text")
     # n=5: large enough that shared grams mean real leakage on the
     # synthetic corpus (n=3 flags 92% of docs — common-trigram noise),
     # small enough to still produce hits; production runs 8-13
-    contaminated = CU.decontaminate(
-        exact, bench, n=5, keep_cols=()
-    ).select("doc_id")
-    clean = exact.join(
-        near_pairs.distinct(), "doc_id", "left_anti"
-    ).join(contaminated, "doc_id", "left_anti")
+    contaminated = (
+        CU.decontaminate(exact, bench, n=5, keep_cols=())
+        .select("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    sub("decontaminate", ts, drop_ids=contaminated.count())
+
+    ts = time.perf_counter()
+    clean = exact.join(near_ids, "doc_id", "left_anti").join(
+        contaminated, "doc_id", "left_anti"
+    )
     clean.write.mode("overwrite").option("compression", "zstd").parquet(
         os.path.join(WORK, "docs_clean")
     )
     clean = spark.read.parquet(os.path.join(WORK, "docs_clean"))
     n_clean = clean.count()
-    stage("gate", t0, rows_in=n_raw, rows_out=n_clean)
+    sub("assemble", ts, rows_out=n_clean)
+    stage("gate", t0, rows_in=n_raw, rows_out=n_clean, sub=gate_sub)
 
     # ---- 3. curate: per-lang quality quantile + mixture + pack --------
     t0 = time.perf_counter()
@@ -210,19 +250,32 @@ def main() -> int:
 
     path = os.path.join(REPO, "BENCH_SCALING.json")
     doc = json.load(open(path)) if os.path.exists(path) else {}
+    # a CURVE, not a point (VERDICT r11 #4): capstone runs are keyed by
+    # the docs fixture tag and MERGED, so the half-decade point and the
+    # headline point coexist and per-stage ratios between them are the
+    # composed pipeline's own scaling evidence
+    prior = doc.get("pipeline_capstone", {}).get("points", {})
+    tag = os.path.basename(os.path.normpath(docs_dir))
+    points = {
+        **prior,
+        tag: {
+            "docs_dir": docs_dir,
+            "emb_dir": emb_dir,
+            "total_sec": total,
+            "stages": stages,
+        },
+    }
     doc["pipeline_capstone"] = {
         "method": (
-            "full pipeline composed end-to-end at the largest local "
-            "fixtures, one run, each stage materialized (parquet "
-            "intermediate or committed store) before its clock stops; "
-            "JSONL fixture export excluded as setup. Adjudicate each "
-            "stage against its own tier's measured curve — no stage may "
-            "be super-linear vs the factor sweeps / ann_ops points."
+            "full pipeline composed end-to-end, one run per fixture "
+            "point, each stage (and each gate SUB-stage) materialized "
+            "(parquet intermediate, eager checkpoint, or committed "
+            "store) before its clock stops; JSONL fixture export "
+            "excluded as setup. Adjudicate each stage against its own "
+            "tier's measured curve AND against the smaller capstone "
+            "point — no stage may be super-linear vs either."
         ),
-        "docs_dir": docs_dir,
-        "emb_dir": emb_dir,
-        "total_sec": total,
-        "stages": stages,
+        "points": points,
     }
     with open(path, "w") as f:
         json.dump(doc, f, indent=2)
