@@ -630,6 +630,102 @@ def _adc_udf(
     return adc
 
 
+def _adc_blocked_shortlist(
+    coded: DataFrame,
+    probes: DataFrame,
+    centroids: list[list[float]],
+    books: list[list[list[float]]],
+    sub_dim: int,
+    rotation: list[list[float]] | None,
+    shortlist_width: int,
+    id_col: str,
+) -> DataFrame:
+    """Per-cell blocked ADC scoring for MANY-probe batches (the gate /
+    bulk-serving regime — see topk_cosine_ivfpq's blocked_adc branch for
+    the measured motivation). Cogroups the cell-pruned code rows with the
+    cell-exploded probe rows BY CELL; inside each cell the kernel builds
+    the per-probe lookup tables once (probe chunks of 64 bound peak
+    memory at chunk x occupancy doubles) and emits only each probe's
+    per-cell top ``shortlist_width`` candidates by (ADC desc, id asc) —
+    the same tie order the global shortlist window applies, so selecting
+    per-cell first provably preserves the global top-``shortlist_width``.
+    Self-pairs are masked by ID inside the kernel. Returns
+    (probe_id, id, _adc)."""
+    import pandas as pd
+
+    cm = np.asarray(centroids, dtype=np.float64)
+    b3 = np.asarray(books, dtype=np.float64)
+    m_sub = len(books)
+    Rt = None if rotation is None else np.asarray(rotation, dtype=np.float64).T
+    id_type = coded.schema[id_col].dataType.simpleString()
+    width = int(shortlist_width)
+
+    def kernel(codes_pdf: pd.DataFrame, probes_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"probe_id": [], id_col: [], "_adc": []})
+        if codes_pdf.empty or probes_pdf.empty:
+            return empty
+        c = int(codes_pdf["_c"].iloc[0])
+        # id-ascending rows make the stable tie sort below mean "lowest id
+        # wins" independent of the (unspecified) group row order Spark
+        # hands us (the _bucket_topk lesson, ADVICE r5)
+        codes_pdf = codes_pdf.sort_values(id_col, kind="mergesort")
+        ids = codes_pdf[id_col].to_numpy()
+        cd = np.vstack(codes_pdf["_code"].to_numpy())  # n x m_sub
+        pids = probes_pdf["probe_id"].to_numpy()
+        P = np.vstack(probes_pdf["_pv"].to_numpy())  # p x dim
+        cent_term = P @ cm[c]  # p — dot(probe, cell centroid)
+        PT = P if Rt is None else P @ Rt
+        ps = PT.reshape(len(P), m_sub, sub_dim)
+        # tables: m_sub x p x ksub (probe-side lookup tables, built once)
+        tables = np.stack([ps[:, m, :] @ b3[m].T for m in range(m_sub)])
+        take = min(width, len(ids))
+        out_p, out_i, out_s = [], [], []
+        chunk = 64
+        for lo in range(0, len(P), chunk):
+            hi = min(lo + chunk, len(P))
+            S = np.broadcast_to(
+                cent_term[lo:hi, None], (hi - lo, len(ids))
+            ).copy()
+            for m in range(m_sub):
+                S += tables[m][lo:hi][:, cd[:, m]]
+            S[pids[lo:hi, None] == ids[None, :]] = -np.inf  # mask self
+            sel = np.argpartition(-S, take - 1, axis=1)[:, :take]
+            vals = np.take_along_axis(S, sel, axis=1)
+            # boundary ties: re-select ambiguous rows with a stable value
+            # sort so the kept set honors (ADC desc, id asc) exactly —
+            # codes_pdf rows arrive id-sorted below, so stable = id asc
+            thresh = vals.min(axis=1)
+            with np.errstate(invalid="ignore"):
+                amb = (S >= thresh[:, None]).sum(axis=1) > take
+            if amb.any():
+                order = np.argsort(-S[amb], axis=1, kind="stable")[:, :take]
+                sel[amb] = order
+                vals[amb] = np.take_along_axis(S[amb], order, axis=1)
+            ok = np.isfinite(vals)
+            rows = np.repeat(pids[lo:hi], take).reshape(hi - lo, take)
+            out_p.append(rows[ok])
+            out_i.append(ids[sel][ok])
+            out_s.append(vals[ok])
+        if not out_p:
+            return empty
+        return pd.DataFrame(
+            {
+                "probe_id": np.concatenate(out_p),
+                id_col: np.concatenate(out_i),
+                "_adc": np.concatenate(out_s),
+            }
+        )
+
+    return (
+        coded.select(id_col, "_c", "_code")
+        .groupBy("_c")
+        .cogroup(probes.select("probe_id", "_pv", "_c").groupBy("_c"))
+        .applyInPandas(
+            kernel, f"probe_id {id_type}, {id_col} {id_type}, _adc double"
+        )
+    )
+
+
 def topk_cosine_ivfpq(
     df: DataFrame,
     probe_filter: Column,
@@ -648,6 +744,7 @@ def topk_cosine_ivfpq(
     books: list[list[list[float]]] | None = None,
     rotation: list[list[float]] | None = None,
     coded: DataFrame | None = None,
+    blocked_adc: bool = False,
 ) -> DataFrame:
     """IVF-PQ with exact re-rank: the coarse IVF quantizer prunes to nprobe
     cells, an ADC scan over PRODUCT-QUANTIZED codes shortlists k*refine
@@ -727,18 +824,39 @@ def topk_cosine_ivfpq(
         F.col("_v").alias("_pv"),
         F.explode(_probe_cells_udf(centroids, nprobe)(F.col("_v"))).alias("_c"),
     )
-    adc = _adc_udf(centroids, books, sub_dim, rotation)
-    shortlist = (
-        coded.join(broadcast(probes), on="_c")
-        .where(F.col(id_col) != F.col("probe_id"))
-        .select(
-            "probe_id",
-            id_col,
-            adc(F.col("probe_id"), F.col("_pv"), F.col("_c"), F.col("_code")).alias(
-                "_adc"
-            ),
+    if blocked_adc:
+        # MANY-PROBE regime (found by the r12 semantic-gate bench): the
+        # row-join form below carries the probe's dim*8-byte vector on
+        # EVERY (probe, candidate) pair — at a 1500-probe gate batch
+        # against 100k-occupancy cells that is ~600M pair rows x 512 B of
+        # probe payload (~300 GB) through the Arrow boundary, measured
+        # 305 s per batch at the 2M decade. The blocked form cogroups
+        # codes with probes BY CELL and scores each cell as chunked numpy
+        # gathers (the _bucket_topk pattern applied to ADC): each probe
+        # vector enters a cell once, each candidate contributes its
+        # M-byte code once, and only the per-cell per-probe top
+        # k*refine (a superset restriction that provably preserves the
+        # global shortlist under the same (score desc, id) order) crosses
+        # back — probes x cells x k*refine rows instead of probes x
+        # cell-occupancy. Opt-in (serve_batch passes it): the few-probe
+        # serving path keeps the row form whose per-pair rows are few.
+        shortlist = _adc_blocked_shortlist(
+            coded, probes, centroids, books, sub_dim, rotation,
+            k * refine, id_col,
         )
-    )
+    else:
+        adc = _adc_udf(centroids, books, sub_dim, rotation)
+        shortlist = (
+            coded.join(broadcast(probes), on="_c")
+            .where(F.col(id_col) != F.col("probe_id"))
+            .select(
+                "probe_id",
+                id_col,
+                adc(F.col("probe_id"), F.col("_pv"), F.col("_c"), F.col("_code")).alias(
+                    "_adc"
+                ),
+            )
+        )
     ws = Window.partitionBy("probe_id").orderBy(F.desc("_adc"), F.col(id_col))
     short = (
         shortlist.withColumn("_sr", F.row_number().over(ws))

@@ -20,10 +20,15 @@ tokens. The composition mirrors the band gate stage for stage:
 3. corpus check: the remaining rows probe the COMMITTED ANN index
    (ann_serve.serve_batch — physically cell-pruned code read pinned
    to one manifest version, exact-cosine re-rank from the stored
-   vector table) and drop at top-1 cosine >= threshold. The reported
-   cosines are exact; like the band gate, the gate's false-ACCEPT
-   rate is the candidate tier's recall (here: IVF-PQ probed-cell
-   recall, certificate-monitored), never a new approximation;
+   vector table) and drop when ANY of the top check_k exact cosines
+   reaches the threshold; the check runs at the r12 recall-held
+   shortlist (check_refine=64) because a duplicate-heavy corpus
+   ADC-crowds narrow shortlists (measured: 36% of planted stored
+   copies slipped a k=1/refine=4 check at the 200k decade). The
+   reported cosines are exact; like the band gate, the gate's
+   false-ACCEPT rate is the candidate tier's recall (IVF-PQ
+   probed-cell + shortlist recall, bench-asserted per decade), never
+   a new approximation;
 4. survivors: vector store append (add-only, on_existing="skip") then
    index append (skip_existing) — the same two-commit cadence as the
    band gate, convergent under checkpoint replay for the same reasons.
@@ -53,6 +58,8 @@ def semantic_gate_batch(
     vec_col: str = "embedding",
     dim: int = 64,
     nprobe: int = 4,
+    check_k: int = 8,
+    check_refine: int = 64,
     ann_build_kwargs: dict | None = None,
 ) -> dict:
     """Run one micro-batch through the semantic gate (module docstring).
@@ -67,7 +74,22 @@ def semantic_gate_batch(
     build()); later batches append with the committed quantizer. A
     checkpoint-replayed batch re-derives the same decisions (stage 1 is
     deterministic, stages 2-3 see the rows its first delivery stored)
-    and converges to a no-op through the skip paths."""
+    and converges to a no-op through the skip paths.
+
+    ``stage_sec`` in the returned stats itemizes the gate the same way
+    neardup_gate_batch does (each boundary sits after an eager
+    checkpoint/count, so deltas attribute real work): in_batch_dedup /
+    redelivery_check / corpus_check / commit."""
+    import time as _time
+
+    stage_sec: dict[str, float] = {}
+    _mark = [_time.time()]
+
+    def _tick(name: str) -> None:
+        now = _time.time()
+        stage_sec[name] = round(now - _mark[0], 3)
+        _mark[0] = now
+
     batch_df = batch_df.localCheckpoint(eager=True)  # micro-batch sized
     n_arrived = batch_df.count()
     if n_arrived == 0:
@@ -79,6 +101,7 @@ def semantic_gate_batch(
             "dropped_vs_corpus": 0,
             "redelivered": 0,
             "index_version": idx.version if idx else None,
+            "stage_sec": {},
         }
 
     # 1. in-batch self-dedup — the batch tier's operator verbatim
@@ -90,6 +113,7 @@ def semantic_gate_batch(
     ).localCheckpoint(eager=True)
     n_after_batch = kept_batch.count()
     dropped_in_batch = n_arrived - n_after_batch
+    _tick("in_batch_dedup")
 
     # 2. redelivery check — shard-pruned point read, same-id rows are
     # already stored (first-write-wins, like the band gate's append_new).
@@ -109,9 +133,16 @@ def semantic_gate_batch(
     else:
         fresh, n_fresh = kept_batch, n_after_batch
     redelivered = n_after_batch - n_fresh
+    _tick("redelivery_check")
 
-    # 3. corpus check — committed-index probe, exact-cosine verify at k=1
-    # (any stored neighbor >= threshold implies the max is)
+    # 3. corpus check — committed-index probe, exact-cosine verify: drop
+    # if ANY of the top check_k exact cosines clears the threshold. The
+    # knobs default to the r12 recall-held setting (check_refine=64 —
+    # the measured refine-bound regime: in a duplicate-heavy corpus the
+    # true near-dup must beat check_k*check_refine ADC-crowding
+    # near-neighbors into the shortlist before the exact re-rank can see
+    # it; at the default k=1/refine=4 the bench measured 36% of planted
+    # stored-copies slipping through at the 200k decade, 0% at k=8/64)
     idx = ann_store.load()
     if idx is not None and n_fresh > 0:
         hits = serve_batch(
@@ -119,8 +150,9 @@ def semantic_gate_batch(
             ann_store,
             idx,
             vec_store.read().select(id_col, vec_col),
-            k=1,
+            k=check_k,
             nprobe=nprobe,
+            refine=check_refine,
             id_col=id_col,
             vec_col=vec_col,
         )
@@ -136,6 +168,7 @@ def semantic_gate_batch(
         survivors = fresh
     n_kept = survivors.count()
     dropped_vs_corpus = n_fresh - n_kept
+    _tick("corpus_check")
 
     # 4. commit survivors: vectors first, then the index (replaying a
     # crash between the commits converges via the skip paths)
@@ -151,6 +184,7 @@ def semantic_gate_batch(
                 survivors.select(id_col, vec_col), skip_existing=True
             )
 
+    _tick("commit")
     return {
         "arrived": n_arrived,
         "kept": n_kept,
@@ -158,6 +192,7 @@ def semantic_gate_batch(
         "dropped_vs_corpus": dropped_vs_corpus,
         "redelivered": redelivered,
         "index_version": idx.version if idx else None,
+        "stage_sec": stage_sec,
     }
 
 
@@ -172,6 +207,8 @@ def stream_semantic_ingest(
     vec_col: str = "embedding",
     dim: int = 64,
     nprobe: int = 4,
+    check_k: int = 8,
+    check_refine: int = 64,
     ann_build_kwargs: dict | None = None,
     trigger_available_now: bool = True,
 ):
@@ -189,6 +226,8 @@ def stream_semantic_ingest(
             vec_col=vec_col,
             dim=dim,
             nprobe=nprobe,
+            check_k=check_k,
+            check_refine=check_refine,
             ann_build_kwargs=ann_build_kwargs,
         )
         if stats_path is not None:

@@ -1178,3 +1178,36 @@ def test_dedup_exact_norm_collapses_reformatted_duplicates(spark):
         for r in D.dedup_exact_norm(D.dedup_exact_norm(df)).collect()
     )
     assert again == norm
+
+
+def test_blocked_adc_matches_row_form(spark, sf_dir):
+    """r12 many-probe ADC kernel: the blocked per-cell cogroup path must
+    return EXACTLY the row-join path's results (same shortlist under the
+    same (ADC desc, id) order, same exact re-rank) for a multi-probe
+    search — including k*refine boundaries and self-exclusion."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from binance_data_framework_spark.ann_index import ensure_index
+
+    st, idx = ensure_index(
+        spark, emb, str(sf_dir and __import__("tempfile").mkdtemp()) + "/idx"
+    )
+    probe = F.col("vec_id") < 40  # 40 probes x 4 cells — the batch regime
+    kw = dict(
+        k=5,
+        nprobe=4,
+        centroids=idx.centroids,
+        books=idx.pq_books,
+    )
+    row = {
+        (r["probe_id"], r["vec_id"], round(r["cosine"], 9), r["rank"])
+        for r in S.topk_cosine_ivfpq(
+            emb, probe, coded=st.codes("pq"), **kw
+        ).collect()
+    }
+    blocked = {
+        (r["probe_id"], r["vec_id"], round(r["cosine"], 9), r["rank"])
+        for r in S.topk_cosine_ivfpq(
+            emb, probe, coded=st.codes("pq"), blocked_adc=True, **kw
+        ).collect()
+    }
+    assert blocked == row and blocked

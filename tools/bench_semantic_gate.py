@@ -1,0 +1,179 @@
+"""Scaling evidence for the streaming SEMANTIC gate (semantic_ingest):
+the design claim is the same as the band gate's — gating ONE batch costs
+O(batch + probed cells + touched shards), i.e. per-batch wall-clock stays
+~FLAT as the committed corpus grows, because the in-batch self-dedup is
+batch-sized, the redelivery check is a shard-pruned point read, the
+corpus check reads only the batch's probed IVF cells, and the commits
+are add-only.
+
+Method: for each corpus size N, seed a fresh DocumentStore (vectors) +
+AnnIndexStore over the first N fixture embeddings (setup excluded), then
+time `semantic_gate_batch` for ONE fixed-composition batch:
+half brand-new vectors (fresh gaussian, ids past the corpus — should be
+KEPT), a quarter exact copies of stored vectors under new ids (should
+drop vs corpus through the committed-index probe), and a quarter
+redeliveries (stored ids + vectors — should be recognized by the point
+read). The expected stats identity is asserted, so the timing is only
+recorded for a batch whose decisions were CORRECT. Results land in
+BENCH_SCALING.json under "semantic_gate".
+
+Usage: python tools/bench_semantic_gate.py [emb_parquet ...] [batch_size]
+(defaults: /root/testdata/sf0.1 _scratch/sf10 _scratch/sf100, batch 2000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from binance_data_framework_spark.ann_index import AnnIndexStore
+from binance_data_framework_spark.docstore import DocumentStore
+from binance_data_framework_spark.session import get_spark
+from binance_data_framework_spark.streaming.semantic_ingest import (
+    semantic_gate_batch,
+)
+
+THRESHOLD = 0.95
+DIM = 64
+
+
+def run_point(spark, emb_dir: str, work: str, batch_size: int) -> dict:
+    emb = spark.read.parquet(f"{emb_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    n = emb.count()
+    if os.path.exists(work):
+        shutil.rmtree(work)
+
+    # ---- setup (excluded): corpus-seeded stores ----
+    vec_store = DocumentStore(
+        spark, os.path.join(work, "vecs"), key_col="vec_id", n_shards=16
+    )
+    vec_store.append_docs(emb, on_existing="raise")
+    ann_store = AnnIndexStore(spark, os.path.join(work, "idx"))
+    ann_store.build(emb)
+
+    # ---- fixed-composition batch ----
+    q = batch_size // 4
+    new_n = batch_size - 2 * q
+    rng = np.random.default_rng(7)
+    fresh = [
+        (int(2_000_000_000 + i), [float(x) for x in rng.standard_normal(DIM)])
+        for i in range(new_n)
+    ]
+    copies = [
+        (int(3_000_000_000 + r["vec_id"]), list(r["embedding"]))
+        for r in emb.where(F.col("vec_id") < q).collect()
+    ]
+    redeliveries = [
+        (int(r["vec_id"]), list(r["embedding"]))
+        for r in emb.where(
+            (F.col("vec_id") >= q) & (F.col("vec_id") < 2 * q)
+        ).collect()
+    ]
+    batch = spark.createDataFrame(
+        fresh + copies + redeliveries, "vec_id long, embedding array<double>"
+    )
+
+    t0 = time.perf_counter()
+    stats = semantic_gate_batch(
+        batch, vec_store, ann_store, threshold=THRESHOLD, dim=DIM
+    )
+    gate_sec = time.perf_counter() - t0
+
+    # decisions with an exact expectation are ASSERTED (fresh vectors
+    # kept, redeliveries recognized, no in-batch drops); the stored-copy
+    # catch is RECORDED as a rate — it is the gate's measured quality
+    # number, bounded by the index's shortlist recall. At the default
+    # check knobs (k=8, refine=64) the catch is total through the 2M
+    # decade; the 20M fixture's 10,000-fold replica crowding (every base
+    # vector has 10k near-parallel variants at cosine ~0.86 ADC-crowding
+    # the shortlist) is the same adversarial regime the ann_ops recall
+    # table documents — catch_rate there prices the check_refine knob,
+    # exactly like recall_at_10_held.
+    assert stats["arrived"] == batch_size, stats
+    assert stats["redelivered"] == len(redeliveries), stats
+    assert stats["dropped_in_batch"] == 0, stats
+    assert stats["dropped_vs_corpus"] <= len(copies), stats
+    uncaught = len(copies) - stats["dropped_vs_corpus"]
+    assert stats["kept"] == new_n + uncaught, stats  # no fresh row dropped
+
+    return {
+        "n_corpus": n,
+        "gate_sec": round(gate_sec, 3),
+        "copy_catch_rate": round(stats["dropped_vs_corpus"] / len(copies), 4),
+        "stage_sec": stats["stage_sec"],
+        **{
+            k: stats[k]
+            for k in (
+                "arrived",
+                "kept",
+                "dropped_vs_corpus",
+                "redelivered",
+                "dropped_in_batch",
+            )
+        },
+    }
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    batch_size = int(args.pop()) if args and args[-1].isdigit() else 2000
+    dirs = args or [
+        "/root/testdata/sf0.1",
+        "_scratch/sf10",
+        "_scratch/sf100",
+    ]
+    spark = get_spark("bench-semantic-gate")
+    spark.sparkContext.setLogLevel("ERROR")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    points: dict[str, dict] = {}
+    for emb_dir in dirs:
+        tag = os.path.basename(os.path.normpath(emb_dir))
+        work = os.path.join(repo, "_scratch", f"bench_semantic_gate_{tag}")
+        points[tag] = {"dir": emb_dir, **run_point(spark, emb_dir, work, batch_size)}
+        print(f"{tag}: {json.dumps(points[tag])}", flush=True)
+        shutil.rmtree(work, ignore_errors=True)
+
+    path = os.path.join(repo, "BENCH_SCALING.json")
+    doc = json.load(open(path)) if os.path.exists(path) else {}
+    prior = doc.get("semantic_gate", {}).get("points", {})
+    doc["semantic_gate"] = {
+        "method": (
+            "one fixed-composition batch (half fresh vectors, quarter "
+            "stored-copy duplicates under new ids, quarter redeliveries) "
+            "through semantic_gate_batch against a corpus-seeded "
+            "DocumentStore + committed ANN index; setup excluded. "
+            "Fresh-kept / redelivery / no-in-batch-drop decisions are "
+            "asserted; copy_catch_rate is the RECORDED quality number "
+            "(bounded by shortlist recall at the check knobs — the "
+            "ann_ops recall table's regime). corpus_check cost is "
+            "O(batch x nprobe x cell occupancy): it grows until "
+            "auto_centroids saturates occupancy at target_cell (~1.6M "
+            "vectors) and is FLAT beyond — the 2M and 20M points bracket "
+            "the plateau; target_cell and the check knobs are the "
+            "per-batch price levers."
+        ),
+        "threshold": THRESHOLD,
+        "batch_size": batch_size,
+        "points": {**prior, **points},
+    }
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=2)
+        f.write("\n")
+    print(f"wrote {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
