@@ -47,11 +47,14 @@ def dedup_exact(
 
 
 #: character classes shared VERBATIM by the Spark expression and the DuckDB
-#: oracle (both engines treat the literal codepoints identically; \\s plus
-#: the common Unicode spaces Java's non-UNICODE \\s misses, and the four
-#: ASCII punctuation ranges). Kept as data so the oracle cannot drift.
+#: oracle. Every member is an explicit codepoint — no \\s shorthand, because
+#: Java's non-UNICODE \\s includes U+000B while RE2's excludes it (ADVICE r12
+#: low), so the shorthand silently means different sets in the two engines.
+#: ASCII whitespace is spelled out ([ \\t\\n\\x0B\\f\\r]), followed by the
+#: common Unicode spaces neither engine's \\s covers, then the four ASCII
+#: punctuation ranges. Kept as data so the oracle cannot drift.
 NORM_WS_CLASS = (
-    "[\\s   - ​    　]+"
+    "[ \\t\\n\\x0B\\f\\r   - ​    　]+"
 )
 NORM_PUNCT_CLASS = "[!-/:-@\\[-`{-~]"
 

@@ -726,6 +726,19 @@ def _adc_blocked_shortlist(
     )
 
 
+#: default exact-re-rank shortlist multiplier for the PQ searches (k*refine
+#: ADC candidates per probe survive to the exact re-rank). 64 is the MEASURED
+#: recall-held setting, not a guess: the r12 2M-vector sweep
+#: (BENCH_SCALING.ann_ops) put recall@10 at 0.10 with refine=4, 0.46 at 16,
+#: 0.88 at 64 — invariant to nprobe 5..20, so the shortlist width is the
+#: binding knob at scale and a refine-4 default silently serves 0.10-recall
+#: answers to any caller who trusts the defaults (VERDICT r12 #4). The
+#: registry's DuckDB replay oracles import this same constant, so the Spark
+#: plan and the oracle can never disagree on the shortlist width. Cost is
+#: k*refine exact-vector fetches per probe — corpus-size-independent.
+DEFAULT_REFINE = 64
+
+
 def topk_cosine_ivfpq(
     df: DataFrame,
     probe_filter: Column,
@@ -737,7 +750,7 @@ def topk_cosine_ivfpq(
     dim: int = 64,
     m_sub: int = 8,
     ksub: int = 16,
-    refine: int = 4,
+    refine: int = DEFAULT_REFINE,
     opq: bool = False,
     opq_sweeps: int = 2,
     centroids: list[list[float]] | None = None,

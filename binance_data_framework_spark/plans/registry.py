@@ -2405,7 +2405,11 @@ def _ivf_oracle_sql(k: int = 10, nprobe: int = 4) -> str:
 
 
 def _ivfpq_oracle_sql(
-    k: int = 10, nprobe: int = 4, refine: int = 4, m_sub: int = 8, dim: int = 64
+    k: int = 10,
+    nprobe: int = 4,
+    refine: int = S.DEFAULT_REFINE,
+    m_sub: int = 8,
+    dim: int = 64,
 ) -> str:
     """Full DuckDB replay of topk_similarity_pq (VERDICT r11 #1): replayed
     IVF + PQ training -> persisted-code-equivalent encoding -> ADC
@@ -2466,7 +2470,7 @@ def _filtered_ivf_oracle_sql(
     k: int = 10,
     base_nprobe: int = 4,
     base_overfetch: int = 8,
-    refine: int = 4,
+    refine: int = S.DEFAULT_REFINE,
     target_factor: float = 2.0,
     max_nprobe: int = 16,
     m_sub: int = 8,

@@ -55,7 +55,7 @@ def serve_batch(
     corpus: DataFrame,
     k: int = 10,
     nprobe: int = 4,
-    refine: int = 4,
+    refine: int = S.DEFAULT_REFINE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame | None:

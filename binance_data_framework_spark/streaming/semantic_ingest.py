@@ -118,18 +118,24 @@ def semantic_gate_batch(
     # 2. redelivery check — shard-pruned point read, same-id rows are
     # already stored (first-write-wins, like the band gate's append_new).
     # An empty store (nothing accepted yet) trivially has no redeliveries
-    # — same manifest-sidecar emptiness probe the band gate uses.
+    # — same manifest-sidecar emptiness probe the band gate uses. The
+    # STORED rows (id + vector) are kept around, not just the ids: stage
+    # 4 re-feeds them to the index so a replay backfills the crash window
+    # (see the commit comment below).
     man = vec_store._snapshot()
+    redelivered_vecs = None
     if man and man["files"]:
-        stored_ids = (
+        stored_rows = (
             vec_store.read_keys(kept_batch.select(id_col))
-            .select(id_col)
-            .distinct()
+            .select(id_col, vec_col)
+            .localCheckpoint(eager=True)
         )
+        stored_ids = stored_rows.select(id_col).distinct()
         fresh = kept_batch.join(
             F.broadcast(stored_ids), on=id_col, how="left_anti"
         ).localCheckpoint(eager=True)
         n_fresh = fresh.count()
+        redelivered_vecs = stored_rows
     else:
         fresh, n_fresh = kept_batch, n_after_batch
     redelivered = n_after_batch - n_fresh
@@ -170,19 +176,33 @@ def semantic_gate_batch(
     dropped_vs_corpus = n_fresh - n_kept
     _tick("corpus_check")
 
-    # 4. commit survivors: vectors first, then the index (replaying a
-    # crash between the commits converges via the skip paths)
-    if n_kept > 0:
-        vec_store.append_docs(survivors, on_existing="skip")
+    # 4. commit survivors: vectors first, then the index. The index leg
+    # feeds the UNION of survivors and the batch's redelivered rows
+    # (vectors re-read from the store — the stored copy is authoritative
+    # under first-write-wins), mirroring the band gate's ANN leg
+    # (neardup_ingest review r9 #1): a crash between the vector-store
+    # append and the index append leaves rows stored-but-unindexed; on
+    # replay stage 2 classifies them as redeliveries, so ONLY this union
+    # path can backfill them into the index. skip_existing makes the
+    # already-indexed ids a no-op, so the replay converges (ADVICE r12
+    # high).
+    to_index = survivors.select(id_col, vec_col)
+    if redelivered > 0:
+        to_index = to_index.unionByName(
+            redelivered_vecs.select(id_col, vec_col)
+        )
+    if n_kept > 0 or redelivered > 0:
+        if n_kept > 0:
+            vec_store.append_docs(survivors, on_existing="skip")
         if idx is None:
+            # covers the first-batch crash window too: build() reads the
+            # full vector store, which already holds any redelivered rows
             idx = ann_store.build(
                 vec_store.read().select(id_col, vec_col),
                 **(ann_build_kwargs or {}),
             )
         else:
-            idx = ann_store.append(
-                survivors.select(id_col, vec_col), skip_existing=True
-            )
+            idx = ann_store.append(to_index, skip_existing=True)
 
     _tick("commit")
     return {
@@ -232,6 +252,11 @@ def stream_semantic_ingest(
         )
         if stats_path is not None:
             spark = vec_store.spark
+            # explicit schema (ADVICE r12 low): an EMPTY micro-batch's
+            # stats carry index_version=None and stage_sec={}, which
+            # schema inference maps to NullType / map<null,null> and the
+            # write raises — killing the stream on sources that can
+            # legitimately deliver empty batches
             (
                 spark.createDataFrame(
                     [
@@ -239,7 +264,13 @@ def stream_semantic_ingest(
                             "batch_id": batch_id,
                             **{k: v for k, v in stats.items()},
                         }
-                    ]
+                    ],
+                    schema=(
+                        "batch_id long, arrived long, kept long, "
+                        "dropped_in_batch long, dropped_vs_corpus long, "
+                        "redelivered long, index_version long, "
+                        "stage_sec map<string,double>"
+                    ),
                 )
                 .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")

@@ -60,10 +60,13 @@ DELTA_ROWS = 2000
 DELETE_IDS = 100
 NPROBE = 4
 # shortlist width of the recall-held search point (see run_point): the r12
-# 2M-decade sweep measured recall@10 0.10 at the default refine=4, 0.46 at
-# 16, 0.88 at 64 — invariant to nprobe 5..20, so the shortlist is the
-# binding knob at scale and 64 is the measured held-recall setting.
-REFINE_HELD = 64
+# 2M-decade sweep measured recall@10 0.10 at refine=4 (the old default),
+# 0.46 at 16, 0.88 at 64 — invariant to nprobe 5..20, so the shortlist is
+# the binding knob at scale and 64 is the measured held-recall setting. r13
+# (VERDICT r12 #4) re-defaulted similarity.DEFAULT_REFINE to this value, so
+# the plain search point below now runs at the held shortlist too; the held
+# point still differs by probing the gate-SF cell FRACTION (nprobe scaling).
+REFINE_HELD = S.DEFAULT_REFINE
 
 
 def run_point(spark, sf_dir: str, root: str) -> dict:

@@ -47,6 +47,14 @@ DIM = 64
 
 
 def run_point(spark, emb_dir: str, work: str, batch_size: int) -> dict:
+    if batch_size < 4:
+        # the fixed composition below quarters the batch; q=0 would make
+        # `copies` empty and the catch-rate division crash AFTER the full
+        # gate run (ADVICE r12 low) — fail fast instead
+        raise SystemExit(
+            f"batch_size must be >= 4 (got {batch_size}): the fixture "
+            "quarters the batch into fresh/copies/redeliveries"
+        )
     emb = spark.read.parquet(f"{emb_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
