@@ -86,6 +86,17 @@ def pagerank(
     # node-sized; checkpointed so each iteration reuses it instead of
     # re-aggregating the edge list per reference
     deg_n = deg.crossJoin(broadcast(n_nodes)).localCheckpoint(eager=False)
+    # The source degree is ITERATION-INVARIANT: attach it to the edge list
+    # ONCE instead of re-joining deg_n inside every unrolled iteration
+    # (guide §2.4 — the hoisted join removes one edge-sized shuffle join
+    # per iteration; the per-row contribution stays rank/deg, the same
+    # float op in the same order, so results are unchanged). Edge-sized
+    # checkpoint so iterations scan the joined form directly.
+    cedges = (
+        edges.join(deg_n.select("src", "deg"), "src")
+        .select("src", "dst", "deg")
+        .localCheckpoint(eager=False)
+    )
     ranks = deg_n.select(
         F.col("src").alias("node"), (F.lit(1.0) / F.col("n")).alias("rank")
     )
@@ -96,8 +107,7 @@ def pagerank(
     # frames, so the checkpoint itself is cheap.
     for i in range(n_iter):
         contribs = (
-            edges.join(deg_n, "src")
-            .join(ranks, edges["src"] == ranks["node"])
+            cedges.join(ranks, cedges["src"] == ranks["node"])
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
         )

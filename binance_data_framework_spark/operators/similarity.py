@@ -886,7 +886,15 @@ def topk_cosine_ivfpq(
     # touches O(k*refine*probes) rows). The in-plan path keeps reading its
     # corpus checkpoint: the norms there are already materialized.
     if persisted:
-        short = short.localCheckpoint(eager=False)
+        # NO checkpoint for the doubly-consumed shortlist (r13): a lazy
+        # localCheckpoint still calls toRdd, which under AQE executes every
+        # upstream query stage EAGERLY at plan-construction time — the
+        # search ran inside the caller's "build the DataFrame" step and the
+        # planning pass was paid twice. The two consumers (semi-join gate,
+        # re-rank join) share the shortlist's shuffle, so stage/exchange
+        # reuse keeps the ADC scan single-executed without it (A/B at
+        # sf0.1: identical rows, same exec time, one fewer job, construct
+        # no longer blocks).
         cand = with_norm(
             df.join(
                 broadcast(short.select(id_col).distinct()),
