@@ -4169,6 +4169,25 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multimodal columns (SURVEY §2b; north-star first-class)
 # ---------------------------------------------------------------------------
 
+def _spread_for_kernel(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Scale-adaptive parallelism floor for a CPU-BOUND Python kernel
+    (r13, guide §2.5 input skew): the documents fixture is ONE small
+    parquet file, so the scan is a single partition and a mapInPandas
+    chain over it runs on one core. Repartition to the session's default
+    parallelism ONLY when the input has fewer partitions — at scale a
+    100 TB input already carries thousands of scan partitions and this
+    is a no-op branch, so no constant is being tuned to the local core
+    count. Reserved for kernels whose per-byte CPU dwarfs the shuffle
+    (the PNG zlib+unfilter round-trip: A/B 1.04 -> 0.69 s); the cheap
+    kernels (WAV memcpy, stub features/resize) measured 2-3x SLOWER with
+    the added exchange, so they deliberately keep the scan partitioning.
+    The kernels are per-row deterministic, so partitioning cannot change
+    any result."""
+    if df.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        return df.repartition(spark.sparkContext.defaultParallelism)
+    return df
+
+
 def _doc_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic media table in the MULTIMODAL_BLOB schema, derived from
     documents.text (UTF-8 bytes as the opaque payload) so the multimodal path
@@ -4314,6 +4333,11 @@ def _encoded_blobs(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
         .select("doc_id", "text")
         .where(F.length("text") > 0)
     )
+    if fmt == "png":
+        # the PNG round-trip (zlib deflate/inflate + per-row unfilter in
+        # Python) is the one genuinely CPU-bound kernel in this family —
+        # see _spread_for_kernel's A/B note
+        docs = _spread_for_kernel(spark, docs)
     schema = "blob_id bigint, modality string, data binary"
 
     def enc(batches):
