@@ -900,7 +900,27 @@ def cluster_min_label(
 
     Only nodes touching an edge enter the loop (duplicate-graph-sized,
     tiny vs the corpus); untouched ids come back as singleton clusters at
-    the end."""
+    the end.
+
+    r13 (guide §1.2/§5 — fewer driver-synchronized actions): the
+    convergence signals ride the checkpoint jobs as observe() metrics
+    instead of running as separate agg actions. Each squaring was 2 jobs
+    (checkpoint, then sum(m)); each contraction 2 (checkpoint, then
+    count) — the observed metric is computed DURING the materializing
+    job, so the loop runs ONE job per squaring and one per contraction,
+    with identical values driving identical iteration decisions."""
+    from pyspark.sql import Observation
+
+    def _ckpt_msum(df):
+        """(eager checkpoint of df, sum(m) of df) in ONE job: the
+        decimal sum is collected as an observation of the checkpoint's
+        own materialization pass."""
+        obs = Observation()
+        out = df.observe(
+            obs, F.sum(F.col("m").cast("decimal(38,0)")).alias("s")
+        ).localCheckpoint(eager=True)
+        return out, obs.get["s"]
+
     edges = (
         pairs.select(
             F.least("id_a", "id_b").alias("u"), F.greatest("id_a", "id_b").alias("v")
@@ -917,33 +937,25 @@ def cluster_min_label(
     )
     labels = nodes.select(F.col("n").alias("src"), F.col("n").alias("label"))
 
-    def _msum(df):
-        return df.agg(
-            F.sum(F.col("m").cast("decimal(38,0)")).alias("s")
-        ).first()["s"]
-
     for _ in range(max_iter):
         sym = edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
-        m = (
+        m, prev = _ckpt_msum(
             sym.groupBy("u")
             .agg(F.min("v").alias("_mv"))
             .select("u", F.least("u", "_mv").alias("m"))
-            .localCheckpoint(eager=True)
         )
         # square the map to FIXPOINT: m values are monotone non-increasing,
-        # so sum(m) stationary == converged (one node-map-sized self-join +
-        # tiny agg per squaring; each squaring doubles covered hop distance)
-        prev = _msum(m)
+        # so sum(m) stationary == converged (one node-map-sized self-join
+        # per squaring, the sum observed in the same job; each squaring
+        # doubles covered hop distance)
         for _jump in range(max_iter):
             parent = m.select(F.col("u").alias("_pn"), F.col("m").alias("_pm"))
-            m = (
+            m, cur = _ckpt_msum(
                 m.join(parent, m["m"] == parent["_pn"], "left")
                 .select("u", F.coalesce("_pm", "m").alias("m"))
-                .localCheckpoint(eager=True)
             )
-            cur = _msum(m)
             if cur == prev:
                 break
             prev = cur
@@ -956,6 +968,7 @@ def cluster_min_label(
             .select("src", F.coalesce("_lm", "label").alias("label"))
             .localCheckpoint(eager=False)
         )
+        nobs = Observation()
         edges = (
             edges.join(m.select(F.col("u"), F.col("m").alias("_mu")), on="u")
             .join(
@@ -966,9 +979,10 @@ def cluster_min_label(
             )
             .where(F.col("u") != F.col("v"))
             .distinct()
+            .observe(nobs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if edges.count() == 0:
+        if nobs.get["n"] == 0:
             break
     singletons = ids.join(
         nodes.withColumnRenamed("n", id_col), on=id_col, how="left_anti"

@@ -32,9 +32,15 @@ def main() -> int:
     tracker = spark.sparkContext.statusTracker()
     # warm-up: JVM, parquet footers, Python worker pool
     QUERIES["agg_count"](spark, sf_dir).collect()
+    import gc
+
     rows = []
     for name in names:
         fn = QUERIES[name]
+        # mirror bench.py: drop the previous query's localCheckpoint blocks
+        # before timing (their lazy unpersist otherwise bleeds GC pressure
+        # into the next measurement)
+        gc.collect()
         j0 = len(tracker.getJobIdsForGroup(None) or [])
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
