@@ -105,12 +105,35 @@ class AnnIndexStore(SnapshotStore):
         the same ids but different vectors is detected as stale
         (code-review r6: a count+id fingerprint was content-blind and would
         silently serve a quantizer trained on the previous vectors)."""
-        r = df.agg(
+        r = df.agg(*self._fingerprint_aggs()).first()
+        return [int(r["n"]), int(r["s"] or 0), int(r["c"] or 0)]
+
+    def _fingerprint_aggs(self):
+        """The fingerprint's three aggregate expressions — shared by the
+        standalone agg above and the observe() form (_ckpt_fingerprint),
+        so the two paths cannot drift."""
+        return (
             F.count(F.lit(1)).alias("n"),
             F.sum(self.id_col).alias("s"),
             F.sum(self._content_hash().cast("decimal(38,0)")).alias("c"),
-        ).first()
-        return [int(r["n"]), int(r["s"] or 0), int(r["c"] or 0)]
+            # non-null id count — only the append dup check reads it (its
+            # pre-r13 agg counted ids, not rows)
+            F.count(self.id_col).alias("nn"),
+        )
+
+    def _ckpt_fingerprint(self, df: DataFrame):
+        """(eager checkpoint of df, fingerprint of df) in ONE job: the
+        three fingerprint sums ride the checkpoint's materialization pass
+        as observe() metrics instead of running as a separate
+        driver-synchronized agg afterwards (r13, guide §1.2/§5)."""
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        out = df.observe(obs, *self._fingerprint_aggs()).localCheckpoint(
+            eager=True
+        )
+        r = obs.get
+        return out, [int(r["n"]), int(r["s"] or 0), int(r["c"] or 0)], int(r["nn"])
 
     def _content_hash(self):
         """One vector's contribution to the fingerprint's content_sum —
@@ -711,8 +734,11 @@ class AnnIndexStore(SnapshotStore):
         # append at 85 s because its sort-limit delta plan re-scanned the
         # 20M-row corpus per action (14.6 s at 2M); with the checkpoint
         # the op is O(delta plan once + batch work). Bulk-load deltas
-        # spill to disk via the default MEMORY_AND_DISK blocks.
-        delta = delta.localCheckpoint(eager=True)
+        # spill to disk via the default MEMORY_AND_DISK blocks. The
+        # fingerprint rides this job as observe() metrics (re-observed on
+        # the skip_existing re-checkpoint below, whose filtered frame is
+        # the one the fingerprint must describe).
+        delta, dfp, n_ids = self._ckpt_fingerprint(delta)
         tomb0 = self._tombstones_from(self._snapshot())
         if tomb0 is not None:
             if purge == "always":
@@ -755,15 +781,17 @@ class AnnIndexStore(SnapshotStore):
             # anti-join scan (review r7 #2).
             existing = self._committed_ids_among(delta, masked=False)
             if existing is not None:
-                delta = delta.join(
-                    F.broadcast(existing), self.id_col, "left_anti"
-                ).localCheckpoint(eager=True)
+                delta, dfp, n_ids = self._ckpt_fingerprint(
+                    delta.join(F.broadcast(existing), self.id_col, "left_anti")
+                )
             else:  # oversized delta: the column-pruned join path
-                delta = delta.join(
-                    self.codes("pq", masked=False).select(self.id_col),
-                    self.id_col,
-                    "left_anti",
-                ).localCheckpoint(eager=True)
+                delta, dfp, n_ids = self._ckpt_fingerprint(
+                    delta.join(
+                        self.codes("pq", masked=False).select(self.id_col),
+                        self.id_col,
+                        "left_anti",
+                    )
+                )
         # orig_model MUST come from the manifest idx was parsed from (its
         # version), not from a fresh _snapshot(): a rebuild landing between
         # load() and a later snapshot read would make the concurrency check
@@ -774,20 +802,20 @@ class AnnIndexStore(SnapshotStore):
         orig_model = sorted(
             f for f in orig_man["files"] if f.startswith("model/")
         )
-        dfp = self._fingerprint(delta)
         if dfp[0] == 0:
             return idx
         if check_duplicates:
             # one agg catches duplicates WITHIN the delta (they would
             # double-encode and inflate the rolled fingerprint — review
-            # r6b #2)
-            d = delta.agg(
-                F.count(self.id_col).alias("n"),
-                F.count_distinct(self.id_col).alias("nd"),
-            ).first()
-            if d["n"] != d["nd"]:
+            # r6b #2). Distinct aggregates are not allowed in observed
+            # metrics, so this one check stays a standalone action; the
+            # row count comes from the checkpoint-observed fingerprint.
+            nd = delta.select(
+                F.count_distinct(self.id_col).alias("nd")
+            ).first()["nd"]
+            if n_ids != nd:
                 raise ValueError(
-                    f"append: {d['n'] - d['nd']} duplicate id(s) WITHIN the "
+                    f"append: {n_ids - nd} duplicate id(s) WITHIN the "
                     f"delta — each vector must appear once"
                 )
             # the committed-id collision check is a column-pruned semi-join

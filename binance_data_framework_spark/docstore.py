@@ -537,30 +537,35 @@ class BandIndexStore(SnapshotStore):
         if not man or not man["files"]:
             return empty
         local_root = self._local_root()
-        # one bucket-keyed planning agg serves BOTH strategies (review r10
-        # #9 — the old shape ran a wasted CANDIDATES_PUSHDOWN_MAX-row
-        # collect before falling back): per-bucket distinct counts sum to
-        # the EXACT global distinct count (bucket is a function of
-        # band_hash, so no row repeats across buckets), deciding the path,
-        # and their keys are the touched-bucket set the join path needs.
-        per_bucket = (
-            incoming.groupBy("bucket")
-            .agg(
-                F.count_distinct("id_new", "band_idx", "band_hash").alias("n")
-            )
+        # ONE planning collect serves BOTH strategies (r13 — the r10 shape
+        # still ran two jobs on the point path: a per-bucket distinct-count
+        # agg, then the probe-row collect): the distinct probe rows are
+        # collected directly with a limit(MAX+1) bound, so MAX+1 rows back
+        # means "oversized probe set" — exactly the old sum-of-counts test
+        # — and a within-bound result IS the point path's probe set, whose
+        # bucket column carries the touched set for free.
+        probe_rows = (
+            incoming.select("id_new", "band_idx", "band_hash", "bucket")
+            .distinct()
+            .limit(self.CANDIDATES_PUSHDOWN_MAX + 1)
             .collect()
         )
-        if not per_bucket:
+        if not probe_rows:
             return empty
-        touched = {r["bucket"] for r in per_bucket}
-        n_probe = sum(r["n"] for r in per_bucket)
-        if local_root is not None and n_probe <= self.CANDIDATES_PUSHDOWN_MAX:
-            probe_rows = (
-                incoming.select("id_new", "band_idx", "band_hash", "bucket")
-                .distinct()
-                .collect()
-            )
+        if (
+            local_root is not None
+            and len(probe_rows) <= self.CANDIDATES_PUSHDOWN_MAX
+        ):
             return self._candidates_point(probe_rows, man, local_root, empty)
+        if len(probe_rows) <= self.CANDIDATES_PUSHDOWN_MAX:
+            touched = {r["bucket"] for r in probe_rows}
+        else:
+            # oversized probe set: the join path still needs the exact
+            # touched-bucket set for manifest pruning
+            touched = {
+                r["bucket"]
+                for r in incoming.select("bucket").distinct().collect()
+            }
         # delta runs are unpruned by bucket (batch-sized by construction —
         # a probe must always consult them)
         files = [
@@ -1304,10 +1309,17 @@ class DocumentStore(SnapshotStore):
                         f"on_existing='skip' or save_docs()"
                     )
             else:
-                incoming = incoming.join(
-                    existing, self.key_col, "left_anti"
-                ).localCheckpoint(eager=True)
-                if not incoming.limit(1).count():
+                from pyspark.sql import Observation
+
+                skip_obs = Observation()
+                incoming = (
+                    incoming.join(existing, self.key_col, "left_anti")
+                    .observe(skip_obs, F.count(F.lit(1)).alias("n"))
+                    .localCheckpoint(eager=True)
+                )
+                # survivor count rides the checkpoint job (r13) — this was
+                # a separate limit(1).count() action
+                if not int(skip_obs.get["n"]):
                     return 0
         # one-survivor rule among duplicate incoming keys (save_docs parity;
         # content-hash order makes the survivor partitioning-invariant)
@@ -1318,15 +1330,23 @@ class DocumentStore(SnapshotStore):
             .drop("_rn")
         )
         staging = f"_staging-{uuid.uuid4().hex}"
-        n_rows = deduped.count()
+        # the appended-row count rides the staging write as an observe()
+        # metric — it was a separate pre-write count() action (r13, guide
+        # §1.2/§5: one fewer driver-synchronized job on the streaming
+        # gate's hot commit path)
+        from pyspark.sql import Observation
+
+        obs = Observation()
         (
-            deduped.repartition("shard")
+            deduped.observe(obs, F.count(F.lit(1)).alias("n"))
+            .repartition("shard")
             .sortWithinPartitions(self.key_col)
             .write.partitionBy("shard")
             .option("compression", "zstd")
             .mode("overwrite")
             .save(f"{self.root}/{staging}")
         )
+        n_rows = int(obs.get["n"])
         new_files = self._publish_staged(staging)
         if not new_files:
             return 0
@@ -1428,22 +1448,28 @@ class DocumentStore(SnapshotStore):
         semi-join (large key sets)."""
         self._check_layout()
         keyed = shard_assign(keys.select(self.key_col), self.n_shards, self.key_col)
-        # one shard-keyed planning agg serves both strategies (the
-        # candidates() rule one tier down, review r10 #9): shard is a
-        # function of the key, so per-shard distinct counts sum to the
-        # EXACT global distinct count — no oversized wasted collect
-        per_shard = (
-            keyed.groupBy("shard")
-            .agg(F.count_distinct(self.key_col).alias("n"))
+        # ONE planning collect serves both strategies (r13 — this was two
+        # jobs: a per-shard distinct-count agg, then a separate key
+        # collect on the small path): shard is a function of the key, so
+        # distinct (key, shard) pairs == distinct keys, and the
+        # limit(MAX+1) bounds the collect on oversized key sets — MAX+1
+        # rows back means "not small", exactly the old sum-of-counts test
+        sample = (
+            keyed.select(self.key_col, "shard")
+            .distinct()
+            .limit(self.READ_KEYS_PUSHDOWN_MAX + 1)
             .collect()
         )
-        touched = {r["shard"] for r in per_shard}
-        small = sum(r["n"] for r in per_shard) <= self.READ_KEYS_PUSHDOWN_MAX
+        small = len(sample) <= self.READ_KEYS_PUSHDOWN_MAX
         if small:
-            probe = [
-                r[self.key_col]
-                for r in keyed.select(self.key_col).distinct().collect()
-            ]
+            touched = {r["shard"] for r in sample}
+            probe = [r[self.key_col] for r in sample]
+        else:
+            # oversized key set: the semi-join path still needs the exact
+            # touched-shard set for manifest pruning
+            touched = {
+                r["shard"] for r in keyed.select("shard").distinct().collect()
+            }
         man = self._snapshot()
         if not man:
             raise ValueError(f"DocumentStore at {self.root} is empty")

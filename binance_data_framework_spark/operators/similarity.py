@@ -897,7 +897,12 @@ def topk_cosine_ivfpq(
         # no longer blocks).
         cand = with_norm(
             df.join(
-                broadcast(short.select(id_col).distinct()),
+                # no .distinct() on the build side (r13): left_semi keeps
+                # one match regardless of build-side duplicates, and the
+                # distinct cost a full exchange + two hash aggregates on
+                # every persisted search; the broadcast stays bounded by
+                # k*refine*probes rows either way
+                broadcast(short.select(id_col)),
                 on=id_col,
                 how="left_semi",
             ),

@@ -82,6 +82,8 @@ def semantic_gate_batch(
     redelivery_check / corpus_check / commit."""
     import time as _time
 
+    from pyspark.sql import Observation
+
     stage_sec: dict[str, float] = {}
     _mark = [_time.time()]
 
@@ -90,8 +92,18 @@ def semantic_gate_batch(
         stage_sec[name] = round(now - _mark[0], 3)
         _mark[0] = now
 
-    batch_df = batch_df.localCheckpoint(eager=True)  # micro-batch sized
-    n_arrived = batch_df.count()
+    def _ckpt_count(df: DataFrame) -> tuple[DataFrame, int]:
+        """(eager checkpoint, row count) in ONE job — the count rides the
+        checkpoint's materialization pass as an observe() metric instead
+        of running as a second driver-synchronized action (r13, guide
+        §1.2/§5: the gate ran two actions per stage boundary)."""
+        obs = Observation()
+        out = df.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(
+            eager=True
+        )
+        return out, int(obs.get["n"])
+
+    batch_df, n_arrived = _ckpt_count(batch_df)  # micro-batch sized
     if n_arrived == 0:
         idx = ann_store.load()
         return {
@@ -108,10 +120,9 @@ def semantic_gate_batch(
     reps = S.semantic_dedup(
         batch_df, threshold=threshold, id_col=id_col, vec_col=vec_col, dim=dim
     ).select(id_col)
-    kept_batch = batch_df.join(
-        F.broadcast(reps), on=id_col, how="left_semi"
-    ).localCheckpoint(eager=True)
-    n_after_batch = kept_batch.count()
+    kept_batch, n_after_batch = _ckpt_count(
+        batch_df.join(F.broadcast(reps), on=id_col, how="left_semi")
+    )
     dropped_in_batch = n_arrived - n_after_batch
     _tick("in_batch_dedup")
 
@@ -131,10 +142,9 @@ def semantic_gate_batch(
             .localCheckpoint(eager=True)
         )
         stored_ids = stored_rows.select(id_col).distinct()
-        fresh = kept_batch.join(
-            F.broadcast(stored_ids), on=id_col, how="left_anti"
-        ).localCheckpoint(eager=True)
-        n_fresh = fresh.count()
+        fresh, n_fresh = _ckpt_count(
+            kept_batch.join(F.broadcast(stored_ids), on=id_col, how="left_anti")
+        )
         redelivered_vecs = stored_rows
     else:
         fresh, n_fresh = kept_batch, n_after_batch
@@ -167,12 +177,11 @@ def semantic_gate_batch(
             .select(F.col("probe_id").alias(id_col))
             .distinct()
         )
-        survivors = fresh.join(
-            F.broadcast(dup_ids), on=id_col, how="left_anti"
-        ).localCheckpoint(eager=True)
+        survivors, n_kept = _ckpt_count(
+            fresh.join(F.broadcast(dup_ids), on=id_col, how="left_anti")
+        )
     else:
-        survivors = fresh
-    n_kept = survivors.count()
+        survivors, n_kept = fresh, n_fresh
     dropped_vs_corpus = n_fresh - n_kept
     _tick("corpus_check")
 
