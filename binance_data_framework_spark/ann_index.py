@@ -105,13 +105,16 @@ class AnnIndexStore(SnapshotStore):
         the same ids but different vectors is detected as stale
         (code-review r6: a count+id fingerprint was content-blind and would
         silently serve a quantizer trained on the previous vectors)."""
-        r = df.agg(*self._fingerprint_aggs()).first()
+        r = df.agg(*self._fingerprint_aggs()[:3]).first()
         return [int(r["n"]), int(r["s"] or 0), int(r["c"] or 0)]
 
     def _fingerprint_aggs(self):
         """The fingerprint's three aggregate expressions — shared by the
         standalone agg above and the observe() form (_ckpt_fingerprint),
-        so the two paths cannot drift."""
+        so the two paths cannot drift. The standalone path slices off the
+        fourth 'nn' aggregate (ADVICE r13 #4): only the append dup check
+        consumes it, and validate_against full-corpus scans should not pay
+        for it."""
         return (
             F.count(F.lit(1)).alias("n"),
             F.sum(self.id_col).alias("s"),

@@ -537,35 +537,38 @@ class BandIndexStore(SnapshotStore):
         if not man or not man["files"]:
             return empty
         local_root = self._local_root()
-        # ONE planning collect serves BOTH strategies (r13 — the r10 shape
-        # still ran two jobs on the point path: a per-bucket distinct-count
-        # agg, then the probe-row collect): the distinct probe rows are
-        # collected directly with a limit(MAX+1) bound, so MAX+1 rows back
-        # means "oversized probe set" — exactly the old sum-of-counts test
-        # — and a within-bound result IS the point path's probe set, whose
-        # bucket column carries the touched set for free.
-        probe_rows = (
-            incoming.select("id_new", "band_idx", "band_hash", "bucket")
-            .distinct()
-            .limit(self.CANDIDATES_PUSHDOWN_MAX + 1)
+        # COUNT-FIRST planning (restored r14 per VERDICT r13 #3/#4 — the
+        # r13 limit(MAX+1)-collect shape shipped up to MAX+1 FULL probe
+        # rows through the driver on every call just to decide the path,
+        # tens of MB per 100 TB-scale dedup probe, plus CollectLimit's
+        # partial-serial execution; guide §5, the driver does no data
+        # work): one bucket-keyed planning agg serves BOTH strategies —
+        # per-bucket distinct counts sum to the EXACT global distinct
+        # count (bucket is a function of band_hash, so no row repeats
+        # across buckets), deciding the path with a bucket-cardinality-
+        # sized collect, and their keys are the touched-bucket set the
+        # join path needs. Rows are only ever collected on the point path
+        # AFTER the count proves them within bound.
+        per_bucket = (
+            incoming.groupBy("bucket")
+            .agg(
+                F.count_distinct("id_new", "band_idx", "band_hash").alias("n")
+            )
             .collect()
         )
-        if not probe_rows:
+        if not per_bucket:
             return empty
+        touched = {r["bucket"] for r in per_bucket}
         if (
             local_root is not None
-            and len(probe_rows) <= self.CANDIDATES_PUSHDOWN_MAX
+            and sum(r["n"] for r in per_bucket) <= self.CANDIDATES_PUSHDOWN_MAX
         ):
+            probe_rows = (
+                incoming.select("id_new", "band_idx", "band_hash", "bucket")
+                .distinct()
+                .collect()
+            )
             return self._candidates_point(probe_rows, man, local_root, empty)
-        if len(probe_rows) <= self.CANDIDATES_PUSHDOWN_MAX:
-            touched = {r["bucket"] for r in probe_rows}
-        else:
-            # oversized probe set: the join path still needs the exact
-            # touched-bucket set for manifest pruning
-            touched = {
-                r["bucket"]
-                for r in incoming.select("bucket").distinct().collect()
-            }
         # delta runs are unpruned by bucket (batch-sized by construction —
         # a probe must always consult them)
         files = [
@@ -1448,28 +1451,26 @@ class DocumentStore(SnapshotStore):
         semi-join (large key sets)."""
         self._check_layout()
         keyed = shard_assign(keys.select(self.key_col), self.n_shards, self.key_col)
-        # ONE planning collect serves both strategies (r13 — this was two
-        # jobs: a per-shard distinct-count agg, then a separate key
-        # collect on the small path): shard is a function of the key, so
-        # distinct (key, shard) pairs == distinct keys, and the
-        # limit(MAX+1) bounds the collect on oversized key sets — MAX+1
-        # rows back means "not small", exactly the old sum-of-counts test
-        sample = (
-            keyed.select(self.key_col, "shard")
-            .distinct()
-            .limit(self.READ_KEYS_PUSHDOWN_MAX + 1)
+        # COUNT-FIRST planning (restored r14, same rule as candidates():
+        # the r13 limit(MAX+1)-collect pulled up to 8193 full (key, shard)
+        # rows to decide the path and then ran a SECOND distinct collect
+        # on oversized sets — two jobs plus a wasted transfer exactly on
+        # the corpus-sized dedup probes; guide §5): one shard-keyed
+        # planning agg decides the path AND yields the touched-shard set,
+        # shard-cardinality-sized; keys are only collected on the small
+        # path after the count proves them within bound.
+        per_shard = (
+            keyed.groupBy("shard")
+            .agg(F.count_distinct(self.key_col).alias("n"))
             .collect()
         )
-        small = len(sample) <= self.READ_KEYS_PUSHDOWN_MAX
+        touched = {r["shard"] for r in per_shard}
+        small = sum(r["n"] for r in per_shard) <= self.READ_KEYS_PUSHDOWN_MAX
         if small:
-            touched = {r["shard"] for r in sample}
-            probe = [r[self.key_col] for r in sample]
-        else:
-            # oversized key set: the semi-join path still needs the exact
-            # touched-shard set for manifest pruning
-            touched = {
-                r["shard"] for r in keyed.select("shard").distinct().collect()
-            }
+            probe = [
+                r[self.key_col]
+                for r in keyed.select(self.key_col).distinct().collect()
+            ]
         man = self._snapshot()
         if not man:
             raise ValueError(f"DocumentStore at {self.root} is empty")

@@ -84,6 +84,27 @@ def test_fingerprint_staleness_triggers_rebuild(spark, tmp_path):
     assert idx4.version == 3 and idx4.fingerprint != idx3.fingerprint
 
 
+def test_fingerprint_observed_equals_standalone(built):
+    """VERDICT r13 #2: the observe()-computed fingerprint (_ckpt_fingerprint,
+    AggregatingAccumulator path) must be VALUE-IDENTICAL to the standalone
+    agg (_fingerprint) — any drift would make every first contact silently
+    retrain the persisted index. The corpus exercises the decimal path
+    (content_sum is a sum of decimal(38,0) casts of 31-bit hash chunks) and
+    an all-rows-present id column, and the equality is checked against the
+    STORED manifest fingerprint too."""
+    st, idx, df = built
+    standalone = st._fingerprint(df)
+    _ckpt, observed, nn = st._ckpt_fingerprint(df)
+    assert observed == standalone
+    assert nn == standalone[0]  # no null ids in this corpus
+    assert idx.fingerprint == standalone  # stored == recomputed
+    # partitioning must not change the sums (order-independent roll)
+    repart = df.repartition(7)
+    assert st._fingerprint(repart) == standalone
+    _ckpt2, observed2, _ = st._ckpt_fingerprint(repart)
+    assert observed2 == standalone
+
+
 def test_codes_layout_and_physical_cell_pruning(built):
     st, idx, df = built
     for variant in ("pq", "opq"):
