@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StructField, StructType
 
 
 def content_hash(col: Column | str) -> Column:
@@ -868,6 +869,14 @@ def simhash_near_pairs(
     )
 
 
+#: Edge counts at or below this take cluster_min_label's driver-side
+#: union-find finish (one bounded ~4 MB collect at the cap) instead of
+#: further ~25-job distributed contraction rounds — the measured-size
+#: gate pattern (read_keys/candidates): decide on an exact observed
+#: count, collect only when proven within bound.
+CC_LOCAL_FINISH_MAX_EDGES = 1 << 18
+
+
 def cluster_min_label(
     pairs: DataFrame, ids: DataFrame, id_col: str, max_iter: int = 50
 ) -> DataFrame:
@@ -908,7 +917,25 @@ def cluster_min_label(
     (checkpoint, then sum(m)); each contraction 2 (checkpoint, then
     count) — the observed metric is computed DURING the materializing
     job, so the loop runs ONE job per squaring and one per contraction,
-    with identical values driving identical iteration decisions."""
+    with identical values driving identical iteration decisions.
+
+    r14 (guide §1.2 — remove whole passes): BOUNDED LOCAL FINISH. Each
+    distributed round costs ~25 driver-synchronized jobs (map, squarings
+    to fixpoint, label composition, contraction — each checkpoint's AQE
+    stage materializations are jobs too) regardless of how small the
+    contracted graph has become; measured on the sf0.1 semantic graph the
+    loop spent rounds 1-2 (~50 jobs) flattening a 1286-edge remnant. So
+    once the observed edge count fits CC_LOCAL_FINISH_MAX_EDGES the
+    remaining component structure is solved DRIVER-SIDE with min-rooted
+    union-find over one bounded collect (the measured-size gate pattern
+    of read_keys/candidates: decide on an exact count, collect only when
+    proven within bound — ~4 MB at the 2^18-edge cap) and composed into
+    the labels through one broadcast map. Identical semantics: union-find
+    with attach-larger-root-under-smaller yields exactly the component
+    minimum for every node, the same fixpoint the squaring loop reaches.
+    At 100 TB the first rounds still contract distributedly (a duplicate
+    CLIQUE — the dominant structure — collapses in round one), and the
+    finish replaces only the long tail of tiny-graph rounds."""
     from pyspark.sql import Observation
 
     def _ckpt_msum(df):
@@ -921,14 +948,17 @@ def cluster_min_label(
         ).localCheckpoint(eager=True)
         return out, obs.get["s"]
 
+    eobs = Observation()
     edges = (
         pairs.select(
             F.least("id_a", "id_b").alias("u"), F.greatest("id_a", "id_b").alias("v")
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .observe(eobs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
     )
+    n_edges = int(eobs.get["n"])
     nodes = (
         edges.select(F.col("u").alias("n"))
         .unionByName(edges.select(F.col("v").alias("n")))
@@ -938,6 +968,48 @@ def cluster_min_label(
     labels = nodes.select(F.col("n").alias("src"), F.col("n").alias("label"))
 
     for _ in range(max_iter):
+        if n_edges == 0:
+            break
+        if n_edges <= CC_LOCAL_FINISH_MAX_EDGES:
+            # bounded local finish: solve the remaining (small, counted)
+            # graph exactly with min-rooted union-find and broadcast the
+            # label->component-min map back through the labels
+            parent: dict = {}
+
+            def _find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:  # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            seen = set()
+            for row in edges.collect():
+                a, b = row["u"], row["v"]
+                seen.add(a)
+                seen.add(b)
+                ra, rb = _find(a), _find(b)
+                if ra != rb:
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra  # larger root under smaller: root == min
+            id_dtype = edges.schema["u"].dataType
+            mapping_df = edges.sparkSession.createDataFrame(
+                [(n, _find(n)) for n in sorted(seen)],
+                StructType(
+                    [
+                        StructField("_ln", id_dtype, False),
+                        StructField("_lm", id_dtype, False),
+                    ]
+                ),
+            )
+            labels = labels.join(
+                F.broadcast(mapping_df),
+                labels["label"] == F.col("_ln"),
+                "left",
+            ).select("src", F.coalesce("_lm", "label").alias("label"))
+            break
         sym = edges.unionByName(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
@@ -951,9 +1023,9 @@ def cluster_min_label(
         # per squaring, the sum observed in the same job; each squaring
         # doubles covered hop distance)
         for _jump in range(max_iter):
-            parent = m.select(F.col("u").alias("_pn"), F.col("m").alias("_pm"))
+            parent_m = m.select(F.col("u").alias("_pn"), F.col("m").alias("_pm"))
             m, cur = _ckpt_msum(
-                m.join(parent, m["m"] == parent["_pn"], "left")
+                m.join(parent_m, m["m"] == parent_m["_pn"], "left")
                 .select("u", F.coalesce("_pm", "m").alias("m"))
             )
             if cur == prev:
@@ -982,8 +1054,7 @@ def cluster_min_label(
             .observe(nobs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint(eager=True)
         )
-        if nobs.get["n"] == 0:
-            break
+        n_edges = int(nobs.get["n"])
     singletons = ids.join(
         nodes.withColumnRenamed("n", id_col), on=id_col, how="left_anti"
     ).select(F.col(id_col), F.col(id_col).alias("cluster_id"))

@@ -203,6 +203,43 @@ def test_cluster_min_label_long_chain_converges(spark):
     assert set(labels.values()) == {0}, f"chain split into {set(labels.values())}"
 
 
+def test_cluster_min_label_distributed_rounds_match_local_finish(
+    spark, monkeypatch
+):
+    """r14 bounded local finish: the union-find finish and the distributed
+    contraction rounds must produce IDENTICAL labels. Pins both paths on
+    the same awkward graph (a chain, a clique, a valley joining two
+    chains, singletons) by shrinking the finish bound so the distributed
+    loop runs first and the finish handles only the contracted remnant —
+    then compares against the pure-local answer (bound at default, graph
+    fits entirely)."""
+    chain = [(i, i + 1) for i in range(20)]
+    clique = [(a, b) for a in range(100, 105) for b in range(a + 1, 105)]
+    valley = [(50, 60), (60, 40), (40, 70)]  # min re-exposed via contraction
+    pairs = spark.createDataFrame(
+        chain + clique + valley, "id_a long, id_b long"
+    )
+    ids = spark.createDataFrame(
+        [(i,) for i in list(range(21)) + list(range(100, 105))
+         + [40, 50, 60, 70, 999]],
+        "doc_id long",
+    )
+    local = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.cluster_min_label(pairs, ids, "doc_id").collect()
+    }
+    # force at least one distributed round before the finish
+    monkeypatch.setattr(D, "CC_LOCAL_FINISH_MAX_EDGES", 4)
+    hybrid = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.cluster_min_label(pairs, ids, "doc_id").collect()
+    }
+    assert hybrid == local
+    assert local[20] == 0 and local[104] == 100
+    assert local[40] == local[50] == local[60] == local[70] == 40
+    assert local[999] == 999
+
+
 def test_ivfpq_topk_invariants(spark, sf_dir):
     """IVF-PQ with exact re-rank: reported scores are exact cosines (ADC
     approximation only selects the shortlist), ranks are monotone, and
