@@ -640,15 +640,10 @@ class AnnIndexStore(SnapshotStore):
         parts = []
         if bucketed:
             parts.append(
-                self.spark.read.option("basePath", f"{self.root}/codes")
-                .parquet(*[f"{self.root}/{f}" for f in bucketed])
+                self._committed_parquet(bucketed, base_path=f"{self.root}/codes")
             )
         if deltas:
-            parts.append(
-                self.spark.read.parquet(
-                    *[f"{self.root}/{f}" for f in deltas]
-                )
-            )
+            parts.append(self._committed_parquet(deltas))
         with_chash = all("chash" in p.columns for p in parts)
 
         def _sel(p: DataFrame) -> DataFrame:
@@ -989,10 +984,7 @@ class AnnIndexStore(SnapshotStore):
         model_files = [f for f in man["files"] if f.startswith("model/")]
         if not model_files:
             return None
-        rows = (
-            self.spark.read.parquet(*[f"{self.root}/{f}" for f in model_files])
-            .collect()
-        )
+        rows = self._committed_parquet(model_files).collect()
         comp = {r["component"]: json.loads(r["payload"]) for r in rows}
         meta = comp["meta"]
         idx = AnnIndex(
@@ -1025,11 +1017,7 @@ class AnnIndexStore(SnapshotStore):
         tf = [f for f in man["files"] if f.startswith("tombstones/")]
         if not tf:
             return None
-        return (
-            self.spark.read.parquet(*[f"{self.root}/{f}" for f in tf])
-            .select(self.id_col)
-            .distinct()
-        )
+        return self._committed_parquet(tf).select(self.id_col).distinct()
 
     def tombstones(self) -> DataFrame | None:
         return self._tombstones_from(self._snapshot())

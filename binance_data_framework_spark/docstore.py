@@ -417,16 +417,11 @@ class BandIndexStore(SnapshotStore):
         deltas = [f for f in files if self._is_delta(f)]
         if bucketed:
             parts.append(
-                self.spark.read.option("basePath", self.root)
-                .parquet(*[f"{self.root}/{f}" for f in bucketed])
+                self._committed_parquet(bucketed, base_path=self.root)
                 .select(*cols)
             )
         if deltas:
-            parts.append(
-                self.spark.read.parquet(
-                    *[f"{self.root}/{f}" for f in deltas]
-                ).select(*cols)
-            )
+            parts.append(self._committed_parquet(deltas).select(*cols))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -1179,11 +1174,9 @@ class DocumentStore(SnapshotStore):
             superseded = self._shard_files(live, set(touched))
             ranked = incoming.withColumn("_rank", F.lit(0))
             if superseded:
-                stored = (
-                    self.spark.read.option("basePath", self.root)
-                    .parquet(*[f"{self.root}/{f}" for f in superseded])
-                    .withColumn("_rank", F.lit(1))
-                )
+                stored = self._committed_parquet(
+                    superseded, base_path=self.root
+                ).withColumn("_rank", F.lit(1))
                 ranked = ranked.unionByName(stored)
         # content-hash tie-break (VERDICT r9 #3): two incoming rows with the
         # same key both carry _rank 0 — without a total order the survivor
@@ -1375,9 +1368,7 @@ class DocumentStore(SnapshotStore):
         superseded = self._shard_files(man["files"], touched)
         if not superseded:
             return 0
-        stored = self.spark.read.option("basePath", self.root).parquet(
-            *[f"{self.root}/{f}" for f in superseded]
-        )
+        stored = self._committed_parquet(superseded, base_path=self.root)
         survivors = stored.join(
             keyed.select(self.key_col), on=self.key_col, how="left_anti"
         )
@@ -1430,8 +1421,7 @@ class DocumentStore(SnapshotStore):
         man = self._snapshot()
         if not man or not man["files"]:
             raise ValueError(f"DocumentStore at {self.root} is empty")
-        paths = [f"{self.root}/{f}" for f in man["files"]]
-        return self.spark.read.option("basePath", self.root).parquet(*paths)
+        return self._committed_parquet(man["files"], base_path=self.root)
 
     #: key sets at or below this take read_keys' pushed-filter path: the
     #: values collect to the driver (bounded: 8k longs) and land on the
@@ -1477,9 +1467,7 @@ class DocumentStore(SnapshotStore):
         files = self._shard_files(man["files"], touched)
         if not files:
             return self.read().limit(0)  # store schema, zero rows
-        df = self.spark.read.option("basePath", self.root).parquet(
-            *[f"{self.root}/{f}" for f in files]
-        )
+        df = self._committed_parquet(files, base_path=self.root)
         if small:
             return df.where(F.col(self.key_col).isin(probe))
         return df.join(keyed.select(self.key_col), on=self.key_col, how="left_semi")
@@ -1495,9 +1483,7 @@ class DocumentStore(SnapshotStore):
         man = self._resolve(version)
         if not man["files"]:
             raise ValueError(f"snapshot v{version} is empty")
-        return self.spark.read.option("basePath", self.root).parquet(
-            *[f"{self.root}/{f}" for f in man["files"]]
-        )
+        return self._committed_parquet(man["files"], base_path=self.root)
 
     # -- maintenance -------------------------------------------------------
     def optimize(self, max_records_per_file: int = 0) -> int:

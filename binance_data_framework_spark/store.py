@@ -127,6 +127,12 @@ def _utc(d: datetime) -> datetime:
     return d.astimezone(timezone.utc)
 
 
+#: process-wide (root-qualified) schema memo for committed parquet files —
+#: see SnapshotStore._committed_parquet. Immutable uuid-named files make
+#: entries permanently valid; the size cap only bounds driver memory.
+_PARQUET_SCHEMA_CACHE: dict = {}
+
+
 class SnapshotStore:
     """The generic snapshot-commit layer: versioned CAS manifests, delta
     log + parquet checkpoints, two-commit vacuum, time travel, staged-file
@@ -184,6 +190,38 @@ class SnapshotStore:
         else:
             self._local_root_cache = None
         return self._local_root_cache
+
+    def _committed_parquet(
+        self, rels: list[str], base_path: str | None = None
+    ) -> DataFrame:
+        """``spark.read.parquet`` over committed files with a MEMOIZED
+        schema (r14, guide §5 — the driver does no repeatable work): a
+        schema-less read runs a footer/schema-inference job on EVERY call
+        (~0.35 s and one Spark job per store read at sf0.1; at scale the
+        inference lists and opens footers again for every search/gate
+        batch). Committed files are immutable and uuid-named, so a schema
+        inferred once from a group's first file is valid forever — keyed
+        by (base_path, first file), process-wide, so every handle of the
+        same root shares it. Partition columns (shard=/variant=/cell=/dt=)
+        are part of the inferred schema and their inferred TYPES are
+        written consistently by the store's own writers; supplying the
+        schema makes Spark cast partition values to it, which pins the
+        str-or-int inference drift the ann code-reader already normalizes.
+        ``rels`` are paths relative to self.root."""
+        key = (base_path or "", f"{self.root}/{rels[0]}")
+        schema = _PARQUET_SCHEMA_CACHE.get(key)
+        if schema is None:
+            r = self.spark.read
+            if base_path is not None:
+                r = r.option("basePath", base_path)
+            schema = r.parquet(key[1]).schema
+            if len(_PARQUET_SCHEMA_CACHE) >= 512:
+                _PARQUET_SCHEMA_CACHE.clear()
+            _PARQUET_SCHEMA_CACHE[key] = schema
+        r = self.spark.read.schema(schema)
+        if base_path is not None:
+            r = r.option("basePath", base_path)
+        return r.parquet(*[f"{self.root}/{f}" for f in rels])
 
     def _fs_path(self, *segments: str):
         """(FileSystem, Path) for root/segments via the Hadoop FS API —
@@ -649,8 +687,7 @@ class OhlcvStore(SnapshotStore):
         man = self._resolve(version)
         if not man["files"]:
             return self._empty(with_dt)
-        paths = [f"{self.root}/{f}" for f in man["files"]]
-        df = self.spark.read.option("basePath", self.root).parquet(*paths)
+        df = self._committed_parquet(man["files"], base_path=self.root)
         return df if with_dt else df.select(*OHLCV_COLS)
 
     # -- read path --------------------------------------------------------
@@ -707,8 +744,7 @@ class OhlcvStore(SnapshotStore):
         )
         if not files:
             return self._empty(with_dt=True)
-        paths = [f"{self.root}/{f}" for f in files]
-        return self.spark.read.option("basePath", self.root).parquet(*paths)
+        return self._committed_parquet(files, base_path=self.root)
 
     def _exists(self) -> bool:
         man = self._snapshot()
@@ -724,8 +760,7 @@ class OhlcvStore(SnapshotStore):
         man = self._snapshot()
         if not man or not man["files"]:
             return self._empty(with_dt)
-        paths = [f"{self.root}/{f}" for f in man["files"]]
-        df = self.spark.read.option("basePath", self.root).parquet(*paths)
+        df = self._committed_parquet(man["files"], base_path=self.root)
         return df if with_dt else df.select(*OHLCV_COLS)
 
     # -- reference API surface ------------------------------------------
