@@ -208,6 +208,11 @@ class SnapshotStore:
         schema makes Spark cast partition values to it, which pins the
         str-or-int inference drift the ann code-reader already normalizes.
         ``rels`` are paths relative to self.root."""
+        if os.environ.get("SPARK_GRAFT_NO_SCHEMA_CACHE"):
+            r = self.spark.read
+            if base_path is not None:
+                r = r.option("basePath", base_path)
+            return r.parquet(*[f"{self.root}/{f}" for f in rels])
         key = (base_path or "", f"{self.root}/{rels[0]}")
         schema = _PARQUET_SCHEMA_CACHE.get(key)
         if schema is None:
